@@ -27,4 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // This box is a microVM with ~100-400us first-touch page faults: every
+  // freshly touched JVM page costs syscall-like time (touching 4 GB took
+  // minutes in isolation). G1's 32 parallel GC threads + eager region
+  // touching and Spark's 64 MB task-memory pages made 8-row shuffles take
+  // ~10 s of system time. Serial GC + small initial heap + small Spark
+  // memory pages make paging pay-as-you-go (measured: flagship query
+  // 45 s -> 1.6 s).
+  "-XX:+UseSerialGC",
+  "-Xms256m",
+  "-Dspark.buffer.pageSize=4m",
 )

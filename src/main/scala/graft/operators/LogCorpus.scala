@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic CloudWatch-style log corpus synthesized from the `events`
+  * table — the bridge between the driver's TPC-H-ish testdata and the
+  * reference's log-event domain (SURVEY.md §2.1 fixtures).
+  *
+  * Every branch of the reference parser (shipper.js:62-112) and classifier
+  * (shipper.js:31-49) is exercised:
+  *
+  *  - signup   -> `START RequestId: ...`              platform drop (S9)
+  *  - error    -> raw error lines, k-bucketed over the three classifier
+  *                groups incl. the "module initialization error" -> runtime
+  *                first-match quirk (shipper.js:31-47)
+  *  - click    -> JSON logs (S10a), k>=80 carrying an error message
+  *  - purchase -> k<50: JSON *without* a `message` key — the hidden edge case
+  *                (SURVEY.md §2.1) that must fall through to the raw branch;
+  *                k>=50: tab-structured logs (S10b, shipper.js:22)
+  *  - view     -> raw passthrough lines (S10c)
+  *
+  * The construction is pure deterministic string algebra over (event_id,
+  * user_id, event_type, k, second-truncated ts), so the DuckDB oracle can
+  * derive the expected parser *output* independently — see
+  * [[graft.OracleSql.logCorpusBase]].
+  */
+object LogCorpus {
+  val Region = "us-east-1"
+  val LogStream = "2024/01/01/[$LATEST]abc123"
+
+  /** Adds the envelope/enrichment inputs + the synthesized `msg` column. */
+  def withMessages(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val eid = col("event_id").cast("string")
+    val rid = concat(lit("r-"), eid)
+    val iso = concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit(".000Z"))
+    val uid = concat(lpad(eid, 8, "0"), lit("-0000-0000-0000-"), lpad(eid, 12, "0"))
+    val ks = k.cast("string")
+    val et = col("event_type")
+
+    val msg =
+      when(et === "signup", concat(lit("START RequestId: "), rid))
+        .when(et === "error" && k < 20,
+          concat(lit("unable to import module handler_"), ks))
+        .when(et === "error" && k < 40,
+          concat(lit("module initialization error: code "), ks))
+        .when(et === "error" && k < 60,
+          concat(lit("Task timed out after "), ks, lit(" seconds")))
+        .when(et === "error",
+          concat(lit("Process exited before completing request "), ks))
+        .when(et === "click" && k >= 80,
+          concat(lit("{\"message\":\"error: payment failed "), ks,
+            lit("\",\"requestId\":\""), rid, lit("\",\"timestamp\":\""), iso,
+            lit("\",\"k\":\""), ks, lit("\"}")))
+        .when(et === "click",
+          concat(lit("{\"message\":\"clicked button "), ks,
+            lit("\",\"requestId\":\""), rid, lit("\",\"timestamp\":\""), iso,
+            lit("\",\"k\":\""), ks, lit("\"}")))
+        .when(et === "purchase" && k < 50,
+          concat(lit("{\"level\":\"info\",\"k\":\""), ks, lit("\"}")))
+        .when(et === "purchase",
+          concat(iso, lit("\t"), uid, lit("\t"), lit("purchased item "), ks))
+        .otherwise(concat(lit("user viewed page "), ks))
+
+    events
+      .withColumn("k", k)
+      .withColumn("logGroup",
+        concat(lit("/aws/lambda/fn-"), (col("user_id") % 8).cast("string")))
+      .withColumn("logStream", lit(LogStream))
+      .withColumn("aws_region", lit(Region))
+      .withColumn("msg", msg)
+  }
+
+  /** The corpus run through the real parse/classify/enrich operators
+    * (S6, S7, S9, S10a-c, S11, S12), keeping `event_id` for oracle joins.
+    */
+  def parsed(events: DataFrame): DataFrame = {
+    val m = withMessages(events)
+    m.select(col("event_id"),
+        LogPipeline.parseLog(
+          LogPipeline.lambdaName(col("logGroup")),
+          LogPipeline.lambdaVersion(col("logStream")),
+          col("msg"), col("aws_region")).as("doc"))
+      .filter(col("doc").isNotNull)
+      .select(col("event_id"), col("doc.*"))
+  }
+}

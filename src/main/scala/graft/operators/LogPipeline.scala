@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.gcolumns.gunzip
+
+/** The reference data plane (`/root/reference/shipper.js`) re-expressed as a
+  * narrow, shuffle-free Spark column pipeline.
+  *
+  * Every operator below is a pure `Column` transform, so the whole
+  * decode -> parse -> classify -> enrich path fuses into a single
+  * whole-stage-codegen stage with no Exchange — the property that lets it
+  * scale linearly across executors at 100 TB (parallelism = input splits,
+  * exactly like the reference's parallelism = Kinesis shards).
+  *
+  * Semantics are bit-for-bit those of the reference where observable:
+  *  - S6 lambdaName        (shipper.js:28)  last `/`-segment of logGroup
+  *  - S7 lambdaVersion     (shipper.js:27)  text between first `[` and `]`
+  *  - S5 control filter    (shipper.js:125)
+  *  - S9 platform filter   (shipper.js:63-69)
+  *  - S10 3-way parse      (shipper.js:62-112)  JSON -> structured -> raw
+  *  - S11 severity CASE    (shipper.js:31-49)   first-match-wins order
+  *  - S12 enrichment       (shipper.js:75-83)
+  *
+  * Declared deviations (documented, tested):
+  *  - user JSON fields land in `attrs map<string,string>` instead of being
+  *    spread to top level (columnar engines need a closed schema); the exact
+  *    wire doc (dotted keys, spread semantics) is reproduced by [[wireJson]].
+  *  - a malformed structured line (regex hit but <3 tab parts) yields a doc
+  *    with null message instead of poisoning the whole batch (shipper.js would
+  *    throw out of `checkLogError` and fail the Lambda invocation; row-level
+  *    error containment is strictly better at scale).
+  */
+object LogPipeline {
+
+  // ---------------------------------------------------------------------------
+  // Schemas (SURVEY.md §1.4)
+  // ---------------------------------------------------------------------------
+
+  /** CloudWatch Logs payload, after base64+gunzip (shipper.js:122-132). */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("messageType", StringType),
+    StructField("logGroup", StringType),
+    StructField("logStream", StringType),
+    StructField("logEvents", ArrayType(StructType(Seq(
+      StructField("id", StringType),
+      StructField("timestamp", LongType),
+      StructField("message", StringType)))))))
+
+  /** One Kinesis record of the Lambda event envelope (shipper.js:121-130). */
+  val kinesisRecordSchema: StructType = StructType(Seq(
+    StructField("kinesis", StructType(Seq(StructField("data", StringType)))),
+    StructField("awsRegion", StringType)))
+
+  /** Closed part of the output-document schema (SURVEY.md §1.2), engine
+    * column names (underscored); dotted wire keys restored by [[wireJson]].
+    */
+  val docColumns: Seq[String] = Seq(
+    "function_name", "function_version", "timestamp", "request_id",
+    "message", "attrs", "region", "type", "severity", "error_type")
+
+  // ---------------------------------------------------------------------------
+  // Scalar operators
+  // ---------------------------------------------------------------------------
+
+  /** S6: last `/`-segment of the log group (shipper.js:28,
+    * `logGroup.split('/').reverse()[0]` — keeps a trailing empty segment,
+    * which Spark's split with default limit -1 also keeps).
+    */
+  def lambdaName(logGroup: Column): Column = element_at(split(logGroup, "/"), -1)
+
+  /** S7: substring between the first `[` and the first `]` of the log stream
+    * (shipper.js:27). Non-greedy regexp matches the same first-`[`..first-`]`
+    * window; yields "" when absent, as the JS substring arithmetic does for
+    * well-formed streams.
+    */
+  def lambdaVersion(logStream: Column): Column =
+    regexp_extract(logStream, "\\[(.*?)\\]", 1)
+
+  /** S9: platform messages dropped before any parsing (shipper.js:63-69). */
+  def isPlatformMessage(msg: Column): Column =
+    msg.startsWith("START RequestId") ||
+      msg.startsWith("END RequestId") ||
+      msg.startsWith("REPORT RequestId")
+
+  /** Structured-log pattern, verbatim from shipper.js:22 (valid Java regex;
+    * `rlike` is an unanchored search exactly like JS `String.match`).
+    */
+  val structuredLogPattern: String =
+    "[0-9]{4}-(0[1-9]|1[0-2])-(0[1-9]|[1-2][0-9]|3[0-1])T(2[0-3]|[01][0-9]):[0-5][0-9]:[0-5][0-9].[0-9][0-9][0-9]Z([ \t])[a-zA-Z0-9]{8}-[a-zA-Z0-9]{4}-[a-zA-Z0-9]{4}-[a-zA-Z0-9]{4}-[a-zA-Z0-9]{12}([ \t])(.*)"
+
+  /** S11: first-match-wins severity classifier (shipper.js:31-49).
+    *
+    * Returns `error.type` or null. The patterns are literal substrings
+    * compiled with the `i` flag in the reference (shipper.js:23-25), so
+    * case-insensitive `contains` (codegen'd, no regex engine) is equivalent
+    * and faster. Branch order is load-bearing: "module initialization error"
+    * contains "error", so it classifies as *runtime*, never configuration —
+    * the configuration branch is only reachable via "unable to import module".
+    */
+  def errorType(msg: Column): Column = {
+    val m = lower(msg)
+    when(m.contains("error"), "runtime")
+      .when(m.contains("module initialization error") ||
+        m.contains("unable to import module"), "configuration")
+      .when(m.contains("task timed out") ||
+        m.contains("process exited before completing"), "timeout")
+  }
+
+  /** S11: severity = 'error' iff any classifier branch hit, else the 'debug'
+    * default installed by enrichment (shipper.js:83,33,38,44). Null-safe:
+    * null message stays debug (declared deviation — see class doc).
+    */
+  def severity(msg: Column): Column =
+    when(errorType(msg).isNotNull, "error").otherwise("debug")
+
+  // ---------------------------------------------------------------------------
+  // S10: 3-way parse dispatch (JSON -> structured -> raw), shipper.js:62-112
+  // ---------------------------------------------------------------------------
+
+  private val userJsonType = MapType(StringType, StringType)
+
+  /** JSON-branch guard replicating `JSON.parse` + `checkLogError` reachability
+    * (shipper.js:71-85 and the SURVEY.md §2.1 hidden edge case): the JSON
+    * branch survives iff the message parses as a JSON *object* and contains a
+    * *string-valued* `message` key — anything else (scalar/array JSON, object
+    * without `message`, non-string `message`) throws inside the reference's
+    * try block and falls through to the structured/raw path.
+    */
+  def isJsonLog(msg: Column): Column = {
+    val parsed = from_json(msg, userJsonType)
+    parsed.isNotNull && map_contains_key(parsed, "message") &&
+      msg.rlike("\"message\"[ \t\r\n]*:[ \t\r\n]*\"")
+  }
+
+  /** Parse one log-event message into the doc fields, given the
+    * already-derived enrichment columns. Produces a struct with the closed
+    * schema of [[docColumns]]; null for dropped platform messages.
+    */
+  def parseLog(functionName: Column, functionVersion: Column, msg: Column,
+               region: Column): Column = {
+    val parsed = from_json(msg, userJsonType)
+    val emptyAttrs = map().cast(userJsonType)
+    // shipper.js:74: requestId/timestamp are destructured OUT of the spread;
+    // message stays in parsedMessage and becomes doc.message.
+    val jsonDoc = struct(
+      functionName.as("function_name"),
+      functionVersion.as("function_version"),
+      element_at(parsed, "timestamp").as("timestamp"),
+      element_at(parsed, "requestId").as("request_id"),
+      element_at(parsed, "message").as("message"),
+      map_filter(parsed, (k, _) =>
+        !k.isin("timestamp", "requestId", "message")).as("attrs"),
+      region.as("region"), lit("lambda").as("type"),
+      severity(element_at(parsed, "message")).as("severity"),
+      errorType(element_at(parsed, "message")).as("error_type"))
+
+    // shipper.js:50-57: split('\t', 3). Spark's limit-3 split matches JS.
+    val parts = split(msg, "\t", 3)
+    val structuredDoc = struct(
+      functionName.as("function_name"),
+      functionVersion.as("function_version"),
+      element_at(parts, 1).as("timestamp"),
+      element_at(parts, 2).as("request_id"),
+      element_at(parts, 3).as("message"),
+      emptyAttrs.as("attrs"),
+      region.as("region"), lit("lambda").as("type"),
+      severity(element_at(parts, 3)).as("severity"),
+      errorType(element_at(parts, 3)).as("error_type"))
+
+    val rawDoc = struct(
+      functionName.as("function_name"),
+      functionVersion.as("function_version"),
+      lit(null).cast(StringType).as("timestamp"),
+      lit(null).cast(StringType).as("request_id"),
+      msg.as("message"),
+      emptyAttrs.as("attrs"),
+      region.as("region"), lit("lambda").as("type"),
+      severity(msg).as("severity"),
+      errorType(msg).as("error_type"))
+
+    when(isPlatformMessage(msg), lit(null))
+      .when(isJsonLog(msg), jsonDoc)
+      .when(msg.rlike(structuredLogPattern), structuredDoc)
+      .otherwise(rawDoc)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Whole pipeline: Kinesis-shaped records -> parsed docs
+  // ---------------------------------------------------------------------------
+
+  /** Decode one Kinesis record (S2 base64 -> S3 gunzip -> S4 from_json), drop
+    * control messages (S5). Input columns: `data` (base64 string), `region`.
+    * Output: `payload` struct + `region`, control records removed.
+    */
+  def decodeRecords(df: DataFrame, dataCol: String = "data",
+                    regionCol: String = "region"): DataFrame =
+    df.withColumn("payload",
+        from_json(gunzip(unbase64(col(dataCol))).cast(StringType), payloadSchema))
+      .filter(col("payload.messageType") =!= "CONTROL_MESSAGE")
+      .select(col("payload"), col(regionCol).as("region"))
+
+  /** S6-S12 over decoded payloads: derive enrichment, explode logEvents (S8),
+    * drop platform messages, parse + classify. One output row per shipped doc,
+    * flattened to [[docColumns]].
+    */
+  def parsedDocs(decoded: DataFrame): DataFrame = {
+    val exploded = decoded
+      .withColumn("function_name", lambdaName(col("payload.logGroup")))
+      .withColumn("function_version", lambdaVersion(col("payload.logStream")))
+      .select(col("function_name"), col("function_version"), col("region"),
+        explode(col("payload.logEvents")).as("logEvent"))
+    exploded
+      .withColumn("doc", parseLog(col("function_name"),
+        col("function_version"), col("logEvent.message"), col("region")))
+      .filter(col("doc").isNotNull)
+      .select(col("doc.*"))
+  }
+
+  /** Full data plane: raw Kinesis-shaped records to shipped docs. */
+  def pipeline(records: DataFrame, dataCol: String = "data",
+               regionCol: String = "region"): DataFrame =
+    parsedDocs(decodeRecords(records, dataCol, regionCol))
+
+  /** Reproduce the exact wire document of the reference sink (dotted keys,
+    * user fields spread at top level, pipeline literals winning over user
+    * fields of the same name — shipper.js:75-83 spread order).
+    */
+  def wireJson(doc: DataFrame): Column = {
+    val closed = map_filter(
+      map(
+        lit("function.name"), col("function_name"),
+        lit("function.version"), col("function_version"),
+        lit("@timestamp"), col("timestamp"),
+        lit("function.request.id"), col("request_id"),
+        lit("message"), col("message"),
+        lit("region"), col("region"),
+        lit("type"), col("type"),
+        lit("severity"), col("severity"),
+        lit("error.type"), col("error_type")),
+      (_, v) => v.isNotNull)
+    // user attrs first, closed fields second => closed keys win on conflict,
+    // matching the spread order of shipper.js:80-83 for region/type/severity.
+    to_json(map_concat(map_filter(col("attrs"), (k, _) => !map_contains_key(closed, k)), closed))
+  }
+}

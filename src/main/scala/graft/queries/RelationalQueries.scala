@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{dec, pct, t, toDouble}
+
+/** Relational operator coverage (SURVEY.md §2.2): the reference itself has no
+  * joins/aggs/windows, but the engine gets them from Catalyst — each query
+  * here is oracle-checked against DuckDB on the TPC-H-ish testdata.
+  *
+  * Numeric parity rule (see [[graft.Tables.dec]]): monetary doubles are cast
+  * to exact decimals before summation and back to double after, making
+  * results bit-identical regardless of partition/summation order — the same
+  * property that makes these aggregations deterministic on a 1000-executor
+  * cluster.
+  */
+object RelationalQueries {
+
+  /** Hash aggregate with partial (map-side) combine: TPC-H Q1 shape. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        toDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        toDouble(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        toDouble(sum(dec(col("l_extendedprice")) * (lit(1) - pct(col("l_discount")))))
+          .as("sum_disc_price"),
+        toDouble(sum(dec(col("l_extendedprice")) * (lit(1) - pct(col("l_discount")))
+          * (lit(1) + pct(col("l_tax"))))).as("sum_charge"),
+        (toDouble(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (toDouble(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** 3-way join + agg + top-k (TPC-H Q3 shape). The customer side is tiny
+    * after the segment filter, so it is explicitly broadcast — at 100 TB the
+    * orders⋈lineitem join shuffles on the key while customer rides along
+    * broadcast, exactly the plan a 1000-executor run wants.
+    */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (dec(col("l_extendedprice")) * (lit(1) - pct(col("l_discount")))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(toDouble(sum(col("rev"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Tight filter + scalar aggregate (TPC-H Q6 shape) — predicate pushdown
+    * reaches the parquet scan (verified in plan tests).
+    */
+  def q6FilterSum(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+      .agg(toDouble(sum(dec(col("l_extendedprice")) * pct(col("l_discount"))))
+        .as("revenue"))
+
+  /** Left-semi join (EXISTS): orders having any high-quantity line. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hi = t(spark, dir, "lineitem").filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"))
+    t(spark, dir, "orders")
+      .join(hi, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers that never ordered. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders").select(col("o_custkey"))
+    t(spark, dir, "customer")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Ranking window: top-3 customers by balance per nation. */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("c_nationkey", "rn", "c_custkey", "c_acctbal")
+      .orderBy("c_nationkey", "rn")
+  }
+
+  /** Global top-k via orderBy+limit (TakeOrderedAndProject physical op — no
+    * full sort, per-partition heaps then a k-merge; the at-scale shape).
+    */
+  def qTopkOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_totalprice")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_top_revenue" -> q3TopRevenue,
+    "q6_filter_sum" -> q6FilterSum,
+    "q_semi_join" -> qSemiJoin,
+    "q_anti_join" -> qAntiJoin,
+    "q_window_rank" -> qWindowRank,
+    "q_topk_orders" -> qTopkOrders)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q6_filter_sum" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) WHERE rn <= 3
+        |ORDER BY c_nationkey, rn""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+}
