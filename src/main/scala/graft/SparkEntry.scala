@@ -22,10 +22,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    PipelineQueries.queries ++ RelationalQueries.queries
+    PipelineQueries.queries ++ RelationalQueries.queries ++
+      GroupingQueries.queries ++ JoinQueries.queries ++
+      FunctionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    PipelineQueries.oracles ++ RelationalQueries.oracles
+    PipelineQueries.oracles ++ RelationalQueries.oracles ++
+      GroupingQueries.oracles ++ JoinQueries.oracles ++
+      FunctionQueries.oracles
 }

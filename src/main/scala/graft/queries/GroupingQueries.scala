@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{dec, t, toDouble}
+
+/** Multi-dimensional aggregation coverage: rollup / cube / grouping sets /
+  * distinct aggregates / approx sketches (SURVEY.md §2.2 "Aggregations").
+  *
+  * Rollup/cube NULL group markers are coalesced to the literal 'ALL' so the
+  * oracle compare is insensitive to NULL-sorting differences between engines.
+  */
+object GroupingQueries {
+
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        toDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        toDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n"), col("sum_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"), col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact distinct aggregates (expand + two-phase under the hood). */
+  def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey")).as("nd_parts"),
+        count_distinct(col("l_suppkey")).as("nd_supps"),
+        toDouble(sum_distinct(dec(col("l_quantity")))).as("sum_d_qty"))
+      .orderBy("l_returnflag")
+
+  /** HLL++ approximate distinct — value depends on Spark's sketch, so this
+    * entry deliberately has no SQL oracle (rows-only check); accuracy is
+    * asserted against the exact count in the test suite instead.
+    */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count_distinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
+  /** union / intersect / except over customer vs supplier nation sets. */
+  def qSetops(spark: SparkSession, dir: String): DataFrame = {
+    val cn = t(spark, dir, "customer").select(col("c_nationkey").as("n")).distinct()
+    val sn = t(spark, dir, "supplier").select(col("s_nationkey").as("n")).distinct()
+    cn.intersect(sn).withColumn("op", lit("both"))
+      .unionAll(cn.except(sn).withColumn("op", lit("cust_only")))
+      .unionAll(cn.union(sn).distinct().withColumn("op", lit("either")))
+      .select("op", "n")
+      .orderBy("op", "n")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_distinct_agg" -> qDistinctAgg,
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_setops" -> qSetops)
+
+  val oracles: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS nd_parts,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supps,
+        |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_d_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_setops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS n FROM customer),
+        |     sn AS (SELECT DISTINCT s_nationkey AS n FROM supplier)
+        |SELECT 'both' AS op, n FROM (SELECT n FROM cn INTERSECT SELECT n FROM sn)
+        |UNION ALL
+        |SELECT 'cust_only' AS op, n FROM (SELECT n FROM cn EXCEPT SELECT n FROM sn)
+        |UNION ALL
+        |SELECT 'either' AS op, n FROM (SELECT n FROM cn UNION SELECT n FROM sn)
+        |ORDER BY op, n""".stripMargin)
+}

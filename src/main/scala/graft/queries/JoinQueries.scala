@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{dec, t, toDouble}
+
+/** Advanced join shapes (SURVEY.md §2.2 "Joins"): theta, range, as-of.
+  *
+  * The reference has no joins at all; these are the engine-grown operators,
+  * each with a scale story in its Scaladoc.
+  */
+object JoinQueries {
+
+  /** Theta join: equi on nation + inequality on balances. The equi component
+    * keeps this a shuffled hash/sort-merge join (NOT a nested-loop) — the
+    * inequality rides along as a post-join predicate, which is exactly the
+    * at-scale plan: shuffle by nation, compare within partitions.
+    */
+  def qThetaJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "supplier")
+    val c = t(spark, dir, "customer")
+    s.join(c, col("s_nationkey") === col("c_nationkey") &&
+        col("s_acctbal") > col("c_acctbal"))
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("nationkey")
+  }
+
+  /** Range join against a tiny in-memory bracket dimension — broadcast
+    * nested-loop by construction, which is correct at any scale because the
+    * build side is O(1): every executor gets the 3-row dim, the probe side
+    * streams. p_size BETWEEN lo AND hi.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val brackets = Seq((1, 10, "small"), (11, 25, "medium"), (26, 50, "large"))
+      .toDF("lo", "hi", "label")
+    t(spark, dir, "part")
+      .join(broadcast(brackets),
+        col("p_size") >= col("lo") && col("p_size") <= col("hi"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_parts"),
+        toDouble(sum(dec(col("p_retailprice")))).as("sum_price"))
+      .orderBy("label")
+  }
+
+  /** As-of join: for every event, the user's most recent order on or before
+    * the event time. Composed from built-ins (join on key + time filter +
+    * row_number pick), the (b)-preference of the build rules: the equi key
+    * keeps the join shuffled-hash, and the per-event window is partitioned by
+    * event_id so it never concentrates state. Orders are first deduplicated
+    * to one per (custkey, day) so the as-of pick is well-defined — DuckDB's
+    * native ASOF JOIN (the oracle) is nondeterministic on ties otherwise.
+    * At 100 TB the same plan holds: shuffle both sides by user, bounded state
+    * per key; if the right side per key were huge you'd bucket by coarse time
+    * first (the standard point-in-time join refinement).
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val ev = t(spark, dir, "events").select("event_id", "user_id", "ts")
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    ev.join(ord, col("user_id") === col("o_custkey") &&
+        col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .orderBy("event_id")
+  }
+
+  /** Narrow scan: projection + filter pushed to the parquet reader
+    * (plan-shape asserted in tests: PushedFilters + pruned ReadSchema).
+    */
+  def qScanPushdown(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" && col("l_quantity") === 25.0)
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theta_join" -> qThetaJoin,
+    "q_range_join" -> qRangeJoin,
+    "q_asof_join" -> qAsofJoin,
+    "q_scan_pushdown" -> qScanPushdown)
+
+  val oracles: Map[String, String] = Map(
+    "q_theta_join" ->
+      """SELECT s_nationkey AS nationkey, COUNT(*) AS n_pairs
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin,
+    "q_range_join" ->
+      """SELECT label, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM part JOIN (VALUES (1, 10, 'small'), (11, 25, 'medium'),
+        |  (26, 50, 'large')) b(lo, hi, label)
+        |  ON p_size >= lo AND p_size <= hi
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "q_asof_join" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+        |FROM events e ASOF JOIN ord o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity = 25.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+}

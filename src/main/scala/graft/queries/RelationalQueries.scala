@@ -80,9 +80,10 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
-  /** Left-anti join (NOT EXISTS): customers that never ordered. */
+  /** Left-anti join (NOT EXISTS): customers with no pending order. */
   def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ord = t(spark, dir, "orders").select(col("o_custkey"))
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "P").select(col("o_custkey"))
     t(spark, dir, "customer")
       .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
@@ -153,7 +154,8 @@ object RelationalQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
     "q_window_rank" ->
       """SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (
