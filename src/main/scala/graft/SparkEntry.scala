@@ -24,12 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     PipelineQueries.queries ++ RelationalQueries.queries ++
       GroupingQueries.queries ++ JoinQueries.queries ++
-      FunctionQueries.queries
+      FunctionQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     PipelineQueries.oracles ++ RelationalQueries.oracles ++
       GroupingQueries.oracles ++ JoinQueries.oracles ++
-      FunctionQueries.oracles
+      FunctionQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ TextQueries.oracles
 }

@@ -83,4 +83,10 @@ object gcolumns {
 
   /** Gzip-compress a binary column. */
   def gzip(c: Column): Column = Bridge.column(Gzip(Bridge.expression(c)))
+
+  /** 64-bit SimHash of a token array column. */
+  def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
+
+  /** Polynomial rolling-hash fingerprint of a string column (mod 2^61-1). */
+  def rolling_hash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
 }

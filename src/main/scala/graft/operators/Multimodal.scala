@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` payloads + typed
+  * metadata, with batch decode/feature-extract plumbing.
+  *
+  * The decode kernel itself is STUBBED (no image/audio libs in this
+  * container) with a deterministic fake — but everything Spark-side is real
+  * and load-bearing: the schema (binary payload + metadata struct), the
+  * partition-batched execution (`mapPartitions` with fixed-size batches, the
+  * same shape a Pandas-UDF/Arrow path has in PySpark), and the downstream
+  * aggregation. Swapping [[decodeBatch]] for a real JNI/FFI decoder changes
+  * nothing in the plan.
+  *
+  * Scale notes: payloads never pass through a shuffle here — decode is a
+  * narrow map; only the small decoded features aggregate. At 100 TB you
+  * keep blobs in their own parquet column (columnar pruning skips them when
+  * untouched) and size `spark.sql.files.maxPartitionBytes` so one task's
+  * batch of blobs fits executor memory.
+  */
+object Multimodal {
+
+  /** A media record: opaque payload + closed metadata. */
+  case class MediaRecord(doc_id: Long, source: String, mime: String,
+                         width: Int, height: Int, payload: Array[Byte])
+
+  /** Decoded features (what a real decoder would emit per blob). */
+  case class DecodedMedia(doc_id: Long, source: String, mime: String,
+                          n_bytes: Long, first_byte: Int, checksum: Long)
+
+  /** Batch size for the decode kernel — models the Arrow batch shape. */
+  val decodeBatchSize = 64
+
+  /** Build a media manifest from the documents table: text bytes stand in
+    * for the blob; metadata is derived deterministically.
+    */
+  def manifest(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id"),
+        col("source"),
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("mime"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("doc_id") % 480).cast("int").as("height"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decode kernel: deterministic fake in place of a real media
+    * decoder (`???`-equivalent, clearly marked). Consumes a whole batch at
+    * once — the real-world contract (decoders amortize setup per batch).
+    */
+  def decodeBatch(batch: Seq[MediaRecord]): Seq[DecodedMedia] =
+    batch.map { r =>
+      // STUB: real impl would decode r.payload via an image/audio library.
+      val first = if (r.payload.nonEmpty) r.payload(0) & 0xff else -1
+      var sum = 0L
+      var i = 0
+      while (i < r.payload.length) { sum += (r.payload(i) & 0xffL); i += 1 }
+      DecodedMedia(r.doc_id, r.source, r.mime, r.payload.length.toLong, first, sum)
+    }
+
+  /** Partition-batched decode: narrow map, fixed-size batches. */
+  def decode(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(decodeBatchSize).flatMap(decodeBatch))
+  }
+
+  /** End-to-end: manifest -> batched decode -> per-(source, mime) stats. */
+  def decodeStats(spark: SparkSession, docs: DataFrame): DataFrame =
+    decode(manifest(docs))
+      .groupBy(col("source"), col("mime"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        (sum(col("n_bytes")).cast("double") / count(lit(1))).as("avg_bytes"),
+        min(col("first_byte")).as("min_first_byte"),
+        sum(col("checksum")).as("total_checksum"))
+}

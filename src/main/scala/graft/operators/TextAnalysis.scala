@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.gcolumns.rolling_hash
+
+/** Text-analysis operators for training-data curation: quality scoring,
+  * language ID, token counting, fingerprinting. All pure column pipelines
+  * (no shuffle, whole-stage codegen) — at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword-vote
+    * language-ID heuristic. Deterministic, SQL-expressible (oracle parity).
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "les"))
+
+  val stopwordsEn: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  private def countIn(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(words)))
+
+  /** Quality metrics per document: token counts, length stats, stopword
+    * ratio, uppercase/digit/punct ratios, and a composite quality bucket —
+    * the usual pre-training corpus filters (C4/Gopher-style rules).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val tokens = split(col("text"), " ")
+    val nTokens = size(tokens)
+    val nChars = length(col("text"))
+    val stopRatio = countIn(tokens, stopwordsEn).cast("double") / nTokens
+    val avgTokLen = (nChars - (nTokens - 1)).cast("double") / nTokens
+    val digitCount = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
+    val nDistinct = size(array_distinct(tokens))
+    val distinctRatio = nDistinct.cast("double") / nTokens
+    docs.select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      nChars.as("n_chars"),
+      avgTokLen.as("avg_token_len"),
+      stopRatio.as("stopword_ratio"),
+      digitCount.as("n_digits"),
+      nDistinct.as("n_distinct_tokens"),
+      distinctRatio.as("distinct_ratio"),
+      when(nTokens < 10, "too_short")
+        .when(distinctRatio < lit(0.3), "repetitive")
+        .when(stopRatio < lit(0.01), "no_stopwords")
+        .otherwise("ok").as("quality_bucket"))
+  }
+
+  /** Stopword-vote language ID: count profile hits per language, pick the
+    * max (ties broken by profile order). Returns (lang_pred, per-lang hits).
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val tokens = split(col("text"), " ")
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> countIn(tokens, words)
+    }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"),
+          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    docs.select(col("doc_id") +: col("lang").as("lang_declared") +:
+      scores.map { case (l, c) => c.as(s"hits_$l") } :+
+      best.getField("lang").as("lang_pred"): _*)
+  }
+
+  /** Token counting three ways: whitespace split, a BPE-ish regex token
+    * count (letter runs / digit runs / single non-space symbols — the
+    * classic pre-tokenizer shape), and a ~chars/4 heuristic.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val wsTokens = size(split(col("text"), " "))
+    val bpeish = size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+    docs.select(
+      col("doc_id"),
+      wsTokens.as("ws_tokens"),
+      bpeish.as("bpeish_tokens"),
+      ceil(length(col("text")) / 4.0).cast("long").as("chars_div4"))
+  }
+
+  /** Document fingerprints: rolling-hash (custom Catalyst expression) of the
+    * raw text and of the normalized text (lowercased, collapsed whitespace)
+    * — the near-canonical-form fingerprint used for fuzzy exact-dedup.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      rolling_hash(col("text")).as("fp_raw"),
+      rolling_hash(regexp_replace(lower(col("text")), "\\s+", " "))
+        .as("fp_normalized"))
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.Dedup
+
+/** Dedup operator coverage. The corpus for exact/simhash dedup is augmented
+  * with planted exact copies (doc_id + 1000000 for doc_id % 100 == 0) so the
+  * operators have guaranteed work; near-dup operators run on the raw corpus,
+  * which the generator seeded with real near-duplicates (max shingle Jaccard
+  * ~0.99 at sf0.01).
+  */
+object DedupQueries {
+
+  private def augmented(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 100 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(augmented(spark, dir))
+      .select(col("doc_id"), col("n_copies"), length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), k = 3, threshold = 0.6)
+      .orderBy("da", "db")
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(spark, dir, "documents"), k = 3,
+        numHashes = 32, bands = 16, threshold = 0.6)
+      .orderBy("da", "db")
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(augmented(spark, dir), maxDist = 3)
+      .orderBy("da", "db")
+
+  def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(t(spark, dir, "embeddings"), threshold = 0.4,
+        probeFilter = col("vec_id") % 20 === 0)
+      .orderBy("da", "db")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embed_cosine" -> dedupEmbedCosine)
+
+  /** Shared inverted-index Jaccard derivation in DuckDB (mirrors
+    * Dedup.ngramJaccardPairs step for step, independently).
+    */
+  private val jaccardSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i FROM tok),
+      |sh0 AS (SELECT DISTINCT doc_id AS id, array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+      |df AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000),
+      |sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN df USING (shingle)),
+      |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+      |inter AS (SELECT a.id AS da, b.id AS db, COUNT(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      |          GROUP BY a.id, b.id)
+      |SELECT da, db, CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+      |FROM inter JOIN sizes x ON da = x.id JOIN sizes y ON db = y.id
+      |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.6
+      |ORDER BY da, db""".stripMargin
+
+  private val cosineSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT a.vec_id AS da, b.vec_id AS db,
+      |        list_inner_product(a.v, b.v) /
+      |          (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+      |      FROM e a JOIN e b ON a.vec_id % 20 = 0 AND a.vec_id < b.vec_id)
+      |SELECT da, db, cos FROM p WHERE cos >= 0.4 ORDER BY da, db""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 100 = 0)
+        |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+        |  length(text) AS n_chars
+        |FROM aug GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardSql,
+    // LSH+verify equals the exact pairs (recall ~0.999 at the threshold;
+    // the verify step removes every false positive) — same oracle.
+    "dedup_minhash_lsh" -> jaccardSql,
+    "dedup_embed_cosine" -> cosineSql)
+    // dedup_simhash: xxhash64-based, not SQL-expressible -> rows-only.
+}

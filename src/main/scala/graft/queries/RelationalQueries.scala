@@ -101,6 +101,29 @@ object RelationalQueries {
       .orderBy("c_nationkey", "rn")
   }
 
+  /** Analytic window functions with frames: running sum (unbounded
+    * preceding), sliding 3-row sum, lag/lead — per customer, deterministic
+    * order (date, key). Window sums go through decimals: both engines then
+    * produce exact frame sums (DuckDB's segment-tree sliding windows and
+    * Spark's incremental aggregation would drift on raw doubles).
+    */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val p = dec(col("o_totalprice"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        toDouble(sum(p).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .as("running"),
+        toDouble(sum(p).over(w.rowsBetween(-2, 0))).as("mov3"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        (rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey")))).as("prio_rank"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Global top-k via orderBy+limit (TakeOrderedAndProject physical op — no
     * full sort, per-partition heaps then a k-merge; the at-scale shape).
     */
@@ -117,6 +140,7 @@ object RelationalQueries {
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
     "q_window_rank" -> qWindowRank,
+    "q_window_running" -> qWindowRunning,
     "q_topk_orders" -> qTopkOrders)
 
   val oracles: Map[String, String] = Map(
@@ -164,6 +188,22 @@ object RelationalQueries {
         |      ORDER BY c_acctbal DESC, c_custkey) AS rn
         |  FROM customer) WHERE rn <= 3
         |ORDER BY c_nationkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3,
+        |  lag(o_orderkey, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_key,
+        |  lead(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+        |  rank() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey) AS prio_rank
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.{Multimodal, TextAnalysis}
+
+/** Text-analysis + multimodal coverage queries. */
+object TextQueries {
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(t(spark, dir, "documents")).orderBy("doc_id")
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(t(spark, dir, "documents")).orderBy("doc_id")
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(t(spark, dir, "documents")).orderBy("doc_id")
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(t(spark, dir, "documents")).orderBy("doc_id")
+
+  def mmDecodeStats(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeStats(spark, t(spark, dir, "documents"))
+      .orderBy("source", "mime")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_tokens" -> textTokens,
+    "text_fingerprint" -> textFingerprint,
+    "mm_decode_stats" -> mmDecodeStats)
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_chars,
+        |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+        |  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+        |  n_digits, n_distinct_tokens,
+        |  CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS distinct_ratio,
+        |  CASE WHEN n_tokens < 10 THEN 'too_short'
+        |       WHEN CAST(n_distinct_tokens AS DOUBLE) / n_tokens < 0.3 THEN 'repetitive'
+        |       WHEN CAST(n_stop AS DOUBLE) / n_tokens < 0.01 THEN 'no_stopwords'
+        |       ELSE 'ok' END AS quality_bucket
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang AS lang_declared,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the','a','of','and'], t))) AS hits_en,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['el','la','de','que'], t))) AS hits_es,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['der','die','und','das'], t))) AS hits_de,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['le','la','et','les'], t))) AS hits_fr
+        |  FROM documents)
+        |SELECT doc_id, lang_declared, hits_en, hits_es, hits_de, hits_fr,
+        |  CASE WHEN hits_en >= greatest(hits_es, hits_de, hits_fr) THEN 'en'
+        |       WHEN hits_es >= greatest(hits_de, hits_fr) THEN 'es'
+        |       WHEN hits_de >= hits_fr THEN 'de'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpeish_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS chars_div4
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |         ELSE 'video/mp4' END AS mime,
+        |    length(text) AS n_bytes,
+        |    unicode(substring(text, 1, 1)) AS first_byte,
+        |    list_aggregate(list_transform(string_split(text, ''),
+        |      c -> unicode(c)), 'sum') AS checksum
+        |  FROM documents)
+        |SELECT source, mime, COUNT(*) AS n_media,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*) AS avg_bytes,
+        |  MIN(first_byte) AS min_first_byte,
+        |  CAST(SUM(checksum) AS BIGINT) AS total_checksum
+        |FROM m GROUP BY source, mime ORDER BY source, mime""".stripMargin)
+    // text_fingerprint: custom rolling-hash expression -> rows-only.
+}

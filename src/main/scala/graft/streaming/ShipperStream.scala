@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.operators.LogPipeline
+
+/** The reference's Lambda consumption loop (shipper.js:150-161) as a
+  * Structured Streaming job: micro-batches ≙ Lambda invocations, the
+  * checkpoint ≙ the Kinesis iterator position, `foreachBatch` ≙ one handler
+  * call, [[BulkSink]] ≙ the logsene-js buffered bulk shipper.
+  *
+  * Delivery semantics match the reference (at-least-once: Kinesis retries
+  * the batch on failure; here the checkpoint replays the micro-batch), but
+  * error containment is strictly better: a poison record yields an error-doc
+  * side output (S15's acknowledged TODO — shipper.js:158 — implemented)
+  * instead of failing the whole invocation.
+  *
+  * Scale: the pipeline between source and sink is narrow (no Exchange —
+  * asserted in PlanSpec), so throughput scales with source partitions
+  * exactly as the reference scales with Kinesis shards.
+  */
+object ShipperStream {
+
+  /** JSON-lines source schema: one Kinesis-shaped record per line
+    * ({"data": base64(gzip(payload)), "region": ...}).
+    */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("data", StringType),
+    StructField("region", StringType)))
+
+  /** Start the shipper stream: file source -> decode/parse/classify ->
+    * bulk sink. `maxFilesPerTrigger` ≙ the reference's batchSize cap
+    * (serverless.yml:30).
+    */
+  def start(spark: SparkSession, inputDir: String, outputDir: String,
+            checkpointDir: String, bulkSize: Int = 100,
+            triggerMs: Long = 2000L): StreamingQuery = {
+    val records = spark.readStream
+      .schema(recordSchema)
+      .option("maxFilesPerTrigger", "10")
+      .json(inputDir)
+    LogPipeline.pipeline(records)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs)) // ≙ LOG_INTERVAL=2000ms
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        BulkSink.ship(batch, outputDir, batchId, bulkSize)
+      }
+      .start()
+  }
+
+  /** Beyond-reference streaming analytics (SURVEY.md §2.2 streaming row):
+    * watermarked tumbling-window error rates per function. `eventTime` must
+    * be a timestamp column on the docs frame.
+    */
+  def errorRates(docs: DataFrame, eventTime: String = "event_ts",
+                 window_ : String = "5 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    docs.withWatermark(eventTime, watermark)
+      .groupBy(window(col(eventTime), window_), col("function_name"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("severity") === "error", 1)).as("n_errors"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("function_name"), col("n_docs"), col("n_errors"))
+
+  /** Session windows (30 min gap) per function — the stateful op the
+    * reference lacks entirely; state is bounded by the watermark.
+    */
+  def sessions(docs: DataFrame, eventTime: String = "event_ts",
+               gap: String = "30 minutes",
+               watermark: String = "1 hour"): DataFrame =
+    docs.withWatermark(eventTime, watermark)
+      .groupBy(session_window(col(eventTime), gap), col("function_name"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("function_name"), col("n_docs"))
+}
+
+/** S14: the buffered bulk sink (logsene-js analog, shipper.js:143-148 +
+  * serverless.yml:36-37). Documents are shipped as JSON-lines bulk files of
+  * `bulkSize` docs per bulk, one output file tree per micro-batch (the
+  * "receiver" is a directory; swapping in an HTTP _bulk POST per chunk is a
+  * one-line change in [[shipPartition]]).
+  */
+object BulkSink {
+
+  /** Ship one micro-batch. Empty-batch short-circuit per shipper.js:144. */
+  def ship(batch: DataFrame, outputDir: String, batchId: Long,
+           bulkSize: Int): Unit = {
+    val wire = batch.select(
+      LogPipeline.wireJson(batch).as("doc"),
+      col("severity"))
+    // isEmpty is a cheap limit-1 probe, not a full count
+    if (!wire.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      wire.as[(String, String)]
+        .mapPartitions(_.grouped(bulkSize).map(chunk => shipPartition(chunk)))
+        .write.mode("append").text(s"$outputDir/batch=$batchId")
+    }
+  }
+
+  /** One bulk POST body: NDJSON of (severity-tagged) docs — the
+    * Elasticsearch `_bulk` shape the reference's logsene-js buffer emits.
+    */
+  private def shipPartition(chunk: Seq[(String, String)]): String =
+    chunk.map { case (doc, severity) =>
+      s"""{"index":{"severity":"$severity"}}\n$doc"""
+    }.mkString("\n")
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LogCorpus, LogPipeline}
+import graft.queries.{JoinQueries, RelationalQueries}
+
+/** Plan-shape assertions (SURVEY.md §5.5): the properties that make these
+  * operators scale are checked, not assumed.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("shipper pipeline is narrow: no Exchange anywhere") {
+    import spark.implicits._
+    // go through a real file source (a literal local relation would be
+    // constant-folded at plan time, hiding the actual scan-shaped plan)
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    Seq(("AAAA", "r")).toDF("data", "region").write.mode("overwrite").parquet(dir)
+    val records = spark.read.parquet(dir)
+    val p = plan(LogPipeline.pipeline(records))
+    assert(!p.contains("Exchange"), s"pipeline must not shuffle:\n$p")
+  }
+
+  test("corpus parse stage fuses into whole-stage codegen, no Exchange") {
+    val parsed = LogCorpus.parsed(Tables.t(spark, sf001, "events"))
+    parsed.count() // materialize so AQE finalizes the physical plan
+    val p = plan(parsed)
+    assert(!p.contains("Exchange"))
+    // "*(n) " prefixes mark operators fused into a WholeStageCodegen span
+    assert(p.contains("*("), s"expected codegen span in:\n$p")
+  }
+
+  test("filter and projection are pushed into the parquet scan") {
+    val df = JoinQueries.qScanPushdown(spark, sf001)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_returnflag)"),
+      s"expected pushed filters in:\n$scan")
+    // pruned schema: only the needed columns are read
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int"))
+  }
+
+  test("q3 join plan broadcasts the filtered customer side") {
+    val p = plan(RelationalQueries.q3TopRevenue(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(RelationalQueries.qTopkOrders(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+}
