@@ -71,19 +71,35 @@ object Dedup {
     * share nothing are never materialized); the LSH below is the cheaper
     * screen when even posting-list joins are too hot.
     */
-  def ngramJaccardPairs(docs: DataFrame, k: Int = 3,
-                        threshold: Double = 0.6): DataFrame = {
-    val sh = shingles(docs, k)
-    // document-frequency cut: drop ubiquitous shingles (bounded fan-out)
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxBucketSize).select("shingle")
-    val shr = sh.join(rare, "shingle")
-    val sizes = shr.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = shr.as("a")
-      .join(shr.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("da"), col("b.id").as("db"))
+  /** Posting lists: one shuffle of the exploded shingles, sorted doc-id list
+    * per shingle, document-frequency cut applied (bounded list size).
+    *
+    * Scale note: `collect_list` caps at [[maxBucketSize]] ids (~8 KB) per
+    * kept shingle, but a pathologically hot shingle is collected before the
+    * filter drops it — at true 100 TB you'd pre-count df in a first pass and
+    * semi-join before collecting. One extra shuffle, same semantics.
+    */
+  private def postings(docs: DataFrame, k: Int): DataFrame =
+    shingles(docs, k).groupBy("shingle")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) <= maxBucketSize)
+
+  /** (da, db) -> intersection count, generated inside posting lists (the
+    * inverted-index pair-generation: no self-join, pairs materialize only
+    * for docs that actually co-occur under a shingle).
+    */
+  private def pairCounts(post: DataFrame): DataFrame = {
+    val pairExpr = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - 1, lit(0))),
+        y => struct(x.as("da"), y.as("db")))))
+    post.filter(size(col("ids")) >= 2)
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  private def jaccardOf(inter: DataFrame, sizes: DataFrame,
+                        threshold: Double): DataFrame =
     inter
       .join(sizes.withColumnRenamed("id", "da").withColumnRenamed("n", "na"), "da")
       .join(sizes.withColumnRenamed("id", "db").withColumnRenamed("n", "nb"), "db")
@@ -91,6 +107,13 @@ object Dedup {
         col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("da", "db", "jaccard")
+
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3,
+                        threshold: Double = 0.6): DataFrame = {
+    val post = postings(docs, k)
+    val sizes = post.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    jaccardOf(pairCounts(post), sizes, threshold)
   }
 
   // -------------------------------------------------------------------------
@@ -142,9 +165,15 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .distinct()
-    // exact verification of the candidate set
-    ngramJaccardPairs(docs, k, threshold).as("ex")
-      .join(candidates, Seq("da", "db"), "left_semi")
+    // exact verification restricted to the candidate set: pair-inter counts
+    // from posting lists, semi-joined down to LSH candidates before the
+    // Jaccard math. (At corpus scales where even posting-pair generation is
+    // too hot, verify per candidate by re-shingling the two docs — O(cand).)
+    val post = postings(docs, k)
+    val sizes = post.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = pairCounts(post).join(candidates, Seq("da", "db"), "left_semi")
+    jaccardOf(inter, sizes, threshold)
   }
 
   // -------------------------------------------------------------------------

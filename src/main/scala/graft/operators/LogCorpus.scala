@@ -77,11 +77,10 @@ object LogCorpus {
     */
   def parsed(events: DataFrame): DataFrame = {
     val m = withMessages(events)
-    m.select(col("event_id"),
-        LogPipeline.parseLog(
-          LogPipeline.lambdaName(col("logGroup")),
-          LogPipeline.lambdaVersion(col("logStream")),
-          col("msg"), col("aws_region")).as("doc"))
+    LogPipeline.parseStaged(m,
+        LogPipeline.lambdaName(col("logGroup")),
+        LogPipeline.lambdaVersion(col("logStream")),
+        col("msg"), col("aws_region"))
       .filter(col("doc").isNotNull)
       .select(col("event_id"), col("doc.*"))
   }

@@ -138,10 +138,31 @@ object LogPipeline {
   /** Parse one log-event message into the doc fields, given the
     * already-derived enrichment columns. Produces a struct with the closed
     * schema of [[docColumns]]; null for dropped platform messages.
+    *
+    * Inlines `from_json` once per use site; prefer [[parseStaged]] in real
+    * pipelines — it materializes the parsed map in a lower projection so the
+    * generated code contains ONE json parse instead of six (runtime CSE
+    * already dedupes the work, but the duplicated code bodies made Janino
+    * compilation a measurable startup cost).
     */
   def parseLog(functionName: Column, functionVersion: Column, msg: Column,
-               region: Column): Column = {
-    val parsed = from_json(msg, userJsonType)
+               region: Column): Column =
+    docFromParsed(functionName, functionVersion, msg,
+      from_json(msg, userJsonType), region)
+
+  /** Staged parse over a frame: adds the parsed-map projection, then the doc
+    * column built from it. Extra input columns pass through untouched.
+    */
+  def parseStaged(df: DataFrame, functionName: Column, functionVersion: Column,
+                  msg: Column, region: Column): DataFrame =
+    df.withColumn("__jmap", from_json(msg, userJsonType))
+      .withColumn("doc", docFromParsed(functionName, functionVersion, msg,
+        col("__jmap"), region))
+      .drop("__jmap")
+
+  private def docFromParsed(functionName: Column, functionVersion: Column,
+                            msg: Column, parsed: Column,
+                            region: Column): Column = {
     val emptyAttrs = map().cast(userJsonType)
     // shipper.js:74: requestId/timestamp are destructured OUT of the spread;
     // message stays in parsedMessage and becomes doc.message.
@@ -181,8 +202,10 @@ object LogPipeline {
       severity(msg).as("severity"),
       errorType(msg).as("error_type"))
 
+    val isJson = parsed.isNotNull && map_contains_key(parsed, "message") &&
+      msg.rlike("\"message\"[ \t\r\n]*:[ \t\r\n]*\"")
     when(isPlatformMessage(msg), lit(null))
-      .when(isJsonLog(msg), jsonDoc)
+      .when(isJson, jsonDoc)
       .when(msg.rlike(structuredLogPattern), structuredDoc)
       .otherwise(rawDoc)
   }
@@ -212,9 +235,8 @@ object LogPipeline {
       .withColumn("function_version", lambdaVersion(col("payload.logStream")))
       .select(col("function_name"), col("function_version"), col("region"),
         explode(col("payload.logEvents")).as("logEvent"))
-    exploded
-      .withColumn("doc", parseLog(col("function_name"),
-        col("function_version"), col("logEvent.message"), col("region")))
+    parseStaged(exploded, col("function_name"), col("function_version"),
+        col("logEvent.message"), col("region"))
       .filter(col("doc").isNotNull)
       .select(col("doc.*"))
   }

@@ -119,9 +119,8 @@ object PipelineQueries {
       .withColumn("function_version", LogPipeline.lambdaVersion(col("payload.logStream")))
       .select(col("function_name"), col("function_version"), col("region"),
         explode(col("payload.logEvents")).as("ev"))
-    val parsed = exploded
-      .withColumn("doc", LogPipeline.parseLog(col("function_name"),
-        col("function_version"), col("ev.message"), col("region")))
+    val parsed = LogPipeline.parseStaged(exploded, col("function_name"),
+        col("function_version"), col("ev.message"), col("region"))
       .filter(col("doc").isNotNull)
       .select(col("ev.id").cast("long").as("event_id"), col("doc.*"))
     docOutput(parsed).orderBy("event_id")

@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+import graft.Tables.t
+import graft.operators.LogCorpus
+
+/** Timing probes for the pipeline hot path at sf0.1. */
+object PerfProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%6.2fs  rows=$n")
+    }
+
+    val ev = t(spark, dir, "events")
+    time("events.count")(ev.count())
+    val m = LogCorpus.withMessages(ev).cache()
+    time("withMessages cached")(m.count())
+    val mt = MapType(StringType, StringType)
+    time("from_json x1")(m.select(from_json(col("msg"), mt).as("j"))
+      .select(count(when(col("j").isNotNull, 1))).head().getLong(0))
+    time("from_json x6 distinct keys")(m.select(
+      element_at(from_json(col("msg"), mt), "message").as("a"),
+      element_at(from_json(col("msg"), mt), "requestId").as("b"),
+      element_at(from_json(col("msg"), mt), "timestamp").as("c"),
+      map_contains_key(from_json(col("msg"), mt), "message").as("d"),
+      map_filter(from_json(col("msg"), mt), (k, _) => k =!= "x").as("e"),
+      from_json(col("msg"), mt).as("f"))
+      .select(count(when(col("a").isNotNull || col("d"), 1))).head().getLong(0))
+    time("rlike structured")(m.select(count(when(
+      col("msg").rlike(graft.operators.LogPipeline.structuredLogPattern), 1)))
+      .head().getLong(0))
+    time("parsed (current)")(LogCorpus.parsed(ev).count())
+    time("parsed again")(LogCorpus.parsed(ev).count())
+    val parsed = LogCorpus.parsed(ev)
+    time("errorHist agg only")(parsed.groupBy(col("function_name"),
+      col("severity"), coalesce(col("error_type"), lit("none")).as("et"))
+      .agg(count(lit(1)), count_distinct(col("request_id"))).count())
+    m.unpersist()
+    spark.stop()
+  }
+}
