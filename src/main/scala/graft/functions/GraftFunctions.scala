@@ -1,0 +1,22 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+
+/** SQL registration for the graft-native expressions, so `spark.sql` users
+  * get them alongside the DataFrame API:
+  *
+  * {{{
+  *   GraftFunctions.register(spark)
+  *   spark.sql("SELECT rolling_hash(text), simhash64(split(text, ' ')) FROM docs")
+  * }}}
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[ClassicSession].sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("gunzip", es => Gunzip(es.head), "scala_udf")
+    registry.createOrReplaceTempFunction("gzip", es => Gzip(es.head), "scala_udf")
+    registry.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    registry.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
+  }
+}

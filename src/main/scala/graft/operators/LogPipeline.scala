@@ -179,17 +179,21 @@ object LogPipeline {
       errorType(element_at(parsed, "message")).as("error_type"))
 
     // shipper.js:50-57: split('\t', 3). Spark's limit-3 split matches JS.
+    // try_element_at: a regex hit with <3 tab parts (e.g. space-separated
+    // columns) yields null fields — the declared row-level-containment
+    // deviation (the reference would throw out of checkLogError and poison
+    // the whole batch, shipper.js:91).
     val parts = split(msg, "\t", 3)
     val structuredDoc = struct(
       functionName.as("function_name"),
       functionVersion.as("function_version"),
-      element_at(parts, 1).as("timestamp"),
-      element_at(parts, 2).as("request_id"),
-      element_at(parts, 3).as("message"),
+      try_element_at(parts, lit(1)).as("timestamp"),
+      try_element_at(parts, lit(2)).as("request_id"),
+      try_element_at(parts, lit(3)).as("message"),
       emptyAttrs.as("attrs"),
       region.as("region"), lit("lambda").as("type"),
-      severity(element_at(parts, 3)).as("severity"),
-      errorType(element_at(parts, 3)).as("error_type"))
+      severity(try_element_at(parts, lit(3))).as("severity"),
+      errorType(try_element_at(parts, lit(3))).as("error_type"))
 
     val rawDoc = struct(
       functionName.as("function_name"),

@@ -60,7 +60,21 @@ object GroupingQueries {
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        count_distinct(col("l_partkey")).as("exact_parts"))
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"))
+      .orderBy("l_returnflag")
+
+  /** Exact percentiles (sort-based `percentile`, linear interpolation —
+    * same definition as SQL-standard PERCENTILE_CONT).
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
       .orderBy("l_returnflag")
 
   /** union / intersect / except over customer vs supplier nation sets. */
@@ -80,6 +94,7 @@ object GroupingQueries {
     "q_grouping_sets" -> qGroupingSets,
     "q_distinct_agg" -> qDistinctAgg,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_percentiles" -> qPercentiles,
     "q_setops" -> qSetops)
 
   val oracles: Map[String, String] = Map(
@@ -108,6 +123,12 @@ object GroupingQueries {
         |  COUNT(DISTINCT l_partkey) AS nd_parts,
         |  COUNT(DISTINCT l_suppkey) AS nd_supps,
         |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_d_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_setops" ->
       """WITH cn AS (SELECT DISTINCT c_nationkey AS n FROM customer),

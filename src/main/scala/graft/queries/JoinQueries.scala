@@ -74,6 +74,27 @@ object JoinQueries {
       .orderBy("event_id")
   }
 
+  /** Interval join: events joined to the per-user order intervals
+    * [o_orderdate, o_orderdate + 30 days) they fall into. Equi key (user)
+    * + range predicate — shuffled hash join with the band as residual, the
+    * standard point-in-interval plan; at scale you'd bucket time into the
+    * key if single users span millions of intervals.
+    */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val intervals = t(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderpriority"),
+      col("o_orderdate").as("ival_start"),
+      date_add(col("o_orderdate"), 60).as("ival_end"))
+    t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      .join(intervals, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("ival_start") &&
+        col("l_shipdate") < col("ival_end"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines_in_window"),
+        count_distinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Narrow scan: projection + filter pushed to the parquet reader
     * (plan-shape asserted in tests: PushedFilters + pruned ReadSchema).
     */
@@ -87,6 +108,7 @@ object JoinQueries {
     "q_theta_join" -> qThetaJoin,
     "q_range_join" -> qRangeJoin,
     "q_asof_join" -> qAsofJoin,
+    "q_interval_join" -> qIntervalJoin,
     "q_scan_pushdown" -> qScanPushdown)
 
   val oracles: Map[String, String] = Map(
@@ -111,6 +133,13 @@ object JoinQueries {
         |FROM events e ASOF JOIN ord o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "q_interval_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines_in_window,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_returnflag = 'R' AND l_quantity = 25.0

@@ -43,6 +43,12 @@ object ShipperStream {
       .option("maxFilesPerTrigger", "10")
       .json(inputDir)
     LogPipeline.pipeline(records)
+      // S13: the reference's recordCounter/logEventCounter (shipper.js:
+      // 115-137) as streaming observe() metrics — surfaced per micro-batch
+      // on the StreamingQueryProgress instead of a discarded return value.
+      .observe("graft_counters",
+        count(lit(1)).as("docCounter"),
+        count(when(col("severity") === "error", 1)).as("errorCounter"))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs)) // ≙ LOG_INTERVAL=2000ms
@@ -89,20 +95,43 @@ object ShipperStream {
   */
 object BulkSink {
 
-  /** Ship one micro-batch. Empty-batch short-circuit per shipper.js:144. */
+  /** Ship one micro-batch. Empty-batch short-circuit per shipper.js:144;
+    * per-batch directory overwrite makes replays idempotent (a retried
+    * micro-batch rewrites the same batch dir — effective exactly-once at
+    * the sink, which is strictly stronger than the reference's
+    * at-least-once logsene buffer).
+    *
+    * S15: a failure while shipping is contained — an error doc is flushed
+    * to the side channel and rethrown so the streaming engine retries the
+    * batch (shipper.js:154-158; its DLQ TODO is the errors/ dir here).
+    */
   def ship(batch: DataFrame, outputDir: String, batchId: Long,
            bulkSize: Int): Unit = {
     val wire = batch.select(
       LogPipeline.wireJson(batch).as("doc"),
       col("severity"))
-    // isEmpty is a cheap limit-1 probe, not a full count
-    if (!wire.isEmpty) {
-      val spark = batch.sparkSession
-      import spark.implicits._
-      wire.as[(String, String)]
-        .mapPartitions(_.grouped(bulkSize).map(chunk => shipPartition(chunk)))
-        .write.mode("append").text(s"$outputDir/batch=$batchId")
-    }
+    // persist: the empty-probe and the write would otherwise re-execute the
+    // whole decode pipeline (and double-count the observe() metrics)
+    wire.persist()
+    try {
+      // isEmpty is a cheap limit-1 probe, not a full count
+      if (!wire.isEmpty) {
+        val spark = batch.sparkSession
+        import spark.implicits._
+        wire.as[(String, String)]
+          .mapPartitions(_.grouped(bulkSize).map(chunk => shipPartition(chunk)))
+          .write.mode("overwrite").text(s"$outputDir/batch=$batchId")
+      }
+    } catch {
+      case e: Throwable =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val detail = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        Seq(s"""{"severity":"error","message":"Shipper executed with error!","batch":$batchId,"error":"$detail"}""")
+          .toDF("doc").write.mode("append").text(s"$outputDir/errors")
+        throw e
+    } finally wire.unpersist()
   }
 
   /** One bulk POST body: NDJSON of (severity-tagged) docs — the
