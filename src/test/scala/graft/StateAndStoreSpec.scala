@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.sources.LogStore
+import graft.streaming.ErrorBurst
+import graft.streaming.ErrorBurst.{Alert, Doc}
+
+/** Stateful streaming (flatMapGroupsWithState), partitioned log store,
+  * salted join.
+  */
+class StateAndStoreSpec extends SparkSpec {
+
+  test("error-burst detector: alerts on >=3 consecutive errors, resets on debug") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = ErrorBurst.detect(input.toDS(), threshold = 3)
+      .writeStream.format("memory").queryName("bursts")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc("fn-a", "error", 1), Doc("fn-a", "error", 2),
+        Doc("fn-a", "debug", 3), Doc("fn-a", "error", 4),
+        Doc("fn-a", "error", 5), Doc("fn-a", "error", 6),
+        Doc("fn-a", "error", 7),
+        Doc("fn-b", "error", 1), Doc("fn-b", "error", 2))
+      q.processAllAvailable()
+      val alerts = spark.table("bursts").as[Alert].collect().sortBy(_.untilMs)
+      // streak 4..7 fires at 6 (3rd) and 7 (4th); fn-b never reaches 3
+      assert(alerts.map(a => (a.function_name, a.consecutiveErrors, a.untilMs)).toSeq ==
+        Seq(("fn-a", 3, 6L), ("fn-a", 4, 7L)))
+      // state carries across micro-batches: one more error continues the streak
+      input.addData(Doc("fn-a", "error", 8), Doc("fn-b", "error", 3))
+      q.processAllAvailable()
+      val alerts2 = spark.table("bursts").as[Alert].collect().sortBy(_.untilMs)
+      assert(alerts2.length == 4)
+      assert(alerts2.exists(a => a.function_name == "fn-a" && a.consecutiveErrors == 5))
+      assert(alerts2.exists(a => a.function_name == "fn-b" && a.consecutiveErrors == 3))
+    } finally q.stop()
+  }
+
+  test("log store: partitioned layout, partition-pruned reads, TTL expiry") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val docs = Seq(
+      ("fn-a", "error", "2024-01-01 10:00:00"),
+      ("fn-a", "debug", "2024-01-01 11:00:00"),
+      ("fn-b", "error", "2024-01-03 10:00:00"))
+      .toDF("function_name", "severity", "ts_s")
+      .withColumn("event_ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    LogStore.write(docs, dir)
+    assert(new java.io.File(s"$dir/severity=error/log_date=2024-01-01").exists())
+
+    val pruned = LogStore.read(spark, dir)
+      .filter(col("severity") === "error" && col("log_date") === "2024-01-01")
+    assert(pruned.count() == 1)
+    // pruning visible in the scan: only the matching partition dir is read
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+
+    val dropped = LogStore.expire(spark, dir, keepDays = 1,
+      asOf = java.time.LocalDate.parse("2024-01-03"))
+    assert(dropped.toSet == Set("severity=error/log_date=2024-01-01",
+      "severity=debug/log_date=2024-01-01"))
+    assert(LogStore.read(spark, dir).count() == 1)
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables.t(spark, sf001, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = Tables.t(spark, sf001, "orders").select("o_orderkey", "o_orderpriority")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(ord, "l_orderkey")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", saltBuckets = 4)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+}
