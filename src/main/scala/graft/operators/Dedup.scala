@@ -83,6 +83,9 @@ object Dedup {
     shingles(docs, k).groupBy("shingle")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) <= maxBucketSize)
+      // consumed 2-3x per query (sizes, pair-gen, LSH verify) and shared
+      // between the exact and LSH queries — cache by analyzed-plan equality
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** (da, db) -> intersection count, generated inside posting lists (the
     * inverted-index pair-generation: no self-join, pairs materialize only

@@ -77,6 +77,47 @@ object GroupingQueries {
         max(col("l_quantity")).as("max_qty"))
       .orderBy("l_returnflag")
 
+  /** Correlated scalar subquery shape: customers above their nation's
+    * average balance. Expressed as the at-scale plan — a broadcast join
+    * against the tiny per-nation aggregate (what a correlated subquery
+    * decorrelates into anyway).
+    */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val nationAvg = cust.groupBy(col("c_nationkey"))
+      .agg((toDouble(sum(dec(col("c_acctbal")))) / count(lit(1))).as("nation_avg"))
+    cust.join(broadcast(nationAvg), Seq("c_nationkey"))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        col("nation_avg"))
+      .orderBy("c_custkey")
+  }
+
+  /** Pivot: event counts per user pivoted by event_type (explicit value
+    * list — the only scalable form; discovery-pivot scans twice).
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** NULL-handling functions: nullif / coalesce / nvl2-shaped CASE,
+    * null-aware counts, null-safe equality.
+    */
+  def qNulls(spark: SparkSession, dir: String): DataFrame = {
+    val d = nullif(col("l_discount"), lit(0.0))
+    t(spark, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        d.as("disc_or_null"),
+        coalesce(d, lit(-1.0)).as("disc_defaulted"),
+        d.isNull.as("was_zero"),
+        col("l_discount") <=> lit(0.0) as "null_safe_eq_zero")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** union / intersect / except over customer vs supplier nation sets. */
   def qSetops(spark: SparkSession, dir: String): DataFrame = {
     val cn = t(spark, dir, "customer").select(col("c_nationkey").as("n")).distinct()
@@ -95,6 +136,9 @@ object GroupingQueries {
     "q_distinct_agg" -> qDistinctAgg,
     "q_approx_distinct" -> qApproxDistinct,
     "q_percentiles" -> qPercentiles,
+    "q_scalar_subquery" -> qScalarSubquery,
+    "q_pivot" -> qPivot,
+    "q_nulls" -> qNulls,
     "q_setops" -> qSetops)
 
   val oracles: Map[String, String] = Map(
@@ -130,6 +174,30 @@ object GroupingQueries {
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_scalar_subquery" ->
+      """WITH na AS (
+        |  SELECT c_nationkey,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS nation_avg
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_custkey, c.c_nationkey, c_acctbal, nation_avg
+        |FROM customer c JOIN na ON c.c_nationkey = na.c_nationkey
+        |WHERE c_acctbal > nation_avg
+        |ORDER BY c_custkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_nulls" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_discount, 0.0) AS disc_or_null,
+        |  coalesce(nullif(l_discount, 0.0), -1.0) AS disc_defaulted,
+        |  nullif(l_discount, 0.0) IS NULL AS was_zero,
+        |  l_discount IS NOT DISTINCT FROM 0.0 AS null_safe_eq_zero
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_setops" ->
       """WITH cn AS (SELECT DISTINCT c_nationkey AS n FROM customer),
         |     sn AS (SELECT DISTINCT s_nationkey AS n FROM supplier)

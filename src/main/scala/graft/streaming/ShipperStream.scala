@@ -58,6 +58,26 @@ object ShipperStream {
       .start()
   }
 
+  /** Synthetic envelope stream from the rate source: `rowsPerSecond`
+    * Kinesis-shaped records, each one gzipped+base64'd CloudWatch payload
+    * with a single raw log event — the load-generator source for
+    * throughput work (a Kinesis source swaps in with the same schema).
+    */
+  def rateRecords(spark: SparkSession, rowsPerSecond: Int = 1000): DataFrame = {
+    import graft.functions.gcolumns.gzip
+    val payload = concat(
+      lit("""{"messageType":"DATA_MESSAGE","logGroup":"/aws/lambda/rate-fn-"""),
+      pmod(col("value"), lit(8)),
+      lit("""","logStream":"2024/01/01/[$LATEST]r","logEvents":[{"id":""""),
+      col("value"),
+      lit("""","timestamp":"""), col("value"),
+      lit(""","message":"rate event """), col("value"), lit("\"}]}"))
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .select(base64(gzip(encode(payload, "UTF-8"))).as("data"),
+        lit("us-east-1").as("region"))
+  }
+
   /** Beyond-reference streaming analytics (SURVEY.md §2.2 streaming row):
     * watermarked tumbling-window error rates per function. `eventTime` must
     * be a timestamp column on the docs frame.

@@ -56,6 +56,25 @@ class StreamingSpec extends SparkSpec {
       spark.read.text(s"$out/batch=1").isEmpty)
   }
 
+  test("rate-source envelope generator decodes through the pipeline") {
+    import graft.operators.LogPipeline
+    import org.apache.spark.sql.streaming.Trigger
+    val q = LogPipeline.pipeline(ShipperStream.rateRecords(spark, rowsPerSecond = 500))
+      .writeStream.format("memory").queryName("rate_docs")
+      .trigger(Trigger.ProcessingTime(100L)).start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("rate_docs").isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      val docs = spark.table("rate_docs").collect()
+      assert(docs.nonEmpty, "rate stream produced no docs in 30s")
+      val d = docs.head
+      assert(d.getAs[String]("function_name").startsWith("rate-fn-"))
+      assert(d.getAs[String]("message").startsWith("rate event "))
+      assert(d.getAs[String]("severity") == "debug")
+    } finally q.stop()
+  }
+
   test("windowed error rates aggregate by tumbling window (batch-mode check)") {
     import spark.implicits._
     val docs = Seq(
