@@ -253,6 +253,12 @@ object LogPipeline {
   /** Reproduce the exact wire document of the reference sink (dotted keys,
     * user fields spread at top level, pipeline literals winning over user
     * fields of the same name — shipper.js:75-83 spread order).
+    *
+    * Note on `error.type`: the reference emits a nested `"error":{"type":x}`
+    * object (shipper.js:34-36); we emit the flat dotted key, which is the
+    * same field path under Elasticsearch mapping rules (the sink the
+    * reference ships to treats dots as object-path separators) — declared
+    * equivalent-at-the-sink deviation.
     */
   def wireJson(doc: DataFrame): Column = {
     val closed = map_filter(

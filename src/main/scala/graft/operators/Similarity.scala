@@ -57,6 +57,46 @@ object Similarity {
       .select("qid", "rank", "nid", "cos")
   }
 
+  /** IVF-style ANN: coarse quantization with deterministic "centroids"
+    * (every `centroidStride`-th vector), probes search their own cell plus
+    * the runner-up cell (nprobe=2). The learned-centroid version (k-means)
+    * drops into the same plan — assignment is a broadcast argmax against
+    * the centroid table, search is a co-partitioned join on cell id. The
+    * centroid table is O(sqrt(n))-ish and broadcast, the corpus shuffles
+    * once by cell — the inverted-file layout at any scale.
+    */
+  def ivfTopK(emb: DataFrame, probeFilter: Column, k: Int,
+              centroidStride: Int = 100): DataFrame = {
+    val e = asDouble(emb)
+    val centroids = e.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    // cell assignment: argmax cosine against the broadcast centroid table;
+    // keep top-2 cells per vector (corpus side indexes only cell 1,
+    // probes search cells 1 and 2 — classic nprobe>1 recall boost)
+    def assign(df: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cell"))
+      df.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("v"), col("cell"),
+          cosine(col("v"), col("cv")).as("ccos"))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= n)
+    }
+    val corpus = assign(e, 1)
+      .select(col("cell"), col("vec_id").as("nid"), col("v").as("nv"))
+    val probes = assign(e.filter(probeFilter), 2)
+      .select(col("cell"), col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    probes.join(corpus, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      .dropDuplicates("qid", "nid")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cos")
+  }
+
   /** LSH bucket signature for `planes` hyperplanes of table `t`: one sign
     * bit per plane packed into a long. Bit b = sign of <v, plane_b>.
     */

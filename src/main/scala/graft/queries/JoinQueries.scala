@@ -104,7 +104,22 @@ object JoinQueries {
       .select("l_orderkey", "l_linenumber")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Skew-aware salted join (graft.operators.Skew): result must equal the
+    * plain join — the oracle IS the plain join SQL, so the equivalence is
+    * hash-proven by the driver's gate.
+    */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), dec(col("l_quantity")).as("qty"))
+    val ord = t(spark, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+      col("o_orderpriority"))
+    graft.operators.Skew.saltedJoin(li, ord, "l_orderkey", saltBuckets = 4)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), toDouble(sum(col("qty"))).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> qSaltedJoin,
     "q_theta_join" -> qThetaJoin,
     "q_range_join" -> qRangeJoin,
     "q_asof_join" -> qAsofJoin,
@@ -112,6 +127,11 @@ object JoinQueries {
     "q_scan_pushdown" -> qScanPushdown)
 
   val oracles: Map[String, String] = Map(
+    "q_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_theta_join" ->
       """SELECT s_nationkey AS nationkey, COUNT(*) AS n_pairs
         |FROM supplier JOIN customer

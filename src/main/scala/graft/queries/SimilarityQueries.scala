@@ -23,9 +23,15 @@ object SimilarityQueries {
         probeFilter = col("vec_id") % 100 === 0, k = 5)
       .orderBy("qid", "rank")
 
+  def simIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(spark, dir, "embeddings"),
+        probeFilter = col("vec_id") % 100 === 0, k = 5)
+      .orderBy("qid", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> simTopk,
-    "sim_ann_lsh" -> simAnnLsh)
+    "sim_ann_lsh" -> simAnnLsh,
+    "sim_ivf" -> simIvf)
 
   val oracles: Map[String, String] = Map(
     "sim_topk" ->

@@ -32,6 +32,16 @@ class SimilaritySpec extends SparkSpec {
     ann.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
   }
 
+  test("IVF top-k recall@5 >= 0.3 vs brute force (coarse cells, nprobe=2)") {
+    val exact = Similarity.bruteForceTopK(emb, probe, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, probe, k = 5, centroidStride = 50)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val df = Seq((Array(0.1, -0.5, 2.0), Array(0.1, -0.5, 2.0))).toDF("a", "b")
