@@ -83,5 +83,8 @@ object LogCorpus {
         col("msg"), col("aws_region"))
       .filter(col("doc").isNotNull)
       .select(col("event_id"), col("doc.*"))
+      // shared by classify/error-hist/entry — cached by plan equality so
+      // the synthesis+parse runs once per (session, sf) instead of per query
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 }
