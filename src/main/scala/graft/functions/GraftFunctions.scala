@@ -18,5 +18,6 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("gzip", es => Gzip(es.head), "scala_udf")
     registry.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     registry.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
+    registry.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
   }
 }

@@ -89,4 +89,12 @@ object gcolumns {
 
   /** Polynomial rolling-hash fingerprint of a string column (mod 2^61-1). */
   def rolling_hash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
+
+  /** Distinct k-word shingles of a string column (codegen'd). */
+  def word_shingles(c: Column, k: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(c), k))
+
+  /** Sequential (oracle-parity) dot product of two double-array columns. */
+  def dotp(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 }

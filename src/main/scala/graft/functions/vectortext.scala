@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels for the vector-math / shingling expressions; static so
+  * whole-stage codegen calls them directly.
+  */
+object VectorTextImpl {
+
+  /** Distinct k-word shingles of a space-tokenized string, first-occurrence
+    * order. Tokenization matches `split(text, ' ')` with Java limit -1
+    * (interior/trailing empty tokens kept) so results are bit-identical to
+    * the column-expression formulation — and to the DuckDB oracle's
+    * `string_split(text, ' ')`. One pass, one StringBuilder; replaces a
+    * `transform(sequence)/slice/concat_ws` higher-order pipeline that
+    * dominated the dedup queries (HOFs evaluate interpreted, ~11us per
+    * shingle; this kernel runs inside whole-stage codegen).
+    */
+  def wordShingles(s: UTF8String, k: Int): ArrayData = {
+    val parts = s.toString.split(" ", -1)
+    if (parts.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](parts.length * 2)
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i <= parts.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(parts(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = UTF8String.fromString(it.next()); x += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Sequential left-to-right dot product of two double arrays — the exact
+    * accumulation order DuckDB's `list_inner_product` on DOUBLE[] uses, so
+    * cosine results stay bit-identical to the oracle (and run-to-run: no
+    * partition-order dependence). Replaces the interpreted
+    * `aggregate(zip_with(...))` pipeline in the similarity hot path.
+    */
+  def dotDD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}
+
+/** Distinct k-word shingles: `string -> array<string>`. Native Catalyst
+  * expression so the dedup shingling (the highest-volume transform in the
+  * near-dup pipeline) stays inside whole-stage codegen.
+  */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorTextImpl.wordShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorTextImpl.wordShingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Sequential dot product: `(array<double>, array<double>) -> double`. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorTextImpl.dotDD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorTextImpl.dotDD($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.gcolumns.simhash64
@@ -51,54 +52,57 @@ object Dedup {
   // Shingling + exact n-gram Jaccard (the verification primitive)
   // -------------------------------------------------------------------------
 
-  /** Distinct k-word shingles per doc: (id, shingle). Guarded sequence so
-    * docs shorter than k shingle to nothing (not a descending sequence).
+  /** Distinct k-word shingles per doc: (id, shingle). Docs shorter than k
+    * words shingle to nothing. The shingling itself is the codegen'd
+    * [[graft.functions.WordShingles]] expression — the higher-order
+    * `transform(sequence)/slice/concat_ws` formulation it replaced evaluated
+    * interpreted and dominated every near-dup query's scan time.
     */
   def shingles(docs: DataFrame, k: Int = 3, textCol: String = "text",
-               idCol: String = "doc_id"): DataFrame = {
-    val toks = split(col(textCol), " ")
+               idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol).as("id"),
-        when(size(toks) >= k,
-          array_distinct(transform(sequence(lit(0), size(toks) - k),
-            i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-          .otherwise(array().cast("array<string>")).as("sh"))
+        graft.functions.gcolumns.word_shingles(col(textCol), k).as("sh"))
       .select(col("id"), explode(col("sh")).as("shingle"))
+
+  /** Kept (df-cut) distinct shingles per doc, with each shingle's global
+    * document frequency: (id, shingle, df).
+    *
+    * Two-pass df cut: document frequency is pre-aggregated — a
+    * partial-aggregate (map-side combine) shuffle that stays O(1) memory on
+    * a pathologically hot shingle — and the cut applied by join BEFORE
+    * anything materializes a posting list, so no aggregation buffer ever
+    * holds a stop-word shingle's doc list. Cached via [[graft.Caches]]
+    * (scoped, one live corpus) and shared by the exact-Jaccard and
+    * MinHash-LSH paths, which each read it 3-4 times per query.
+    */
+  private def keptShingles(docs: DataFrame, k: Int): DataFrame = {
+    val key = s"${docs.queryExecution.analyzed.semanticHash()}|k=$k"
+    graft.Caches.cached("dedup-shingles", key) {
+      // raw exploded shingles cached too: the df pass and the join probe
+      // below each consume them, and re-shingling is the scan-dominant cost
+      val sh = graft.Caches.cached("dedup-shingles-raw", key)(shingles(docs, k))
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxBucketSize)
+      sh.join(df, "shingle")
+    }
   }
 
-  /** Exact pairwise Jaccard over shared shingles — inverted-index self-join:
-    * shuffle by shingle, pairs emitted only inside a posting list, then one
-    * aggregation by pair. This IS the scalable exact algorithm (pairs that
-    * share nothing are never materialized); the LSH below is the cheaper
-    * screen when even posting-list joins are too hot.
-    */
-  /** Posting lists: one shuffle of the exploded shingles, sorted doc-id list
-    * per shingle, document-frequency cut applied (bounded list size).
-    *
-    * Scale note: `collect_list` caps at [[maxBucketSize]] ids (~8 KB) per
-    * kept shingle, but a pathologically hot shingle is collected before the
-    * filter drops it — at true 100 TB you'd pre-count df in a first pass and
-    * semi-join before collecting. One extra shuffle, same semantics.
-    */
-  private def postings(docs: DataFrame, k: Int): DataFrame =
-    shingles(docs, k).groupBy("shingle")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) <= maxBucketSize)
-      // consumed 2-3x per query (sizes, pair-gen, LSH verify) and shared
-      // between the exact and LSH queries — cache by analyzed-plan equality
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Kept-shingle count per doc (the Jaccard denominators). */
+  private def docSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
 
-  /** (da, db) -> intersection count, generated inside posting lists (the
-    * inverted-index pair-generation: no self-join, pairs materialize only
-    * for docs that actually co-occur under a shingle).
+  /** Exact verification restricted to a candidate-pair set: intersection
+    * counts come from joining the candidates back to the per-doc kept
+    * shingles — O(|candidates| x shingles/doc) work, never a corpus-wide
+    * pair generation — then the Jaccard threshold filter.
     */
-  private def pairCounts(post: DataFrame): DataFrame = {
-    val pairExpr = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - 1, lit(0))),
-        y => struct(x.as("da"), y.as("db")))))
-    post.filter(size(col("ids")) >= 2)
-      .select(explode(pairExpr).as("p"))
-      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-      .agg(count(lit(1)).as("inter"))
+  private def verifiedJaccard(cand: DataFrame, sh: DataFrame,
+                              threshold: Double): DataFrame = {
+    val inter = cand
+      .join(sh.select(col("id").as("da"), col("shingle")), "da")
+      .join(sh.select(col("id").as("db"), col("shingle")), Seq("db", "shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    jaccardOf(inter, docSizes(sh), threshold)
   }
 
   private def jaccardOf(inter: DataFrame, sizes: DataFrame,
@@ -111,12 +115,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("da", "db", "jaccard")
 
+  /** Exact pairwise Jaccard >= threshold via prefix filtering (the
+    * PPJoin/All-Pairs bound, Xiao et al. 2008 / Bayardo et al. 2007): order
+    * each doc's shingles by ascending global df; any pair at Jaccard >= t
+    * must share at least one shingle inside each doc's first
+    * floor((1-t)*n)+1 shingles of that order. Candidates therefore come
+    * from the inverted index over only the rare-first PREFIX shingles — the
+    * thinnest posting lists in the index — with the length filter
+    * (min(n_a,n_b) >= t*max(n_a,n_b)) applied inside the join, then exact
+    * candidate-only verification.
+    *
+    * vs the round-1 plan (pair generation inside every posting list): the
+    * quadratic blowup on frequent shingles is gone; remaining work is
+    * proportional to the candidate count, which the prefix+length filters
+    * hold near the true result size. The epsilons lengthen the prefix /
+    * loosen the length bound by one ulp so double rounding can only ADD
+    * candidates (verification keeps the output exact either way).
+    */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3,
                         threshold: Double = 0.6): DataFrame = {
-    val post = postings(docs, k)
-    val sizes = post.select(explode(col("ids")).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("n"))
-    jaccardOf(pairCounts(post), sizes, threshold)
+    val key = s"${docs.queryExecution.analyzed.semanticHash()}|k=$k|t=$threshold"
+    val sh = keptShingles(docs, k)
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    // cached: consumed twice by the self-join below (Spark would otherwise
+    // run the window + size join once per join side)
+    val pre = graft.Caches.cached("dedup-prefix", key) {
+      sh.join(docSizes(sh), "id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <=
+          floor(lit(1.0 - threshold) * col("n") + lit(1e-9)) + 1)
+        .select(col("id"), col("n"), col("rn"), col("shingle"))
+    }
+    // positional filter (PPJoin): matching at prefix positions (rn_a, rn_b)
+    // caps the achievable overlap at 1 + min(n_a - rn_a, n_b - rn_b); prune
+    // pairs that cannot reach the required overlap t/(1+t)*(n_a+n_b).
+    val needed =
+      lit(threshold / (1.0 + threshold)) * (col("a.n") + col("b.n")) - lit(1e-9)
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+          least(col("a.n"), col("b.n")) >=
+            lit(threshold) * greatest(col("a.n"), col("b.n")) - lit(1e-9) &&
+          lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))
+            >= needed)
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+    verifiedJaccard(cand, sh, threshold)
   }
 
   // -------------------------------------------------------------------------
@@ -124,7 +167,9 @@ object Dedup {
   // -------------------------------------------------------------------------
 
   /** MinHash signatures as array<bigint>: `numHashes` seeded-xxhash64
-    * permutations, min per seed, one pass over the exploded shingles.
+    * permutations, min per seed, one pass over the exploded kept shingles
+    * (the df-cut sets — stop-word shingles carry no near-dup identity, and
+    * sharing [[keptShingles]] keeps signature and verification consistent).
     *
     * Implementation note: measured against the typed
     * [[graft.functions.MinHashAggregator]] UDAF (one buffer per group,
@@ -135,7 +180,7 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, k: Int = 3,
                         numHashes: Int = 32): DataFrame = {
-    val sh = shingles(docs, k)
+    val sh = keptShingles(docs, k)
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
@@ -157,14 +202,21 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
                       bands: Int = 16, threshold: Double = 0.6): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, k, numHashes)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bh"))
+    val key = s"${docs.queryExecution.analyzed.semanticHash()}" +
+      s"|k=$k|h=$numHashes|b=$bands"
+    // cached: the bucket-size cut and both sides of the candidate self-join
+    // below each consume the banded signatures (Spark would otherwise
+    // recompute the signature aggregation once per consumer)
+    val bucketed = graft.Caches.cached("dedup-lsh-buckets", key) {
+      val sig = minhashSignatures(docs, k, numHashes)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bh"))
+      }
+      sig.select(col("id"), explode(array(bandCols: _*)).as("bucket"))
+        .select(col("id"), col("bucket.band").as("band"),
+          col("bucket.bh").as("bh"))
     }
-    val bucketed = sig.select(col("id"),
-        explode(array(bandCols: _*)).as("bucket"))
-      .select(col("id"), col("bucket.band").as("band"), col("bucket.bh").as("bh"))
     val smallBuckets = bucketed.groupBy("band", "bh")
       .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucketSize)
       .select("band", "bh")
@@ -175,15 +227,11 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .distinct()
-    // exact verification restricted to the candidate set: pair-inter counts
-    // from posting lists, semi-joined down to LSH candidates before the
-    // Jaccard math. (At corpus scales where even posting-pair generation is
-    // too hot, verify per candidate by re-shingling the two docs — O(cand).)
-    val post = postings(docs, k)
-    val sizes = post.select(explode(col("ids")).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = pairCounts(post).join(candidates, Seq("da", "db"), "left_semi")
-    jaccardOf(inter, sizes, threshold)
+    // exact verification restricted to the candidate set (the round-1 fix:
+    // intersections come from joining candidates back to per-doc shingle
+    // sets — O(candidates) — not from a corpus-wide pair generation that
+    // would make the LSH screen pointless).
+    verifiedJaccard(candidates, keptShingles(docs, k), threshold)
   }
 
   // -------------------------------------------------------------------------

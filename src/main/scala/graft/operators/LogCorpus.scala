@@ -75,16 +75,19 @@ object LogCorpus {
   /** The corpus run through the real parse/classify/enrich operators
     * (S6, S7, S9, S10a-c, S11, S12), keeping `event_id` for oracle joins.
     */
-  def parsed(events: DataFrame): DataFrame = {
-    val m = withMessages(events)
-    LogPipeline.parseStaged(m,
-        LogPipeline.lambdaName(col("logGroup")),
-        LogPipeline.lambdaVersion(col("logStream")),
-        col("msg"), col("aws_region"))
-      .filter(col("doc").isNotNull)
-      .select(col("event_id"), col("doc.*"))
-      // shared by classify/error-hist/entry — cached by plan equality so
-      // the synthesis+parse runs once per (session, sf) instead of per query
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  def parsed(events: DataFrame): DataFrame =
+    // shared by classify/error-hist/entry — one scoped cache entry per
+    // events frame (graft.Caches evicts the predecessor on sf change), so
+    // the synthesis+parse runs once per (session, sf) and a long session
+    // never accretes cached corpora
+    graft.Caches.cached("logcorpus",
+        events.queryExecution.analyzed.semanticHash().toString) {
+      val m = withMessages(events)
+      LogPipeline.parseStaged(m,
+          LogPipeline.lambdaName(col("logGroup")),
+          LogPipeline.lambdaVersion(col("logStream")),
+          col("msg"), col("aws_region"))
+        .filter(col("doc").isNotNull)
+        .select(col("event_id"), col("doc.*"))
+    }
 }
