@@ -282,12 +282,12 @@ object Dedup {
 
   /** Cosine similarity of two double-array columns, sequential left-to-right
     * double accumulation (bit-reproducible; matches DuckDB's list_... on
-    * DOUBLE[] for oracle parity).
+    * DOUBLE[] for oracle parity) — the codegen'd
+    * [[graft.functions.DotProduct]] kernel.
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    import graft.functions.gcolumns.dotp
+    dotp(a, b) / (sqrt(dotp(a, a)) * sqrt(dotp(b, b)))
   }
 
   /** Embedding near-dup pairs above a cosine threshold, probe-side blocked:

@@ -4,143 +4,246 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.gcolumns.dotp
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
-  * Two tiers (the standard vector-search shape):
+  * Three tiers (the standard vector-search shape):
   *  - [[bruteForceTopK]]: exact cosine top-k, probe-set x corpus. The
-  *    baseline and the verifier. Linear in |corpus| per probe — fine for a
-  *    probe batch, intractable as all-pairs; at 100 TB the corpus side
-  *    streams (one pass, no shuffle of the corpus) and per-probe state is a
-  *    k-heap (TakeOrderedAndProject after the window filter).
-  *  - [[annLsh]]: random-hyperplane LSH — probe only compares against its
-  *    own bucket(s). Hyperplanes are derived deterministically from a seeded
-  *    hash (no RNG at plan time, so the plan is reproducible run-to-run —
-  *    a requirement both for the driver's hash-compare and for incremental
-  *    recomputation at scale). Multi-probe via `tables` independent hash
-  *    tables raises recall without widening any single bucket.
+  *    baseline and the verifier. Linear in |corpus| per probe; at 100 TB the
+  *    corpus side streams (one pass, no corpus shuffle) and per-probe state
+  *    is a k-heap.
+  *  - [[annLsh]]: random-hyperplane LSH with multiprobe. The corpus-side
+  *    index (bucketed signatures) is probe-independent and CACHED — the real
+  *    ANN economics: index once, amortize across probe batches. Probes visit
+  *    their own bucket plus every bucket within `maxFlips` sign flips
+  *    (multiprobe raises recall without growing the index).
+  *  - [[ivfTopK]]: inverted-file ANN with k-means-learned centroids. Cell
+  *    assignment is a pure column expression against a broadcast-literal
+  *    centroid table (argmax over O(cells) dot products — no join, no
+  *    window), so the corpus index is one narrow pass.
+  *
+  * All dot products go through the codegen'd
+  * [[graft.functions.DotProduct]] expression: sequential left-to-right
+  * accumulation, bit-identical to DuckDB's `list_inner_product` on DOUBLE[]
+  * (the oracle) and run-to-run reproducible. Norms are precomputed once per
+  * vector — a pure per-vector value, so hoisting it out of the pair loop
+  * changes no bits while cutting two dots per compared pair.
+  *
+  * Honest scale note: this corpus is ~isotropic (top-5 neighbors sit at
+  * cosine 0.24-0.45 vs random-pair 0.0 — per-hyperplane collision 0.60 vs
+  * 0.50), so any >=0.8-recall index must examine a large corpus fraction;
+  * the indexes here pay off through cache amortization and through the
+  * probe-side narrowing that dominates on clustered real-world embeddings.
   */
 object Similarity {
 
-  /** Deterministic "random" hyperplane component d of plane p for table t:
-    * xxhash64 mapped to [-1, 1]. Fixed by (t, p, d) — pure plan constant.
+  /** Deterministic "random" hyperplane component d of plane p of table t:
+    * xxhash64 mapped to [-1, 1]. Fixed by (t, p, d) — pure plan constant,
+    * so plans are reproducible run-to-run (a requirement both for the
+    * driver's hash-compare and for incremental recomputation at scale).
     */
   private def planeComponent(t: Int, p: Int, d: Int): Double = {
     val h = org.apache.spark.sql.catalyst.expressions.XXH64
       .hashLong(((t.toLong * 131071 + p) << 20) + d, 2024L)
-    (h.toDouble / Long.MaxValue.toDouble)
+    h.toDouble / Long.MaxValue.toDouble
   }
 
-  /** Sequential-accumulation dot product (bit-reproducible). */
-  def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-accumulation dot product (bit-reproducible, codegen'd). */
+  def dot(x: Column, y: Column): Column = dotp(x, y)
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dotp(a, b) / (sqrt(dotp(a, a)) * sqrt(dotp(b, b)))
 
+  /** Vectors as double arrays plus the precomputed norm. */
   private def asDouble(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("label"),
-      transform(col("embedding"), _.cast("double")).as("v"))
+    emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("vn", sqrt(dotp(col("v"), col("v"))))
 
   /** Exact cosine top-k for each probe vector. */
   def bruteForceTopK(emb: DataFrame, probeFilter: Column, k: Int): DataFrame = {
     val e = asDouble(emb)
     val probes = e.filter(probeFilter)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
-    probes.crossJoin(e.select(col("vec_id").as("nid"), col("v").as("nv")))
+    probes.crossJoin(e.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("vn").as("nn")))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      .select(col("qid"), col("nid"),
+        (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "cos")
   }
 
-  /** IVF-style ANN: coarse quantization with deterministic "centroids"
-    * (every `centroidStride`-th vector), probes search their own cell plus
-    * the runner-up cell (nprobe=2). The learned-centroid version (k-means)
-    * drops into the same plan — assignment is a broadcast argmax against
-    * the centroid table, search is a co-partitioned join on cell id. The
-    * centroid table is O(sqrt(n))-ish and broadcast, the corpus shuffles
-    * once by cell — the inverted-file layout at any scale.
+  // -------------------------------------------------------------------------
+  // IVF with k-means centroids
+  // -------------------------------------------------------------------------
+
+  /** Top-`nprobe` cell ids for a vector against a literal centroid table:
+    * argmax of dot(v, c)/|c| via transform + sort_array — a pure column
+    * expression (the centroid table is a plan literal ≙ broadcast), no join
+    * and no window in the assignment at all.
+    */
+  private def bestCells(v: Column, cents: Seq[Seq[Double]],
+                        nprobe: Int): Column = {
+    val cLit = typedlit(cents)
+    // driver-side sequential norm — deterministic, matches dotp order
+    val cn = typedlit(cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))))
+    val scores = transform(sequence(lit(0), lit(cents.size - 1)), i =>
+      dotp(v, element_at(cLit, i + 1)) / element_at(cn, i + 1))
+    // top-nprobe cell ids: sort scores desc, map back to 0-based index.
+    // array_position takes the FIRST match, so exact score ties collapse to
+    // one cell (callers dedupe (probe, cell) — benign, ties are measure-zero)
+    transform(slice(reverse(array_sort(scores)), 1, nprobe),
+      s => array_position(scores, s) - 1)
+  }
+
+  /** One live learned-centroid set (keyed like [[graft.Caches]]): k-means
+    * training is probe-independent, so repeated queries reuse it.
+    */
+  private var centroidCache: Option[(String, Seq[Seq[Double]])] = None
+
+  /** Lloyd iterations entirely in the engine: assignment is the broadcast
+    * argmax column expression above; the new means are decimal-exact
+    * (`avg` over DECIMAL(25,16)) so results do not depend on partition
+    * order — the property that keeps `sim_ivf` reproducible run-to-run.
+    * Init is a deterministic stride sample by vec_id rank. Centroids
+    * collect to the driver each round (O(cells x dim) values) — at 100 TB
+    * this same loop trains on a sample (mini-batch k-means) and the
+    * centroid table stays a broadcast literal.
+    */
+  private def kmeansCentroids(e: DataFrame, nCells: Int,
+                              iters: Int): Seq[Seq[Double]] = synchronized {
+    val key = s"${e.queryExecution.analyzed.semanticHash()}|c=$nCells|i=$iters"
+    centroidCache match {
+      case Some((k, c)) if k == key => c
+      case _ =>
+        val n = e.count()
+        val stride = math.max(1L, n / nCells)
+        val byId = Window.orderBy(col("vec_id"))
+        var cents: Seq[Seq[Double]] = e
+          .withColumn("rn", row_number().over(byId))
+          .filter((col("rn") - 1) % stride === 0)
+          .orderBy("rn").limit(nCells)
+          .select("v").collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+        for (_ <- 1 to iters) {
+          val assigned = e.select(
+            element_at(bestCells(col("v"), cents, 1), 1).as("cell"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          val means = assigned.groupBy("cell", "pos")
+            .agg(avg(col("x").cast("decimal(25,16)")).cast("double").as("m"))
+            .groupBy("cell")
+            .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+              s => s("m")).as("cv"))
+            .collect()
+            .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toIndexedSeq)
+            .toMap
+          // empty cells keep their previous centroid
+          cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+        }
+        centroidCache = Some((key, cents))
+        cents
+    }
+  }
+
+  /** IVF ANN top-k: corpus vectors index into their argmax cell (one narrow
+    * pass, cached), probes search their `nprobe` best cells. Recall is the
+    * nprobe knob; the learned centroids replace round-1's stride-sampled
+    * ones (recall 0.51 -> asserted >= 0.8 in SimilaritySpec).
     */
   def ivfTopK(emb: DataFrame, probeFilter: Column, k: Int,
-              centroidStride: Int = 100): DataFrame = {
-    val e = asDouble(emb)
-    val centroids = e.filter(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
-    // cell assignment: argmax cosine against the broadcast centroid table;
-    // keep top-2 cells per vector (corpus side indexes only cell 1,
-    // probes search cells 1 and 2 — classic nprobe>1 recall boost)
-    def assign(df: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cell"))
-      df.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("v"), col("cell"),
-          cosine(col("v"), col("cv")).as("ccos"))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= n)
+              nCells: Int = 8, iters: Int = 4, nprobe: Int = 5): DataFrame = {
+    val key = s"${emb.queryExecution.analyzed.semanticHash()}" +
+      s"|c=$nCells|i=$iters"
+    val e = graft.Caches.cached("ivf-vectors", key)(asDouble(emb))
+    val cents = kmeansCentroids(e, nCells, iters)
+    val corpus = graft.Caches.cached("ivf-index", key) {
+      e.select(element_at(bestCells(col("v"), cents, 1), 1).as("cell"),
+        col("vec_id").as("nid"), col("v").as("nv"), col("vn").as("nn"))
     }
-    val corpus = assign(e, 1)
-      .select(col("cell"), col("vec_id").as("nid"), col("v").as("nv"))
-    val probes = assign(e.filter(probeFilter), 2)
-      .select(col("cell"), col("vec_id").as("qid"), col("v").as("qv"))
+    val probes = e.filter(probeFilter)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"),
+        explode(bestCells(col("v"), cents, nprobe)).as("cell"))
+      .dropDuplicates("qid", "cell")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     probes.join(corpus, "cell")
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
-      .dropDuplicates("qid", "nid")
+      .select(col("qid"), col("nid"),
+        (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "cos")
   }
 
-  /** LSH bucket signature for `planes` hyperplanes of table `t`: one sign
-    * bit per plane packed into a long. Bit b = sign of <v, plane_b>.
+  // -------------------------------------------------------------------------
+  // Random-hyperplane LSH with multiprobe
+  // -------------------------------------------------------------------------
+
+  /** Per-table LSH signatures of a vector: one array<long> of `tables`
+    * entries, each packing `planes` sign bits. ALL hyperplanes live in ONE
+    * literal array-of-arrays (a single Literal node — round 1 inlined
+    * tables*planes*dim scalar literals, which exploded the generated code),
+    * and the whole signature set is computed in one transform pass.
     */
-  def bucketSignature(v: Column, t: Int, planes: Int, dim: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val planeVec = array((0 until dim).map(d => lit(planeComponent(t, p, d))): _*)
-      when(dot(v, planeVec) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  private def signatures(v: Column, planes: Int, tables: Int,
+                         dim: Int): Column = {
+    val mLit = typedlit((0 until tables * planes).map { i =>
+      (0 until dim).map(d => planeComponent(i / planes, i % planes, d))
+    })
+    val bits = transform(mLit, pl =>
+      when(dotp(v, pl) >= 0, lit(1L)).otherwise(lit(0L)))
+    transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(slice(bits, t * lit(planes) + 1, lit(planes)), lit(0L),
+        (acc, b) => acc * 2 + b))
   }
 
-  /** ANN top-k: candidates share an LSH bucket in at least one of `tables`
-    * hash tables; exact cosine + rank within the candidate set. Recall vs
-    * [[bruteForceTopK]] is asserted in the test suite.
+  /** ANN top-k via multiprobe hyperplane LSH: candidates share a bucket
+    * with the probe in some table, where the probe visits its own bucket
+    * plus all buckets within `maxFlips` bit flips (standard multiprobe:
+    * the planes whose margin a near neighbor most likely crosses). Exact
+    * cosine + rank within the candidate set; recall vs [[bruteForceTopK]]
+    * is asserted in SimilaritySpec (>= 0.8 at k=5).
     *
-    * Parameter intuition: P(one-table collision at angle θ) = (1-θ/π)^planes,
-    * so for top-k neighbors at cosine ~0.4 (θ≈1.16) the defaults give
-    * 1-(1-0.63^4)^8 ≈ 0.75 recall while scanning a fraction of the corpus.
-    * The sparser the space / closer the neighbors, the more planes you can
-    * afford: planes ≈ log2(corpus / desired bucket size), then set tables
-    * for the recall target. At 100 TB this is the knob that decouples probe
-    * cost from corpus size; an IVF coarse quantizer is the same plan with
-    * learned buckets instead of hashed ones.
+    * The corpus index is cached (probe-independent); probe-side cost is
+    * O(tables x planes) dots for signatures + the candidate dots. Parameter
+    * intuition: P(per-plane agreement) = 1 - theta/pi; recall per table =
+    * P(<= maxFlips disagreements among `planes`); total = 1-(1-r)^tables.
     */
   def annLsh(emb: DataFrame, probeFilter: Column, k: Int,
-             planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
-    val e = asDouble(emb)
-    val sigCols = (0 until tables).map(t =>
-      struct(lit(t).as("t"), bucketSignature(col("v"), t, planes, dim).as("sig")))
-    val bucketed = e.select(col("vec_id"), col("v"),
-        explode(array(sigCols: _*)).as("b"))
-      .select(col("vec_id"), col("v"), col("b.t").as("t"), col("b.sig").as("sig"))
-    val probes = bucketed.filter(probeFilter)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("t"), col("sig"))
-    val candidates = probes
-      .join(bucketed.select(col("vec_id").as("nid"), col("v").as("nv"),
-        col("t"), col("sig")), Seq("t", "sig"))
-      .filter(col("qid") =!= col("nid"))
-      .select("qid", "qv", "nid", "nv")
-      .dropDuplicates("qid", "nid")
+             planes: Int = 8, tables: Int = 8, maxFlips: Int = 2,
+             dim: Int = 64): DataFrame = {
+    val key = s"${emb.queryExecution.analyzed.semanticHash()}" +
+      s"|p=$planes|t=$tables"
+    val index = graft.Caches.cached("ann-lsh-index", key) {
+      asDouble(emb).select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("vn").as("nn"),
+        posexplode(signatures(col("v"), planes, tables, dim))
+          .as(Seq("t", "sig")))
+    }
+    val flips = typedlit((0 until (1 << planes))
+      .filter(m => Integer.bitCount(m) <= maxFlips).map(_.toLong))
+    val probes = asDouble(emb).filter(probeFilter)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"),
+        posexplode(signatures(col("v"), planes, tables, dim))
+          .as(Seq("t", "sig0")))
+      .select(col("qid"), col("qv"), col("qn"), col("t"), col("sig0"),
+        explode(flips).as("m"))
+      .select(col("qid"), col("qv"), col("qn"), col("t"),
+        col("sig0").bitwiseXOR(col("m")).as("sig"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
-    candidates
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    probes.join(index, Seq("t", "sig"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("qn"), col("nid"), col("nv"),
+        col("nn"))
+      .dropDuplicates("qid", "nid")
+      .select(col("qid"), col("nid"),
+        (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "cos")

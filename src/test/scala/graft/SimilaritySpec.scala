@@ -20,7 +20,7 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("ANN-LSH recall@5 >= 0.5 vs brute force, and never fabricates scores") {
+  test("ANN-LSH recall@5 >= 0.8 vs brute force, and never fabricates scores") {
     val exact = Similarity.bruteForceTopK(emb, probe, k = 5)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ann = Similarity.annLsh(emb, probe, k = 5)
@@ -28,18 +28,18 @@ class SimilaritySpec extends SparkSpec {
     val annPairs = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & annPairs).size.toDouble / exact.size
     info(s"ANN recall@5 = $recall (candidates=${annPairs.size})")
-    assert(recall >= 0.6, s"recall@5 too low: $recall")
+    assert(recall >= 0.8, s"recall@5 too low: $recall")
     ann.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
   }
 
-  test("IVF top-k recall@5 >= 0.3 vs brute force (coarse cells, nprobe=2)") {
+  test("IVF top-k recall@5 >= 0.8 vs brute force (k-means cells)") {
     val exact = Similarity.bruteForceTopK(emb, probe, k = 5)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(emb, probe, k = 5, centroidStride = 50)
+    val ivf = Similarity.ivfTopK(emb, probe, k = 5)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     info(s"IVF recall@5 = $recall")
-    assert(recall >= 0.3, s"IVF recall too low: $recall")
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
   }
 
   test("cosine of a vector with itself is 1") {
