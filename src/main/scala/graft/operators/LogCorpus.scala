@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   *  - purchase -> k<50: JSON *without* a `message` key — the hidden edge case
   *                (SURVEY.md §2.1) that must fall through to the raw branch;
   *                k>=50: tab-structured logs (S10b, shipper.js:22)
-  *  - view     -> raw passthrough lines (S10c)
+  *  - view     -> parser edge cases by k-bucket: k>=90 JSON with a nested
+  *                object value; 80-89 non-string `message` plus a nested
+  *                decoy `"message":"x"` (must go raw); 70-79 structured
+  *                line with a tab in the tail (JS split('\t',3) truncates);
+  *                60-69 unicode-escaped key/value JSON (JSON.parse
+  *                normalizes); else raw passthrough lines (S10c)
   *
   * The construction is pure deterministic string algebra over (event_id,
   * user_id, event_type, k, second-truncated ts), so the DuckDB oracle can
@@ -61,6 +66,28 @@ object LogCorpus {
           concat(lit("{\"level\":\"info\",\"k\":\""), ks, lit("\"}")))
         .when(et === "purchase",
           concat(iso, lit("\t"), uid, lit("\t"), lit("purchased item "), ks))
+        // view k>=90: JSON with a NESTED object value — JSON.parse spreads
+        // it; engine keeps it as re-serialized text in attrs (declared
+        // deviation, now corpus-exercised)
+        .when(et === "view" && k >= 90,
+          concat(lit("{\"message\":\"viewed nested "), ks,
+            lit("\",\"ctx\":{\"a\":1}}")))
+        // view 80-89: NON-STRING outer message + nested object whose own
+        // "message":"x" key would fool a raw-text regex guard — JS throws in
+        // checkLogError (5 has no .match) and emits the raw doc
+        .when(et === "view" && k >= 80,
+          concat(lit("{\"message\":"), ks,
+            lit(",\"inner\":{\"message\":\"x\"}}")))
+        // view 70-79: structured line with a TAB in the tail — JS
+        // split('\t',3) truncates after the third field
+        .when(et === "view" && k >= 70,
+          concat(iso, lit("\t"), uid, lit("\tviewed item "), ks,
+            lit("\ttail-"), ks))
+        // view 60-69: unicode-escaped key/value (\u006d='m', \u0065='e') —
+        // JSON.parse normalizes both, so this IS a JSON log with an 'error'
+        // message
+        .when(et === "view" && k >= 60,
+          concat(lit("{\"\\u006dessage\":\"hi \\u0065rror "), ks, lit("\"}")))
         .otherwise(concat(lit("user viewed page "), ks))
 
     events

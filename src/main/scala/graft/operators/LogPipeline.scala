@@ -127,41 +127,69 @@ object LogPipeline {
     * branch survives iff the message parses as a JSON *object* and contains a
     * *string-valued* `message` key — anything else (scalar/array JSON, object
     * without `message`, non-string `message`) throws inside the reference's
-    * try block and falls through to the structured/raw path.
+    * try block (`log.message.match` on a non-string) and falls through to the
+    * structured/raw path.
+    *
+    * The string-valuedness test is a real type probe on the PARSED value
+    * (variant: `schema_of_variant(variant_get(try_parse_json(msg),
+    * '$.message')) = 'STRING'`), not a regex over the raw text — a raw-text
+    * regex misfires on a nested object's own `"message":"x"` key when the
+    * outer `message` is non-string, and misses unicode-escaped keys
+    * (`message`), both of which JSON.parse resolves correctly.
     */
   def isJsonLog(msg: Column): Column = {
-    val parsed = from_json(msg, userJsonType)
-    parsed.isNotNull && map_contains_key(parsed, "message") &&
-      msg.rlike("\"message\"[ \t\r\n]*:[ \t\r\n]*\"")
+    val v = variantOf(msg)
+    v.try_cast(userJsonType).isNotNull && messageType(v) === "STRING"
   }
+
+  /** The message parsed as a variant (null for invalid JSON) — the ONE JSON
+    * parse in the pipeline: the user map is a cast of this variant (same
+    * stringify-nested-values semantics as `from_json` to map<string,string>;
+    * only map key order differs, sorted vs insertion — irrelevant to the
+    * open-schema attrs semantics) and the type probe reads its `$.message`
+    * subtree. Round 1 parsed every message twice (from_json + the guard).
+    */
+  private def variantOf(msg: Column): Column =
+    call_function("try_parse_json", msg)
+
+  /** Variant type of the parsed `$.message` value: 'STRING' for a JSON
+    * object with a string message, other type names / VOID / null otherwise.
+    */
+  private def messageType(v: Column): Column =
+    call_function("schema_of_variant",
+      call_function("variant_get", v, lit("$.message")))
 
   /** Parse one log-event message into the doc fields, given the
     * already-derived enrichment columns. Produces a struct with the closed
     * schema of [[docColumns]]; null for dropped platform messages.
     *
-    * Inlines `from_json` once per use site; prefer [[parseStaged]] in real
-    * pipelines — it materializes the parsed map in a lower projection so the
-    * generated code contains ONE json parse instead of six (runtime CSE
-    * already dedupes the work, but the duplicated code bodies made Janino
-    * compilation a measurable startup cost).
+    * Inlines the variant parse once per use site; prefer [[parseStaged]] in
+    * real pipelines — it materializes the variant + map in lower projections
+    * so the generated code contains ONE parse instead of several (runtime
+    * CSE already dedupes the work, but the duplicated code bodies made
+    * Janino compilation a measurable startup cost).
     */
   def parseLog(functionName: Column, functionVersion: Column, msg: Column,
-               region: Column): Column =
-    docFromParsed(functionName, functionVersion, msg,
-      from_json(msg, userJsonType), region)
+               region: Column): Column = {
+    val v = variantOf(msg)
+    docFromParsed(functionName, functionVersion, msg, v,
+      v.try_cast(userJsonType), region)
+  }
 
-  /** Staged parse over a frame: adds the parsed-map projection, then the doc
-    * column built from it. Extra input columns pass through untouched.
+  /** Staged parse over a frame: adds the variant + parsed-map projections,
+    * then the doc column built from them. Extra input columns pass through
+    * untouched.
     */
   def parseStaged(df: DataFrame, functionName: Column, functionVersion: Column,
                   msg: Column, region: Column): DataFrame =
-    df.withColumn("__jmap", from_json(msg, userJsonType))
+    df.withColumn("__v", variantOf(msg))
+      .withColumn("__jmap", col("__v").try_cast(userJsonType))
       .withColumn("doc", docFromParsed(functionName, functionVersion, msg,
-        col("__jmap"), region))
-      .drop("__jmap")
+        col("__v"), col("__jmap"), region))
+      .drop("__v", "__jmap")
 
   private def docFromParsed(functionName: Column, functionVersion: Column,
-                            msg: Column, parsed: Column,
+                            msg: Column, v: Column, parsed: Column,
                             region: Column): Column = {
     val emptyAttrs = map().cast(userJsonType)
     // shipper.js:74: requestId/timestamp are destructured OUT of the spread;
@@ -178,12 +206,15 @@ object LogPipeline {
       severity(element_at(parsed, "message")).as("severity"),
       errorType(element_at(parsed, "message")).as("error_type"))
 
-    // shipper.js:50-57: split('\t', 3). Spark's limit-3 split matches JS.
-    // try_element_at: a regex hit with <3 tab parts (e.g. space-separated
-    // columns) yields null fields — the declared row-level-containment
-    // deviation (the reference would throw out of checkLogError and poison
-    // the whole batch, shipper.js:91).
-    val parts = split(msg, "\t", 3)
+    // shipper.js:50-57: JS split('\t', 3) TRUNCATES — "a\tb\tc\td" gives
+    // [a,b,c], dropping everything after the third field. Spark's limit-3
+    // split instead keeps the tail inside element 3 ("c\td"), so we take
+    // element 3 of the UNLIMITED split, which is exactly the JS third field
+    // (cut at the next tab). try_element_at: a regex hit with <3 tab parts
+    // (e.g. space-separated columns) yields null fields — the declared
+    // row-level-containment deviation (the reference would throw out of
+    // checkLogError and poison the whole batch, shipper.js:91).
+    val parts = split(msg, "\t")
     val structuredDoc = struct(
       functionName.as("function_name"),
       functionVersion.as("function_version"),
@@ -206,8 +237,9 @@ object LogPipeline {
       severity(msg).as("severity"),
       errorType(msg).as("error_type"))
 
-    val isJson = parsed.isNotNull && map_contains_key(parsed, "message") &&
-      msg.rlike("\"message\"[ \t\r\n]*:[ \t\r\n]*\"")
+    // same guard as [[isJsonLog]]: object-shaped (map cast non-null) AND
+    // string-valued message (type probe on the parsed variant)
+    val isJson = parsed.isNotNull && messageType(v) === "STRING"
     when(isPlatformMessage(msg), lit(null))
       .when(isJson, jsonDoc)
       .when(msg.rlike(structuredLogPattern), structuredDoc)

@@ -34,9 +34,11 @@ object PipelineQueries {
       |  SELECT event_id, user_id, fn AS function_name,
       |    '$LATEST' AS function_version,
       |    CASE WHEN event_type='click' THEN iso
-      |         WHEN event_type='purchase' AND k>=50 THEN iso END AS log_timestamp,
+      |         WHEN event_type='purchase' AND k>=50 THEN iso
+      |         WHEN event_type='view' AND k>=70 AND k<80 THEN iso END AS log_timestamp,
       |    CASE WHEN event_type='click' THEN rid
-      |         WHEN event_type='purchase' AND k>=50 THEN uid END AS request_id,
+      |         WHEN event_type='purchase' AND k>=50 THEN uid
+      |         WHEN event_type='view' AND k>=70 AND k<80 THEN uid END AS request_id,
       |    CASE WHEN event_type='error' AND k<20 THEN 'unable to import module handler_' || CAST(k AS VARCHAR)
       |         WHEN event_type='error' AND k<40 THEN 'module initialization error: code ' || CAST(k AS VARCHAR)
       |         WHEN event_type='error' AND k<60 THEN 'Task timed out after ' || CAST(k AS VARCHAR) || ' seconds'
@@ -45,16 +47,23 @@ object PipelineQueries {
       |         WHEN event_type='click' THEN 'clicked button ' || CAST(k AS VARCHAR)
       |         WHEN event_type='purchase' AND k<50 THEN '{"level":"info","k":"' || CAST(k AS VARCHAR) || '"}'
       |         WHEN event_type='purchase' THEN 'purchased item ' || CAST(k AS VARCHAR)
+      |         WHEN event_type='view' AND k>=90 THEN 'viewed nested ' || CAST(k AS VARCHAR)
+      |         WHEN event_type='view' AND k>=80 THEN '{"message":' || CAST(k AS VARCHAR) || ',"inner":{"message":"x"}}'
+      |         WHEN event_type='view' AND k>=70 THEN 'viewed item ' || CAST(k AS VARCHAR)
+      |         WHEN event_type='view' AND k>=60 THEN 'hi error ' || CAST(k AS VARCHAR)
       |         ELSE 'user viewed page ' || CAST(k AS VARCHAR) END AS message,
       |    CASE WHEN event_type='click' THEN '{"k":"' || CAST(k AS VARCHAR) || '"}'
+      |         WHEN event_type='view' AND k>=90 THEN '{"ctx":"{\"a\":1}"}'
       |         ELSE '{}' END AS attrs_json,
       |    'us-east-1' AS region, 'lambda' AS type,
       |    CASE WHEN event_type='error' OR (event_type='click' AND k>=80)
+      |           OR (event_type='view' AND k>=60 AND k<70)
       |         THEN 'error' ELSE 'debug' END AS severity,
       |    CASE WHEN event_type='error' AND k<20 THEN 'configuration'
       |         WHEN event_type='error' AND k<40 THEN 'runtime'
       |         WHEN event_type='error' THEN 'timeout'
-      |         WHEN event_type='click' AND k>=80 THEN 'runtime' END AS error_type
+      |         WHEN event_type='click' AND k>=80 THEN 'runtime'
+      |         WHEN event_type='view' AND k>=60 AND k<70 THEN 'runtime' END AS error_type
       |  FROM base WHERE event_type <> 'signup')
       |""".stripMargin
 

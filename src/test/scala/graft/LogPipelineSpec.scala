@@ -82,9 +82,41 @@ class LogPipelineSpec extends SparkSpec {
     assert(d("severity") == "debug")
   }
 
-  test("structured log with tabs in tail keeps tail intact (split limit 3)") {
-    val rows = ship("2019-03-08T15:58:45.736Z\t53499d7f-60f1-476a-adc8-1e6c6125a67c\ta\tb\tc")
-    assert(doc(rows.head)("message") == "a\tb\tc")
+  test("structured log with tabs in tail TRUNCATES after field 3 (JS split('\\t',3))") {
+    // JS "...".split('\t', 3) drops everything past the third field — the
+    // engine takes element 3 of the unlimited split to match (an 'error' in
+    // the dropped tail must NOT flip severity)
+    val rows = ship("2019-03-08T15:58:45.736Z\t53499d7f-60f1-476a-adc8-1e6c6125a67c\ta\terror b\tc")
+    val d = doc(rows.head)
+    assert(d("message") == "a")
+    assert(d("severity") == "debug")
+  }
+
+  test("non-string message with nested decoy \"message\":\"x\" goes RAW (checkLogError throws in JS)") {
+    val msg = """{"message":5,"inner":{"message":"x"}}"""
+    val rows = ship(msg)
+    val d = doc(rows.head)
+    assert(d("message") == msg)    // raw branch: whole original JSON text
+    assert(d("timestamp") == null)
+    assert(d("severity") == "debug")
+  }
+
+  test("unicode-escaped key \\u006dessage parses as JSON branch (JSON.parse normalizes)") {
+    // message text contains the raw escape sequences \u006d ('m') and
+    // \u0065 ('e'); the JSON parser must normalize both, routing this down
+    // the JSON branch with a decoded message value
+    val rows = ship("{\"\\u006dessage\":\"hi \\u0065rror\"}")
+    val d = doc(rows.head)
+    assert(d("message") == "hi error")
+    assert(d("severity") == "error")
+    assert(d("error_type") == "runtime")
+  }
+
+  test("nested object value lands re-serialized in attrs (declared deviation)") {
+    val rows = ship("""{"message":"m","ctx":{"a":1}}""")
+    val d = doc(rows.head)
+    assert(d("message") == "m")
+    assert(d("attrs").asInstanceOf[Map[String, String]] == Map("ctx" -> """{"a":1}"""))
   }
 
   test("raw fallback + classifier groups (shipper.js:4-14,101-110)") {

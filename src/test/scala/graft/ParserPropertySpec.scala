@@ -20,6 +20,11 @@ class ParserPropertySpec extends SparkSpec {
       yield s"""{"$k":"$v","message":"$v"}""",
     for (v <- Gen.alphaNumStr) yield s"""{"message":$v""", // broken json
     Gen.const("{}"), Gen.const("[1,2,3]"), Gen.const("null"), Gen.const("5"),
+    // non-string message + nested decoy, unicode-escaped key
+    Gen.const("""{"message":5,"inner":{"message":"x"}}"""),
+    Gen.const("{\"\\u006dessage\":\"hi\"}"),
+    Gen.const("""{"message":["a"],"x":1}"""),
+    Gen.const("""{"message":null}"""),
     Gen.const("START RequestId: x"),
     Gen.const("2019-03-08T15:58:45.736Z\taaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee\tok"),
     // structured-looking but malformed tails
@@ -71,6 +76,29 @@ class ParserPropertySpec extends SparkSpec {
       val (sev, et) = referenceClassify(r.getString(0))
       assert(r.getString(1) == sev && r.get(2) == et,
         s"classify mismatch for '${r.getString(0)}'")
+    }
+  }
+
+  test("property: JSON object with string-valued message => JSON branch") {
+    import spark.implicits._
+    val params = Gen.Parameters.default
+    val gen = for {
+      k <- Gen.alphaLowerStr.suchThat(s =>
+        s.nonEmpty && s != "message" && s != "timestamp" && s != "requestId")
+      v <- Gen.alphaNumStr
+      mv <- Gen.alphaNumStr
+    } yield (s"""{"$k":"$v","message":"$mv"}""", mv)
+    val cases = (0 until 200).flatMap(i => gen.apply(params, Seed(1000L + i)))
+    assert(cases.nonEmpty)
+    val got = cases.toDF("msg", "mv")
+      .withColumn("doc", LogPipeline.parseLog(lit("fn"), lit("v"),
+        col("msg"), lit("r")))
+      .collect()
+    got.foreach { r =>
+      assert(!r.isNullAt(2), s"dropped: ${r.getString(0)}")
+      val d = r.getStruct(2)
+      assert(d.getAs[String]("message") == r.getString(1),
+        s"JSON branch missed for ${r.getString(0)}")
     }
   }
 
