@@ -124,6 +124,28 @@ object RelationalQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Analytic window completeness (VERDICT r1 gap): first_value/last_value,
+    * ntile, percent_rank, cume_dist, nth_value over the deterministic
+    * per-customer order timeline. percent_rank/cume_dist are exact small-
+    * integer ratios, bit-identical across engines; ntile determinism comes
+    * from the total (date, key) order.
+    */
+  def qWindowAnalytic(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    t(spark, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        last(col("o_orderkey")).over(wFull).as("last_key"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Global top-k via orderBy+limit (TakeOrderedAndProject physical op — no
     * full sort, per-partition heaps then a k-merge; the at-scale shape).
     */
@@ -141,6 +163,7 @@ object RelationalQueries {
     "q_anti_join" -> qAntiJoin,
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
+    "q_window_analytic" -> qWindowAnalytic,
     "q_topk_orders" -> qTopkOrders)
 
   val oracles: Map[String, String] = Map(
@@ -204,6 +227,21 @@ object RelationalQueries {
         |  rank() OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey) AS prio_rank
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
