@@ -28,9 +28,19 @@ object ErrorBurst {
     * processing-time timeout the engine schedules timeout-check batches
     * continuously, so `processAllAvailable` never quiesces — use it with a
     * real trigger interval in production, None in synchronous tests.
+    *
+    * `maxBatchBuffer` bounds per-key memory: event-time ordering within a
+    * micro-batch needs a sort buffer, and a hot key under a long trigger
+    * interval would otherwise materialize the whole group (the round-1
+    * unbounded buffer). A bounded heap keeps the EARLIEST `maxBatchBuffer`
+    * rows; on overflow the tail is dropped from streak tracking and the
+    * carried streak resets — conservative (alerts may be missed for the
+    * overflowing batch, never fabricated), and the alert gap is bounded by
+    * one trigger interval.
     */
   def detect(docs: Dataset[Doc], threshold: Int = 3,
-             stateTimeout: Option[String] = None): Dataset[Alert] = {
+             stateTimeout: Option[String] = None,
+             maxBatchBuffer: Int = 100000): Dataset[Alert] = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -39,7 +49,16 @@ object ErrorBurst {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       var st = state.getOption.getOrElse(BurstState(0, 0L))
       val alerts = Seq.newBuilder[Alert]
-      rows.toSeq.sortBy(_.event_ms).foreach { d =>
+      // bounded min-buffer: max-heap of the smallest `maxBatchBuffer`
+      // event times — O(cap) memory however large the group is
+      val heap = scala.collection.mutable.PriorityQueue.empty[Doc](
+        Ordering.by(_.event_ms))
+      var overflowed = false
+      rows.foreach { d =>
+        heap.enqueue(d)
+        if (heap.size > maxBatchBuffer) { heap.dequeue(); overflowed = true }
+      }
+      heap.dequeueAll.reverseIterator.foreach { (d: Doc) =>
         st =
           if (d.severity == "error") {
             val next = BurstState(st.consecutiveErrors + 1,
@@ -49,6 +68,7 @@ object ErrorBurst {
             next
           } else BurstState(0, 0L)
       }
+      if (overflowed) st = BurstState(0, 0L)
       state.update(st)
       stateTimeout.foreach(state.setTimeoutDuration)
       alerts.result().iterator

@@ -31,18 +31,23 @@ object ShipperStream {
     StructField("data", StringType),
     StructField("region", StringType)))
 
-  /** Start the shipper stream: file source -> decode/parse/classify ->
-    * bulk sink. `maxFilesPerTrigger` ≙ the reference's batchSize cap
-    * (serverless.yml:30).
+  /** Start the shipper stream from a file directory (fixture shorthand for
+    * the [[SourceAdapter]] overload below).
     */
   def start(spark: SparkSession, inputDir: String, outputDir: String,
             checkpointDir: String, bulkSize: Int = 100,
-            triggerMs: Long = 2000L): StreamingQuery = {
-    val records = spark.readStream
-      .schema(recordSchema)
-      .option("maxFilesPerTrigger", "10")
-      .json(inputDir)
-    LogPipeline.pipeline(records)
+            triggerMs: Long = 2000L): StreamingQuery =
+    start(spark, FileSourceAdapter(inputDir), outputDir, checkpointDir,
+      bulkSize, triggerMs, None)
+
+  /** Start the shipper stream through the S1 source seam: adapter ->
+    * decode/parse/classify -> bulk sink (file-dir bulks, or HTTP `_bulk`
+    * POSTs when `transport` is given — the logsene-js analog).
+    */
+  def start(spark: SparkSession, source: SourceAdapter, outputDir: String,
+            checkpointDir: String, bulkSize: Int, triggerMs: Long,
+            transport: Option[BulkTransport]): StreamingQuery = {
+    LogPipeline.pipeline(source.records(spark))
       // S13: the reference's recordCounter/logEventCounter (shipper.js:
       // 115-137) as streaming observe() metrics — surfaced per micro-batch
       // on the StreamingQueryProgress instead of a discarded return value.
@@ -53,7 +58,7 @@ object ShipperStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs)) // ≙ LOG_INTERVAL=2000ms
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        BulkSink.ship(batch, outputDir, batchId, bulkSize)
+        BulkSink.ship(batch, outputDir, batchId, bulkSize, transport)
       }
       .start()
   }
@@ -107,26 +112,75 @@ object ShipperStream {
         col("function_name"), col("n_docs"))
 }
 
+/** S14 receiver seam: where a bulk body goes. [[HttpBulkTransport]] is the
+  * reference's HTTPS `_bulk` shipper (logsene-js, shipper.js:2-3,143-148)
+  * with the retry/backoff the reference left as a TODO; tests inject a
+  * local JDK HttpServer receiver through it.
+  */
+trait BulkTransport extends Serializable {
+  /** Deliver one `_bulk` body; throw to signal (post-retry) failure. */
+  def send(body: String): Unit
+}
+
+/** HTTP POST transport with bounded exponential backoff: a 5xx response or
+  * connect/IO failure retries up to `maxRetries` times (delays
+  * backoffMs * 2^attempt), then throws — the containment path in
+  * [[BulkSink.ship]] turns that into an error-doc + batch retry, i.e.
+  * at-least-once delivery, same as the reference's Kinesis retry loop.
+  * 4xx responses fail fast: the body will never become acceptable.
+  */
+final case class HttpBulkTransport(url: String, maxRetries: Int = 5,
+                                   backoffMs: Long = 100L)
+    extends BulkTransport {
+  override def send(body: String): Unit = {
+    var attempt = 0
+    while (true) {
+      try {
+        val conn = new java.net.URI(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        try {
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/x-ndjson")
+          conn.setConnectTimeout(5000)
+          conn.setReadTimeout(10000)
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(body.getBytes("UTF-8"))
+          val code = conn.getResponseCode
+          if (code < 300) return
+          if (code < 500) // fail fast: the body will never become acceptable
+            throw new RuntimeException(s"bulk receiver rejected: $code")
+          throw new java.io.IOException(s"bulk receiver unavailable: $code")
+        } finally conn.disconnect()
+      } catch {
+        case _: java.io.IOException if attempt < maxRetries =>
+          Thread.sleep(backoffMs << attempt)
+          attempt += 1
+      }
+    }
+  }
+}
+
 /** S14: the buffered bulk sink (logsene-js analog, shipper.js:143-148 +
-  * serverless.yml:36-37). Documents are shipped as JSON-lines bulk files of
-  * `bulkSize` docs per bulk, one output file tree per micro-batch (the
-  * "receiver" is a directory; swapping in an HTTP _bulk POST per chunk is a
-  * one-line change in [[shipPartition]]).
+  * serverless.yml:36-37). Documents are grouped into `_bulk` NDJSON bodies
+  * of `bulkSize` docs; each body is POSTed through the [[BulkTransport]]
+  * when one is configured, and always journaled as JSON-lines bulk files
+  * under one output tree per micro-batch (the shippable audit trail — and
+  * the whole receiver when no transport is set).
   */
 object BulkSink {
 
   /** Ship one micro-batch. Empty-batch short-circuit per shipper.js:144;
     * per-batch directory overwrite makes replays idempotent (a retried
     * micro-batch rewrites the same batch dir — effective exactly-once at
-    * the sink, which is strictly stronger than the reference's
-    * at-least-once logsene buffer).
+    * the file sink; HTTP delivery is at-least-once across retries, same as
+    * the reference).
     *
     * S15: a failure while shipping is contained — an error doc is flushed
     * to the side channel and rethrown so the streaming engine retries the
     * batch (shipper.js:154-158; its DLQ TODO is the errors/ dir here).
     */
   def ship(batch: DataFrame, outputDir: String, batchId: Long,
-           bulkSize: Int): Unit = {
+           bulkSize: Int, transport: Option[BulkTransport] = None): Unit = {
     val wire = batch.select(
       LogPipeline.wireJson(batch).as("doc"),
       col("severity"))
@@ -139,17 +193,27 @@ object BulkSink {
         val spark = batch.sparkSession
         import spark.implicits._
         wire.as[(String, String)]
-          .mapPartitions(_.grouped(bulkSize).map(chunk => shipPartition(chunk)))
+          .mapPartitions { rows =>
+            rows.grouped(bulkSize).map { chunk =>
+              val body = bulkBody(chunk)
+              transport.foreach(_.send(body))
+              body
+            }
+          }
           .write.mode("overwrite").text(s"$outputDir/batch=$batchId")
       }
     } catch {
       case e: Throwable =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val detail = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
-          .replace("\\", "\\\\").replace("\"", "\\\"")
-        Seq(s"""{"severity":"error","message":"Shipper executed with error!","batch":$batchId,"error":"$detail"}""")
-          .toDF("doc").write.mode("append").text(s"$outputDir/errors")
+        // error doc built by to_json (round 1 hand-assembled the JSON and
+        // mis-escaped control characters in exception messages)
+        Seq((batchId, s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"))
+          .toDF("batch", "error")
+          .select(to_json(struct(lit("error").as("severity"),
+            lit("Shipper executed with error!").as("message"),
+            col("batch"), col("error"))).as("doc"))
+          .write.mode("append").text(s"$outputDir/errors")
         throw e
     } finally wire.unpersist()
   }
@@ -157,7 +221,7 @@ object BulkSink {
   /** One bulk POST body: NDJSON of (severity-tagged) docs — the
     * Elasticsearch `_bulk` shape the reference's logsene-js buffer emits.
     */
-  private def shipPartition(chunk: Seq[(String, String)]): String =
+  private def bulkBody(chunk: Seq[(String, String)]): String =
     chunk.map { case (doc, severity) =>
       s"""{"index":{"severity":"$severity"}}\n$doc"""
     }.mkString("\n")

@@ -75,6 +75,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped (errorRates, append mode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("function_name", "severity", "event_ts")
+    val q = ShipperStream.errorRates(docs).writeStream
+      .format("memory").queryName("late_docs").outputMode("append").start()
+    try {
+      input.addData(("fn-a", "error", ts("2024-01-01 00:01:00")),
+        ("fn-a", "debug", ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      // advance the watermark past window [00:00, 00:05): 00:30 - 10min
+      input.addData(("fn-a", "debug", ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      // LATE row inside the already-finalized first window: must be dropped
+      input.addData(("fn-a", "error", ts("2024-01-01 00:01:30")))
+      q.processAllAvailable()
+      // close the 00:30 window as well
+      input.addData(("fn-a", "debug", ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("late_docs").collect()
+      val w1 = rows.filter(_.getAs[java.sql.Timestamp]("window_start")
+        .toString.startsWith("2024-01-01 00:00"))
+      assert(w1.length == 1, "finalized window must emit exactly once")
+      assert(w1.head.getAs[Long]("n_docs") == 2, "late row must be excluded")
+      assert(w1.head.getAs[Long]("n_errors") == 1)
+    } finally q.stop()
+  }
+
+  test("HTTP _bulk transport retries through a failing-then-recovering receiver") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val received = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/_bulk", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        attempts.incrementAndGet()
+        val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+        if (failures.getAndDecrement() > 0) {
+          x.sendResponseHeaders(503, -1); x.close()
+        } else {
+          received.add(body)
+          x.sendResponseHeaders(200, -1); x.close()
+        }
+      }
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val root = Files.createTempDirectory("graft-http").toString
+      val in = s"$root/in"; new java.io.File(in).mkdirs()
+      Files.writeString(java.nio.file.Paths.get(s"$in/r1.json"),
+        envelope(Seq("http one", "http two", "http three")))
+      val q = ShipperStream.start(spark,
+        graft.streaming.FileSourceAdapter(in), s"$root/out", s"$root/cp",
+        bulkSize = 2, triggerMs = 100L,
+        Some(graft.streaming.HttpBulkTransport(
+          s"http://127.0.0.1:$port/_bulk", maxRetries = 6, backoffMs = 10L)))
+      try q.processAllAvailable() finally q.stop()
+      val bodies = received.toArray.map(_.toString)
+      val docCount = bodies.mkString("\n").linesIterator
+        .count(_.startsWith("{\"index\""))
+      assert(docCount == 3, s"all 3 docs must arrive post-recovery: $docCount")
+      assert(attempts.get() >= bodies.length + 2,
+        "the 503 responses must have been retried")
+      assert(bodies.mkString.contains("\"message\":\"http one\""))
+    } finally server.stop(0)
+  }
+
   test("windowed error rates aggregate by tumbling window (batch-mode check)") {
     import spark.implicits._
     val docs = Seq(
