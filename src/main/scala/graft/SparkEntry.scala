@@ -20,12 +20,25 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     PipelineQueries.errorHist(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    PipelineQueries.queries ++ RelationalQueries.queries ++
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Deterministic (alphabetical) execution order, with two pinned
+    * exceptions so shared-cache build cost lands on each family's exact
+    * baseline rather than on an arbitrary hash-ordered sibling: the exact
+    * n-gram Jaccard builds the shingle index the MinHash-LSH screen then
+    * reuses, and brute-force top-k pays the first embeddings scan before
+    * the ANN variants.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = PipelineQueries.queries ++ RelationalQueries.queries ++
       GroupingQueries.queries ++ JoinQueries.queries ++
       FunctionQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries
+    val pinnedFirst = Map("dedup_ngram_jaccard" -> "dedup_m0",
+      "sim_topk" -> "sim_a0")
+    scala.collection.immutable.SeqMap.from(
+      all.toSeq.sortBy { case (n, _) => pinnedFirst.getOrElse(n, n) })
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

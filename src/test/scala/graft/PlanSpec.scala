@@ -52,4 +52,22 @@ class PlanSpec extends SparkSpec {
     val p = plan(RelationalQueries.qTopkOrders(spark, sf001))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
+
+  test("as-of join is the union-merge plan: window pass, zero joins") {
+    val p = plan(JoinQueries.qAsofJoin(spark, sf001))
+    assert(p.contains("Window"), s"expected a window pass:\n$p")
+    assert(!p.contains("Join"),
+      s"as-of must not generate event x order join fan-out:\n$p")
+  }
+
+  test("shingling and dot products run as codegen'd expressions") {
+    import spark.implicits._
+    // real scan: a literal relation would be constant-folded at plan time
+    val p1 = graft.operators.Dedup.shingles(Tables.t(spark, sf001, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("word_shingles"), s"expected custom expression:\n$p1")
+    val dp = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(graft.functions.gcolumns.dotp(col("a"), col("b")))
+    assert(dp.head().getDouble(0) == 11.0)
+  }
 }
