@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -8,6 +9,36 @@ import graft.operators.{Multimodal, TextAnalysis}
 
 /** Text-analysis + multimodal coverage queries. */
 object TextQueries {
+
+  /** TF-IDF-style term salience: top-5 terms per probe doc by
+    * tf * N / df (log-free scoring — a single exact-integer-numerator
+    * division, so scores are bit-identical across engines; ln/exp are not
+    * IEEE-reproducible cross-engine). Document frequencies aggregate over
+    * the FULL corpus; only the probe docs rank — the standard keyword-
+    * extraction shape: explode -> two hash aggs -> broadcast N -> window.
+    * At 100 TB the df table is the only corpus-wide aggregate (terms are
+    * heavy-tailed; partial aggregation absorbs the hot ones).
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 3)
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.filter(col("doc_id") % 100 === 0)
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("doc_id", "rank", "term", "score")
+      .orderBy("doc_id", "rank")
+  }
 
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.quality(t(spark, dir, "documents")).orderBy("doc_id")
@@ -30,6 +61,7 @@ object TextQueries {
     "text_langid" -> textLangid,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
+    "text_tfidf" -> textTfidf,
     "mm_decode_stats" -> mmDecodeStats)
 
   val oracles: Map[String, String] = Map(
@@ -77,6 +109,23 @@ object TextQueries {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpeish_tokens,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS chars_div4
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tk AS (SELECT doc_id, term FROM tok WHERE length(term) > 3),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE) AS score
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n
+        |      WHERE tf.doc_id % 100 = 0),
+        |r AS (SELECT doc_id, term, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, term) AS rank
+        |      FROM s)
+        |SELECT doc_id, rank, term, score FROM r WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
     "mm_decode_stats" ->
       """WITH m AS (
         |  SELECT doc_id, source,

@@ -42,6 +42,18 @@ class StateAndStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("error-burst buffer is bounded: overflow keeps earliest rows, resets streak") {
+    import spark.implicits._
+    // 10 consecutive errors but a buffer cap of 5: alerts fire for the
+    // kept earliest prefix (streaks 3, 4, 5), the overflow tail is dropped
+    // and the carried streak conservatively resets (no fabricated alerts)
+    val docs = (1 to 10).map(i => Doc("fn", "error", i.toLong)).toDS()
+    val alerts = ErrorBurst.detect(docs, threshold = 3, maxBatchBuffer = 5)
+      .collect().sortBy(_.untilMs)
+    assert(alerts.map(_.consecutiveErrors).toSeq == Seq(3, 4, 5))
+    assert(alerts.map(_.untilMs).toSeq == Seq(3L, 4L, 5L))
+  }
+
   test("log store: partitioned layout, partition-pruned reads, TTL expiry") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
