@@ -156,7 +156,7 @@ object Similarity {
     * ones (recall 0.51 -> asserted >= 0.8 in SimilaritySpec).
     */
   def ivfTopK(emb: DataFrame, probeFilter: Column, k: Int,
-              nCells: Int = 8, iters: Int = 4, nprobe: Int = 5): DataFrame = {
+              nCells: Int = 8, iters: Int = 3, nprobe: Int = 5): DataFrame = {
     val key = s"${emb.queryExecution.analyzed.semanticHash()}" +
       s"|c=$nCells|i=$iters"
     val e = graft.Caches.cached("ivf-vectors", key)(asDouble(emb))

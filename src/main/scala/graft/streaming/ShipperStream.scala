@@ -98,6 +98,20 @@ object ShipperStream {
         col("window.end").as("window_end"),
         col("function_name"), col("n_docs"), col("n_errors"))
 
+  /** Streaming exact dedup: drop redundant deliveries of the same log-event
+    * id inside the watermark horizon (Kinesis is at-least-once — the
+    * reference simply re-ships duplicates on retry; shipper.js:150-161).
+    * `dropDuplicatesWithinWatermark` keys state by id and evicts it once
+    * the watermark passes, so state is bounded by (event rate x watermark)
+    * rather than growing forever — the streaming face of the batch
+    * [[graft.operators.Dedup.exactDedup]].
+    */
+  def dedupedDocs(docs: DataFrame, idCol: String = "event_id",
+                  eventTime: String = "event_ts",
+                  watermark: String = "10 minutes"): DataFrame =
+    docs.withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Session windows (30 min gap) per function — the stateful op the
     * reference lacks entirely; state is bounded by the watermark.
     */

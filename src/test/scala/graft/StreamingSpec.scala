@@ -148,6 +148,28 @@ class StreamingSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("streaming dedup drops at-least-once redeliveries within the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("event_id", "event_ts")
+    val q = ShipperStream.dedupedDocs(docs).writeStream
+      .format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:01:00")),
+        (2L, ts("2024-01-01 00:01:30")))
+      q.processAllAvailable()
+      // redelivery of id 1 (the Kinesis retry case) inside the watermark
+      input.addData((1L, ts("2024-01-01 00:02:00")),
+        (3L, ts("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("windowed error rates aggregate by tumbling window (batch-mode check)") {
     import spark.implicits._
     val docs = Seq(
