@@ -297,13 +297,19 @@ object Dedup {
     */
   def embeddingPairs(emb: DataFrame, threshold: Double,
                      probeFilter: Column): DataFrame = {
+    import graft.functions.gcolumns.dotp
+    // norms precomputed once per vector (pure per-vector value: hoisting it
+    // out of the pair loop changes no bits, cuts two dots per pair)
     val e = emb.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
-    val probes = e.filter(probeFilter)
-      .withColumnRenamed("vec_id", "da").withColumnRenamed("v", "va")
-    probes.crossJoin(e.withColumnRenamed("vec_id", "db").withColumnRenamed("v", "vb"))
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("n", sqrt(dotp(col("v"), col("v"))))
+    val probes = e.filter(probeFilter).select(col("vec_id").as("da"),
+      col("v").as("va"), col("n").as("na"))
+    probes.crossJoin(e.select(col("vec_id").as("db"), col("v").as("vb"),
+        col("n").as("nb")))
       .filter(col("da") < col("db"))
-      .select(col("da"), col("db"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("da"), col("db"),
+        (dotp(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

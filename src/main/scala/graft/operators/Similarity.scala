@@ -107,48 +107,57 @@ object Similarity {
     */
   private var centroidCache: Option[(String, Seq[Seq[Double]])] = None
 
-  /** Lloyd iterations entirely in the engine: assignment is the broadcast
-    * argmax column expression above; the new means are decimal-exact
-    * (`avg` over DECIMAL(25,16)) so results do not depend on partition
-    * order — the property that keeps `sim_ivf` reproducible run-to-run.
-    * Init is a deterministic stride sample by vec_id rank. Centroids
-    * collect to the driver each round (O(cells x dim) values) — at 100 TB
-    * this same loop trains on a sample (mini-batch k-means) and the
-    * centroid table stays a broadcast literal.
+  /** Lloyd iterations on a bounded, deterministic training sample collected
+    * to the driver (first `maxSample` vectors by id — one Spark job; at
+    * 100 TB k-means trains on exactly such a sample while ASSIGNMENT stays
+    * distributed, so the training cost is O(sample), not O(corpus)). All
+    * arithmetic is sequential driver-side double math — bit-reproducible
+    * run to run, no partition-order dependence. Empty cells keep their
+    * previous centroid. Same argmax (dot/|c|, lowest index on ties) as the
+    * distributed [[bestCells]] assignment.
     */
-  private def kmeansCentroids(e: DataFrame, nCells: Int,
-                              iters: Int): Seq[Seq[Double]] = synchronized {
-    val key = s"${e.queryExecution.analyzed.semanticHash()}|c=$nCells|i=$iters"
-    centroidCache match {
-      case Some((k, c)) if k == key => c
-      case _ =>
-        val n = e.count()
-        val stride = math.max(1L, n / nCells)
-        val byId = Window.orderBy(col("vec_id"))
-        var cents: Seq[Seq[Double]] = e
-          .withColumn("rn", row_number().over(byId))
-          .filter((col("rn") - 1) % stride === 0)
-          .orderBy("rn").limit(nCells)
-          .select("v").collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-        for (_ <- 1 to iters) {
-          val assigned = e.select(
-            element_at(bestCells(col("v"), cents, 1), 1).as("cell"),
-            posexplode(col("v")).as(Seq("pos", "x")))
-          val means = assigned.groupBy("cell", "pos")
-            .agg(avg(col("x").cast("decimal(25,16)")).cast("double").as("m"))
-            .groupBy("cell")
-            .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-              s => s("m")).as("cv"))
-            .collect()
-            .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toIndexedSeq)
-            .toMap
-          // empty cells keep their previous centroid
-          cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
-        }
-        centroidCache = Some((key, cents))
-        cents
+  private def kmeansCentroids(e: DataFrame, nCells: Int, iters: Int,
+                              maxSample: Int = 4096): Seq[Seq[Double]] =
+    synchronized {
+      val key = s"${e.queryExecution.analyzed.semanticHash()}|c=$nCells|i=$iters"
+      centroidCache match {
+        case Some((k, c)) if k == key => c
+        case _ =>
+          val sample = e.orderBy("vec_id").limit(maxSample)
+            .select("v").collect().map(_.getSeq[Double](0).toArray)
+          val dim = sample.head.length
+          val stride = math.max(1, sample.length / nCells)
+          var cents: IndexedSeq[Array[Double]] = (0 until nCells)
+            .map(i => sample(math.min(i * stride, sample.length - 1)).clone())
+          for (_ <- 1 to iters) {
+            val sums = Array.fill(nCells, dim)(0.0)
+            val counts = new Array[Int](nCells)
+            val norms = cents.map(c =>
+              math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+            sample.foreach { v =>
+              var best = 0
+              var bestScore = Double.NegativeInfinity
+              var c = 0
+              while (c < nCells) {
+                var d = 0.0
+                var i = 0
+                while (i < dim) { d += v(i) * cents(c)(i); i += 1 }
+                val s = d / norms(c)
+                if (s > bestScore) { bestScore = s; best = c }
+                c += 1
+              }
+              var i = 0
+              while (i < dim) { sums(best)(i) += v(i); i += 1 }
+              counts(best) += 1
+            }
+            cents = (0 until nCells).map(c =>
+              if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+          }
+          val result: Seq[Seq[Double]] = cents.map(_.toIndexedSeq)
+          centroidCache = Some((key, result))
+          result
+      }
     }
-  }
 
   /** IVF ANN top-k: corpus vectors index into their argmax cell (one narrow
     * pass, cached), probes search their `nprobe` best cells. Recall is the
@@ -157,9 +166,10 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, probeFilter: Column, k: Int,
               nCells: Int = 8, iters: Int = 3, nprobe: Int = 5): DataFrame = {
-    val key = s"${emb.queryExecution.analyzed.semanticHash()}" +
-      s"|c=$nCells|i=$iters"
-    val e = graft.Caches.cached("ivf-vectors", key)(asDouble(emb))
+    val embKey = emb.queryExecution.analyzed.semanticHash().toString
+    val key = s"$embKey|c=$nCells|i=$iters"
+    // shared with annLsh/bruteForce callers — one vector cache per corpus
+    val e = graft.Caches.cached("emb-vectors", embKey)(asDouble(emb))
     val cents = kmeansCentroids(e, nCells, iters)
     val corpus = graft.Caches.cached("ivf-index", key) {
       e.select(element_at(bestCells(col("v"), cents, 1), 1).as("cell"),
@@ -217,31 +227,40 @@ object Similarity {
   def annLsh(emb: DataFrame, probeFilter: Column, k: Int,
              planes: Int = 8, tables: Int = 8, maxFlips: Int = 2,
              dim: Int = 64): DataFrame = {
-    val key = s"${emb.queryExecution.analyzed.semanticHash()}" +
-      s"|p=$planes|t=$tables"
+    val embKey = emb.queryExecution.analyzed.semanticHash().toString
+    val key = s"$embKey|p=$planes|t=$tables"
+    // vectors and the bucket index are cached separately: the index rows
+    // stay id-only, so the candidate-dedupe shuffle below moves 16-byte
+    // pairs, never 64-dim vectors (carrying vectors through the dedupe was
+    // a 60x wall-clock blowup at a 400-probe batch)
+    val vecs = graft.Caches.cached("emb-vectors", embKey)(asDouble(emb))
     val index = graft.Caches.cached("ann-lsh-index", key) {
-      asDouble(emb).select(col("vec_id").as("nid"), col("v").as("nv"),
-        col("vn").as("nn"),
+      vecs.select(col("vec_id").as("nid"),
         posexplode(signatures(col("v"), planes, tables, dim))
           .as(Seq("t", "sig")))
     }
     val flips = typedlit((0 until (1 << planes))
       .filter(m => Integer.bitCount(m) <= maxFlips).map(_.toLong))
-    val probes = asDouble(emb).filter(probeFilter)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"),
+    val probeBuckets = vecs.filter(probeFilter)
+      .select(col("vec_id").as("qid"),
         posexplode(signatures(col("v"), planes, tables, dim))
           .as(Seq("t", "sig0")))
-      .select(col("qid"), col("qv"), col("qn"), col("t"), col("sig0"),
-        explode(flips).as("m"))
-      .select(col("qid"), col("qv"), col("qn"), col("t"),
+      .select(col("qid"), col("t"), col("sig0"), explode(flips).as("m"))
+      .select(col("qid"), col("t"),
         col("sig0").bitwiseXOR(col("m")).as("sig"))
+    val pairs = probeBuckets.join(index, Seq("t", "sig"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+      .dropDuplicates("qid", "nid")
+    val probeVecs = vecs.filter(probeFilter)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"))
+    val corpusVecs = vecs
+      .select(col("vec_id").as("nid"), col("v").as("nv"), col("vn").as("nn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
-    probes.join(index, Seq("t", "sig"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("qv"), col("qn"), col("nid"), col("nv"),
-        col("nn"))
-      .dropDuplicates("qid", "nid")
+    pairs
+      .join(broadcast(probeVecs), "qid")
+      .join(corpusVecs, "nid")
       .select(col("qid"), col("nid"),
         (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
       .withColumn("rank", row_number().over(w))

@@ -38,6 +38,15 @@ object PerfProbe {
       map_filter(from_json(col("msg"), mt), (k, _) => k =!= "x").as("e"),
       from_json(col("msg"), mt).as("f"))
       .select(count(when(col("a").isNotNull || col("d"), 1))).head().getLong(0))
+    time("variant parse only")(m.select(expr("try_parse_json(msg)").as("v"))
+      .select(count(when(col("v").isNotNull, 1))).head().getLong(0))
+    time("variant + cast map")(m.select(
+      expr("try_cast(try_parse_json(msg) AS map<string,string>)").as("j"))
+      .select(count(when(col("j").isNotNull, 1))).head().getLong(0))
+    time("variant + cast + type probe")(m.select(
+      expr("try_cast(try_parse_json(msg) AS map<string,string>)").as("j"),
+      expr("schema_of_variant(variant_get(try_parse_json(msg), '$.message'))").as("t"))
+      .select(count(when(col("j").isNotNull && col("t") === "STRING", 1))).head().getLong(0))
     time("rlike structured")(m.select(count(when(
       col("msg").rlike(graft.operators.LogPipeline.structuredLogPattern), 1)))
       .head().getLong(0))
