@@ -115,30 +115,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("da", "db", "jaccard")
 
-  /** Exact pairwise Jaccard >= threshold via prefix filtering (the
-    * PPJoin/All-Pairs bound, Xiao et al. 2008 / Bayardo et al. 2007): order
-    * each doc's shingles by ascending global df; any pair at Jaccard >= t
-    * must share at least one shingle inside each doc's first
-    * floor((1-t)*n)+1 shingles of that order. Candidates therefore come
-    * from the inverted index over only the rare-first PREFIX shingles — the
-    * thinnest posting lists in the index — with the length filter
-    * (min(n_a,n_b) >= t*max(n_a,n_b)) applied inside the join, then exact
-    * candidate-only verification.
+  /** Exact pairwise Jaccard >= threshold via prefix filtering (PPJoin,
+    * Xiao et al. 2008 / All-Pairs, Bayardo et al. 2007): order each doc's
+    * shingles by ascending global df; for docs processed in (size, id)
+    * order, any pair at Jaccard >= t must share a shingle between the
+    * smaller doc's INDEX prefix (first floor(((1-t)/(1+t))*n)+1 shingles)
+    * and the larger doc's PROBING prefix (first floor((1-t)*n)+1). The
+    * candidate join probes the longer prefix against the asymmetric ~40%
+    * shorter indexed one — the thinnest posting lists in the index — with
+    * the length filter (n_small >= t*n_large) and the PPJoin positional
+    * filter (match positions cap the achievable overlap at
+    * 1 + min(n_x - rn_x, n_y - rn_y) >= t/(1+t)*(n_x+n_y)) applied inside
+    * the join, then exact candidate-only verification.
     *
     * vs the round-1 plan (pair generation inside every posting list): the
     * quadratic blowup on frequent shingles is gone; remaining work is
-    * proportional to the candidate count, which the prefix+length filters
-    * hold near the true result size. The epsilons lengthen the prefix /
-    * loosen the length bound by one ulp so double rounding can only ADD
-    * candidates (verification keeps the output exact either way).
+    * proportional to the candidate count, which the filters hold near the
+    * true result size. The epsilons lengthen prefixes / loosen bounds by
+    * one ulp so double rounding can only ADD candidates (verification
+    * keeps the output exact either way — and the DuckDB oracle plus the
+    * LSH-equality spec independently cross-check the bound derivation).
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3,
                         threshold: Double = 0.6): DataFrame = {
     val key = s"${docs.queryExecution.analyzed.semanticHash()}|k=$k|t=$threshold"
     val sh = keptShingles(docs, k)
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
-    // cached: consumed twice by the self-join below (Spark would otherwise
-    // run the window + size join once per join side)
+    // cached: both join sides below consume it (Spark would otherwise run
+    // the window + size join once per side)
     val pre = graft.Caches.cached("dedup-prefix", key) {
       sh.join(docSizes(sh), "id")
         .withColumn("rn", row_number().over(w))
@@ -146,18 +150,22 @@ object Dedup {
           floor(lit(1.0 - threshold) * col("n") + lit(1e-9)) + 1)
         .select(col("id"), col("n"), col("rn"), col("shingle"))
     }
-    // positional filter (PPJoin): matching at prefix positions (rn_a, rn_b)
-    // caps the achievable overlap at 1 + min(n_a - rn_a, n_b - rn_b); prune
-    // pairs that cannot reach the required overlap t/(1+t)*(n_a+n_b).
+    val idx = pre.filter(col("rn") <=
+      floor(lit((1.0 - threshold) / (1.0 + threshold)) * col("n") + lit(1e-9))
+        + 1)
     val needed =
-      lit(threshold / (1.0 + threshold)) * (col("a.n") + col("b.n")) - lit(1e-9)
-    val cand = pre.as("a").join(pre.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
-          least(col("a.n"), col("b.n")) >=
-            lit(threshold) * greatest(col("a.n"), col("b.n")) - lit(1e-9) &&
-          lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))
+      lit(threshold / (1.0 + threshold)) * (col("x.n") + col("y.n")) - lit(1e-9)
+    // x = smaller doc (by (n, id) processing order), indexed prefix;
+    // y = larger doc, probing prefix
+    val cand = idx.as("x").join(pre.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          (col("x.n") < col("y.n") ||
+            (col("x.n") === col("y.n") && col("x.id") < col("y.id"))) &&
+          col("x.n") >= lit(threshold) * col("y.n") - lit(1e-9) &&
+          lit(1) + least(col("x.n") - col("x.rn"), col("y.n") - col("y.rn"))
             >= needed)
-      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .select(least(col("x.id"), col("y.id")).as("da"),
+        greatest(col("x.id"), col("y.id")).as("db"))
       .distinct()
     verifiedJaccard(cand, sh, threshold)
   }

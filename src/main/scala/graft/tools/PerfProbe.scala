@@ -50,6 +50,16 @@ object PerfProbe {
     time("rlike structured")(m.select(count(when(
       col("msg").rlike(graft.operators.LogPipeline.structuredLogPattern), 1)))
       .head().getLong(0))
+    time("parseStaged no persist")(
+      graft.operators.LogPipeline.parseStaged(m,
+          graft.operators.LogPipeline.lambdaName(col("logGroup")),
+          graft.operators.LogPipeline.lambdaVersion(col("logStream")),
+          col("msg"), col("aws_region"))
+        .filter(col("doc").isNotNull).select(col("event_id"), col("doc.*"))
+        .count())
+    time("doc only, no classifier")(m.select(col("msg"),
+      expr("try_cast(try_parse_json(msg) AS map<string,string>)").as("j"))
+      .select(count(when(col("j").isNotNull, element_at(col("j"), "message")))).head().getLong(0))
     time("parsed (current)")(LogCorpus.parsed(ev).count())
     time("parsed again")(LogCorpus.parsed(ev).count())
     val parsed = LogCorpus.parsed(ev)

@@ -38,6 +38,40 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("prefix-filtered Jaccard equals brute force on a random corpus") {
+    import spark.implicits._
+    // adversarial-ish corpus for the PPJoin bounds: small shared vocab =>
+    // heavy shingle co-occurrence, doc lengths spanning the length filter
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val base = (0 until 40).map { i =>
+      val len = 8 + rnd.nextInt(30)
+      i.toLong -> Vector.fill(len)(vocab(rnd.nextInt(vocab.size)))
+    }
+    // planted near-copies: mutate 0-3 random positions of a base doc
+    val mutated = (0 until 30).map { j =>
+      val (srcId, toks) = base(rnd.nextInt(base.size))
+      val nMut = rnd.nextInt(4)
+      val out = (1 to nMut).foldLeft(toks)((t, _) =>
+        t.updated(rnd.nextInt(t.size), vocab(rnd.nextInt(vocab.size))))
+      (1000L + j, out) -> srcId
+    }.map(_._1)
+    val corpus = (base ++ mutated).map { case (id, t) => id -> t.mkString(" ") }
+    val got = Dedup.ngramJaccardPairs(corpus.toDF("doc_id", "text"),
+        k = 2, threshold = 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sh(t: String) = t.split(" ", -1).sliding(2).map(_.mkString(" ")).toSet
+    val sets = corpus.map { case (id, t) => id -> sh(t) }
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size if inter > 0
+      if inter.toDouble / (sa.size + sb.size - inter) >= 0.5
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "random corpus should contain similar pairs")
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("simhash finds planted exact duplicates at hamming 0") {
     val pairs = Dedup.simhashPairs(augmented, maxDist = 3).cache()
     val planted = docs.filter(col("doc_id") % 50 === 0)
