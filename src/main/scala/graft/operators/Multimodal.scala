@@ -72,6 +72,66 @@ object Multimodal {
     media.mapPartitions(_.grouped(decodeBatchSize).flatMap(decodeBatch))
   }
 
+  /** One sampled frame of a media payload. */
+  case class MediaFrame(doc_id: Long, frame_no: Int, n_bytes: Int,
+                        payload: Array[Byte])
+
+  /** A resized media record (metadata updated, payload re-encoded). */
+  case class ResizedMedia(doc_id: Long, mime: String, width: Int,
+                          height: Int, n_bytes: Long)
+
+  /** Frame size for the stub frame-sampler (stands in for a codec's GOP). */
+  val frameBytes = 256
+
+  /** STUB frame-sample kernel: every `stride`-th fixed-size chunk of the
+    * payload stands in for a decoded video frame. A real implementation
+    * decodes the container and samples keyframes; the batch contract,
+    * frame numbering, and byte accounting here are the real plumbing.
+    */
+  def frameSampleBatch(batch: Seq[MediaRecord],
+                       stride: Int): Seq[MediaFrame] =
+    batch.flatMap { r =>
+      val chunks = (r.payload.length + frameBytes - 1) / frameBytes
+      (0 until chunks).filter(_ % stride == 0).map { c =>
+        val start = c * frameBytes
+        val len = math.min(frameBytes, r.payload.length - start)
+        MediaFrame(r.doc_id, c, len,
+          java.util.Arrays.copyOfRange(r.payload, start, start + len))
+      }
+    }
+
+  /** Partition-batched frame sampling (narrow flatMap — frames multiply
+    * rows but never shuffle; downstream ops decide what aggregates).
+    */
+  def frameSample(media: Dataset[MediaRecord],
+                  stride: Int = 2): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(
+      _.grouped(decodeBatchSize).flatMap(frameSampleBatch(_, stride)))
+  }
+
+  /** STUB resize kernel: output bytes scale with the target-area ratio
+    * (a real implementation re-encodes pixels; metadata + size accounting
+    * are the real plumbing).
+    */
+  def resizeBatch(batch: Seq[MediaRecord], w: Int, h: Int): Seq[ResizedMedia] =
+    batch.map { r =>
+      val srcArea = math.max(1L, r.width.toLong * r.height.toLong)
+      val ratio = math.min(1.0, (w.toLong * h.toLong).toDouble / srcArea)
+      ResizedMedia(r.doc_id, r.mime, w, h,
+        math.max(1L, (r.payload.length * ratio).toLong))
+    }
+
+  /** Partition-batched resize. */
+  def resize(media: Dataset[MediaRecord], w: Int,
+             h: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(
+      _.grouped(decodeBatchSize).flatMap(resizeBatch(_, w, h)))
+  }
+
   /** End-to-end: manifest -> batched decode -> per-(source, mime) stats. */
   def decodeStats(spark: SparkSession, docs: DataFrame): DataFrame =
     decode(manifest(docs))

@@ -56,13 +56,30 @@ object TextQueries {
     Multimodal.decodeStats(spark, t(spark, dir, "documents"))
       .orderBy("source", "mime")
 
+  /** Frame sampling over the video subset of the manifest: every 2nd
+    * fixed-size chunk (stub frames), byte-accounted per frame — the
+    * plumbing a keyframe sampler runs through at scale (narrow flatMap,
+    * frames never shuffle).
+    */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    Multimodal.frameSample(
+        Multimodal.manifest(t(spark, dir, "documents"))
+          .filter(col("mime") === "video/mp4"), stride = 2)
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        col("n_bytes").cast("long").as("n_bytes"))
+      .orderBy("doc_id", "frame_no")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf,
-    "mm_decode_stats" -> mmDecodeStats)
+    "mm_decode_stats" -> mmDecodeStats,
+    "mm_frame_sample" -> mmFrameSample)
 
   val oracles: Map[String, String] = Map(
     "text_quality" ->
@@ -126,6 +143,16 @@ object TextQueries {
         |      FROM s)
         |SELECT doc_id, rank, term, score FROM r WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id, length(text) AS n FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, n,
+        |        unnest(generate_series(0, CAST(ceil(n / 256.0) AS INT) - 1)) AS chunk
+        |      FROM v)
+        |SELECT doc_id, chunk AS frame_no,
+        |  LEAST(256, n - 256 * chunk) AS n_bytes
+        |FROM f WHERE chunk % 2 = 0
+        |ORDER BY doc_id, frame_no""".stripMargin,
     "mm_decode_stats" ->
       """WITH m AS (
         |  SELECT doc_id, source,
