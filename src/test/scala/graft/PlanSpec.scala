@@ -60,6 +60,31 @@ class PlanSpec extends SparkSpec {
       s"as-of must not generate event x order join fan-out:\n$p")
   }
 
+  test("bucketed tables co-locate the join: no Exchange anywhere") {
+    // the 100 TB fact-fact join strategy: both sides bucketed on the join
+    // key at write time, so the join is a zero-shuffle sort-merge
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.t(spark, sf001, "orders").select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("b_orders")
+      Tables.t(spark, sf001, "lineitem").select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("b_lineitem")
+      val j = spark.table("b_lineitem").join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      assert(j.count() > 0)
+      val p = plan(j)
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("shingling and dot products run as codegen'd expressions") {
     import spark.implicits._
     // real scan: a literal relation would be constant-folded at plan time
