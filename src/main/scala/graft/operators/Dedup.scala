@@ -243,6 +243,65 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Near-dup clustering (pairs -> connected components -> canonical keeper)
+  // -------------------------------------------------------------------------
+
+  /** Connected components over a near-dup pair graph by iterated min-label
+    * propagation: every doc starts as its own component; each round a doc
+    * adopts the smallest label among itself and its neighbors; stop at
+    * fixpoint (or `maxIters`). Converges in O(graph diameter) rounds — dup
+    * clusters are near-cliques in practice (diameter 1-2); at 100 TB scale
+    * the alternating large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce") drops to O(log n) rounds with
+    * the same join-per-round shape. Each round is one join + one
+    * aggregation, labels persisted and the predecessor released.
+    *
+    * Returns (cluster_id = min doc_id of the component, n_docs, max_doc)
+    * for every doc that appears in at least one pair.
+    */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .unionByName(pairs.select(col("db").as("a"), col("da").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("bcomp")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .persist()
+      changed = next
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      it += 1
+    }
+    val out = labels.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+      .select(col("comp").as("cluster_id"), col("n_docs"), col("max_doc"))
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  /** The deduplicated corpus: drop every clustered doc except its
+    * cluster's min-id representative (unpaired docs all survive).
+    */
+  def dedupCorpus(docs: DataFrame, pairs: DataFrame,
+                  idCol: String = "doc_id"): DataFrame = {
+    val clustered = pairs.select(col("da").as("id"))
+      .unionByName(pairs.select(col("db").as("id"))).distinct()
+    val reps = dedupClusters(pairs).select(col("cluster_id").as("id"))
+    val drop = clustered.join(reps, Seq("id"), "left_anti")
+    docs.join(drop.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------
 

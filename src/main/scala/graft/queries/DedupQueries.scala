@@ -44,18 +44,29 @@ object DedupQueries {
         probeFilter = col("vec_id") % 20 === 0)
       .orderBy("da", "db")
 
+  /** Near-dup clusters over the exact-Jaccard pair graph (min-label
+    * propagation components; oracle = recursive-CTE reachability).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(
+        Dedup.ngramJaccardPairs(t(spark, dir, "documents"), k = 3,
+          threshold = 0.6))
+      .orderBy("cluster_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_embed_cosine" -> dedupEmbedCosine)
+    "dedup_embed_cosine" -> dedupEmbedCosine,
+    "dedup_clusters" -> dedupClusters)
 
-  /** Shared inverted-index Jaccard derivation in DuckDB (mirrors
-    * Dedup.ngramJaccardPairs step for step, independently).
+  /** Shared inverted-index Jaccard CTE chain in DuckDB (mirrors
+    * Dedup.ngramJaccardPairs step for step, independently). `pairs` is the
+    * final pair set; callers add their own SELECT.
     */
-  private val jaccardSql: String =
-    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  private val jaccardCtes: String =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i FROM tok),
       |sh0 AS (SELECT DISTINCT doc_id AS id, array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
       |df AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000),
@@ -63,11 +74,29 @@ object DedupQueries {
       |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
       |inter AS (SELECT a.id AS da, b.id AS db, COUNT(*) AS inter
       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-      |          GROUP BY a.id, b.id)
-      |SELECT da, db, CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
-      |FROM inter JOIN sizes x ON da = x.id JOIN sizes y ON db = y.id
-      |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.6
-      |ORDER BY da, db""".stripMargin
+      |          GROUP BY a.id, b.id),
+      |pairs AS (SELECT da, db, CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+      |          FROM inter JOIN sizes x ON da = x.id JOIN sizes y ON db = y.id
+      |          WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.6)""".stripMargin
+
+  private val jaccardSql: String =
+    s"WITH $jaccardCtes\nSELECT da, db, jaccard FROM pairs ORDER BY da, db"
+
+  /** Connected components via recursive-CTE reachability: comp(id) =
+    * min id reachable over the (symmetric) pair edges — the independent
+    * derivation of Dedup.dedupClusters' label-propagation fixpoint.
+    */
+  private val clustersSql: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+      |edges AS (SELECT da AS a, db AS b FROM pairs
+      |          UNION ALL SELECT db, da FROM pairs),
+      |reach AS (
+      |  SELECT DISTINCT a AS id, a AS r FROM edges
+      |  UNION
+      |  SELECT e.a AS id, rc.r FROM edges e JOIN reach rc ON rc.id = e.b),
+      |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+      |SELECT comp AS cluster_id, COUNT(*) AS n_docs, MAX(id) AS max_doc
+      |FROM comp GROUP BY comp ORDER BY cluster_id""".stripMargin
 
   private val cosineSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -90,6 +119,7 @@ object DedupQueries {
     // LSH+verify equals the exact pairs (recall ~0.999 at the threshold;
     // the verify step removes every false positive) — same oracle.
     "dedup_minhash_lsh" -> jaccardSql,
-    "dedup_embed_cosine" -> cosineSql)
+    "dedup_embed_cosine" -> cosineSql,
+    "dedup_clusters" -> clustersSql)
     // dedup_simhash: xxhash64-based, not SQL-expressible -> rows-only.
 }

@@ -72,6 +72,24 @@ class DedupSpec extends SparkSpec {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("cluster components merge chains; dedup corpus keeps one rep per cluster") {
+    import spark.implicits._
+    // chain topology: 1-2, 2-3 (no 1-3 edge) must still form ONE cluster;
+    // 10-11 a separate cluster; 2 also links to 4 (star)
+    val pairs = Seq((1L, 2L), (2L, 3L), (2L, 4L), (10L, 11L))
+      .toDF("da", "db").withColumn("jaccard", lit(0.9))
+    val clusters = Dedup.dedupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(clusters == Set((1L, 4L, 4L), (10L, 2L, 11L)))
+
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).map(i => (i, s"text $i"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // reps 1 and 10 survive, unpaired 5 survives, the rest drop
+    assert(kept == Set(1L, 5L, 10L))
+  }
+
   test("simhash finds planted exact duplicates at hamming 0") {
     val pairs = Dedup.simhashPairs(augmented, maxDist = 3).cache()
     val planted = docs.filter(col("doc_id") % 50 === 0)
