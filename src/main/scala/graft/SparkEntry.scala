@@ -34,7 +34,7 @@ object SparkEntry {
       GroupingQueries.queries ++ JoinQueries.queries ++
       FunctionQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries
-    val pinnedFirst = Map("dedup_ngram_jaccard" -> "dedup_m0",
+    val pinnedFirst = Map("dedup_ngram_jaccard" -> "dedup_a0",
       "sim_topk" -> "sim_a0")
     scala.collection.immutable.SeqMap.from(
       all.toSeq.sortBy { case (n, _) => pinnedFirst.getOrElse(n, n) })

@@ -246,22 +246,67 @@ object Dedup {
   // Near-dup clustering (pairs -> connected components -> canonical keeper)
   // -------------------------------------------------------------------------
 
-  /** Connected components over a near-dup pair graph by iterated min-label
-    * propagation: every doc starts as its own component; each round a doc
-    * adopts the smallest label among itself and its neighbors; stop at
-    * fixpoint (or `maxIters`). Converges in O(graph diameter) rounds — dup
-    * clusters are near-cliques in practice (diameter 1-2); at 100 TB scale
-    * the alternating large-star/small-star variant (Kiveris et al.,
-    * "Connected Components in MapReduce") drops to O(log n) rounds with
-    * the same join-per-round shape. Each round is one join + one
-    * aggregation, labels persisted and the predecessor released.
+  /** Connected components over a near-dup pair graph.
+    *
+    * The pair graph is the thresholded OUTPUT of near-dup mining — tiny
+    * relative to the corpus (O(duplicates), not O(docs)) — so the common
+    * path collects it and runs driver-side union-find (one Spark job,
+    * microseconds of driver CPU for millions of pairs). Graphs beyond
+    * `driverPairLimit` fall back to distributed min-label propagation:
+    * every doc starts as its own component, each round adopts the smallest
+    * label among itself and its neighbors (one join + one aggregation per
+    * round), fixpoint in O(graph diameter) rounds — dup clusters are
+    * near-cliques (diameter 1-2); the alternating large-star/small-star
+    * variant (Kiveris et al., "Connected Components in MapReduce") is the
+    * O(log n) refinement of the same shape.
     *
     * Returns (cluster_id = min doc_id of the component, n_docs, max_doc)
     * for every doc that appears in at least one pair.
     */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
-      .unionByName(pairs.select(col("db").as("a"), col("da").as("b")))
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20,
+                    driverPairLimit: Long = 1000000L): DataFrame = {
+    val p = pairs.select(col("da"), col("db")).persist()
+    try {
+      if (p.count() <= driverPairLimit) driverComponents(p)
+      else distributedComponents(p, maxIters)
+    } finally p.unpersist(blocking = false)
+  }
+
+  /** Union-find with min-id roots and path compression; output rebuilt as
+    * a DataFrame. Deterministic: the root of a component is its min id.
+    */
+  private def driverComponents(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val members = scala.collection.mutable.Set.empty[Long]
+    p.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      members += a; members += b
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // smaller root wins => root == min of component
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    members.toSeq.map(id => (find(id), id))
+      .groupBy(_._1).toSeq
+      .map { case (root, ms) => (root, ms.size.toLong, ms.map(_._2).max) }
+      .toDF("cluster_id", "n_docs", "max_doc")
+  }
+
+  /** Distributed min-label propagation (see [[dedupClusters]] doc); labels
+    * persisted per round, predecessor released.
+    */
+  private def distributedComponents(p: DataFrame, maxIters: Int): DataFrame = {
+    val edges = p.select(col("da").as("a"), col("db").as("b"))
+      .unionByName(p.select(col("db").as("a"), col("da").as("b")))
       .persist()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).persist()

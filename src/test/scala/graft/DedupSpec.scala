@@ -78,9 +78,14 @@ class DedupSpec extends SparkSpec {
     // 10-11 a separate cluster; 2 also links to 4 (star)
     val pairs = Seq((1L, 2L), (2L, 3L), (2L, 4L), (10L, 11L))
       .toDF("da", "db").withColumn("jaccard", lit(0.9))
-    val clusters = Dedup.dedupClusters(pairs).collect()
+    val expected = Set((1L, 4L, 4L), (10L, 2L, 11L))
+    // driver union-find path AND distributed label-propagation path
+    val viaDriver = Dedup.dedupClusters(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(clusters == Set((1L, 4L, 4L), (10L, 2L, 11L)))
+    val viaPropagation = Dedup.dedupClusters(pairs, driverPairLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaDriver == expected)
+    assert(viaPropagation == expected)
 
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).map(i => (i, s"text $i"))
       .toDF("doc_id", "text")
