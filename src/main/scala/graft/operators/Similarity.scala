@@ -62,9 +62,13 @@ object Similarity {
         transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("vn", sqrt(dotp(col("v"), col("v"))))
 
-  /** Exact cosine top-k for each probe vector. */
+  /** Exact cosine top-k for each probe vector. The corpus-vector frame
+    * (double cast + norms) is the same cached prep the ANN tiers probe
+    * against — shared corpus preparation, per-operator search cost.
+    */
   def bruteForceTopK(emb: DataFrame, probeFilter: Column, k: Int): DataFrame = {
-    val e = asDouble(emb)
+    val e = graft.Caches.cached("emb-vectors",
+      emb.queryExecution.analyzed.semanticHash().toString)(asDouble(emb))
     val probes = e.filter(probeFilter)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"))
     val w = Window.partitionBy(col("qid"))
@@ -234,8 +238,12 @@ object Similarity {
     // pairs, never 64-dim vectors (carrying vectors through the dedupe was
     // a 60x wall-clock blowup at a 400-probe batch)
     val vecs = graft.Caches.cached("emb-vectors", embKey)(asDouble(emb))
+    // the index keeps vectors ALONGSIDE the bucket rows: it is cached once
+    // and only ever streamed through narrow broadcast joins, so the vectors
+    // never cross a shuffle (the shuffles below move bare (qid,nid,cos))
     val index = graft.Caches.cached("ann-lsh-index", key) {
-      vecs.select(col("vec_id").as("nid"),
+      vecs.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("vn").as("nn"),
         posexplode(signatures(col("v"), planes, tables, dim))
           .as(Seq("t", "sig")))
     }
@@ -248,21 +256,19 @@ object Similarity {
       .select(col("qid"), col("t"), col("sig0"), explode(flips).as("m"))
       .select(col("qid"), col("t"),
         col("sig0").bitwiseXOR(col("m")).as("sig"))
-    val pairs = probeBuckets.join(index, Seq("t", "sig"))
-      .filter(col("qid") =!= col("nid"))
-      .select("qid", "nid")
-      .dropDuplicates("qid", "nid")
     val probeVecs = vecs.filter(probeFilter)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"))
-    val corpusVecs = vecs
-      .select(col("vec_id").as("nid"), col("v").as("nv"), col("vn").as("nn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
-    pairs
+    index
+      // bare bucket ids broadcast (tiny); candidate scoring stays narrow
+      .join(broadcast(probeBuckets), Seq("t", "sig"))
+      .filter(col("qid") =!= col("nid"))
       .join(broadcast(probeVecs), "qid")
-      .join(corpusVecs, "nid")
       .select(col("qid"), col("nid"),
         (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+      // dedupe multi-table/multi-flip hits of the same pair (cos identical)
+      .groupBy("qid", "nid").agg(max(col("cos")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "nid", "cos")
