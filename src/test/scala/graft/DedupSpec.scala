@@ -72,6 +72,19 @@ class DedupSpec extends SparkSpec {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("document-frequency cut drops stop-word shingles (hot-key bound)") {
+    import spark.implicits._
+    // every doc shares the 'alpha beta gamma delta' shingles (df = 1200 >
+    // maxBucketSize = 1000) — without the cut, every pair would reach
+    // Jaccard 0.2 >= 0.1 and candidate generation would be ~700k pairs;
+    // with it, the shared shingles are dropped BEFORE any posting list
+    // materializes and the remaining per-doc shingles are disjoint
+    val hot = (0 until 1200)
+      .map(i => (i.toLong, s"alpha beta gamma delta u$i v$i w$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(hot, k = 3, threshold = 0.1).count() == 0)
+  }
+
   test("cluster components merge chains; dedup corpus keeps one rep per cluster") {
     import spark.implicits._
     // chain topology: 1-2, 2-3 (no 1-3 edge) must still form ONE cluster;
