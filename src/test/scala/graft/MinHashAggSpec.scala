@@ -42,4 +42,17 @@ class MinHashAggSpec extends SparkSpec {
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))
   }
+
+  test("sketch accuracy: approx_count_distinct within its rsd of exact") {
+    val rows = graft.queries.GroupingQueries.qApproxDistinct(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      // HLL++ at rsd=0.02: allow 5 sigma
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"approx $approx vs exact $exact")
+    }
+  }
 }
