@@ -172,8 +172,9 @@ object LogPipeline {
   def parseLog(functionName: Column, functionVersion: Column, msg: Column,
                region: Column): Column = {
     val v = variantOf(msg)
-    docFromParsed(functionName, functionVersion, msg, v,
-      v.try_cast(userJsonType), region)
+    val parsed = v.try_cast(userJsonType)
+    docFromParsed(functionName, functionVersion, msg, parsed,
+      branchOf(msg, v, parsed), region)
   }
 
   /** Staged parse over a frame: adds the variant + parsed-map projections,
@@ -184,28 +185,33 @@ object LogPipeline {
                   msg: Column, region: Column): DataFrame =
     df.withColumn("__v", variantOf(msg))
       .withColumn("__jmap", col("__v").try_cast(userJsonType))
+      .withColumn("__branch", branchOf(msg, col("__v"), col("__jmap")))
       .withColumn("doc", docFromParsed(functionName, functionVersion, msg,
-        col("__v"), col("__jmap"), region))
-      .drop("__v", "__jmap")
+        col("__jmap"), col("__branch"), region))
+      .drop("__v", "__jmap", "__branch")
 
+  /** Parse-branch discriminant, evaluated ONCE per row:
+    * 0 = platform drop, 1 = JSON, 2 = structured, 3 = raw. The JSON guard
+    * is the same as [[isJsonLog]]: object-shaped (map cast non-null) AND
+    * string-valued message (type probe on the parsed variant).
+    */
+  private def branchOf(msg: Column, v: Column, parsed: Column): Column =
+    when(isPlatformMessage(msg), 0)
+      .when(parsed.isNotNull && messageType(v) === "STRING", 1)
+      .when(msg.rlike(structuredLogPattern), 2)
+      .otherwise(3)
+
+  /** Doc construction as per-FIELD branch selects over the staged
+    * discriminant — the branch predicates (regex, variant probe) run once
+    * per row in [[branchOf]], the classifier runs once on the
+    * branch-selected message (round 1 built three whole doc structs with a
+    * classifier chain per struct; the generated code was the dominant
+    * Janino compile + eval cost of the pipeline).
+    */
   private def docFromParsed(functionName: Column, functionVersion: Column,
-                            msg: Column, v: Column, parsed: Column,
+                            msg: Column, parsed: Column, b: Column,
                             region: Column): Column = {
     val emptyAttrs = map().cast(userJsonType)
-    // shipper.js:74: requestId/timestamp are destructured OUT of the spread;
-    // message stays in parsedMessage and becomes doc.message.
-    val jsonDoc = struct(
-      functionName.as("function_name"),
-      functionVersion.as("function_version"),
-      element_at(parsed, "timestamp").as("timestamp"),
-      element_at(parsed, "requestId").as("request_id"),
-      element_at(parsed, "message").as("message"),
-      map_filter(parsed, (k, _) =>
-        !k.isin("timestamp", "requestId", "message")).as("attrs"),
-      region.as("region"), lit("lambda").as("type"),
-      severity(element_at(parsed, "message")).as("severity"),
-      errorType(element_at(parsed, "message")).as("error_type"))
-
     // shipper.js:50-57: JS split('\t', 3) TRUNCATES — "a\tb\tc\td" gives
     // [a,b,c], dropping everything after the third field. Spark's limit-3
     // split instead keeps the tail inside element 3 ("c\td"), so we take
@@ -215,35 +221,28 @@ object LogPipeline {
     // row-level-containment deviation (the reference would throw out of
     // checkLogError and poison the whole batch, shipper.js:91).
     val parts = split(msg, "\t")
-    val structuredDoc = struct(
+    // shipper.js:74: requestId/timestamp are destructured OUT of the spread;
+    // message stays in parsedMessage and becomes doc.message.
+    val ts = when(b === 1, element_at(parsed, "timestamp"))
+      .when(b === 2, try_element_at(parts, lit(1)))
+    val rid = when(b === 1, element_at(parsed, "requestId"))
+      .when(b === 2, try_element_at(parts, lit(2)))
+    val m = when(b === 1, element_at(parsed, "message"))
+      .when(b === 2, try_element_at(parts, lit(3)))
+      .otherwise(msg)
+    val attrs = when(b === 1, map_filter(parsed, (k, _) =>
+      !k.isin("timestamp", "requestId", "message"))).otherwise(emptyAttrs)
+    val doc = struct(
       functionName.as("function_name"),
       functionVersion.as("function_version"),
-      try_element_at(parts, lit(1)).as("timestamp"),
-      try_element_at(parts, lit(2)).as("request_id"),
-      try_element_at(parts, lit(3)).as("message"),
-      emptyAttrs.as("attrs"),
+      ts.cast(StringType).as("timestamp"),
+      rid.cast(StringType).as("request_id"),
+      m.as("message"),
+      attrs.as("attrs"),
       region.as("region"), lit("lambda").as("type"),
-      severity(try_element_at(parts, lit(3))).as("severity"),
-      errorType(try_element_at(parts, lit(3))).as("error_type"))
-
-    val rawDoc = struct(
-      functionName.as("function_name"),
-      functionVersion.as("function_version"),
-      lit(null).cast(StringType).as("timestamp"),
-      lit(null).cast(StringType).as("request_id"),
-      msg.as("message"),
-      emptyAttrs.as("attrs"),
-      region.as("region"), lit("lambda").as("type"),
-      severity(msg).as("severity"),
-      errorType(msg).as("error_type"))
-
-    // same guard as [[isJsonLog]]: object-shaped (map cast non-null) AND
-    // string-valued message (type probe on the parsed variant)
-    val isJson = parsed.isNotNull && messageType(v) === "STRING"
-    when(isPlatformMessage(msg), lit(null))
-      .when(isJson, jsonDoc)
-      .when(msg.rlike(structuredLogPattern), structuredDoc)
-      .otherwise(rawDoc)
+      severity(m).as("severity"),
+      errorType(m).as("error_type"))
+    when(b === 0, lit(null)).otherwise(doc)
   }
 
   // ---------------------------------------------------------------------------
