@@ -33,7 +33,8 @@ object SparkEntry {
     val all = PipelineQueries.queries ++ RelationalQueries.queries ++
       GroupingQueries.queries ++ JoinQueries.queries ++
       FunctionQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ TextQueries.queries
+      SimilarityQueries.queries ++ TextQueries.queries ++
+      CurationQueries.queries
     val pinnedFirst = Map("dedup_ngram_jaccard" -> "dedup_a0",
       "sim_topk" -> "sim_a0")
     scala.collection.immutable.SeqMap.from(
@@ -46,5 +47,6 @@ object SparkEntry {
     PipelineQueries.oracles ++ RelationalQueries.oracles ++
       GroupingQueries.oracles ++ JoinQueries.oracles ++
       FunctionQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ TextQueries.oracles
+      SimilarityQueries.oracles ++ TextQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (north star in /root/repo/BASELINE.json:
+  * "the operations a large-scale training-data pipeline would need" beyond
+  * the reference surface) — sequence packing, deterministic sampling,
+  * benchmark-contamination screening, and the end-to-end keep/drop pipeline.
+  *
+  * Scale design notes live on each operator; the shared principles:
+  *
+  *  - Everything is a narrow pass or a bounded-key shuffle. No operator here
+  *    materializes per-group state proportional to a hot key.
+  *  - Sampling and selection are DETERMINISTIC (content hashes, never
+  *    rand()): reruns, speculative task retries, and incremental re-curation
+  *    of a grown corpus all reproduce the same keep set bit-for-bit.
+  */
+object Curation {
+
+  /** Whitespace token count — the curation pipelines' budget unit (matches
+    * [[TextAnalysis]]'s ws_tokens).
+    */
+  def tokenCount(text: Column): Column = size(split(text, " ")).cast("long")
+
+  /** Concat-and-chop sequence packing — the standard LLM-pretraining batch
+    * layout: within a shard, documents are laid out back to back in a
+    * deterministic order and the token stream is chopped into
+    * `budgetTokens`-sized training sequences; a document belongs to the
+    * sequence its first token lands in.
+    *
+    * Emits one row per (shard, seq) with document and token accounting —
+    * the packing manifest a downstream tokenizer-writer consumes.
+    *
+    * Scale: the running offset is a window sum PARTITIONED BY SHARD — state
+    * is one accumulator per shard-partition, and shards are independent, so
+    * the layout parallelizes to exactly the write parallelism you want at
+    * 100 TB (`shards` ≙ output file count; at cluster scale you'd
+    * `repartition($"shard").sortWithinPartitions($"doc_id")` and stream the
+    * window without a global sort — the plan here is identical modulo the
+    * presentation orderBy).
+    */
+  def packSequences(docs: DataFrame, budgetTokens: Int = 2048,
+                    shards: Int = 8, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), (col(idCol) % shards).as("shard"),
+        tokenCount(col(textCol)).as("tokens"))
+      .withColumn("start", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      // integer division: exact at any offset (a double division could
+      // misround exactly at sequence boundaries)
+      .withColumn("seq", expr(s"start DIV $budgetTokens"))
+      .groupBy(col("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+  }
+
+  /** Deterministic stratified sample: the `perStratum` smallest documents
+    * per stratum in md5(text) order (content-hash order ≙ a uniform draw,
+    * but reproducible and engine-independent; ties broken by id).
+    *
+    * Scale: one shuffle on the stratum key. A stratum is a language/source
+    * bucket — thousands of values at most — so the per-stratum top-N is the
+    * classic skewed-window risk; for a quota ≪ stratum size, replace the
+    * full window with a per-partition pre-top-N (partial top-N combine,
+    * same result, bounded memory) — at this quota scale the window's sort
+    * spills safely either way.
+    */
+  def stratifiedSample(docs: DataFrame, perStratum: Int,
+                       stratumCol: String = "lang",
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(textCol)), col(idCol))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perStratum)
+      .select(col(stratumCol), col("rn"), col(idCol))
+  }
+
+  /** Deterministic rate sampling: keep a document iff its md5 hex digest is
+    * below `hexThreshold` (e.g. "2" ≙ first hex digit ∈ {0,1} ≙ a 1/8 rate).
+    * Purely narrow — a filter on a per-row hash, no shuffle at all: THE
+    * sampling shape for 100 TB (every executor decides locally, the sample
+    * is stable under re-partitioning, retries, and corpus growth).
+    *
+    * Returned per-source accounting (total vs sampled vs sampled tokens)
+    * is what a curation report reads.
+    */
+  def hashSampleStats(docs: DataFrame, hexThreshold: String = "2",
+                      textCol: String = "text"): DataFrame = {
+    val in = md5(col(textCol)) < hexThreshold
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_total"),
+      count(when(in, 1)).as("n_sampled"),
+      sum(when(in, tokenCount(col(textCol))).otherwise(0L))
+        .as("sampled_tokens"))
+  }
+
+  /** Benchmark-contamination screen: corpus documents sharing at least
+    * `minOverlap` distinct k-word shingles with a benchmark document, with
+    * the contaminated fraction of the benchmark doc's shingle set.
+    *
+    * This is the eval-leakage check every training-data pipeline runs
+    * before a corpus ships: `benchFilter` marks the held-out set (here a
+    * deterministic id slice; in production the actual benchmark corpus),
+    * and any (benchmark, corpus) pair above the overlap floor is flagged.
+    *
+    * Scale: reuses the SAME df-cut inverted shingle index as the near-dup
+    * family ([[Dedup.keptShingles]] — cached, document-frequency-bounded
+    * posting lists), so candidate generation is a bounded-key join on the
+    * shingle, never a doc x doc comparison; overlap counting is one
+    * pair-keyed aggregation over posting-list hits.
+    */
+  def contamination(docs: DataFrame, benchFilter: Column, k: Int = 3,
+                    minOverlap: Int = 5): DataFrame = {
+    val sh = Dedup.keptShingles(docs, k)
+    val bench = sh.filter(benchFilter)
+      .select(col("id").as("bench_doc"), col("shingle"))
+    val corpus = sh.filter(!benchFilter)
+      .select(col("id").as("corpus_doc"), col("shingle"))
+    val benchSizes = bench.groupBy(col("bench_doc"))
+      .agg(count(lit(1)).as("bench_n"))
+    bench.join(corpus, "shingle")
+      .groupBy(col("bench_doc"), col("corpus_doc"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+      .join(benchSizes, "bench_doc")
+      .select(col("bench_doc"), col("corpus_doc"), col("overlap"),
+        (col("overlap").cast("double") / col("bench_n")).as("bench_frac"))
+  }
+
+  /** The end-to-end curation pipeline, composed from the primitives the
+    * rest of the engine already verifies one by one:
+    *
+    *   1. quality floor — minimum length, bounded digit ratio (the
+    *      [[TextAnalysis.quality]] signals, inlined as pure columns);
+    *   2. exact dedup — keep the min-id representative per identical text
+    *      ([[Dedup.exactDedup]] semantics via a per-text window, so the
+    *      kept row keeps ALL its columns);
+    *   3. per-(lang, source) corpus accounting of what survived.
+    *
+    * Scale: two shuffles total — one for the dedup window, one for the
+    * final aggregation. The quality floor is narrow and runs first, so the
+    * dedup shuffle only moves survivors; and the dedup key is md5(text)
+    * over a SLIM projection ([[Dedup.exactDedupByHash]]'s trick), so the
+    * exchange moves ~50-byte rows, never document bodies.
+    */
+  def curatedStats(docs: DataFrame, minTokens: Int = 20,
+                   maxDigitRatio: Double = 0.2): DataFrame = {
+    val digits =
+      length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))
+    val passed = docs
+      .withColumn("tokens", tokenCount(col("text")))
+      .filter(col("tokens") >= minTokens &&
+        digits.cast("double") / length(col("text")) < maxDigitRatio)
+      .select(col("doc_id"), col("lang"), col("source"), col("tokens"),
+        md5(col("text")).as("content_hash"))
+    val w = Window.partitionBy(col("content_hash"))
+    passed
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"),
+        (sum(col("tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+  }
+}

@@ -75,7 +75,7 @@ object Dedup {
     * (scoped, one live corpus) and shared by the exact-Jaccard and
     * MinHash-LSH paths, which each read it 3-4 times per query.
     */
-  private def keptShingles(docs: DataFrame, k: Int): DataFrame = {
+  private[graft] def keptShingles(docs: DataFrame, k: Int): DataFrame = {
     val key = s"${docs.queryExecution.analyzed.semanticHash()}|k=$k"
     graft.Caches.cached("dedup-shingles", key) {
       // raw exploded shingles cached too: the df pass and the join probe

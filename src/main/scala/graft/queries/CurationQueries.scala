@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.Curation
+
+/** Training-data curation coverage: sequence packing, deterministic
+  * sampling, contamination screening, end-to-end curation — each an
+  * oracle-checked query over the `documents` table.
+  */
+object CurationQueries {
+
+  def textPack(spark: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(t(spark, dir, "documents"),
+        budgetTokens = 2048, shards = 8)
+      .orderBy("shard", "seq")
+
+  def sampStratified(spark: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(t(spark, dir, "documents"), perStratum = 40)
+      .orderBy("lang", "rn")
+
+  def sampHash(spark: SparkSession, dir: String): DataFrame =
+    Curation.hashSampleStats(t(spark, dir, "documents"))
+      .orderBy("source")
+
+  def textContaminate(spark: SparkSession, dir: String): DataFrame =
+    Curation.contamination(t(spark, dir, "documents"),
+        benchFilter = col("id") % 50 === 0, k = 3, minOverlap = 3)
+      .orderBy("bench_doc", "corpus_doc")
+
+  def curateStats(spark: SparkSession, dir: String): DataFrame =
+    Curation.curatedStats(t(spark, dir, "documents"))
+      .orderBy("lang", "source")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack" -> textPack,
+    "samp_stratified" -> sampStratified,
+    "samp_hash" -> sampHash,
+    "text_contaminate" -> textContaminate,
+    "curate_stats" -> curateStats)
+
+  val oracles: Map[String, String] = Map(
+    "text_pack" ->
+      """WITH tok AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, shard, tokens,
+        |    CAST(COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start
+        |  FROM tok)
+        |SELECT shard, CAST(start // 2048 AS BIGINT) AS seq, COUNT(*) AS n_docs,
+        |  CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM off GROUP BY shard, seq ORDER BY shard, seq""".stripMargin,
+    "samp_stratified" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, rn, doc_id FROM r WHERE rn <= 40
+        |ORDER BY lang, rn""".stripMargin,
+    "samp_hash" ->
+      """SELECT source, COUNT(*) AS n_total,
+        |  COUNT(CASE WHEN md5(text) < '2' THEN 1 END) AS n_sampled,
+        |  CAST(SUM(CASE WHEN md5(text) < '2'
+        |    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+        |    AS sampled_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "text_contaminate" ->
+      s"""WITH ${DedupQueries.jaccardCtes},
+        |b AS (SELECT id AS bench_doc, shingle FROM sh WHERE id % 50 = 0),
+        |c AS (SELECT id AS corpus_doc, shingle FROM sh WHERE id % 50 <> 0),
+        |ov AS (SELECT bench_doc, corpus_doc, COUNT(*) AS overlap
+        |       FROM b JOIN c USING (shingle) GROUP BY 1, 2),
+        |bs AS (SELECT bench_doc, COUNT(*) AS bench_n FROM b GROUP BY 1)
+        |SELECT bench_doc, corpus_doc, overlap,
+        |  CAST(overlap AS DOUBLE) / bench_n AS bench_frac
+        |FROM ov JOIN bs USING (bench_doc) WHERE overlap >= 3
+        |ORDER BY bench_doc, corpus_doc""".stripMargin,
+    "curate_stats" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, source, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 20
+        |    AND CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS DOUBLE) / length(text) < 0.2),
+        |k AS (
+        |  SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM q)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+        |FROM k WHERE doc_id = keeper
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+}

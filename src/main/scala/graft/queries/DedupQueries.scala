@@ -65,7 +65,7 @@ object DedupQueries {
     * Dedup.ngramJaccardPairs step for step, independently). `pairs` is the
     * final pair set; callers add their own SELECT.
     */
-  private val jaccardCtes: String =
+  private[queries] val jaccardCtes: String =
     """tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i FROM tok),
       |sh0 AS (SELECT DISTINCT doc_id AS id, array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Curation operators: sequence packing, deterministic sampling,
+  * contamination screening, end-to-end curation — on sf0.001 documents.
+  */
+class CurationSpec extends SparkSpec {
+  private lazy val docs = Tables.t(spark, sf001, "documents")
+
+  test("packSequences conserves tokens and packs contiguous doc ranges") {
+    val budget = 512
+    val packed = Curation.packSequences(docs, budgetTokens = budget,
+      shards = 4).cache()
+    val totalPacked = packed.agg(sum("sum_tokens")).head().getLong(0)
+    val totalDocs = docs.select(Curation.tokenCount(col("text")).as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(totalPacked == totalDocs, "every token lands in exactly one seq")
+    // within a shard, sequences partition the doc ids into contiguous,
+    // non-overlapping ranges (concat-and-chop lays docs out in id order)
+    val rows = packed.orderBy("shard", "seq")
+      .select("shard", "seq", "first_doc", "last_doc", "n_docs")
+      .collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      rs.sortBy(_.getLong(1)).sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) < b.getLong(2),
+          "doc ranges of consecutive seqs must not overlap")
+        case _ =>
+      }
+    }
+    // a sequence never starts past the doc that spans its boundary: every
+    // seq's doc count is >= 1 and offsets are monotone by construction
+    assert(rows.forall(_.getLong(4) >= 1))
+  }
+
+  test("packSequences seq assignment matches start-offset DIV budget") {
+    val packed = Curation.packSequences(docs, budgetTokens = 512, shards = 1)
+    // one shard: global offsets. Recompute independently on the driver.
+    val toks = docs.orderBy("doc_id")
+      .select(col("doc_id"), Curation.tokenCount(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var off = 0L
+    val expected = toks.map { case (id, t) =>
+      val seq = off / 512; off += t; (id, seq)
+    }.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = packed.select("seq", "n_docs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+
+  test("stratifiedSample respects the per-stratum quota and is deterministic") {
+    val s1 = Curation.stratifiedSample(docs, perStratum = 10)
+    val quota = s1.groupBy("lang").agg(count(lit(1)).as("n"),
+      max("rn").as("mx")).collect()
+    assert(quota.forall(r => r.getLong(1) <= 10 && r.getInt(2) <= 10))
+    val a = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.stratifiedSample(docs, perStratum = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "content-hash order makes the draw reproducible")
+  }
+
+  test("hashSampleStats is a fixed-rate narrow filter, stable across reruns") {
+    val s = Curation.hashSampleStats(docs).cache()
+    val (total, sampled) = s.agg(sum("n_total"), sum("n_sampled")).head() match {
+      case r => (r.getLong(0), r.getLong(1))
+    }
+    assert(sampled > 0 && sampled < total)
+    // 1/8 expected rate; generous tolerance for a 500-doc corpus
+    assert(sampled.toDouble / total > 0.04 && sampled.toDouble / total < 0.25)
+    val again = Curation.hashSampleStats(docs)
+    assert(s.exceptAll(again).count() == 0)
+  }
+
+  test("contamination flags a planted benchmark copy at bench_frac 1.0") {
+    // plant: doc 0 is in the benchmark slice (0 % 50 == 0); give the corpus
+    // an exact copy under a fresh id that is NOT in the slice
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") === 0)
+        .withColumn("doc_id", lit(999001L)))
+    val out = Curation.contamination(planted,
+        benchFilter = col("id") % 50 === 0, k = 3, minOverlap = 3)
+      .filter(col("bench_doc") === 0 && col("corpus_doc") === 999001L)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("bench_frac") == 1.0,
+      "an exact copy shares every shingle of the benchmark doc")
+  }
+
+  test("curatedStats drops short docs and collapses exact duplicates") {
+    val withDup = docs.unionByName(
+      docs.filter(col("doc_id") === 1).withColumn("doc_id", lit(999002L)))
+    val base = Curation.curatedStats(docs).agg(sum("n_docs")).head().getLong(0)
+    val dup = Curation.curatedStats(withDup).agg(sum("n_docs")).head().getLong(0)
+    assert(dup == base, "an exact duplicate must not survive curation")
+    val tiny = spark.createDataFrame(Seq(
+      (999003L, "too short", "en", "srcX", 9L))).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val withTiny = docs.unionByName(tiny)
+    val t = Curation.curatedStats(withTiny).agg(sum("n_docs")).head().getLong(0)
+    assert(t == base, "a below-floor doc must not survive curation")
+  }
+}
