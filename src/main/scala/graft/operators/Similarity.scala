@@ -195,6 +195,56 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------------
+  // Label centroids (embedding-space aggregation)
+  // -------------------------------------------------------------------------
+
+  /** Per-label centroid summary: each label's per-dimension mean vector,
+    * the centroid's norm, and the members' average cosine to their own
+    * centroid — the embedding-space health check a curation pipeline runs
+    * (tight clusters → high avg cosine; a label whose members sit at
+    * cosine ≈ 0 from their centroid carries no geometric signal).
+    *
+    * Plan shape: one narrow posexplode pass, a (label, dim) partial
+    * aggregation (map-side combine absorbs the fan-in), centroid assembly
+    * as a per-label sorted collect of its `dim` means (O(dim) rows per
+    * group — bounded by construction), then one broadcast-sized join back
+    * to members for the cosine pass. No corpus-wide shuffle ever carries
+    * vectors: the exploded aggregation moves (label, pos, x) triples.
+    *
+    * Determinism: per-dimension means and the final cosine average are
+    * sorted-sequential double sums (sort the group's values, fold left) —
+    * bit-identical across partitionings AND across engines (the DuckDB
+    * oracle mirrors with list_sort + list_aggregate). The sort-collect
+    * costs O(group) memory, bounded here by rows-per-label; at 100 TB
+    * swap the mean to an exact decimal sum (order-free, constant memory —
+    * [[graft.Tables]] `dec` pattern) and keep the plan otherwise.
+    */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    val seqSum = (c: Column) =>
+      aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+    val exploded = emb.select(col("label"),
+        posexplode(transform(col("embedding"), _.cast("double")))
+          .as(Seq("pos", "x")))
+    val dimMeans = exploded.groupBy(col("label"), col("pos"))
+      .agg((seqSum(col("x")) / count(lit(1))).as("cx"))
+    val cents = dimMeans.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("cv"))
+      .withColumn("cnorm", sqrt(dotp(col("cv"), col("cv"))))
+    val members = emb.select(col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("vn", sqrt(dotp(col("v"), col("v"))))
+    members.join(broadcast(cents), "label")
+      .select(col("label"),
+        (dotp(col("v"), col("cv")) / (col("vn") * col("cnorm"))).as("cos"),
+        col("cnorm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (seqSum(col("cos")) / count(lit(1))).as("avg_cos"),
+        min(col("cnorm")).as("centroid_norm"))
+  }
+
+  // -------------------------------------------------------------------------
   // Random-hyperplane LSH with multiprobe
   // -------------------------------------------------------------------------
 

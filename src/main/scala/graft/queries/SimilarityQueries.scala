@@ -28,10 +28,15 @@ object SimilarityQueries {
         probeFilter = col("vec_id") % 100 === 0, k = 5)
       .orderBy("qid", "rank")
 
+  def simCentroid(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(t(spark, dir, "embeddings"))
+      .orderBy("label")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> simTopk,
     "sim_ann_lsh" -> simAnnLsh,
-    "sim_ivf" -> simIvf)
+    "sim_ivf" -> simIvf,
+    "sim_centroid" -> simCentroid)
 
   val oracles: Map[String, String] = Map(
     "sim_topk" ->
@@ -44,6 +49,27 @@ object SimilarityQueries {
         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
         |      FROM p)
         |SELECT qid, rn AS rank, nid, cos FROM r WHERE rn <= 5
-        |ORDER BY qid, rank""".stripMargin)
-    // sim_ann_lsh: hyperplanes derive from xxhash64 -> rows-only.
+        |ORDER BY qid, rank""".stripMargin,
+    "sim_centroid" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |x AS (SELECT label, unnest(v) AS x,
+        |        unnest(generate_series(1, len(v))) AS pos FROM e),
+        |c AS (SELECT label, pos,
+        |        list_aggregate(list_sort(list(x)), 'sum') / COUNT(*) AS cx
+        |      FROM x GROUP BY label, pos),
+        |cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM c GROUP BY label),
+        |cn AS (SELECT label, cv, sqrt(list_inner_product(cv, cv)) AS cnorm
+        |       FROM cent),
+        |m AS (SELECT e.label,
+        |        list_inner_product(e.v, cn.cv) /
+        |          (sqrt(list_inner_product(e.v, e.v)) * cn.cnorm) AS cos,
+        |        cn.cnorm
+        |      FROM e JOIN cn USING (label))
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  list_aggregate(list_sort(list(cos)), 'sum') / COUNT(*) AS avg_cos,
+        |  MIN(cnorm) AS centroid_norm
+        |FROM m GROUP BY label ORDER BY label""".stripMargin)
+    // sim_ann_lsh / sim_ivf: hyperplanes/centroids derive from xxhash64 ->
+    // rows-only.
 }

@@ -48,4 +48,21 @@ class SimilaritySpec extends SparkSpec {
     val c = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("labelCentroids covers every vector, members lean toward their centroid") {
+    val out = Similarity.labelCentroids(emb).cache()
+    val total = out.agg(sum("n_vecs")).head().getLong(0)
+    assert(total == emb.count(), "every vector belongs to exactly one label")
+    out.collect().foreach { r =>
+      val (avgCos, cnorm) = (r.getAs[Double]("avg_cos"),
+        r.getAs[Double]("centroid_norm"))
+      assert(cnorm > 0.0)
+      // a member's expected cosine to its own mean is strictly positive
+      // even on an isotropic corpus (the member contributes to the mean)
+      assert(avgCos > 0.0 && avgCos <= 1.0, s"avg_cos out of range: $avgCos")
+    }
+    // deterministic: sorted-sequential sums make reruns bit-identical
+    val again = Similarity.labelCentroids(emb)
+    assert(out.exceptAll(again).count() == 0)
+  }
 }
