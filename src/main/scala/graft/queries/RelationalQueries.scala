@@ -155,18 +155,67 @@ object RelationalQueries {
       .limit(10)
       .select("o_orderkey", "o_totalprice")
 
+  /** Correlated EXISTS + NOT EXISTS through the SQL front end: Catalyst
+    * decorrelates both subqueries into a left-semi and a left-anti join on
+    * the correlation key (same physical shape as [[qSemiJoin]]/[[qAntiJoin]]
+    * — assert-able via explain) — the scale story is the joins', with the
+    * decorrelation itself the operator under test.
+    */
+  def qExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("v_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name FROM v_customer c
+        |WHERE EXISTS (SELECT 1 FROM v_orders o
+        |        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM v_orders o
+        |        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Generator through the SQL front end: LATERAL VIEW posexplode — the
+    * table-function surface (one output row per input-array element, with
+    * ordinality). Narrow: the generate fuses into the scan stage, no
+    * exchange before the presentation sort.
+    */
+  def qLateralExplode(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents").createOrReplaceTempView("v_documents")
+    spark.sql(
+      """SELECT doc_id, pos, tok
+        |FROM v_documents
+        |LATERAL VIEW posexplode(slice(split(text, ' '), 1, 3)) g AS pos, tok
+        |ORDER BY doc_id, pos""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q3_top_revenue" -> q3TopRevenue,
     "q6_filter_sum" -> q6FilterSum,
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
+    "q_exists_subquery" -> qExistsSubquery,
+    "q_lateral_explode" -> qLateralExplode,
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
     "q_window_analytic" -> qWindowAnalytic,
     "q_topk_orders" -> qTopkOrders)
 
   val oracles: Map[String, String] = Map(
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_lateral_explode" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |i AS (SELECT doc_id, toks,
+        |        unnest(generate_series(1, least(3, len(toks)))) AS i
+        |      FROM tok)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
+        |FROM i ORDER BY doc_id, pos""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -85,6 +85,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("correlated EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val p = plan(RelationalQueries.qExistsSubquery(spark, sf001))
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$p")
+    // decorrelation must not leave a nested-loop per-row subquery behind
+    assert(!p.contains("InSubquery"), s"unexpected residual subquery:\n$p")
+  }
+
   test("shingling and dot products run as codegen'd expressions") {
     import spark.implicits._
     // real scan: a literal relation would be constant-folded at plan time
