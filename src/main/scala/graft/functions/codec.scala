@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{BinaryType, DataType}
@@ -43,8 +43,12 @@ object GzipCodec {
   * the expression participates in Catalyst rules (e.g. constant folding when
   * the input is a literal).
   */
-case class Gunzip(child: Expression) extends UnaryExpression {
+case class Gunzip(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
   override def dataType: DataType = BinaryType
+  // declared input type => SQL callers get the standard string->binary
+  // implicit cast instead of a runtime ClassCastException
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "gunzip"
 
@@ -61,8 +65,10 @@ case class Gunzip(child: Expression) extends UnaryExpression {
 /** Catalyst-native gzip (the encode side — used to build CloudWatch-shaped
   * envelopes for fixtures and round-trip tests): `binary -> binary`.
   */
-case class Gzip(child: Expression) extends UnaryExpression {
+case class Gzip(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
   override def dataType: DataType = BinaryType
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] = Seq(BinaryType)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "gzip"
 

@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.{DotProduct, Gunzip, Gzip, RollingHash, SimHash64}
+
+/** Opt-in query-acceleration rewrite: `count(DISTINCT x)` → the
+  * HyperLogLog++ sketch (`approx_count_distinct`), enabled per session by
+  * `spark.graft.approxDistinct.enabled=true` (default false — the rewrite
+  * trades exactness for speed, so it must be an explicit choice).
+  *
+  * Why this is an engine feature and not a query edit: an exact distinct
+  * count over a high-cardinality key is one of the few aggregations with no
+  * bounded-memory partial form — Spark plans it as a two-phase
+  * Expand/shuffle-on-the-key, which at 100 TB means a full re-shuffle of
+  * every distinct value. The sketch form is a constant-size buffer with
+  * map-side combine: one narrow pass, one tiny exchange. Flipping the flag
+  * turns every dashboard-style distinct count in an existing workload into
+  * the sketch plan without touching query text.
+  *
+  * Only single-argument `count(DISTINCT x)` rewrites; multi-argument
+  * distinct counts and other distinct aggregates (e.g. `sum(DISTINCT …)`)
+  * keep exact semantics. Result type is unchanged (both are LONG).
+  */
+object ApproxDistinctRewrite extends Rule[LogicalPlan] {
+  val flagKey = "spark.graft.approxDistinct.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(flagKey, "false").toBoolean) plan
+    else plan.transform {
+      case a: Aggregate => a.transformExpressions {
+        case ae @ AggregateExpression(c: Count, _, true, _, _)
+            if c.children.size == 1 =>
+          ae.copy(aggregateFunction = HyperLogLogPlusPlus(c.children.head),
+            isDistinct = false)
+      }
+    }
+}
+
+/** The engine's [[SparkSessionExtensions]] entry point — the standard
+  * mechanism for shipping Catalyst extensions with a library (set
+  * `spark.sql.extensions=graft.plans.GraftExtensions`, or pass to
+  * `SparkSession.builder().withExtensions(...)`):
+  *
+  *  - registers every graft-native expression as a session-isolated SQL
+  *    function (catalog-backed — unlike temp-function registration, each
+  *    session built with the extension gets them without mutating shared
+  *    state; [[graft.functions.GraftFunctions.register]] remains for
+  *    attaching to an already-built session);
+  *  - injects [[ApproxDistinctRewrite]] into the optimizer (inert until
+  *    its flag is set).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", null, name, usage, ""),
+      builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("gunzip",
+      "gunzip(bytes) - gzip-decompress a binary column to a UTF-8 string") {
+      es => Gunzip(es.head) })
+    ext.injectFunction(fn("gzip",
+      "gzip(str) - gzip-compress a string column to binary") {
+      es => Gzip(es.head) })
+    ext.injectFunction(fn("simhash64",
+      "simhash64(tokens) - 64-bit SimHash of a token array") {
+      es => SimHash64(es.head) })
+    ext.injectFunction(fn("rolling_hash",
+      "rolling_hash(str) - polynomial rolling hash fingerprint") {
+      es => RollingHash(es.head) })
+    ext.injectFunction(fn("dot_product",
+      "dot_product(a, b) - sequential-accumulation double dot product") {
+      es => DotProduct(es(0), es(1)) })
+    ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
+  }
+}
