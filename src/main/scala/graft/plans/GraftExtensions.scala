@@ -79,5 +79,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "dot_product(a, b) - sequential-accumulation double dot product") {
       es => DotProduct(es(0), es(1)) })
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }

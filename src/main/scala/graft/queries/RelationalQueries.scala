@@ -187,7 +187,23 @@ object RelationalQueries {
         |ORDER BY doc_id, pos""".stripMargin)
   }
 
+  /** Grouped top-k through the custom [[graft.plans.TopKPerGroupExec]]
+    * operator (bounded heap per group — no per-partition full sort; the
+    * oracle is the equivalent row_number window SQL, so the driver's gate
+    * hash-proves operator-vs-window equivalence).
+    */
+  def qTopkGroups(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup(
+        t(spark, dir, "orders")
+          .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        groupCols = Seq("o_orderpriority"),
+        orderKeys = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+        k = 3)
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+        col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_groups" -> qTopkGroups,
     "q1_agg" -> q1Agg,
     "q3_top_revenue" -> q3TopRevenue,
     "q6_filter_sum" -> q6FilterSum,
@@ -201,6 +217,15 @@ object RelationalQueries {
     "q_topk_orders" -> qTopkOrders)
 
   val oracles: Map[String, String] = Map(
+    "q_topk_groups" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM r WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKPerGroup
+
+/** The custom grouped-top-k physical operator: window-equivalence, plan
+  * shape, and edge semantics.
+  */
+class TopKPerGroupSpec extends SparkSpec {
+  private lazy val orders = Tables.t(spark, sf001, "orders")
+    .select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+  private def windowTopK(k: Int) = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  test("equals the row_number window plan for every k") {
+    for (k <- Seq(1, 3, 7, 100000)) {
+      val custom = TopKPerGroup(orders, Seq("o_orderpriority"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), k)
+      val window = windowTopK(k)
+      assert(custom.exceptAll(window).count() == 0, s"extra rows at k=$k")
+      assert(window.exceptAll(custom).count() == 0, s"missing rows at k=$k")
+    }
+  }
+
+  test("k beyond the group size keeps whole groups") {
+    val all = TopKPerGroup(orders, Seq("o_orderpriority"),
+      Seq("o_orderkey" -> true), k = 100000)
+    assert(all.count() == orders.count())
+  }
+
+  test("plans as TopKPerGroupExec with no sort and no window") {
+    val df = TopKPerGroup(orders, Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), s"expected custom operator in:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+    assert(!p.contains("Sort "), s"no per-partition full sort expected:\n$p")
+    // the clustering exchange the window plan would need is still demanded
+    assert(p.contains("Exchange"), s"expected hash clustering exchange:\n$p")
+  }
+
+  test("deterministic under repartitioning (total order contract)") {
+    val a = TopKPerGroup(orders.repartition(13), Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 5).collect().toSet
+    val b = TopKPerGroup(orders.repartition(3), Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 5).collect().toSet
+    assert(a == b)
+  }
+
+  test("unknown column name fails fast") {
+    intercept[IllegalArgumentException] {
+      TopKPerGroup(orders, Seq("nope"), Seq(("o_orderkey", true)), 1)
+    }
+  }
+}
