@@ -62,6 +62,22 @@ object Similarity {
         transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("vn", sqrt(dotp(col("v"), col("v"))))
 
+  /** Ranked top-k per probe over a scored (qid, nid, cos) frame: the
+    * bounded-heap [[graft.plans.TopKPerGroupExec]] prunes each probe's
+    * candidates to k rows WITHOUT sorting them (the window alternative
+    * sorts every probe's full candidate list only to keep k), then a
+    * residual row_number window ranks the k survivors — a sort of k rows
+    * per probe, negligible by construction.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    graft.plans.TopKPerGroup(scored, Seq("qid"),
+        Seq("cos" -> false, "nid" -> true), k)
+      .withColumn("rank", row_number().over(w))
+      .select("qid", "rank", "nid", "cos")
+  }
+
   /** Exact cosine top-k for each probe vector. The corpus-vector frame
     * (double cast + norms) is the same cached prep the ANN tiers probe
     * against — shared corpus preparation, per-operator search cost.
@@ -71,16 +87,12 @@ object Similarity {
       emb.queryExecution.analyzed.semanticHash().toString)(asDouble(emb))
     val probes = e.filter(probeFilter)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    probes.crossJoin(e.select(col("vec_id").as("nid"), col("v").as("nv"),
+    rankTopK(probes
+      .crossJoin(e.select(col("vec_id").as("nid"), col("v").as("nv"),
         col("vn").as("nn")))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "nid", "cos")
+        (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos")), k)
   }
 
   // -------------------------------------------------------------------------
@@ -183,15 +195,10 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"),
         explode(bestCells(col("v"), cents, nprobe)).as("cell"))
       .dropDuplicates("qid", "cell")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    probes.join(corpus, "cell")
+    rankTopK(probes.join(corpus, "cell")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "nid", "cos")
+        (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos")), k)
   }
 
   // -------------------------------------------------------------------------
@@ -308,9 +315,7 @@ object Similarity {
         col("sig0").bitwiseXOR(col("m")).as("sig"))
     val probeVecs = vecs.filter(probeFilter)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    index
+    rankTopK(index
       // bare bucket ids broadcast (tiny); candidate scoring stays narrow
       .join(broadcast(probeBuckets), Seq("t", "sig"))
       .filter(col("qid") =!= col("nid"))
@@ -318,9 +323,6 @@ object Similarity {
       .select(col("qid"), col("nid"),
         (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
       // dedupe multi-table/multi-flip hits of the same pair (cos identical)
-      .groupBy("qid", "nid").agg(max(col("cos")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "nid", "cos")
+      .groupBy("qid", "nid").agg(max(col("cos")).as("cos")), k)
   }
 }
