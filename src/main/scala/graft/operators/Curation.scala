@@ -99,6 +99,23 @@ object Curation {
         .as("sampled_tokens"))
   }
 
+  /** Deterministic train/val/test split by content-hash range: md5 hex
+    * digest < "c" → train (12/16), < "e" → val (2/16), else test (2/16).
+    * Same scale shape as [[hashSampleStats]] — a narrow per-row decision,
+    * no shuffle, stable under repartitioning/retries/corpus growth, and
+    * duplicate texts always land in the SAME split (hash of content, not
+    * of id — the property that keeps eval honest when dedup is imperfect).
+    * Returns per-split accounting.
+    */
+  def splitStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val b = md5(col(textCol))
+    val split = when(b < "c", "train").when(b < "e", "val").otherwise("test")
+    docs.groupBy(split.as("split")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol))).as("sum_tokens"),
+      count_distinct(col("lang")).as("n_langs"))
+  }
+
   /** Benchmark-contamination screen: corpus documents sharing at least
     * `minOverlap` distinct k-word shingles with a benchmark document, with
     * the contaminated fraction of the benchmark doc's shingle set.

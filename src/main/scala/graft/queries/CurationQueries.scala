@@ -34,10 +34,15 @@ object CurationQueries {
     Curation.curatedStats(t(spark, dir, "documents"))
       .orderBy("lang", "source")
 
+  def sampSplit(spark: SparkSession, dir: String): DataFrame =
+    Curation.splitStats(t(spark, dir, "documents"))
+      .orderBy("split")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack" -> textPack,
     "samp_stratified" -> sampStratified,
     "samp_hash" -> sampHash,
+    "samp_split" -> sampSplit,
     "text_contaminate" -> textContaminate,
     "curate_stats" -> curateStats)
 
@@ -72,6 +77,14 @@ object CurationQueries {
         |    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
         |    AS sampled_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "samp_split" ->
+      """SELECT CASE WHEN md5(text) < 'c' THEN 'train'
+        |            WHEN md5(text) < 'e' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY split ORDER BY split""".stripMargin,
     "text_contaminate" ->
       s"""WITH ${DedupQueries.jaccardCtes},
         |b AS (SELECT id AS bench_doc, shingle FROM sh WHERE id % 50 = 0),

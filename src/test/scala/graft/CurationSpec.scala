@@ -73,6 +73,21 @@ class CurationSpec extends SparkSpec {
     assert(s.exceptAll(again).count() == 0)
   }
 
+  test("splitStats partitions the corpus and keeps dup texts in one split") {
+    val s = Curation.splitStats(docs).collect()
+    assert(s.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+    assert(s.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // duplicate text ends up in the same split as its original: split by
+    // content hash means adding a copy only increments that split's count
+    val withDup = docs.unionByName(
+      docs.limit(1).withColumn("doc_id", lit(999004L)))
+    val before = s.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Curation.splitStats(withDup).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.values.sum == before.values.sum + 1)
+    assert(after.count { case (k, v) => v != before(k) } == 1)
+  }
+
   test("contamination flags a planted benchmark copy at bench_frac 1.0") {
     // plant: doc 0 is in the benchmark slice (0 % 50 == 0); give the corpus
     // an exact copy under a fresh id that is NOT in the slice
