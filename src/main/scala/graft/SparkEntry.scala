@@ -35,7 +35,11 @@ object SparkEntry {
       FunctionQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
       CurationQueries.queries
-    val pinnedFirst = Map("dedup_ngram_jaccard" -> "dedup_a0",
+    // "a00..." pins the exact n-gram Jaccard query to the very FRONT of the
+    // bench: it pays the one-time JVM/codegen warmup AND builds the shared
+    // shingle cache, exactly as in the recorded r01/r02 baselines, so
+    // per-query numbers stay comparable across rounds.
+    val pinnedFirst = Map("dedup_ngram_jaccard" -> "a00_dedup",
       "sim_topk" -> "sim_a0")
     scala.collection.immutable.SeqMap.from(
       all.toSeq.sortBy { case (n, _) => pinnedFirst.getOrElse(n, n) })
