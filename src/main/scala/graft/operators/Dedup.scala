@@ -91,29 +91,46 @@ object Dedup {
   private def docSizes(sh: DataFrame): DataFrame =
     sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
 
-  /** Exact verification restricted to a candidate-pair set: intersection
-    * counts come from joining the candidates back to the per-doc kept
-    * shingles — O(|candidates| x shingles/doc) work, never a corpus-wide
-    * pair generation — then the Jaccard threshold filter.
+  /** Per-doc sorted kept-shingle ARRAYS (id, sa, n): the verification-side
+    * layout — one row per doc, so candidate verification is two
+    * broadcast-sized joins instead of a posting-list explosion. Cached with
+    * the other shingle-index frames (one row per doc ≪ one per posting).
     */
-  private def verifiedJaccard(cand: DataFrame, sh: DataFrame,
-                              threshold: Double): DataFrame = {
-    val inter = cand
-      .join(sh.select(col("id").as("da"), col("shingle")), "da")
-      .join(sh.select(col("id").as("db"), col("shingle")), Seq("db", "shingle"))
-      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    jaccardOf(inter, docSizes(sh), threshold)
+  private def docShingleArrays(docs: DataFrame, k: Int): DataFrame = {
+    val key = s"${docs.queryExecution.analyzed.semanticHash()}|k=$k"
+    graft.Caches.cached("dedup-shingle-arrays", key) {
+      keptShingles(docs, k).groupBy(col("id"))
+        .agg(sort_array(collect_list(col("shingle"))).as("sa"),
+          count(lit(1)).as("n"))
+    }
   }
 
-  private def jaccardOf(inter: DataFrame, sizes: DataFrame,
-                        threshold: Double): DataFrame =
-    inter
-      .join(sizes.withColumnRenamed("id", "da").withColumnRenamed("n", "na"), "da")
-      .join(sizes.withColumnRenamed("id", "db").withColumnRenamed("n", "nb"), "db")
+  /** Exact verification restricted to a candidate-pair set: each pair joins
+    * to the two docs' sorted shingle arrays and the intersection is counted
+    * INSIDE the row (`array_intersect` on distinct arrays), then the
+    * Jaccard threshold filter. O(|candidates| x shingles/doc) compute with
+    * no post-candidate aggregation shuffle — the filters' false positives
+    * cost array intersections, never exchange volume (the previous
+    * explode-join moved |candidates| x shingles/doc ROWS through a shuffle
+    * + pair-keyed aggregation, which dominated the whole near-dup family's
+    * wall clock). Join strategy is left to AQE: at test scale the per-doc
+    * array table auto-broadcasts; at 100 TB it hash-joins on the doc id
+    * with the (small) candidate side driving.
+    */
+  private def verifiedJaccard(cand: DataFrame, docs: DataFrame, k: Int,
+                              threshold: Double): DataFrame = {
+    val arrays = docShingleArrays(docs, k)
+    cand
+      .join(arrays.select(col("id").as("da"), col("sa").as("xa"),
+        col("n").as("na")), "da")
+      .join(arrays.select(col("id").as("db"), col("sa").as("xb"),
+        col("n").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("xa"), col("xb"))))
       .withColumn("jaccard",
         col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("da", "db", "jaccard")
+  }
 
   /** Exact pairwise Jaccard >= threshold via prefix filtering (PPJoin,
     * Xiao et al. 2008 / All-Pairs, Bayardo et al. 2007): order each doc's
@@ -167,7 +184,7 @@ object Dedup {
       .select(least(col("x.id"), col("y.id")).as("da"),
         greatest(col("x.id"), col("y.id")).as("db"))
       .distinct()
-    verifiedJaccard(cand, sh, threshold)
+    verifiedJaccard(cand, docs, k, threshold)
   }
 
   // -------------------------------------------------------------------------
@@ -237,9 +254,9 @@ object Dedup {
       .distinct()
     // exact verification restricted to the candidate set (the round-1 fix:
     // intersections come from joining candidates back to per-doc shingle
-    // sets — O(candidates) — not from a corpus-wide pair generation that
+    // arrays — O(candidates) — not from a corpus-wide pair generation that
     // would make the LSH screen pointless).
-    verifiedJaccard(candidates, keptShingles(docs, k), threshold)
+    verifiedJaccard(candidates, docs, k, threshold)
   }
 
   // -------------------------------------------------------------------------
