@@ -170,6 +170,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("content-hash sampling/splitting is streaming-safe and batch-consistent") {
+    // the curation decisions are pure per-row expressions (md5 thresholds),
+    // so the SAME operator runs unchanged over a stream: no state, no
+    // watermark, and a doc lands in the same split no matter which
+    // micro-batch (or batch job) carried it
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val streamed = input.toDF().toDF("doc_id", "text")
+      .withColumn("split",
+        when(md5(col("text")) < "c", "train")
+          .when(md5(col("text")) < "e", "val").otherwise("test"))
+    val q = streamed.writeStream.format("memory").queryName("splits")
+      .outputMode("append").start()
+    try {
+      val docs = Tables.t(spark, sf001, "documents")
+        .select("doc_id", "text").limit(40)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(docs.take(20).toSeq)
+      q.processAllAvailable()
+      input.addData(docs.drop(20).toSeq)
+      q.processAllAvailable()
+      val streamedSplits = spark.table("splits")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+        .toMap
+      // batch recomputation assigns identical splits
+      val batch = Tables.t(spark, sf001, "documents").limit(40)
+        .withColumn("split",
+          when(md5(col("text")) < "c", "train")
+            .when(md5(col("text")) < "e", "val").otherwise("test"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+        .toMap
+      assert(streamedSplits == batch)
+    } finally q.stop()
+  }
+
   test("windowed error rates aggregate by tumbling window (batch-mode check)") {
     import spark.implicits._
     val docs = Seq(
