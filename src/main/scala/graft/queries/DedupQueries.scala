@@ -53,7 +53,22 @@ object DedupQueries {
           threshold = 0.6))
       .orderBy("cluster_id")
 
+  /** The deduplicated corpus itself — what a training pipeline actually
+    * consumes: every near-dup cluster collapsed to its min-id
+    * representative, accounted per language. (Cluster mining is verified
+    * by `dedup_clusters`; this verifies the keep/drop application.)
+    */
+  def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.dedupCorpus(docs,
+        Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.6))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_corpus" -> dedupCorpus,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -106,7 +121,26 @@ object DedupQueries {
       |      FROM e a JOIN e b ON a.vec_id % 20 = 0 AND a.vec_id < b.vec_id)
       |SELECT da, db, cos FROM p WHERE cos >= 0.4 ORDER BY da, db""".stripMargin
 
+  /** Anti-join of the corpus against non-representative cluster members
+    * (comp <> id), re-using the recursive-CTE component derivation.
+    */
+  private val dedupCorpusSql: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+      |edges AS (SELECT da AS a, db AS b FROM pairs
+      |          UNION ALL SELECT db, da FROM pairs),
+      |reach AS (
+      |  SELECT DISTINCT a AS id, a AS r FROM edges
+      |  UNION
+      |  SELECT e.a AS id, rc.r FROM edges e JOIN reach rc ON rc.id = e.b),
+      |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+      |dropped AS (SELECT id FROM comp WHERE id <> comp)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_corpus" -> dedupCorpusSql,
     "dedup_exact" ->
       """WITH aug AS (
         |  SELECT doc_id, text FROM documents

@@ -104,6 +104,23 @@ object GroupingQueries {
       .na.fill(0L)
       .orderBy("user_id")
 
+  /** Unpivot (melt): a wide per-brand aggregate back to (metric, value)
+    * rows via the native `unpivot` operator — the Expand-based inverse of
+    * [[qPivot]] (narrow: one input row fans to |metrics| output rows, no
+    * shuffle beyond the feeding aggregation).
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(
+        toDouble(sum(dec(col("p_retailprice")))).as("sum_retail"),
+        (sum(col("p_size")).cast("double") / count(lit(1))).as("avg_size"),
+        count(lit(1)).cast("double").as("n_parts"))
+      .unpivot(Array(col("p_brand")),
+        Array(col("sum_retail"), col("avg_size"), col("n_parts")),
+        "metric", "value")
+      .orderBy("p_brand", "metric")
+
   /** NULL-handling functions: nullif / coalesce / nvl2-shaped CASE,
     * null-aware counts, null-safe equality.
     */
@@ -138,10 +155,22 @@ object GroupingQueries {
     "q_percentiles" -> qPercentiles,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_pivot" -> qPivot,
+    "q_unpivot" -> qUnpivot,
     "q_nulls" -> qNulls,
     "q_setops" -> qSetops)
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT p_brand,
+        |    CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_retail,
+        |    CAST(SUM(p_size) AS DOUBLE) / COUNT(*) AS avg_size,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_parts
+        |  FROM part GROUP BY p_brand)
+        |SELECT p_brand, 'sum_retail' AS metric, sum_retail AS value FROM w
+        |UNION ALL SELECT p_brand, 'avg_size', avg_size FROM w
+        |UNION ALL SELECT p_brand, 'n_parts', n_parts FROM w
+        |ORDER BY p_brand, metric""".stripMargin,
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
