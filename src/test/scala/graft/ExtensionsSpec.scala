@@ -57,6 +57,24 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("planner strategy is injected: custom node plans without manual attach") {
+    withExtendedSession { ext =>
+      // build the logical node directly (no Bridge.ensureStrategy) — only
+      // the injected strategy can plan it
+      val df = Tables.t(ext, sf001, "orders")
+        .select("o_orderpriority", "o_orderkey")
+      val analyzed = df.queryExecution.analyzed
+      val a = analyzed.output.find(_.name == "o_orderpriority").get
+      val b = analyzed.output.find(_.name == "o_orderkey").get
+      val node = graft.plans.TopKPerGroupNode(Seq(a),
+        Seq(org.apache.spark.sql.catalyst.expressions.SortOrder(b,
+          org.apache.spark.sql.catalyst.expressions.Ascending)), 2, analyzed)
+      val out = org.apache.spark.sql.graftbridge.Bridge.ofRows(ext, node)
+      assert(out.count() == 10) // 5 priorities x k=2
+      assert(out.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    }
+  }
+
   test("flag on: count(DISTINCT x) plans and evaluates as the HLL sketch") {
     withExtendedSession { ext =>
       Tables.t(ext, sf001, "orders").createOrReplaceTempView("x_orders")

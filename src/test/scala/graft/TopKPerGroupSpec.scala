@@ -60,4 +60,29 @@ class TopKPerGroupSpec extends SparkSpec {
       TopKPerGroup(orders, Seq("nope"), Seq(("o_orderkey", true)), 1)
     }
   }
+
+  test("randomized window-equivalence (seeded corpora, ties included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 200 + rnd.nextInt(800)
+      val nGroups = 1 + rnd.nextInt(20)
+      val k = 1 + rnd.nextInt(7)
+      // small value domain on purpose: plenty of ties in the first sort
+      // key, so the id tiebreak is load-bearing
+      val data = (0 until n).map(i =>
+        (rnd.nextInt(nGroups).toLong, i.toLong, rnd.nextInt(10).toDouble))
+      val df = data.toDF("g", "id", "v").repartition(7)
+      val custom = TopKPerGroup(df, Seq("g"),
+        Seq("v" -> false, "id" -> true), k)
+      val w = Window.partitionBy(col("g"))
+        .orderBy(col("v").desc, col("id"))
+      val window = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+      assert(custom.exceptAll(window).count() == 0,
+        s"trial $trial (n=$n groups=$nGroups k=$k): extra rows")
+      assert(window.exceptAll(custom).count() == 0,
+        s"trial $trial (n=$n groups=$nGroups k=$k): missing rows")
+    }
+  }
 }
