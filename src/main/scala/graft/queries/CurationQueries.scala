@@ -38,11 +38,39 @@ object CurationQueries {
     Curation.splitStats(t(spark, dir, "documents"))
       .orderBy("split")
 
+  /** Column profile (the ANALYZE-style data-quality pass a pipeline runs
+    * before trusting a new drop): one aggregation pass computes row count,
+    * null count, distinct count, and min/max per profiled column, emitted
+    * long (one row per column). Exact distincts here because the oracle
+    * demands determinism; at 100 TB flip `spark.graft.approxDistinct
+    * .enabled` (see [[graft.plans.ApproxDistinctRewrite]]) and the same
+    * query plans as mergeable HLL sketches.
+    */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val cols = Seq("lang", "source", "text")
+    val wide = docs.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        count(when(col(c).isNull, 1)).as(s"nulls_$c"),
+        count_distinct(col(c)).as(s"distinct_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"))): _*)
+    val rows = cols.map(c => struct(lit(c).as("col_name"),
+      col("n_rows"), col(s"nulls_$c").as("n_nulls"),
+      col(s"distinct_$c").as("n_distinct"),
+      substring(col(s"min_$c"), 1, 16).as("min_prefix"),
+      substring(col(s"max_$c"), 1, 16).as("max_prefix")))
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack" -> textPack,
     "samp_stratified" -> sampStratified,
     "samp_hash" -> sampHash,
     "samp_split" -> sampSplit,
+    "q_profile" -> qProfile,
     "text_contaminate" -> textContaminate,
     "curate_stats" -> curateStats)
 
@@ -85,6 +113,27 @@ object CurationQueries {
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
         |  COUNT(DISTINCT lang) AS n_langs
         |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+    "q_profile" ->
+      """WITH p AS (
+        |  SELECT 'lang' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(CASE WHEN lang IS NULL THEN 1 END) AS n_nulls,
+        |    COUNT(DISTINCT lang) AS n_distinct,
+        |    substring(MIN(lang), 1, 16) AS min_prefix,
+        |    substring(MAX(lang), 1, 16) AS max_prefix
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', COUNT(*),
+        |    COUNT(CASE WHEN source IS NULL THEN 1 END),
+        |    COUNT(DISTINCT source),
+        |    substring(MIN(source), 1, 16), substring(MAX(source), 1, 16)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', COUNT(*),
+        |    COUNT(CASE WHEN text IS NULL THEN 1 END),
+        |    COUNT(DISTINCT text),
+        |    substring(MIN(text), 1, 16), substring(MAX(text), 1, 16)
+        |  FROM documents)
+        |SELECT * FROM p ORDER BY col_name""".stripMargin,
     "text_contaminate" ->
       s"""WITH ${DedupQueries.jaccardCtes},
         |b AS (SELECT id AS bench_doc, shingle FROM sh WHERE id % 50 = 0),
