@@ -57,25 +57,33 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression) =
+  private def fn(name: String, arity: Int, usage: String)
+                (builder: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
       new ExpressionInfo("graft", null, name, usage, ""),
-      builder)
+      (es: Seq[Expression]) => {
+        // arity-checked like every built-in: a wrong argument count must be
+        // an analysis-time error, not a NoSuchElementException from the
+        // builder
+        if (es.size != arity) throw new IllegalArgumentException(
+          s"$name expects $arity argument(s), got ${es.size}")
+        builder(es)
+      })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(fn("gunzip",
-      "gunzip(bytes) - gzip-decompress a binary column to a UTF-8 string") {
+    ext.injectFunction(fn("gunzip", 1,
+      "gunzip(bytes) - gzip-decompress a binary column (returns the decompressed bytes; CAST AS STRING for text)") {
       es => Gunzip(es.head) })
-    ext.injectFunction(fn("gzip",
-      "gzip(str) - gzip-compress a string column to binary") {
+    ext.injectFunction(fn("gzip", 1,
+      "gzip(bytes) - gzip-compress a binary column (strings implicit-cast)") {
       es => Gzip(es.head) })
-    ext.injectFunction(fn("simhash64",
+    ext.injectFunction(fn("simhash64", 1,
       "simhash64(tokens) - 64-bit SimHash of a token array") {
       es => SimHash64(es.head) })
-    ext.injectFunction(fn("rolling_hash",
+    ext.injectFunction(fn("rolling_hash", 1,
       "rolling_hash(str) - polynomial rolling hash fingerprint") {
       es => RollingHash(es.head) })
-    ext.injectFunction(fn("dot_product",
+    ext.injectFunction(fn("dot_product", 2,
       "dot_product(a, b) - sequential-accumulation double dot product") {
       es => DotProduct(es(0), es(1)) })
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)

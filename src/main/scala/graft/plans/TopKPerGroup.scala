@@ -50,10 +50,16 @@ object TopKPerGroup {
     // built with GraftExtensions already have it injected
     Bridge.ensureStrategy(spark, TopKPerGroupStrategy)
     val analyzed = df.queryExecution.analyzed
-    def attr(name: String): Attribute = analyzed.output
-      .find(_.name == name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no column '$name' in ${analyzed.output.map(_.name).mkString(", ")}"))
+    def attr(name: String): Attribute =
+      analyzed.output.filter(_.name == name) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"no column '$name' in ${analyzed.output.map(_.name).mkString(", ")}")
+        case _ => throw new IllegalArgumentException(
+          // same contract as an ambiguous col() reference — never silently
+          // bind the first of two same-named join outputs
+          s"ambiguous column '$name': multiple attributes match")
+      }
     val order = orderKeys.map { case (name, asc) =>
       SortOrder(attr(name), if (asc) Ascending else Descending)
     }

@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
 /** Stage-by-stage timing of the exact n-gram Jaccard pipeline at sf0.1. */
 object NgramProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val docs = graft.Tables.t(spark, dir, "documents")
+    // the benchmarked operator's own constants — a drift here would make
+    // the probe time a different pipeline than the one it attributes
+    val threshold = 0.6
+    val cut = graft.operators.Dedup.maxBucketSize
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -23,7 +28,7 @@ object NgramProbe {
     val sh = graft.operators.Dedup.shingles(docs, 3)
     time("shingles explode")(println(sh.count()))
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 1000)
+      .filter(col("df") <= cut)
     time("df agg + cut")(println(df.count()))
     val kept = sh.join(df, "shingle")
     time("kept join")(println(kept.count()))
@@ -31,7 +36,8 @@ object NgramProbe {
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
     val pre = kept.join(sizes, "id")
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= floor(lit(0.4) * col("n") + lit(1e-9)) + 1)
+      .filter(col("rn") <=
+        floor(lit(1.0 - threshold) * col("n") + lit(1e-9)) + 1)
       .select(col("id"), col("n"), col("rn"), col("shingle"))
     time("prefix window")(println(pre.count()))
     time("full query (cold caches)")(println(

@@ -21,11 +21,16 @@ object Bridge {
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 
   /** Idempotently attach a planner strategy to an existing session (for
-    * sessions not built with [[graft.plans.GraftExtensions]]).
+    * sessions not built with [[graft.plans.GraftExtensions]]). Synchronized
+    * on the session's ExperimentalMethods: the check-then-append is not
+    * atomic, and a lost concurrent append would fail later planning with
+    * "No plan for" the custom node.
     */
   def ensureStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[ClassicSession].experimental
-    if (!exp.extraStrategies.contains(s))
-      exp.extraStrategies = exp.extraStrategies :+ s
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(s))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
   }
 }

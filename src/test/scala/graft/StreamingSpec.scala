@@ -196,8 +196,9 @@ class StreamingSpec extends SparkSpec {
       val streamedSplits = spark.table("splits")
         .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
         .toMap
-      // batch recomputation assigns identical splits
-      val batch = Tables.t(spark, sf001, "documents").limit(40)
+      // batch recomputation over the SAME collected rows assigns identical
+      // splits (a second independent limit() could pick different rows)
+      val batch = docs.toSeq.toDF("doc_id", "text")
         .withColumn("split",
           when(md5(col("text")) < "c", "train")
             .when(md5(col("text")) < "e", "val").otherwise("test"))
