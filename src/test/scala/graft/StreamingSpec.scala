@@ -170,6 +170,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes errors to recent deploys only") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val errIn = MemoryStream[(String, java.sql.Timestamp, String)]
+    val depIn = MemoryStream[(String, java.sql.Timestamp, String)]
+    val joined = graft.streaming.StreamJoins.errorsNearDeploys(
+      errIn.toDF().toDF("function_name", "err_ts", "message"),
+      depIn.toDF().toDF("dep_function", "dep_ts", "version"))
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      depIn.addData(("fn-1", ts("2024-01-01 00:00:00"), "v2"))
+      errIn.addData(
+        ("fn-1", ts("2024-01-01 00:02:00"), "boom after deploy"), // inside
+        ("fn-1", ts("2024-01-01 00:09:00"), "too late"),          // > horizon
+        ("fn-2", ts("2024-01-01 00:02:00"), "other fn"))          // no deploy
+      q.processAllAvailable()
+      // advance both watermarks so join state can be finalized
+      depIn.addData(("fn-9", ts("2024-01-01 01:00:00"), "v9"))
+      errIn.addData(("fn-9", ts("2024-01-01 01:30:00"), "late heartbeat"))
+      q.processAllAvailable()
+      val rows = spark.table("attributed")
+        .select("function_name", "version", "message").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(rows == Set(("fn-1", "v2", "boom after deploy")), s"got $rows")
+    } finally q.stop()
+  }
+
   test("content-hash sampling/splitting is streaming-safe and batch-consistent") {
     // the curation decisions are pure per-row expressions (md5 thresholds),
     // so the SAME operator runs unchanged over a stream: no state, no
