@@ -156,6 +156,17 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3,
                         threshold: Double = 0.6): DataFrame = {
     val key = s"${docs.queryExecution.analyzed.semanticHash()}|k=$k|t=$threshold"
+    // the verified pair graph is tiny (O(duplicates)) and consumed by
+    // several downstream operators (clustering, corpus dedup) — cache the
+    // OUTPUT so each consumer doesn't re-run candidate generation + verify
+    graft.Caches.cached("dedup-pairs", key) {
+      ngramJaccardPairsUncached(docs, k, threshold)
+    }
+  }
+
+  private def ngramJaccardPairsUncached(docs: DataFrame, k: Int,
+                                        threshold: Double): DataFrame = {
+    val key = s"${docs.queryExecution.analyzed.semanticHash()}|k=$k|t=$threshold"
     val sh = keptShingles(docs, k)
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
     // cached: both join sides below consume it (Spark would otherwise run
