@@ -256,21 +256,29 @@ object Similarity {
   // -------------------------------------------------------------------------
 
   /** Per-table LSH signatures of a vector: one array<long> of `tables`
-    * entries, each packing `planes` sign bits. ALL hyperplanes live in ONE
-    * literal array-of-arrays (a single Literal node — round 1 inlined
-    * tables*planes*dim scalar literals, which exploded the generated code),
-    * and the whole signature set is computed in one transform pass.
+    * entries, each packing `planes` sign bits.
+    *
+    * Codegen note: each plane is its own `dotp(v, <array literal>)` column
+    * — one Literal node per plane (round 1 inlined tables*planes*dim SCALAR
+    * literals, which exploded the generated code; round 2 folded everything
+    * into one matrix literal + a `transform` HOF, which evaluates the dot
+    * products INTERPRETED and made the index build lose to the codegen'd
+    * brute-force scan it exists to beat). The per-plane columns keep the
+    * whole signature computation inside whole-stage codegen; bit packing is
+    * plain integer arithmetic (identical signature values to the HOF form:
+    * first plane = MSB).
     */
   private def signatures(v: Column, planes: Int, tables: Int,
                          dim: Int): Column = {
-    val mLit = typedlit((0 until tables * planes).map { i =>
-      (0 until dim).map(d => planeComponent(i / planes, i % planes, d))
-    })
-    val bits = transform(mLit, pl =>
-      when(dotp(v, pl) >= 0, lit(1L)).otherwise(lit(0L)))
-    transform(sequence(lit(0), lit(tables - 1)), t =>
-      aggregate(slice(bits, t * lit(planes) + 1, lit(planes)), lit(0L),
-        (acc, b) => acc * 2 + b))
+    val bit = (i: Int) => {
+      val plane = typedlit((0 until dim)
+        .map(d => planeComponent(i / planes, i % planes, d)))
+      when(dotp(v, plane) >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    array((0 until tables).map { t =>
+      (0 until planes).map(j => bit(t * planes + j) * (1L << (planes - 1 - j)))
+        .reduce(_ + _)
+    }: _*)
   }
 
   /** ANN top-k via multiprobe hyperplane LSH: candidates share a bucket
