@@ -188,8 +188,24 @@ object Similarity {
     val e = graft.Caches.cached("emb-vectors", embKey)(asDouble(emb))
     val cents = kmeansCentroids(e, nCells, iters)
     val corpus = graft.Caches.cached("ivf-index", key) {
-      e.select(element_at(bestCells(col("v"), cents, 1), 1).as("cell"),
-        col("vec_id").as("nid"), col("v").as("nv"), col("vn").as("nn"))
+      // corpus-side argmax as codegen'd per-cell dot columns + a when-chain
+      // (the transform/array_sort HOF form evaluates every dot interpreted
+      // — fine for the handful of probes, wasteful over the whole corpus).
+      // First index wins score ties, matching bestCells' array_position.
+      val scoreCols = cents.indices.map { c =>
+        val cn = math.sqrt(cents(c).foldLeft(0.0)((a, x) => a + x * x))
+        (dotp(col("v"), typedlit(cents(c))) / lit(cn)).as(s"s$c")
+      }
+      val scored = e.select(
+        (Seq(col("vec_id").as("nid"), col("v").as("nv"), col("vn").as("nn"))
+          ++ scoreCols): _*)
+      val mx = greatest(cents.indices.map(c => col(s"s$c")): _*)
+      // long-typed to match the probe side's array_position-derived cells
+      val cell = cents.indices.tail.foldLeft(
+          when(col("s0") === mx, lit(0L))) { (w, c) =>
+        w.when(col(s"s$c") === mx, lit(c.toLong))
+      }
+      scored.select(cell.as("cell"), col("nid"), col("nv"), col("nn"))
     }
     val probes = e.filter(probeFilter)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"),
