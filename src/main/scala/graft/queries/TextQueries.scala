@@ -72,7 +72,20 @@ object TextQueries {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** Resize plumbing over the image subset: metadata update + the stub
+    * kernel's area-ratio byte accounting (truncating toward zero, like any
+    * size estimate). A real decoder swap changes no plan shape.
+    */
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resize(
+        Multimodal.manifest(t(spark, dir, "documents"))
+          .filter(col("mime") === "image/png"), w = 320, h = 240)
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        col("n_bytes"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_resize" -> mmResize,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_tokens" -> textTokens,
@@ -82,6 +95,21 @@ object TextQueries {
     "mm_frame_sample" -> mmFrameSample)
 
   val oracles: Map[String, String] = Map(
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    n_chars % 640 AS src_w, doc_id % 480 AS src_h,
+        |    length(text) AS len
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |r AS (
+        |  SELECT doc_id, len,
+        |    LEAST(CAST(1 AS DOUBLE),
+        |      CAST(320 * 240 AS DOUBLE) / GREATEST(1, src_w * src_h)) AS ratio
+        |  FROM m)
+        |SELECT doc_id, 'image/png' AS mime,
+        |  CAST(320 AS INT) AS width, CAST(240 AS INT) AS height,
+        |  GREATEST(1, CAST(floor(len * ratio) AS BIGINT)) AS n_bytes
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """WITH q AS (
         |  SELECT doc_id,
