@@ -16,6 +16,9 @@ import org.apache.spark.storage.StorageLevel
   * disappear too.
   */
 object Caches {
+  // MEMORY_AND_DISK measured equivalent to _SER / DISK_ONLY here (the
+  // columnar-batch build dominates persist cost, reread ~0.1s at sf0.1
+  // for all levels — tools.CacheLevelProbe), so keep the default level.
   private val live =
     scala.collection.mutable.Map.empty[String, (String, DataFrame)]
 
