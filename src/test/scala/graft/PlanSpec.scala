@@ -85,6 +85,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("contamination candidates come from the shingle index: no nested loops") {
+    val p = plan(graft.operators.Curation.contamination(
+      Tables.t(spark, sf001, "documents"), col("id") % 50 === 0))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination must join on the shingle, never doc x doc:\n$p")
+  }
+
+  test("sequence packing is shard-local: the window partitions by shard") {
+    val df = graft.operators.Curation.packSequences(
+      Tables.t(spark, sf001, "documents"))
+    val p = plan(df)
+    assert(p.contains("Window"), s"expected a window pass:\n$p")
+    // one clustering exchange on the shard key feeds both the running
+    // offset and (map-side combined) the final per-(shard,seq) aggregate
+    assert("hashpartitioning\\(shard".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+  }
+
   test("correlated EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
     val p = plan(RelationalQueries.qExistsSubquery(spark, sf001))
     assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
