@@ -117,6 +117,31 @@ object JoinQueries {
       .select("l_orderkey", "l_linenumber")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Source-format round-trip: the nation table written to CSV, ORC, and
+    * JSON-lines and read back through the corresponding engine readers
+    * (schema-on-read for CSV/JSON — the header/inference path a real
+    * ingest hits). The oracle reads only the original parquet, so a hash
+    * match proves each format round-trips losslessly through the engine.
+    */
+  def qSourceFormats(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    nation.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    nation.write.mode("overwrite").orc(s"$base/orc")
+    nation.write.mode("overwrite").json(s"$base/json")
+    val csv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$base/csv")
+    val orc = spark.read.orc(s"$base/orc")
+    val json = spark.read.json(s"$base/json")
+      .select("n_nationkey", "n_name", "n_regionkey") // json sorts columns
+    def tag(df: org.apache.spark.sql.DataFrame, fmt: String) =
+      df.select(lit(fmt).as("fmt"), col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+    tag(csv, "csv").unionByName(tag(orc, "orc")).unionByName(tag(json, "json"))
+      .orderBy("fmt", "n_nationkey")
+  }
+
   /** Skew-aware salted join (graft.operators.Skew): result must equal the
     * plain join — the oracle IS the plain join SQL, so the equivalence is
     * hash-proven by the driver's gate.
@@ -137,6 +162,7 @@ object JoinQueries {
     "q_range_join" -> qRangeJoin,
     "q_asof_join" -> qAsofJoin,
     "q_interval_join" -> qIntervalJoin,
+    "q_source_formats" -> qSourceFormats,
     "q_scan_pushdown" -> qScanPushdown)
 
   val oracles: Map[String, String] = Map(
@@ -176,5 +202,10 @@ object JoinQueries {
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_returnflag = 'R' AND l_quantity = 25.0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_source_formats" ->
+      """SELECT fmt, CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM (SELECT unnest(['csv', 'orc', 'json']) AS fmt) f, nation
+        |ORDER BY fmt, n_nationkey""".stripMargin)
 }
