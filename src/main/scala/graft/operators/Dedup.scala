@@ -160,13 +160,13 @@ object Dedup {
     // several downstream operators (clustering, corpus dedup) — cache the
     // OUTPUT so each consumer doesn't re-run candidate generation + verify
     graft.Caches.cached("dedup-pairs", key) {
-      ngramJaccardPairsUncached(docs, k, threshold)
+      ngramJaccardPairsUncached(docs, k, threshold, key)
     }
   }
 
-  private def ngramJaccardPairsUncached(docs: DataFrame, k: Int,
-                                        threshold: Double): DataFrame = {
-    val key = s"${docs.queryExecution.analyzed.semanticHash()}|k=$k|t=$threshold"
+  private[graft] def ngramJaccardPairsUncached(docs: DataFrame, k: Int,
+                                               threshold: Double,
+                                               key: String): DataFrame = {
     val sh = keptShingles(docs, k)
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
     // cached: both join sides below consume it (Spark would otherwise run

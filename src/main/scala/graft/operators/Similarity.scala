@@ -199,12 +199,18 @@ object Similarity {
       val scored = e.select(
         (Seq(col("vec_id").as("nid"), col("v").as("nv"), col("vn").as("nn"))
           ++ scoreCols): _*)
-      val mx = greatest(cents.indices.map(c => col(s"s$c")): _*)
-      // long-typed to match the probe side's array_position-derived cells
-      val cell = cents.indices.tail.foldLeft(
-          when(col("s0") === mx, lit(0L))) { (w, c) =>
-        w.when(col(s"s$c") === mx, lit(c.toLong))
-      }
+      // long-typed to match the probe side's array_position-derived cells;
+      // greatest() needs >= 2 args, so the degenerate one-cell index is a
+      // constant assignment
+      val cell =
+        if (cents.size == 1) lit(0L)
+        else {
+          val mx = greatest(cents.indices.map(c => col(s"s$c")): _*)
+          cents.indices.tail.foldLeft(
+              when(col("s0") === mx, lit(0L))) { (w, c) =>
+            w.when(col(s"s$c") === mx, lit(c.toLong))
+          }
+        }
       scored.select(cell.as("cell"), col("nid"), col("nv"), col("nn"))
     }
     val probes = e.filter(probeFilter)

@@ -126,7 +126,11 @@ object JoinQueries {
   def qSourceFormats(spark: SparkSession, dir: String): DataFrame = {
     val nation = t(spark, dir, "nation")
       .select("n_nationkey", "n_name", "n_regionkey")
-    val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    // fixed per-input staging dir, overwritten each run — repeated
+    // Verify/Bench invocations must not accrete temp copies. The writes
+    // are eager on purpose: the round-trip IS the operator under test.
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-fmt-" +
+      s"${math.abs(dir.hashCode)}"
     nation.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
     nation.write.mode("overwrite").orc(s"$base/orc")
     nation.write.mode("overwrite").json(s"$base/json")

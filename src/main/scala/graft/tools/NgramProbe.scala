@@ -42,8 +42,14 @@ object NgramProbe {
     time("prefix window")(println(pre.count()))
     time("full query (cold caches)")(println(
       graft.operators.Dedup.ngramJaccardPairs(docs, 3, 0.6).count()))
-    time("full query (warm caches)")(println(
-      graft.operators.Dedup.ngramJaccardPairs(docs, 3, 0.6).count()))
+    // the public entry caches its OUTPUT, so re-time the uncached body —
+    // this is the warm-pipeline (candidate-gen + verify) cost the probe
+    // exists to attribute; the public re-call would just reread the cache
+    val realKey =
+      s"${docs.queryExecution.analyzed.semanticHash()}|k=3|t=$threshold"
+    time("pipeline re-run (warm idx)")(println(
+      graft.operators.Dedup.ngramJaccardPairsUncached(docs, 3, threshold,
+        realKey).count()))
     spark.stop()
   }
 }
