@@ -128,8 +128,23 @@ object Curation {
     * Scale: reuses the SAME df-cut inverted shingle index as the near-dup
     * family ([[Dedup.keptShingles]] — cached, document-frequency-bounded
     * posting lists), so candidate generation is a bounded-key join on the
-    * shingle, never a doc x doc comparison; overlap counting is one
-    * pair-keyed aggregation over posting-list hits.
+    * shingle, never a doc x doc comparison. Overlap counting follows the
+    * dedup family's candidate-verify shape: the posting join only yields
+    * DISTINCT (bench, corpus) candidate pairs, and the overlap is computed
+    * in-row as `array_intersect` against the cached per-doc sorted shingle
+    * arrays — no per-hit row ever crosses a shuffle into a pair-keyed
+    * aggregation (the r3 plan pushed one row per (bench, corpus, shingle)
+    * HIT through the pair aggregation and cost 3x the strictly-harder LSH
+    * query).
+    *
+    * Recall caveat (inherent to the shared df-cut index): shingles appearing
+    * in more than [[Dedup.maxBucketSize]] documents are excluded from both
+    * candidate generation and overlap counting, and `bench_n` counts the
+    * KEPT shingle set — so recall degrades for benchmark text that is
+    * already heavily replicated across the corpus. That trade is what makes
+    * the screen run at 100 TB; for a small FIXED benchmark set where the
+    * bench side must keep full recall, use [[contaminationAgainst]] (uncut
+    * bench-side shingles, broadcast).
     */
   def contamination(docs: DataFrame, benchFilter: Column, k: Int = 3,
                     minOverlap: Int = 5): DataFrame = {
@@ -138,14 +153,58 @@ object Curation {
       .select(col("id").as("bench_doc"), col("shingle"))
     val corpus = sh.filter(!benchFilter)
       .select(col("id").as("corpus_doc"), col("shingle"))
-    val benchSizes = bench.groupBy(col("bench_doc"))
-      .agg(count(lit(1)).as("bench_n"))
-    bench.join(corpus, "shingle")
-      .groupBy(col("bench_doc"), col("corpus_doc"))
-      .agg(count(lit(1)).as("overlap"))
+    val cand = bench.join(corpus, "shingle")
+      .select(col("bench_doc"), col("corpus_doc")).distinct()
+    val arrays = Dedup.docShingleArrays(docs, k)
+    cand
+      .join(arrays.select(col("id").as("bench_doc"), col("sa").as("xa"),
+        col("n").as("bench_n")), "bench_doc")
+      .join(arrays.select(col("id").as("corpus_doc"), col("sa").as("xb")),
+        "corpus_doc")
+      .withColumn("overlap", size(array_intersect(col("xa"), col("xb"))))
       .filter(col("overlap") >= minOverlap)
-      .join(benchSizes, "bench_doc")
       .select(col("bench_doc"), col("corpus_doc"), col("overlap"),
+        (col("overlap").cast("double") / col("bench_n")).as("bench_frac"))
+  }
+
+  /** Contamination screen against a FIXED benchmark table — the realistic
+    * production shape: `bench` is a small held-out frame (`bench_id`,
+    * `text`), e.g. an eval set's questions, screened against the full
+    * corpus.
+    *
+    * Unlike [[contamination]]'s corpus-internal slice, the bench side here
+    * is shingled UNCUT (full bench-side recall — heavily-replicated
+    * benchmark text is exactly what a leakage screen must not miss) and
+    * BROADCAST: per-bench-doc shingle arrays and exploded postings are both
+    * benchmark-sized, so candidate generation is a broadcast hash join
+    * against the corpus's df-cut posting lists and nothing benchmark-shaped
+    * ever drives a shuffle. The corpus side reuses the shared near-dup
+    * index; its df-cut only drops shingles that are stop-phrases across the
+    * CORPUS (>[[Dedup.maxBucketSize]] docs), which cannot carry a specific
+    * benchmark sentence's identity.
+    *
+    * `bench_n` is the bench doc's FULL distinct shingle count (uncut), so
+    * `bench_frac` is an honest contaminated-fraction of the benchmark text.
+    */
+  def contaminationAgainst(docs: DataFrame, bench: DataFrame, k: Int = 3,
+                           minOverlap: Int = 5): DataFrame = {
+    import graft.functions.gcolumns.word_shingles
+    val bArrays = bench.select(col("bench_id"),
+        sort_array(word_shingles(col("text"), k)).as("ba"))
+      .withColumn("bench_n", size(col("ba")))
+    val bPostings = bArrays
+      .select(col("bench_id"), explode(col("ba")).as("shingle"))
+    val corpus = Dedup.keptShingles(docs, k)
+      .select(col("id").as("corpus_doc"), col("shingle"))
+    val cand = corpus.join(broadcast(bPostings), "shingle")
+      .select(col("bench_id"), col("corpus_doc")).distinct()
+    val cArrays = Dedup.docShingleArrays(docs, k)
+      .select(col("id").as("corpus_doc"), col("sa").as("ca"))
+    cand.join(cArrays, "corpus_doc")
+      .join(broadcast(bArrays), "bench_id")
+      .withColumn("overlap", size(array_intersect(col("ba"), col("ca"))))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("bench_id"), col("corpus_doc"), col("overlap"),
         (col("overlap").cast("double") / col("bench_n")).as("bench_frac"))
   }
 

@@ -96,7 +96,7 @@ object Dedup {
     * broadcast-sized joins instead of a posting-list explosion. Cached with
     * the other shingle-index frames (one row per doc ≪ one per posting).
     */
-  private def docShingleArrays(docs: DataFrame, k: Int): DataFrame = {
+  private[operators] def docShingleArrays(docs: DataFrame, k: Int): DataFrame = {
     val key = s"${docs.queryExecution.analyzed.semanticHash()}|k=$k"
     graft.Caches.cached("dedup-shingle-arrays", key) {
       keptShingles(docs, k).groupBy(col("id"))

@@ -30,6 +30,23 @@ object CurationQueries {
         benchFilter = col("id") % 50 === 0, k = 3, minOverlap = 3)
       .orderBy("bench_doc", "corpus_doc")
 
+  /** Contamination against a FIXED held-out benchmark frame — the realistic
+    * screen shape (small bench side, broadcast; see
+    * [[Curation.contaminationAgainst]]). The benchmark here is derived as
+    * 40-word excerpts of a deterministic document slice — the classic
+    * "eval question quoted from a crawled page" leakage pattern, so the
+    * screen is guaranteed genuine hits (the excerpt's source page at
+    * minimum).
+    */
+  def textContaminateBench(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"),
+        array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+    Curation.contaminationAgainst(docs, bench, k = 3, minOverlap = 3)
+      .orderBy("bench_id", "corpus_doc")
+  }
+
   def curateStats(spark: SparkSession, dir: String): DataFrame =
     Curation.curatedStats(t(spark, dir, "documents"))
       .orderBy("lang", "source")
@@ -72,6 +89,7 @@ object CurationQueries {
     "samp_split" -> sampSplit,
     "q_profile" -> qProfile,
     "text_contaminate" -> textContaminate,
+    "text_contaminate_bench" -> textContaminateBench,
     "curate_stats" -> curateStats)
 
   val oracles: Map[String, String] = Map(
@@ -145,6 +163,23 @@ object CurationQueries {
         |  CAST(overlap AS DOUBLE) / bench_n AS bench_frac
         |FROM ov JOIN bs USING (bench_doc) WHERE overlap >= 3
         |ORDER BY bench_doc, corpus_doc""".stripMargin,
+    "text_contaminate_bench" ->
+      s"""WITH ${DedupQueries.jaccardCtes},
+        |b0 AS (SELECT doc_id AS bench_id,
+        |         array_to_string(string_split(text, ' ')[1:40], ' ') AS btext
+        |       FROM documents WHERE doc_id % 97 = 0),
+        |btok AS (SELECT bench_id, string_split(btext, ' ') AS toks FROM b0),
+        |bidx AS (SELECT bench_id, toks,
+        |           unnest(generate_series(1, len(toks)-2)) AS i FROM btok),
+        |bsh AS (SELECT DISTINCT bench_id,
+        |          array_to_string(toks[i:i+2], ' ') AS shingle FROM bidx),
+        |bn AS (SELECT bench_id, COUNT(*) AS bench_n FROM bsh GROUP BY 1),
+        |ov AS (SELECT bench_id, s.id AS corpus_doc, COUNT(*) AS overlap
+        |       FROM bsh b JOIN sh s ON b.shingle = s.shingle GROUP BY 1, 2)
+        |SELECT bench_id, corpus_doc, overlap,
+        |  CAST(overlap AS DOUBLE) / bench_n AS bench_frac
+        |FROM ov JOIN bn USING (bench_id) WHERE overlap >= 3
+        |ORDER BY bench_id, corpus_doc""".stripMargin,
     "curate_stats" ->
       """WITH q AS (
         |  SELECT doc_id, lang, source, text,

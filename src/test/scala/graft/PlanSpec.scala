@@ -93,6 +93,19 @@ class PlanSpec extends SparkSpec {
       s"contamination must join on the shingle, never doc x doc:\n$p")
   }
 
+  test("fixed-benchmark contamination broadcasts the bench side") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"),
+        array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+    val p = plan(graft.operators.Curation.contaminationAgainst(docs, bench))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench side must broadcast, never drive a shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the shingle join:\n$p")
+  }
+
   test("sequence packing is shard-local: the window partitions by shard") {
     val df = graft.operators.Curation.packSequences(
       Tables.t(spark, sf001, "documents"))
