@@ -62,20 +62,23 @@ object Curation {
     * per stratum in md5(text) order (content-hash order ≙ a uniform draw,
     * but reproducible and engine-independent; ties broken by id).
     *
-    * Scale: one shuffle on the stratum key. A stratum is a language/source
-    * bucket — thousands of values at most — so the per-stratum top-N is the
-    * classic skewed-window risk; for a quota ≪ stratum size, replace the
-    * full window with a per-partition pre-top-N (partial top-N combine,
-    * same result, bounded memory) — at this quota scale the window's sort
-    * spills safely either way.
+    * Scale: one shuffle on the stratum key, and the per-stratum quota runs
+    * through the bounded-heap [[graft.plans.TopKPerGroupExec]] — O(strata x
+    * quota) state, NO full per-stratum sort (the previous row_number window
+    * sorted every stratum's millions of rows to keep a few hundred — the
+    * classic skewed-window cost its own doc warned about). The residual
+    * `rn` window then ranks only the <= quota survivors per stratum.
     */
   def stratifiedSample(docs: DataFrame, perStratum: Int,
                        stratumCol: String = "lang",
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(textCol)), col(idCol))
-    docs.withColumn("rn", row_number().over(w))
+    val slim = docs.select(col(stratumCol), col(idCol),
+      md5(col(textCol)).as("h"))
+    val topk = graft.plans.TopKPerGroup(slim, Seq(stratumCol),
+      Seq("h" -> true, idCol -> true), perStratum)
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("h"), col(idCol))
+    topk.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= perStratum)
       .select(col(stratumCol), col("rn"), col(idCol))
   }

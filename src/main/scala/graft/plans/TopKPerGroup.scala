@@ -22,25 +22,47 @@ import org.apache.spark.sql.graftbridge.Bridge
   * group only to discard all but k: at 100 TB that is the single largest
   * avoidable cost in every "top-k neighbors / top-k errors per function /
   * top-k terms per doc" query. This operator keeps one bounded heap per
-  * group per partition — O(groups x k) memory, no sort, no spill — after
-  * the same clustering exchange the window plan needs (the exchange is
-  * demanded via requiredChildDistribution, so Catalyst/AQE place and reuse
-  * it like any other).
+  * group per partition after the same clustering exchange the window plan
+  * needs (the exchange is demanded via requiredChildDistribution, so
+  * Catalyst/AQE place and reuse it like any other).
+  *
+  * Memory contract (heap mode, the default): O(groups-per-partition x k)
+  * row copies on the JVM heap, OUTSIDE Spark's task memory manager — no
+  * sort, no spill. That is the right trade when groups-per-partition x k
+  * rows fit in task memory (probe batches, per-function error buckets,
+  * per-stratum quotas). It is the WRONG trade for very-high-cardinality
+  * group keys (e.g. top-k per order over billions of orders): there, set
+  * `spark.graft.topk.sortBased=true` and the operator instead demands a
+  * child sort on (group, order) and streams first-k-per-group in O(1)
+  * state — the sort is Spark's own spill-safe SortExec, so memory stays
+  * bounded at any cardinality (the window plan's safety, minus the window).
+  * Heap mode additionally fail-fasts with a clear message when a partition
+  * exceeds `spark.graft.topk.maxHeapGroups` distinct groups (default 4M)
+  * instead of dying with an opaque executor OOM.
   *
   * Spark's own TakeOrderedAndProject does exactly this for GLOBAL top-k;
   * this is the per-group generalization.
   */
 object TopKPerGroup {
 
+  val sortBasedKey = "spark.graft.topk.sortBased"
+  val maxHeapGroupsKey = "spark.graft.topk.maxHeapGroups"
+
   /** The k best rows of `df` per `groupCols` group under `orderKeys`
-    * ((column, ascending) pairs; the FIRST sort key wins, ties fall to the
-    * later keys — callers give a TOTAL order for deterministic output, the
-    * same contract as every presentation sort in this engine). Output
-    * schema = input schema.
+    * ((column, ascending) pairs). Output schema = input schema.
     *
-    * Columns are resolved by name against the analyzed child — the node is
-    * built fully resolved, so it flows through optimization as a plain
-    * barrier (no custom analysis rule needed).
+    * `orderKeys` MUST form a TOTAL order within each group — end with a
+    * unique key (an id), like every presentation sort in this engine. Under
+    * ties at the k-th position the kept rows are otherwise unspecified and
+    * may differ from the `row_number` window plan (which itself keeps an
+    * arbitrary k among ties); there is no runtime guard, the contract lives
+    * here at the call boundary.
+    *
+    * Columns are resolved by name against the analyzed child using the
+    * session's resolver (case-insensitive under the default
+    * `spark.sql.caseSensitive=false`, like `col()`); the node is built
+    * fully resolved, so it flows through optimization as a plain barrier
+    * (no custom analysis rule needed).
     */
   def apply(df: DataFrame, groupCols: Seq[String],
             orderKeys: Seq[(String, Boolean)], k: Int): DataFrame = {
@@ -50,8 +72,9 @@ object TopKPerGroup {
     // built with GraftExtensions already have it injected
     Bridge.ensureStrategy(spark, TopKPerGroupStrategy)
     val analyzed = df.queryExecution.analyzed
+    val resolve = Bridge.resolver(spark)
     def attr(name: String): Attribute =
-      analyzed.output.filter(_.name == name) match {
+      analyzed.output.filter(a => resolve(a.name, name)) match {
         case Seq(a) => a
         case Seq() => throw new IllegalArgumentException(
           s"no column '$name' in ${analyzed.output.map(_.name).mkString(", ")}")
@@ -63,8 +86,9 @@ object TopKPerGroup {
     val order = orderKeys.map { case (name, asc) =>
       SortOrder(attr(name), if (asc) Ascending else Descending)
     }
+    val sortBased = spark.conf.get(sortBasedKey, "false").toBoolean
     Bridge.ofRows(spark,
-      TopKPerGroupNode(groupCols.map(attr), order, k, analyzed))
+      TopKPerGroupNode(groupCols.map(attr), order, k, sortBased, analyzed))
   }
 }
 
@@ -73,6 +97,7 @@ object TopKPerGroup {
   */
 case class TopKPerGroupNode(groupExprs: Seq[Expression],
                             order: Seq[SortOrder], k: Int,
+                            sortBased: Boolean,
                             child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -83,22 +108,29 @@ case class TopKPerGroupNode(groupExprs: Seq[Expression],
 /** Plans [[TopKPerGroupNode]] onto [[TopKPerGroupExec]]. */
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case TopKPerGroupNode(g, o, k, sb, child) =>
+      TopKPerGroupExec(g, o, k, sb, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
-/** Physical grouped top-k: one bounded binary heap per group per partition.
+/** Physical grouped top-k. Two modes (see [[TopKPerGroup]] memory
+  * contract):
   *
-  * Requires clustering on the group key (EnsureRequirements inserts the
-  * hash exchange — or elides it when the child is already co-partitioned,
-  * e.g. bucketed input) but NO child ordering: that is the point — rows
-  * stream through once, each compared against its group's current k-th
-  * best in O(log k).
+  *  - heap (default): one bounded binary heap per group per partition.
+  *    Requires clustering on the group key (EnsureRequirements inserts the
+  *    hash exchange — or elides it when the child is already
+  *    co-partitioned, e.g. bucketed input) but NO child ordering: rows
+  *    stream through once, each compared against its group's current k-th
+  *    best in O(log k).
+  *  - sortBased: additionally demands child ordering on (group, order) —
+  *    Spark's spill-safe SortExec supplies it — and streams the first k
+  *    rows of each group in O(1) state. Same output, bounded memory at any
+  *    group cardinality.
   */
 case class TopKPerGroupExec(groupExprs: Seq[Expression],
                             order: Seq[SortOrder], k: Int,
+                            sortBased: Boolean,
                             child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -107,38 +139,68 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
     if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (sortBased)
+      Seq(groupExprs.map(SortOrder(_, Ascending)) ++ order)
+    else Seq(Nil)
+
   override protected def doExecute(): RDD[InternalRow] = {
     val boundOrder = order
     val childOutput = child.output
     val groupE = groupExprs
     val limit = k
-    child.execute().mapPartitions({ iter =>
-      // codegen'd comparator over the declared sort order
-      val ordering = RowOrdering.create(boundOrder, childOutput)
-      val keyProj = UnsafeProjection.create(groupE, childOutput)
-      // PriorityQueue dequeues the MAX under `ordering` = the worst kept
-      // row; LinkedHashMap keeps first-seen group order (deterministic
-      // within the partitioning, like any hash aggregate's output)
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow,
-        mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row) // reused buffer: copy only on first sight
-        val heap = heaps.getOrElse(key, {
-          val h = mutable.PriorityQueue.empty[InternalRow](ordering)
-          heaps.put(key.copy(), h)
-          h
-        })
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+    if (sortBased) {
+      // child arrives (group, order)-sorted: emit the first k per group
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(groupE, childOutput)
+        var current: UnsafeRow = null
+        var n = 0
+        iter.filter { row =>
+          val key = keyProj(row)
+          if (current == null || key != current) { current = key.copy(); n = 0 }
+          n += 1
+          n <= limit
         }
-      }
-      // emit each group's survivors in sort order (dequeue = worst-first)
-      heaps.iterator.flatMap { case (_, h) =>
-        h.dequeueAll.reverseIterator
-      }
-    }, preservesPartitioning = true)
+      }, preservesPartitioning = true)
+    } else {
+      val maxGroups = conf.getConfString(TopKPerGroup.maxHeapGroupsKey,
+        (4 * 1024 * 1024).toString).toLong
+      child.execute().mapPartitions({ iter =>
+        // codegen'd comparator over the declared sort order
+        val ordering = RowOrdering.create(boundOrder, childOutput)
+        val keyProj = UnsafeProjection.create(groupE, childOutput)
+        // PriorityQueue dequeues the MAX under `ordering` = the worst kept
+        // row; LinkedHashMap keeps first-seen group order (deterministic
+        // within the partitioning, like any hash aggregate's output)
+        val heaps = mutable.LinkedHashMap.empty[UnsafeRow,
+          mutable.PriorityQueue[InternalRow]]
+        iter.foreach { row =>
+          val key = keyProj(row) // reused buffer: copy only on first sight
+          val heap = heaps.getOrElse(key, {
+            if (heaps.size >= maxGroups)
+              // fail fast with guidance instead of an opaque executor OOM:
+              // the heap state is off-manager JVM memory with no spill path
+              throw new IllegalStateException(
+                s"TopKPerGroup: > $maxGroups groups in one partition; " +
+                  s"set ${TopKPerGroup.sortBasedKey}=true for " +
+                  "high-cardinality group keys (bounded-memory sort mode) " +
+                  s"or raise ${TopKPerGroup.maxHeapGroupsKey}")
+            val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+            heaps.put(key.copy(), h)
+            h
+          })
+          if (heap.size < limit) heap.enqueue(row.copy())
+          else if (ordering.compare(row, heap.head) < 0) {
+            heap.dequeue()
+            heap.enqueue(row.copy())
+          }
+        }
+        // emit each group's survivors in sort order (dequeue = worst-first)
+        heaps.iterator.flatMap { case (_, h) =>
+          h.dequeueAll.reverseIterator
+        }
+      }, preservesPartitioning = true)
+    }
   }
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerGroupExec =

@@ -197,7 +197,10 @@ object BulkSink {
            bulkSize: Int, transport: Option[BulkTransport] = None): Unit = {
     val wire = batch.select(
       LogPipeline.wireJson(batch).as("doc"),
-      col("severity"))
+      // the `_bulk` action line is built by to_json as well — severity is a
+      // closed enum today, but a hand-interpolated value would be one schema
+      // change away from malformed NDJSON (quotes/newlines in the field)
+      to_json(struct(struct(col("severity")).as("index"))).as("action"))
     // persist: the empty-probe and the write would otherwise re-execute the
     // whole decode pipeline (and double-count the observe() metrics)
     wire.persist()
@@ -232,11 +235,11 @@ object BulkSink {
     } finally wire.unpersist()
   }
 
-  /** One bulk POST body: NDJSON of (severity-tagged) docs — the
+  /** One bulk POST body: NDJSON of (action, doc) line pairs — the
     * Elasticsearch `_bulk` shape the reference's logsene-js buffer emits.
+    * Both lines arrive pre-serialized by to_json (see [[ship]]), so every
+    * field value is JSON-escaped by construction.
     */
   private def bulkBody(chunk: Seq[(String, String)]): String =
-    chunk.map { case (doc, severity) =>
-      s"""{"index":{"severity":"$severity"}}\n$doc"""
-    }.mkString("\n")
+    chunk.map { case (doc, action) => s"$action\n$doc" }.mkString("\n")
 }

@@ -47,13 +47,17 @@ final case class RateSourceAdapter(rowsPerSecond: Int = 1000)
   * (stream name + endpoint, `startingPosition` ≙ serverless.yml:31 LATEST,
   * per-fetch record cap ≙ serverless.yml:30 batchSize). The connector
   * emits `data` as the raw record bytes — Kinesis itself base64-decodes on
-  * the wire — so the adapter re-encodes to base64 to present the exact
-  * envelope the Lambda handler saw (shipper.js:122 decodes it back; the
-  * shim keeps every downstream operator byte-identical across adapters).
+  * the wire — so [[KinesisSourceAdapter.normalize]] re-encodes to base64 to
+  * present the exact envelope the Lambda handler saw (shipper.js:122
+  * decodes it back; the shim keeps every downstream operator byte-identical
+  * across adapters).
   *
   * The connector jar is not in this zero-egress build, so constructing the
   * reader throws at `load()` unless `spark-sql-kinesis` is on the
-  * classpath; the option mapping below is the complete, tested-shape seam.
+  * classpath. The normalization half of the contract IS testable without
+  * it: StreamingSpec replays a [[KinesisSourceAdapter.connectorSchema]]-
+  * shaped MemoryStream through [[KinesisSourceAdapter.normalize]] and the
+  * full shipper pipeline, network-free.
   */
 final case class KinesisSourceAdapter(streamName: String,
                                       awsRegion: String,
@@ -61,12 +65,36 @@ final case class KinesisSourceAdapter(streamName: String,
                                       maxRecordsPerFetch: Int = 1000)
     extends SourceAdapter {
   override def records(spark: SparkSession): DataFrame =
-    spark.readStream.format("kinesis")
-      .option("streamName", streamName)
-      .option("region", awsRegion)
-      .option("endpointUrl", s"https://kinesis.$awsRegion.amazonaws.com")
-      .option("startingPosition", startingPosition)
-      .option("maxFetchRecordsPerShard", maxRecordsPerFetch.toString)
-      .load()
-      .select(base64(col("data")).as("data"), lit(awsRegion).as("region"))
+    KinesisSourceAdapter.normalize(
+      spark.readStream.format("kinesis")
+        .option("streamName", streamName)
+        .option("region", awsRegion)
+        .option("endpointUrl", s"https://kinesis.$awsRegion.amazonaws.com")
+        .option("startingPosition", startingPosition)
+        .option("maxFetchRecordsPerShard", maxRecordsPerFetch.toString)
+        .load(),
+      awsRegion)
+}
+
+object KinesisSourceAdapter {
+  import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType, TimestampType}
+
+  /** The connector's output schema contract (spark-sql-kinesis): raw record
+    * bytes + stream/shard bookkeeping. The contract test builds exactly
+    * this shape.
+    */
+  val connectorSchema: StructType = StructType(Seq(
+    StructField("data", BinaryType),
+    StructField("streamName", StringType),
+    StructField("partitionKey", StringType),
+    StructField("sequenceNumber", StringType),
+    StructField("approximateArrivalTimestamp", TimestampType)))
+
+  /** Connector frame -> [[ShipperStream.recordSchema]]: re-encode the raw
+    * bytes to base64 (the Lambda-event presentation, shipper.js:121-122)
+    * and stamp the region the reader was built for.
+    */
+  def normalize(connector: DataFrame, awsRegion: String): DataFrame =
+    connector.select(base64(col("data")).as("data"),
+      lit(awsRegion).as("region"))
 }

@@ -25,12 +25,26 @@ object Bridge {
     * on the session's ExperimentalMethods: the check-then-append is not
     * atomic, and a lost concurrent append would fail later planning with
     * "No plan for" the custom node.
+    *
+    * The presence check consults the planner's FULL strategy list, which
+    * includes extension-injected strategies — a session built with
+    * GraftExtensions must not accrete a duplicate registration per call
+    * (harmless for results, redundant planner work).
     */
   def ensureStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
-    val exp = spark.asInstanceOf[ClassicSession].experimental
+    val cs = spark.asInstanceOf[ClassicSession]
+    val exp = cs.experimental
     exp.synchronized {
-      if (!exp.extraStrategies.contains(s))
-        exp.extraStrategies = exp.extraStrategies :+ s
+      val present = exp.extraStrategies.contains(s) ||
+        cs.sessionState.planner.strategies.contains(s)
+      if (!present) exp.extraStrategies = exp.extraStrategies :+ s
     }
   }
+
+  /** The session's column-name resolver (case-insensitive under the default
+    * `spark.sql.caseSensitive=false`) — for extension operators to match
+    * Spark's own name-resolution semantics.
+    */
+  def resolver(spark: SparkSession): (String, String) => Boolean =
+    spark.asInstanceOf[ClassicSession].sessionState.conf.resolver
 }

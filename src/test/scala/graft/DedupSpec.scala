@@ -108,6 +108,33 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 5L, 10L))
   }
 
+  test("large-star/small-star components equal union-find and label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // seeded random graphs incl. the star algorithm's worst-ish shapes:
+    // long chains (deep trees) and dense blobs (heavy star overlap)
+    val graphs = Seq(
+      (0 until 16).map(i => (i.toLong, i + 1L)),                   // one chain
+      (0 until 40).map(_ => (rnd.nextInt(15).toLong,               // dense blob
+        15L + rnd.nextInt(15))),
+      (0 until 30).map(_ => (rnd.nextInt(40).toLong,               // sparse:
+        rnd.nextInt(40).toLong)).filter(p => p._1 != p._2),        // many comps
+      Seq((5L, 5L), (1L, 2L)).++((0 until 20).map(_ =>             // self loops
+        (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong)))
+        .filter(p => p._1 != p._2))
+    graphs.zipWithIndex.foreach { case (es, gi) =>
+      val pairs = es.toDF("da", "db")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val star = rows(Dedup.starComponents(pairs))
+      val unionFind = rows(Dedup.dedupClusters(pairs))
+      val propagation = rows(Dedup.distributedComponents(
+        pairs.select("da", "db"), maxIters = 40))
+      assert(star == unionFind, s"graph $gi: star != union-find")
+      assert(star == propagation, s"graph $gi: star != propagation")
+    }
+  }
+
   test("simhash finds planted exact duplicates at hamming 0") {
     val pairs = Dedup.simhashPairs(augmented, maxDist = 3).cache()
     val planted = docs.filter(col("doc_id") % 50 === 0)

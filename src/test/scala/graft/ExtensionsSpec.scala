@@ -68,10 +68,28 @@ class ExtensionsSpec extends SparkSpec {
       val b = analyzed.output.find(_.name == "o_orderkey").get
       val node = graft.plans.TopKPerGroupNode(Seq(a),
         Seq(org.apache.spark.sql.catalyst.expressions.SortOrder(b,
-          org.apache.spark.sql.catalyst.expressions.Ascending)), 2, analyzed)
+          org.apache.spark.sql.catalyst.expressions.Ascending)), 2,
+        sortBased = false, analyzed)
       val out = org.apache.spark.sql.graftbridge.Bridge.ofRows(ext, node)
       assert(out.count() == 10) // 5 priorities x k=2
       assert(out.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    }
+  }
+
+  test("ensureStrategy does not duplicate an extension-injected strategy") {
+    withExtendedSession { ext =>
+      // the apply() path calls Bridge.ensureStrategy; on a session that
+      // already carries the strategy via injectPlannerStrategy it must not
+      // append a second registration to experimental.extraStrategies
+      val df = graft.plans.TopKPerGroup(
+        Tables.t(ext, sf001, "orders")
+          .select("o_orderpriority", "o_orderkey"),
+        Seq("o_orderpriority"), Seq("o_orderkey" -> true), 1)
+      assert(df.count() == 5)
+      val exp = ext.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .experimental
+      assert(exp.extraStrategies.isEmpty,
+        s"duplicate registration: ${exp.extraStrategies}")
     }
   }
 

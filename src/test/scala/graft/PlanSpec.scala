@@ -117,6 +117,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"packing must not join:\n$p")
   }
 
+  test("stratified sample runs the bounded top-k operator, not a full window sort") {
+    val df = graft.queries.CurationQueries.sampStratified(spark, sf001)
+    df.count()
+    val p = plan(df)
+    assert(p.contains("TopKPerGroup"),
+      s"per-stratum quota must go through the bounded heap:\n$p")
+  }
+
   test("correlated EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
     val p = plan(RelationalQueries.qExistsSubquery(spark, sf001))
     assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")

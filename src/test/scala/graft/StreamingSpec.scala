@@ -56,6 +56,69 @@ class StreamingSpec extends SparkSpec {
       spark.read.text(s"$out/batch=1").isEmpty)
   }
 
+  test("Kinesis adapter contract: connector-shaped records flow through the shipper") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.KinesisSourceAdapter
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // connector emits RAW record bytes (Kinesis base64-decodes on the
+    // wire), plus shard bookkeeping — replay exactly that shape
+    val payload = """{"messageType":"DATA_MESSAGE","logGroup":"/aws/lambda/kin-fn","logStream":"2019/03/08/[$LATEST]k","logEvents":[{"id":"1","timestamp":155,"message":"Task timed out after 3 seconds"},{"id":"2","timestamp":156,"message":"kinesis hello"}]}"""
+    val raw = graft.functions.GzipCodec.gzip(payload.getBytes("UTF-8"))
+    val input = MemoryStream[(Array[Byte], String, String, String,
+      java.sql.Timestamp)]
+    val connectorFrame = input.toDF().toDF("data", "streamName",
+      "partitionKey", "sequenceNumber", "approximateArrivalTimestamp")
+    assert(connectorFrame.schema == KinesisSourceAdapter.connectorSchema,
+      "test stream must replay the connector's exact output schema")
+    val docs = graft.operators.LogPipeline.pipeline(
+      KinesisSourceAdapter.normalize(connectorFrame, "eu-west-1"))
+    val q = docs.writeStream.format("memory").queryName("kinesis_docs").start()
+    try {
+      input.addData((raw, "logs", "shard-0", "49590338271490256608559692538361571095921575989136588898",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("kinesis_docs").collect()
+      assert(out.length == 2)
+      val byMsg = out.map(r => r.getAs[String]("message") -> r).toMap
+      assert(byMsg.keySet == Set("Task timed out after 3 seconds", "kinesis hello"))
+      val timeout = byMsg("Task timed out after 3 seconds")
+      assert(timeout.getAs[String]("severity") == "error")
+      assert(timeout.getAs[String]("error_type") == "timeout")
+      out.foreach { r =>
+        assert(r.getAs[String]("function_name") == "kin-fn")
+        assert(r.getAs[String]("region") == "eu-west-1")
+      }
+    } finally q.stop()
+  }
+
+  test("bulk action line survives hostile field values as valid NDJSON") {
+    import spark.implicits._
+    // a doc-shaped batch whose severity carries quotes, a newline escape
+    // target, and backslashes — the one-schema-change-away case the
+    // hand-interpolated action line would have corrupted
+    val hostile = "err\"or\n{\"inject\":1}\\"
+    val batch = Seq(("s-fn", "$LATEST", "2019-03-08T15:58:45.736Z",
+        "req-1", "boom", "us-east-1", "lambda", hostile, "runtime"))
+      .toDF("function_name", "function_version", "timestamp", "request_id",
+        "message", "region", "type", "severity", "error_type")
+      .withColumn("attrs",
+        map(lit("k"), lit("v\twithcontrol")))
+    val out = Files.createTempDirectory("graft-bulk-esc").toString
+    graft.streaming.BulkSink.ship(batch, out, batchId = 0L, bulkSize = 10)
+    val lines = spark.read.text(s"$out/batch=0").collect().map(_.getString(0))
+    assert(lines.length == 2, s"action + doc line expected, got ${lines.length}")
+    // every physical line must independently parse as a JSON object
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    lines.foreach { l =>
+      val node = om.readTree(l)
+      assert(node.isObject, s"line is not a JSON object: $l")
+    }
+    assert(om.readTree(lines(0)).path("index").path("severity")
+      .asText() == hostile, "severity must round-trip byte-exact")
+    assert(om.readTree(lines(1)).path("severity").asText() == hostile)
+  }
+
   test("rate-source envelope generator decodes through the pipeline") {
     import graft.operators.LogPipeline
     import org.apache.spark.sql.streaming.Trigger

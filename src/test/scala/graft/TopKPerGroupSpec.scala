@@ -61,6 +61,42 @@ class TopKPerGroupSpec extends SparkSpec {
     }
   }
 
+  test("sort-based mode equals heap mode and demands a child sort") {
+    val heap = TopKPerGroup(orders, Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 5).collect().toSet
+    spark.conf.set(TopKPerGroup.sortBasedKey, "true")
+    try {
+      val sorted = TopKPerGroup(orders, Seq("o_orderpriority"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), 5)
+      assert(sorted.collect().toSet == heap)
+      val p = sorted.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerGroup"), s"expected custom operator in:\n$p")
+      assert(p.contains("Sort "),
+        s"sort mode must demand the spill-safe child sort:\n$p")
+    } finally spark.conf.unset(TopKPerGroup.sortBasedKey)
+  }
+
+  test("heap mode fails fast beyond the group-cardinality guard") {
+    spark.conf.set(TopKPerGroup.maxHeapGroupsKey, "2")
+    try {
+      val e = intercept[Exception] {
+        TopKPerGroup(orders, Seq("o_orderkey"),
+          Seq("o_totalprice" -> false), 1).count()
+      }
+      val messages = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString("\n")
+      assert(messages.contains("sortBased"),
+        s"expected the guard's guidance in:\n$messages")
+    } finally spark.conf.unset(TopKPerGroup.maxHeapGroupsKey)
+  }
+
+  test("column resolution follows the session resolver (case-insensitive)") {
+    val df = TopKPerGroup(orders, Seq("O_ORDERPRIORITY"),
+      Seq("o_totalPrice" -> false, "o_orderkey" -> true), 2)
+    assert(df.count() == 10) // 5 priorities x k=2
+  }
+
   test("randomized window-equivalence (seeded corpora, ties included)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
