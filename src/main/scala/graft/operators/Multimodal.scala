@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media as opaque `binary` payloads + typed
   * metadata, with batch decode/feature-extract plumbing.
   *
-  * The decode kernel itself is STUBBED (no image/audio libs in this
-  * container) with a deterministic fake — but everything Spark-side is real
-  * and load-bearing: the schema (binary payload + metadata struct), the
-  * partition-batched execution (`mapPartitions` with fixed-size batches, the
-  * same shape a Pandas-UDF/Arrow path has in PySpark), and the downstream
-  * aggregation. Swapping [[decodeBatch]] for a real JNI/FFI decoder changes
-  * nothing in the plan.
+  * The IMAGE path is REAL: [[encodePng]]/[[decodeImageBatch]]/
+  * [[resizeImageBatch]] run actual PNG encode/decode/resample through the
+  * JDK's `javax.imageio` + `java.awt` (zero new dependencies). The
+  * audio/video kernels remain STUBBED with deterministic fakes (genuinely
+  * no codec in this container) — for those, everything Spark-side is still
+  * real and load-bearing: the schema (binary payload + metadata struct),
+  * the partition-batched execution (`mapPartitions` with fixed-size
+  * batches, the same shape a Pandas-UDF/Arrow path has in PySpark), and
+  * the downstream aggregation. Swapping a stub for a real JNI/FFI decoder
+  * changes nothing in the plan — the PNG path is the proof.
   *
   * Scale notes: payloads never pass through a shuffle here — decode is a
   * narrow map; only the small decoded features aggregate. At 100 TB you
@@ -130,6 +133,131 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(
       _.grouped(decodeBatchSize).flatMap(resizeBatch(_, w, h)))
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL image kernels (javax.imageio — JDK only, no new dependencies)
+  // ---------------------------------------------------------------------
+
+  /** Pixel stats of a decoded image (gray channel of TYPE_INT_RGB). */
+  case class DecodedImage(doc_id: Long, width: Int, height: Int,
+                          avg_px: Double, min_px: Int, max_px: Int)
+
+  /** A genuinely re-encoded resized image's stats. */
+  case class ResizedImage(doc_id: Long, width: Int, height: Int,
+                          avg_px: Double)
+
+  // ImageIO's default scratch cache is a temp FILE per encode/decode;
+  // in-memory streams are both faster and executor-safe
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Deterministic constant-gray PNG — a REAL PNG container written by the
+    * JDK encoder (signature, IHDR, zlib-compressed IDAT), so the decode
+    * side exercises a full real parse, while every pixel statistic stays
+    * closed-form for the DuckDB oracle (constant images survive any
+    * resampling kernel bit-exactly).
+    */
+  def encodePng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def pixelStats(img: java.awt.image.BufferedImage): (Double, Int, Int) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var mn = 255
+    var mx = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = img.getRGB(x, y) & 0xff // gray == blue channel here
+        sum += g
+        if (g < mn) mn = g
+        if (g > mx) mx = g
+        x += 1
+      }
+      y += 1
+    }
+    (sum.toDouble / (w.toLong * h), mn, mx)
+  }
+
+  /** REAL image decode kernel: full PNG parse via ImageIO, pixel-stat pass
+    * over the decoded raster. Batch contract identical to the stubs'.
+    */
+  def decodeImageBatch(batch: Seq[MediaRecord]): Seq[DecodedImage] =
+    batch.map { r =>
+      val img = javax.imageio.ImageIO
+        .read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+      val (avg, mn, mx) = pixelStats(img)
+      DecodedImage(r.doc_id, img.getWidth, img.getHeight, avg, mn, mx)
+    }
+
+  /** Partition-batched real image decode (narrow map, like [[decode]]). */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[DecodedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(decodeBatchSize).flatMap(decodeImageBatch))
+  }
+
+  /** REAL resize kernel: decode, bilinear resample through Graphics2D onto
+    * a `w x h` raster, re-measure pixels from the resized image.
+    */
+  def resizeImageBatch(batch: Seq[MediaRecord], w: Int,
+                       h: Int): Seq[ResizedImage] =
+    batch.map { r =>
+      val src = javax.imageio.ImageIO
+        .read(new java.io.ByteArrayInputStream(r.payload))
+      require(src != null, s"undecodable image payload for doc ${r.doc_id}")
+      val dst = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = dst.createGraphics()
+      try {
+        g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(src, 0, 0, w, h, null)
+      } finally g2.dispose()
+      val (avg, _, _) = pixelStats(dst)
+      ResizedImage(r.doc_id, w, h, avg)
+    }
+
+  /** Partition-batched real image resize. */
+  def resizeImages(media: Dataset[MediaRecord], w: Int,
+                   h: Int): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(
+      _.grouped(decodeBatchSize).flatMap(resizeImageBatch(_, w, h)))
+  }
+
+  /** Image manifest with REAL PNG payloads: the `image/png` document slice
+    * carries an actual encoded PNG (dims + constant gray derived
+    * deterministically from metadata, so decoded stats stay
+    * oracle-expressible while the bytes are a genuine container).
+    */
+  def imageManifest(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("source"),
+        ((col("n_chars") % 64) + 8).cast("int").as("width"),
+        ((col("doc_id") % 48) + 8).cast("int").as("height"))
+      .as[(Long, String, Int, Int)]
+      .mapPartitions(_.map { case (id, src, w, h) =>
+        MediaRecord(id, src, "image/png", w, h,
+          encodePng(w, h, (id % 256).toInt))
+      })
   }
 
   /** End-to-end: manifest -> batched decode -> per-(source, mime) stats. */

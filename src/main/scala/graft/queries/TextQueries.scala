@@ -84,8 +84,29 @@ object TextQueries {
         col("n_bytes"))
       .orderBy("doc_id")
 
+  /** REAL PNG decode over the image manifest ([[Multimodal.imageManifest]]
+    * carries genuine PNG containers; javax.imageio parses them). Decoded
+    * dims and pixel stats are closed-form from the manifest metadata, so
+    * the oracle checks the real decoder's output cell-exact.
+    */
+  def mmImageDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImages(
+        Multimodal.imageManifest(t(spark, dir, "documents")))
+      .toDF().orderBy("doc_id")
+
+  /** REAL image resize: PNG decode -> bilinear resample -> re-measure.
+    * Constant-color sources survive any resampling kernel bit-exactly,
+    * which is what keeps a real Graphics2D pipeline oracle-checkable.
+    */
+  def mmImageResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeImages(
+        Multimodal.imageManifest(t(spark, dir, "documents")), w = 16, h = 12)
+      .toDF().orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_resize" -> mmResize,
+    "mm_image_decode" -> mmImageDecode,
+    "mm_image_resize" -> mmImageResize,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_tokens" -> textTokens,
@@ -95,6 +116,18 @@ object TextQueries {
     "mm_frame_sample" -> mmFrameSample)
 
   val oracles: Map[String, String] = Map(
+    "mm_image_decode" ->
+      """SELECT doc_id,
+        |  CAST((n_chars % 64) + 8 AS INT) AS width,
+        |  CAST((doc_id % 48) + 8 AS INT) AS height,
+        |  CAST(doc_id % 256 AS DOUBLE) AS avg_px,
+        |  CAST(doc_id % 256 AS INT) AS min_px,
+        |  CAST(doc_id % 256 AS INT) AS max_px
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
+    "mm_image_resize" ->
+      """SELECT doc_id, CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+        |  CAST(doc_id % 256 AS DOUBLE) AS avg_px
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
     "mm_resize" ->
       """WITH m AS (
         |  SELECT doc_id,

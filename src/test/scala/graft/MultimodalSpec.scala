@@ -5,12 +5,61 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
 /** Multimodal plumbing: manifest schema, batched decode/resize/frame-sample
-  * contracts (kernels are documented stubs; the batching, numbering, and
-  * byte accounting are the real, asserted surface).
+  * contracts (audio/video kernels are documented stubs; the batching,
+  * numbering, and byte accounting are the real, asserted surface) — plus
+  * the REAL javax.imageio PNG decode/resize kernels.
   */
 class MultimodalSpec extends SparkSpec {
   private lazy val media =
     Multimodal.manifest(Tables.t(spark, sf001, "documents"))
+
+  test("encodePng emits a real PNG container; decode recovers dims + pixels") {
+    val bytes = Multimodal.encodePng(37, 21, gray = 200)
+    // PNG signature: 0x89 'P' 'N' 'G'
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G')
+    val d = Multimodal.decodeImageBatch(Seq(Multimodal.MediaRecord(
+      7L, "s", "image/png", 37, 21, bytes))).head
+    assert(d.width == 37 && d.height == 21)
+    assert(d.avg_px == 200.0 && d.min_px == 200 && d.max_px == 200)
+  }
+
+  test("decode kernel reads real pixels, not metadata (gradient image)") {
+    // a NON-constant image: the kernel must report stats no manifest field
+    // carries — proof the path decodes actual rasters
+    val img = new java.awt.image.BufferedImage(16, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 16) {
+      val g = x * 16 + y
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = Multimodal.decodeImageBatch(Seq(Multimodal.MediaRecord(
+      1L, "s", "image/png", 16, 4, bos.toByteArray))).head
+    val expected = (for (y <- 0 until 4; x <- 0 until 16) yield x * 16 + y)
+    assert(d.min_px == expected.min && d.max_px == expected.max)
+    assert(math.abs(d.avg_px - expected.sum.toDouble / expected.size) < 1e-12)
+  }
+
+  test("real resize: bilinear resample preserves constant color at new dims") {
+    val rec = Multimodal.MediaRecord(9L, "s", "image/png", 40, 30,
+      Multimodal.encodePng(40, 30, gray = 77))
+    val r = Multimodal.resizeImageBatch(Seq(rec), 16, 12).head
+    assert(r.width == 16 && r.height == 12 && r.avg_px == 77.0)
+  }
+
+  test("image manifest carries decodable PNGs through the distributed path") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val decoded = Multimodal.decodeImages(Multimodal.imageManifest(docs))
+    val n = docs.filter(col("doc_id") % 3 === 0).count()
+    assert(decoded.count() == n)
+    decoded.collect().take(10).foreach { d =>
+      assert(d.width >= 8 && d.height >= 8)
+      assert(d.min_px == d.max_px, "constant-gray source")
+      assert(d.avg_px == (d.min_px: Double))
+    }
+  }
 
   test("decode: every record decodes once, checksum = payload byte sum") {
     val decoded = Multimodal.decode(media).collect()
