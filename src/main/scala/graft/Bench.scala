@@ -4,21 +4,35 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // n>=2 passes over the whole query set: this box's wall-clock variance
+    // is +-40% run to run (page-cache/GC aberrations), so a single pass
+    // can't distinguish a regression from sandbox noise. `queries`/`value`
+    // stay the FIRST pass (directly comparable to the single-run records
+    // of earlier rounds); queries2/value2 expose the repeat so a reader
+    // can bound the noise per query.
+    def onePass(): Map[String, Double] = SparkEntry.queries.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val passes = (1 to math.max(1, runs)).map(_ => onePass())
+    def fmt(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val extra =
+      if (passes.size < 2) ""
+      else passes.tail.zipWithIndex.map { case (p, i) =>
+        s""","queries${i + 2}":${fmt(p)},"value${i + 2}":${p.values.sum}"""
+      }.mkString
+    val total = passes.head.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(passes.head)},"runs":${passes.size}$extra,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
