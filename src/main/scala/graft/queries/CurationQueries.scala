@@ -47,6 +47,20 @@ object CurationQueries {
       .orderBy("bench_id", "corpus_doc")
   }
 
+  /** PII scrub accounting over documents with PLANTED synthetic PII (the
+    * corpus generator emits clean text, so the query deterministically
+    * appends an email + an IPv4 per doc — the operator then has guaranteed
+    * real matches to find, count, and mask, all oracle-checked).
+    */
+  def textRedact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val withPii = docs.select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com from 10.0."), col("doc_id") % 256, lit(".7"))
+        .as("text"))
+    Curation.redact(withPii).orderBy("doc_id")
+  }
+
   def curateStats(spark: SparkSession, dir: String): DataFrame =
     Curation.curatedStats(t(spark, dir, "documents"))
       .orderBy("lang", "source")
@@ -90,6 +104,7 @@ object CurationQueries {
     "q_profile" -> qProfile,
     "text_contaminate" -> textContaminate,
     "text_contaminate_bench" -> textContaminateBench,
+    "text_redact" -> textRedact,
     "curate_stats" -> curateStats)
 
   val oracles: Map[String, String] = Map(
@@ -180,6 +195,23 @@ object CurationQueries {
         |  CAST(overlap AS DOUBLE) / bench_n AS bench_frac
         |FROM ov JOIN bn USING (bench_id) WHERE overlap >= 3
         |ORDER BY bench_id, corpus_doc""".stripMargin,
+    "text_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com from 10.0.'
+        |      || (doc_id % 256) || '.7' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(length(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS BIGINT)
+        |    AS redacted_len
+        |FROM p ORDER BY doc_id""".stripMargin,
     "curate_stats" ->
       """WITH q AS (
         |  SELECT doc_id, lang, source, text,
