@@ -53,6 +53,18 @@ object DedupQueries {
           threshold = 0.6))
       .orderBy("cluster_id")
 
+  /** The same clusters through the distributed large-star/small-star path
+    * (the 100 TB fallback that normally only engages past
+    * `driverPairLimit`) — oracle-checked against the identical
+    * recursive-CTE reachability SQL as `dedup_clusters`, so BOTH component
+    * algorithms carry cell-exact verification, not just the property test.
+    */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    Dedup.starComponents(
+        Dedup.ngramJaccardPairs(t(spark, dir, "documents"), k = 3,
+          threshold = 0.6))
+      .orderBy("cluster_id")
+
   /** The deduplicated corpus itself — what a training pipeline actually
     * consumes: every near-dup cluster collapsed to its min-id
     * representative, accounted per language. (Cluster mining is verified
@@ -74,7 +86,8 @@ object DedupQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed_cosine" -> dedupEmbedCosine,
-    "dedup_clusters" -> dedupClusters)
+    "dedup_clusters" -> dedupClusters,
+    "dedup_clusters_star" -> dedupClustersStar)
 
   /** Shared inverted-index Jaccard CTE chain in DuckDB (mirrors
     * Dedup.ngramJaccardPairs step for step, independently). `pairs` is the
@@ -154,6 +167,8 @@ object DedupQueries {
     // the verify step removes every false positive) — same oracle.
     "dedup_minhash_lsh" -> jaccardSql,
     "dedup_embed_cosine" -> cosineSql,
-    "dedup_clusters" -> clustersSql)
+    "dedup_clusters" -> clustersSql,
+    // same reachability oracle: both component algorithms must agree with it
+    "dedup_clusters_star" -> clustersSql)
     // dedup_simhash: xxhash64-based, not SQL-expressible -> rows-only.
 }

@@ -49,6 +49,23 @@ class MultimodalSpec extends SparkSpec {
     assert(r.width == 16 && r.height == 12 && r.avg_px == 77.0)
   }
 
+  test("decode kernel is format-agnostic: JPEG round-trips dims (lossy pixels near)") {
+    // same kernel, different container: ImageIO sniffs the format from the
+    // bytes, so a JPEG manifest needs zero code changes. JPEG is lossy —
+    // dims are exact, pixels only near (tolerance covers the color-space
+    // round-trip), which is exactly why the ORACLE queries use PNG.
+    val img = new java.awt.image.BufferedImage(24, 18,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 18; x <- 0 until 24)
+      img.setRGB(x, y, (120 << 16) | (120 << 8) | 120)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val d = Multimodal.decodeImageBatch(Seq(Multimodal.MediaRecord(
+      3L, "s", "image/jpeg", 24, 18, bos.toByteArray))).head
+    assert(d.width == 24 && d.height == 18)
+    assert(math.abs(d.avg_px - 120.0) <= 2.0, s"avg drifted: ${d.avg_px}")
+  }
+
   test("image manifest carries decodable PNGs through the distributed path") {
     val docs = Tables.t(spark, sf001, "documents")
     val decoded = Multimodal.decodeImages(Multimodal.imageManifest(docs))
