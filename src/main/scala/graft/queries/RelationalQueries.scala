@@ -187,6 +187,45 @@ object RelationalQueries {
         |ORDER BY doc_id, pos""".stripMargin)
   }
 
+  /** Time-series gap-fill / resample — the downsampling shape every
+    * log-analytics store serves: per user, an hourly spine from the user's
+    * first to last event hour, left-joined to hourly aggregates; empty
+    * hours emit n_events=0 and carry the last observed value FORWARD
+    * (last-non-null over the spine order).
+    *
+    * Scale: events pre-aggregate to (user, hour) BEFORE the spine join
+    * (partial agg absorbs the raw stream), the spine is generated per user
+    * with `sequence()` so its size is users x hours — output-sized, never
+    * event-sized — and the forward-fill window shares the join's
+    * clustering (one exchange end to end after the pre-agg). Decimal sums
+    * for cross-engine bit parity; the per-hour "last" is picked by
+    * max(struct(ts, event_id, ...)) ≙ the oracle's row_number desc — a
+    * total order, so both engines pick the same row.
+    */
+  def qGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir).filter(col("user_id") % 30 === 0)
+    val hourly = ev.groupBy(col("user_id"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        toDouble(sum(dec(col("value")))).as("sum_value"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("hour_last"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+        last(col("hour_last"), ignoreNulls = true).over(w)
+          .as("filled_value"))
+      .orderBy("user_id", "hour")
+  }
+
   /** Grouped top-k through the custom [[graft.plans.TopKPerGroupExec]]
     * operator (bounded heap per group — no per-partition full sort; the
     * oracle is the equivalent row_number window SQL, so the driver's gate
@@ -214,9 +253,38 @@ object RelationalQueries {
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
     "q_window_analytic" -> qWindowAnalytic,
+    "q_gapfill" -> qGapfill,
     "q_topk_orders" -> qTopkOrders)
 
   val oracles: Map[String, String] = Map(
+    "q_gapfill" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id % 30 = 0),
+        |ranked AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ev),
+        |hl AS (SELECT user_id, hour, value AS hour_last FROM ranked WHERE rn = 1),
+        |hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |  FROM ev GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+        |    date_trunc('hour', MAX(ts)) AS h1
+        |  FROM ev GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds)
+        |SELECT s.user_id, s.hour,
+        |  COALESCE(h.n_events, 0) AS n_events,
+        |  COALESCE(h.sum_value, 0.0) AS sum_value,
+        |  last_value(hl.hour_last IGNORE NULLS)
+        |    OVER (PARTITION BY s.user_id ORDER BY s.hour) AS filled_value
+        |FROM spine s
+        |LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+        |LEFT JOIN hl ON s.user_id = hl.user_id AND s.hour = hl.hour
+        |ORDER BY s.user_id, s.hour""".stripMargin,
     "q_topk_groups" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
