@@ -135,6 +135,34 @@ object GroupingQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Latest-wins MERGE/upsert — the batch CDC-apply shape (SCD type 1):
+    * base ∪ changes, one row_number per key over (version desc), keep
+    * rn = 1. The changes slice here rewrites every tenth customer (name
+    * tagged, balance +100 through an exact decimal add).
+    *
+    * Scale: this is exactly what a MERGE INTO compiles to — ONE clustering
+    * exchange on the merge key over base+changes; with the base bucketed
+    * on the key only the (small) changes side moves, and the window
+    * degrades gracefully to the bounded [[graft.plans.TopKPerGroupExec]]
+    * shape if versions-per-key ever gets deep.
+    */
+  def qMergeLatest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit(1L).as("version"))
+    val changes = t(spark, dir, "customer")
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), concat(col("c_name"), lit("*")).as("c_name"),
+        toDouble(dec(col("c_acctbal")) + lit(100)).as("c_acctbal"),
+        lit(2L).as("version"))
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("version").desc)
+    base.unionByName(changes)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("c_custkey")
+  }
+
   /** union / intersect / except over customer vs supplier nation sets. */
   def qSetops(spark: SparkSession, dir: String): DataFrame = {
     val cn = t(spark, dir, "customer").select(col("c_nationkey").as("n")).distinct()
@@ -157,9 +185,24 @@ object GroupingQueries {
     "q_pivot" -> qPivot,
     "q_unpivot" -> qUnpivot,
     "q_nulls" -> qNulls,
+    "q_merge_latest" -> qMergeLatest,
     "q_setops" -> qSetops)
 
   val oracles: Map[String, String] = Map(
+    "q_merge_latest" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_acctbal, CAST(1 AS BIGINT) AS version
+        |  FROM customer),
+        |chg AS (
+        |  SELECT c_custkey, c_name || '*' AS c_name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS DOUBLE) AS c_acctbal,
+        |    CAST(2 AS BIGINT) AS version
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |        ORDER BY version DESC) AS rn FROM u)
+        |SELECT c_custkey, c_name, c_acctbal, version FROM r WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin,
     "q_unpivot" ->
       """WITH w AS (
         |  SELECT p_brand,
