@@ -375,7 +375,12 @@ object Dedup {
         .select(col("m").as("a"), col("v").as("b"))
         .unionByName(smin.select(col("m").as("a"), col("u").as("b")))
         .filter(col("a") =!= col("b")).distinct().localCheckpoint()
-      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      // symmetric difference in ONE job (both sides are distinct sets, so
+      // a +1/-1 tally per edge nets 0 iff present in both)
+      changed = next.withColumn("s", lit(1L))
+        .unionByName(edges.withColumn("s", lit(-1L)))
+        .groupBy(col("a"), col("b")).agg(sum(col("s")).as("d"))
+        .filter(col("d") =!= 0L).count()
       edges = next
       it += 1
     }

@@ -52,6 +52,43 @@ object TextQueries {
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(t(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Vocabulary build + id-encode — the tokenizer plumbing of a
+    * pretraining pipeline: top-1000 terms by global count become the vocab
+    * (rank = id, deterministic (count desc, term) total order), probe docs
+    * encode their first 20 tokens to id arrays (OOV -> 0) with an OOV
+    * count per doc.
+    *
+    * Scale: term counts partial-aggregate (map-side combine absorbs the
+    * heavy tail); the global top-1000 runs through TakeOrderedAndProject
+    * (per-partition heaps + k-merge, NO global sort); the residual rank
+    * window sees exactly 1000 rows; and the encode join BROADCASTS the
+    * vocab — per-token work is a hash probe, nothing token-sized shuffles.
+    */
+  def textVocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val counts = docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(1000)
+    val vocab = top.withColumn("id",
+      row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    val ptok = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, 20))
+          .as(Seq("pos", "term")))
+    ptok.join(broadcast(vocab.select(col("term"), col("id"))),
+        Seq("term"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0)).as("id"))
+      .groupBy("doc_id")
+      // id sequence emitted as a space-joined string: the hash-compare
+      // harness sorts rows by every output column and array columns are
+      // unsortable there — the string carries the identical information
+      .agg(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("id")))),
+            s => s.getField("id")), " ").as("ids"),
+        count(when(col("id") === 0, 1)).as("n_oov"))
+      .orderBy("doc_id")
+  }
+
   def mmDecodeStats(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeStats(spark, t(spark, dir, "documents"))
       .orderBy("source", "mime")
@@ -112,6 +149,7 @@ object TextQueries {
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf,
+    "text_vocab_encode" -> textVocabEncode,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_frame_sample" -> mmFrameSample)
 
@@ -204,6 +242,23 @@ object TextQueries {
         |      FROM s)
         |SELECT doc_id, rank, term, score FROM r WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+    "text_vocab_encode" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |cnt AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |top AS (
+        |  SELECT term, CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT)
+        |    AS id
+        |  FROM cnt ORDER BY cnt DESC, term LIMIT 1000),
+        |p AS (SELECT doc_id, string_split(text, ' ')[1:20] AS toks
+        |      FROM documents WHERE doc_id % 100 = 0),
+        |pt AS (SELECT doc_id, unnest(toks) AS term,
+        |         unnest(generate_series(1, len(toks))) AS pos FROM p),
+        |je AS (SELECT pt.doc_id, pt.pos, CAST(COALESCE(top.id, 0) AS INT) AS id
+        |       FROM pt LEFT JOIN top USING (term))
+        |SELECT doc_id, array_to_string(list(id ORDER BY pos), ' ') AS ids,
+        |  COUNT(CASE WHEN id = 0 THEN 1 END) AS n_oov
+        |FROM je GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id, length(text) AS n FROM documents WHERE doc_id % 3 = 2),
