@@ -17,10 +17,17 @@ object Bench {
     // stay the FIRST pass (directly comparable to the single-run records
     // of earlier rounds); queries2/value2 expose the repeat so a reader
     // can bound the noise per query.
+    // a failing query must be VISIBLE in the record, not silently timed as
+    // its (usually fast) time-to-failure: failures land in an "errors" key
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def onePass(): Map[String, Double] = SparkEntry.queries.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
     }
     val passes = (1 to math.max(1, runs)).map(_ => onePass())
@@ -31,8 +38,9 @@ object Bench {
       else passes.tail.zipWithIndex.map { case (p, i) =>
         s""","queries${i + 2}":${fmt(p)},"value${i + 2}":${p.values.sum}"""
       }.mkString
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = passes.head.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(passes.head)},"runs":${passes.size}$extra,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(passes.head)},"runs":${passes.size}$extra,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

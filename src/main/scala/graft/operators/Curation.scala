@@ -222,7 +222,10 @@ object Curation {
     * the operator ports to any RE2-based scan pushdown.
     */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  // octets constrained to 0-255: '999.404.777.123'-style version strings
+  // must NOT be masked as addresses
+  private val octet = "(?:25[0-5]|2[0-4]\\d|1?\\d?\\d)"
+  val ipv4Pattern = s"\\b(?:$octet\\.){3}$octet\\b"
 
   def redact(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
@@ -230,10 +233,12 @@ object Curation {
         .cast("long").as("n_emails"),
       size(regexp_extract_all(col(textCol), lit(ipv4Pattern), lit(0)))
         .cast("long").as("n_ips"),
-      length(regexp_replace(
+      // the masked text itself IS the product — callers ship `redacted`,
+      // the counts are the audit trail
+      regexp_replace(
           regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
-          ipv4Pattern, "<IP>"))
-        .cast("long").as("redacted_len"))
+          ipv4Pattern, "<IP>")
+        .as("redacted"))
 
   /** The end-to-end curation pipeline, composed from the primitives the
     * rest of the engine already verifies one by one:

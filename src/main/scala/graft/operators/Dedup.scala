@@ -289,7 +289,7 @@ object Dedup {
     * Returns (cluster_id = min doc_id of the component, n_docs, max_doc)
     * for every doc that appears in at least one pair.
     */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 20,
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 60,
                     driverPairLimit: Long = 1000000L): DataFrame = {
     val p = pairs.select(col("da"), col("db")).persist()
     try {
@@ -347,16 +347,29 @@ object Dedup {
     * as a round of label propagation, nothing holds per-key state beyond
     * the aggregation buffers. Same output contract as [[driverComponents]].
     */
-  private[graft] def starComponents(p: DataFrame, maxIters: Int = 25): DataFrame = {
-    // localCheckpoint per round: an iterative plan that only persist()s
-    // still GROWS its logical plan every round (analyzer/optimizer cost
-    // goes superlinear by round ~15 and the driver dies long before the
-    // data does); checkpointing truncates lineage so every round plans
-    // against a flat scan. At cluster scale swap for reliable
-    // checkpoint(dir) — same call shape, survives executor loss.
-    var edges = p.select(least(col("da"), col("db")).as("a"),
+  /** Pin a frame's current contents as a persisted row RDD and rebuild a
+    * DataFrame over it: the new plan is a flat RDD scan, so an iterative
+    * loop's plans stay O(1)-deep (a persist()-only loop still GROWS its
+    * logical plan every round — analyzer cost goes superlinear by round
+    * ~15 and the driver dies long before the data does), and the returned
+    * RDD handle lets each round deterministically release its
+    * predecessor's blocks (localCheckpoint offers no such handle — dead
+    * rounds would pile up in storage until GC, evicting the shared
+    * shingle/vector caches). At cluster scale swap for reliable
+    * checkpoint(dir) to also survive executor loss.
+    */
+  private def pin(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  private[graft] def starComponents(p: DataFrame, maxIters: Int = 60): DataFrame = {
+    var (edges, edgesRdd) = pin(p
+      .select(least(col("da"), col("db")).as("a"),
         greatest(col("da"), col("db")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct())
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -371,19 +384,27 @@ object Dedup {
       // (m, v) for each smaller neighbor v, plus (m, u) itself
       val or = large.select(col("b").as("u"), col("a").as("v"))
       val smin = or.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = or.join(smin, "u")
+      val (next, nextRdd) = pin(or.join(smin, "u")
         .select(col("m").as("a"), col("v").as("b"))
         .unionByName(smin.select(col("m").as("a"), col("u").as("b")))
-        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+        .filter(col("a") =!= col("b")).distinct())
       // symmetric difference in ONE job (both sides are distinct sets, so
       // a +1/-1 tally per edge nets 0 iff present in both)
       changed = next.withColumn("s", lit(1L))
         .unionByName(edges.withColumn("s", lit(-1L)))
         .groupBy(col("a"), col("b")).agg(sum(col("s")).as("d"))
         .filter(col("d") =!= 0L).count()
+      edgesRdd.unpersist(blocking = false)
       edges = next
+      edgesRdd = nextRdd
       it += 1
     }
+    // the count(*)+1 star aggregation below is ONLY valid on a converged
+    // (disjoint-star) edge set — a mid-run set can list one node under two
+    // roots, silently splitting components. Fail loudly instead.
+    if (changed > 0) throw new IllegalStateException(
+      s"starComponents did not converge in $maxIters rounds " +
+        "(needs ~log2(nodes)); raise maxIters")
     // fixed point = disjoint stars rooted at each component's min id
     edges.groupBy(col("a").as("cluster_id"))
       .agg((count(lit(1)) + 1).as("n_docs"), max(col("b")).as("max_doc"))
@@ -397,25 +418,26 @@ object Dedup {
     val edges = p.select(col("da").as("a"), col("db").as("b"))
       .unionByName(p.select(col("db").as("a"), col("da").as("b")))
       .persist()
-    // localCheckpoint (not just persist) per round — see [[starComponents]]:
-    // the label plan would otherwise deepen by one join per round and the
-    // O(diameter) round count here makes that blowup strictly worse
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    // pin per round — see [[starComponents]]: flat plans + deterministic
+    // release of the superseded round's blocks; the O(diameter) round
+    // count here makes both properties strictly more important
+    var (labels, labelsRdd) = pin(edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
         .groupBy(col("a").as("id")).agg(min(col("bcomp")).as("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val (next, nextRdd) = pin(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint()
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
       changed = next
         .join(labels.select(col("id"), col("comp").as("old")), "id")
         .filter(col("comp") =!= col("old")).count()
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
       it += 1
     }
     val out = labels.groupBy(col("comp"))

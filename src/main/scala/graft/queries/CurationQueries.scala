@@ -58,7 +58,10 @@ object CurationQueries {
       concat(col("text"), lit(" contact user"), col("doc_id"),
         lit("@example.com from 10.0."), col("doc_id") % 256, lit(".7"))
         .as("text"))
-    Curation.redact(withPii).orderBy("doc_id")
+    Curation.redact(withPii)
+      .select(col("doc_id"), col("n_emails"), col("n_ips"),
+        length(col("redacted")).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
   }
 
   def curateStats(spark: SparkSession, dir: String): DataFrame =
@@ -206,10 +209,12 @@ object CurationQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
         |    AS n_emails,
         |  CAST(len(regexp_extract_all(text,
-        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |    '\b(?:(?:25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(?:25[0-5]|2[0-4]\d|1?\d?\d)\b'))
+        |    AS BIGINT) AS n_ips,
         |  CAST(length(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS BIGINT)
+        |    '\b(?:(?:25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(?:25[0-5]|2[0-4]\d|1?\d?\d)\b',
+        |    '<IP>', 'g')) AS BIGINT)
         |    AS redacted_len
         |FROM p ORDER BY doc_id""".stripMargin,
     "curate_stats" ->

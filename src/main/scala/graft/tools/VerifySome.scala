@@ -1,7 +1,5 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.SparkSession
 
 /** Local subset of [[graft.Verify]]: dump only the named queries (all of
@@ -27,18 +25,7 @@ object VerifySome {
           .parquet(s"$outDir/$name")
         println(f"[verifysome] $name ${(System.nanoTime() - t0) / 1e9}%6.2fs")
       }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = graft.SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.OracleJson.write(outDir)
     spark.stop()
   }
 }
