@@ -42,6 +42,46 @@ class StateAndStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState burst detector matches flatMapGroupsWithState semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState only supports the RocksDB state store — set it for
+    // this query, restore the suite default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Doc]
+      val q = graft.streaming.ErrorBurstV2.detect(input.toDS(), threshold = 3)
+        .writeStream.format("memory").queryName("bursts_v2")
+        .outputMode("append").start()
+      try {
+        // identical input to the flatMapGroupsWithState test above —
+        // identical alerts expected from the new API
+        input.addData(
+          Doc("fn-a", "error", 1), Doc("fn-a", "error", 2),
+          Doc("fn-a", "debug", 3), Doc("fn-a", "error", 4),
+          Doc("fn-a", "error", 5), Doc("fn-a", "error", 6),
+          Doc("fn-a", "error", 7),
+          Doc("fn-b", "error", 1), Doc("fn-b", "error", 2))
+        q.processAllAvailable()
+        val alerts = spark.table("bursts_v2").as[Alert].collect().sortBy(_.untilMs)
+        assert(alerts.map(a => (a.function_name, a.consecutiveErrors, a.untilMs))
+          .toSeq == Seq(("fn-a", 3, 6L), ("fn-a", 4, 7L)))
+        // state (a named typed ValueState) carries across micro-batches
+        input.addData(Doc("fn-a", "error", 8), Doc("fn-b", "error", 3))
+        q.processAllAvailable()
+        val alerts2 = spark.table("bursts_v2").as[Alert].collect()
+        assert(alerts2.length == 4)
+        assert(alerts2.exists(a => a.function_name == "fn-a" && a.consecutiveErrors == 5))
+        assert(alerts2.exists(a => a.function_name == "fn-b" && a.consecutiveErrors == 3))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("error-burst buffer is bounded: overflow keeps earliest rows, resets streak") {
     import spark.implicits._
     // 10 consecutive errors but a buffer cap of 5: alerts fire for the
