@@ -19,16 +19,20 @@ object Bench {
     // can bound the noise per query.
     // a failing query must be VISIBLE in the record, not silently timed as
     // its (usually fast) time-to-failure: failures land in an "errors" key
+    // and contribute NO timing at all, so `value` stays a sum of real runs
+    // (a deflated total would read as a speedup across rounds)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def onePass(): Map[String, Double] = SparkEntry.queries.map {
+    def onePass(): Map[String, Double] = SparkEntry.queries.flatMap {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).count()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
         }
-        name -> (System.nanoTime() - t0) / 1e9
     }
     val passes = (1 to math.max(1, runs)).map(_ => onePass())
     def fmt(m: Map[String, Double]): String =

@@ -402,12 +402,21 @@ object Dedup {
     // the count(*)+1 star aggregation below is ONLY valid on a converged
     // (disjoint-star) edge set — a mid-run set can list one node under two
     // roots, silently splitting components. Fail loudly instead.
-    if (changed > 0) throw new IllegalStateException(
-      s"starComponents did not converge in $maxIters rounds " +
-        "(needs ~log2(nodes)); raise maxIters")
-    // fixed point = disjoint stars rooted at each component's min id
-    edges.groupBy(col("a").as("cluster_id"))
-      .agg((count(lit(1)) + 1).as("n_docs"), max(col("b")).as("max_doc"))
+    if (changed > 0) {
+      edgesRdd.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"starComponents did not converge in $maxIters rounds " +
+          "(needs ~log2(nodes)); raise maxIters")
+    }
+    // fixed point = disjoint stars rooted at each component's min id.
+    // The result is pinned AND materialized (one small row per CLUSTER)
+    // so the big final edge RDD can be released immediately instead of
+    // leaking one graph-sized block set per call.
+    val (out, outRdd) = pin(edges.groupBy(col("a").as("cluster_id"))
+      .agg((count(lit(1)) + 1).as("n_docs"), max(col("b")).as("max_doc")))
+    outRdd.count()
+    edgesRdd.unpersist(blocking = false)
+    out
   }
 
   /** Distributed min-label propagation (see [[dedupClusters]] doc); labels
@@ -440,9 +449,22 @@ object Dedup {
       labelsRdd = nextRdd
       it += 1
     }
-    val out = labels.groupBy(col("comp"))
+    // same silent-corruption guard as [[starComponents]]: labels that are
+    // still moving describe split components, not slow ones
+    if (changed > 0) {
+      labelsRdd.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"distributedComponents did not converge in $maxIters rounds " +
+          "(needs O(graph diameter)); raise maxIters or use starComponents")
+    }
+    // pin + materialize the small per-component result, then release the
+    // node-sized label RDD (see starComponents)
+    val (out, outRdd) = pin(labels.groupBy(col("comp"))
       .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
-      .select(col("comp").as("cluster_id"), col("n_docs"), col("max_doc"))
+      .select(col("comp").as("cluster_id"), col("n_docs"), col("max_doc")))
+    outRdd.count()
+    labelsRdd.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     out
   }

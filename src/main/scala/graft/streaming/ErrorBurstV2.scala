@@ -68,6 +68,10 @@ object ErrorBurstV2 {
 
   /** Requires `spark.sql.streaming.stateStore.providerClass` =
     * RocksDBStateStoreProvider (transformWithState's only supported store).
+    *
+    * A TTL'd state variable is only legal under processing-time semantics,
+    * so the time mode follows the `stateTtl` choice (Spark rejects a
+    * non-NONE TTLConfig under TimeMode.None at query start).
     */
   def detect(docs: Dataset[Doc], threshold: Int = 3,
              stateTtl: Option[java.time.Duration] = None,
@@ -75,8 +79,10 @@ object ErrorBurstV2 {
     val spark = docs.sparkSession
     import spark.implicits._
     val ttl = stateTtl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    val timeMode =
+      if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     docs.groupByKey(_.function_name)
       .transformWithState(new BurstProcessor(threshold, ttl, maxBatchBuffer),
-        TimeMode.None(), OutputMode.Append())
+        timeMode, OutputMode.Append())
   }
 }

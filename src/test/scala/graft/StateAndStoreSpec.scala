@@ -76,6 +76,29 @@ class StateAndStoreSpec extends SparkSpec {
         assert(alerts2.exists(a => a.function_name == "fn-a" && a.consecutiveErrors == 5))
         assert(alerts2.exists(a => a.function_name == "fn-b" && a.consecutiveErrors == 3))
       } finally q.stop()
+      // TTL'd state variable (switches the processor to ProcessingTime
+      // mode): a generous TTL must not evict mid-test — alerts identical.
+      // NOTE: under ProcessingTime the engine schedules batches
+      // continuously (TTL evaluation), so processAllAvailable never
+      // quiesces — poll the sink with a deadline instead (same pattern as
+      // ErrorBurst's processing-time timeout caveat).
+      val in2 = MemoryStream[Doc]
+      val q2 = graft.streaming.ErrorBurstV2.detect(in2.toDS(), threshold = 3,
+          stateTtl = Some(java.time.Duration.ofHours(1)))
+        .writeStream.format("memory").queryName("bursts_v2_ttl")
+        .outputMode("append").start()
+      try {
+        in2.addData(Doc("fn-t", "error", 1), Doc("fn-t", "error", 2),
+          Doc("fn-t", "error", 3))
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (spark.table("bursts_v2_ttl").isEmpty &&
+            System.nanoTime() < deadline)
+          Thread.sleep(200)
+        val ttlAlerts = spark.table("bursts_v2_ttl").as[Alert].collect()
+        assert(ttlAlerts.map(a =>
+          (a.function_name, a.consecutiveErrors, a.untilMs)).toSeq ==
+          Seq(("fn-t", 3, 3L)))
+      } finally q2.stop()
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
