@@ -359,10 +359,17 @@ object Dedup {
     * checkpoint(dir) to also survive executor loss.
     */
   private def pin(df: DataFrame)
-      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-    val rdd = df.rdd
+      : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    // stay in Catalyst's internal row format end-to-end: `df.rdd` would
+    // convert InternalRow -> external Row here and back on re-read — a
+    // per-row, per-round tax over the graph-sized edge set that buys
+    // nothing (the goals are plan flattening + an unpersist handle).
+    // toRdd rows are buffers reused across a partition's iterator, so copy
+    // before caching.
+    val rdd = df.queryExecution.toRdd.map(_.copy())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+    (org.apache.spark.sql.graftbridge.Bridge.ofInternalRows(
+      df.sparkSession, rdd, df.schema), rdd)
   }
 
   private[graft] def starComponents(p: DataFrame, maxIters: Int = 60): DataFrame = {

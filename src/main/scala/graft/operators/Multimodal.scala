@@ -147,9 +147,20 @@ object Multimodal {
   case class ResizedImage(doc_id: Long, width: Int, height: Int,
                           avg_px: Double)
 
-  // ImageIO's default scratch cache is a temp FILE per encode/decode;
-  // in-memory streams are both faster and executor-safe
-  javax.imageio.ImageIO.setUseCache(false)
+  // ImageIO's default scratch cache is a temp FILE per encode/decode; the
+  // kernels below hand ImageIO explicit in-memory image streams instead,
+  // which sidesteps the file cache WITHOUT flipping the JVM-global
+  // `ImageIO.setUseCache` switch (a load-order-dependent side effect on
+  // every other ImageIO user in the executor process).
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read(ImageInputStream) closes the stream itself — except on
+    // the null (no-registered-reader) return, where we must
+    val img = javax.imageio.ImageIO.read(iis)
+    if (img == null) iis.close()
+    img
+  }
 
   /** Deterministic constant-gray PNG — a REAL PNG container written by the
     * JDK encoder (signature, IHDR, zlib-compressed IDAT), so the decode
@@ -168,7 +179,8 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     bos.toByteArray
   }
 
@@ -197,8 +209,7 @@ object Multimodal {
     */
   def decodeImageBatch(batch: Seq[MediaRecord]): Seq[DecodedImage] =
     batch.map { r =>
-      val img = javax.imageio.ImageIO
-        .read(new java.io.ByteArrayInputStream(r.payload))
+      val img = readImage(r.payload)
       require(img != null, s"undecodable image payload for doc ${r.doc_id}")
       val (avg, mn, mx) = pixelStats(img)
       DecodedImage(r.doc_id, img.getWidth, img.getHeight, avg, mn, mx)
@@ -217,8 +228,7 @@ object Multimodal {
   def resizeImageBatch(batch: Seq[MediaRecord], w: Int,
                        h: Int): Seq[ResizedImage] =
     batch.map { r =>
-      val src = javax.imageio.ImageIO
-        .read(new java.io.ByteArrayInputStream(r.payload))
+      val src = readImage(r.payload)
       require(src != null, s"undecodable image payload for doc ${r.doc_id}")
       val dst = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)

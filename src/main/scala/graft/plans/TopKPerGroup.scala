@@ -86,9 +86,13 @@ object TopKPerGroup {
     val order = orderKeys.map { case (name, asc) =>
       SortOrder(attr(name), if (asc) Ascending else Descending)
     }
-    val sortBased = spark.conf.get(sortBasedKey, "false").toBoolean
+    // sortBased = None: the execution mode is resolved from
+    // `spark.graft.topk.sortBased` at PLANNING time (in the strategy), so
+    // like any other spark.* runtime conf it can be set after the frame is
+    // built and still take effect — baking it in here would silently
+    // ignore later conf changes. Pass Some(_) to pin a mode explicitly.
     Bridge.ofRows(spark,
-      TopKPerGroupNode(groupCols.map(attr), order, k, sortBased, analyzed))
+      TopKPerGroupNode(groupCols.map(attr), order, k, None, analyzed))
   }
 }
 
@@ -97,7 +101,7 @@ object TopKPerGroup {
   */
 case class TopKPerGroupNode(groupExprs: Seq[Expression],
                             order: Seq[SortOrder], k: Int,
-                            sortBased: Boolean,
+                            sortBased: Option[Boolean],
                             child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -105,11 +109,17 @@ case class TopKPerGroupNode(groupExprs: Seq[Expression],
     copy(child = c)
 }
 
-/** Plans [[TopKPerGroupNode]] onto [[TopKPerGroupExec]]. */
+/** Plans [[TopKPerGroupNode]] onto [[TopKPerGroupExec]]. The execution mode
+  * (heap vs sort-based) resolves from the active session conf HERE — at
+  * planning time — unless the node pins it explicitly.
+  */
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(g, o, k, sb, child) =>
-      TopKPerGroupExec(g, o, k, sb, planLater(child)) :: Nil
+      val sortBased = sb.getOrElse(
+        org.apache.spark.sql.internal.SQLConf.get
+          .getConfString(TopKPerGroup.sortBasedKey, "false").toBoolean)
+      TopKPerGroupExec(g, o, k, sortBased, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -135,19 +145,32 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  // Group identity is UnsafeRow byte equality on the projected key, and the
+  // clustering exchange hashes the raw key bytes — so the key expressions
+  // are float-canonicalized EVERYWHERE they appear (-0.0 → 0.0, any NaN bit
+  // pattern → canonical NaN, recursively through arrays/structs): without
+  // this, ordering-equal but byte-distinct keys split one logical group —
+  // the hash exchange scatters them to different partitions, the sort mode
+  // interleaves them (SQLOrderingUtil compares -0.0 == 0.0) and resets the
+  // first-k counter mid-group, and the heap mode keeps two heaps. This is
+  // the normalization Spark's optimizer (NormalizeFloatingNumbers) inserts
+  // in front of its own hash aggregates, which custom nodes don't receive.
+  private lazy val normGroup: Seq[Expression] =
+    groupExprs.map(Bridge.normalizeFloats)
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (groupExprs.isEmpty) AllTuples :: Nil
-    else ClusteredDistribution(groupExprs) :: Nil
+    else ClusteredDistribution(normGroup) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     if (sortBased)
-      Seq(groupExprs.map(SortOrder(_, Ascending)) ++ order)
+      Seq(normGroup.map(SortOrder(_, Ascending)) ++ order)
     else Seq(Nil)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val boundOrder = order
     val childOutput = child.output
-    val groupE = groupExprs
+    val groupE = normGroup // float-canonicalized: see normGroup's contract
     val limit = k
     if (sortBased) {
       // child arrives (group, order)-sorted: emit the first k per group

@@ -47,4 +47,22 @@ object Bridge {
     */
   def resolver(spark: SparkSession): (String, String) => Boolean =
     spark.asInstanceOf[ClassicSession].sessionState.conf.resolver
+
+  /** Canonicalize -0.0 → 0.0 and all NaN bit patterns → the canonical NaN
+    * (recursively through arrays/structs/maps) — the same normalization
+    * Spark's optimizer applies before its own hash-based grouping/joins
+    * (`NormalizeFloatingNumbers`), exposed for custom operators that group
+    * by UnsafeRow byte equality and must match ordering equality.
+    */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  /** A DataFrame over an already-Catalyst-typed row RDD (no external-Row
+    * round trip) — the internal sibling of `createDataFrame(rdd, schema)`,
+    * for pinning iterative-loop state without per-row conversion.
+    */
+  def ofInternalRows(spark: SparkSession,
+                     rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                     schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[ClassicSession].internalCreateDataFrame(rdd, schema)
 }

@@ -69,7 +69,7 @@ class ExtensionsSpec extends SparkSpec {
       val node = graft.plans.TopKPerGroupNode(Seq(a),
         Seq(org.apache.spark.sql.catalyst.expressions.SortOrder(b,
           org.apache.spark.sql.catalyst.expressions.Ascending)), 2,
-        sortBased = false, analyzed)
+        sortBased = None, analyzed)
       val out = org.apache.spark.sql.graftbridge.Bridge.ofRows(ext, node)
       assert(out.count() == 10) // 5 priorities x k=2
       assert(out.queryExecution.executedPlan.toString.contains("TopKPerGroup"))

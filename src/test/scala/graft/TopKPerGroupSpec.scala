@@ -97,6 +97,39 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(df.count() == 10) // 5 priorities x k=2
   }
 
+  test("sortBased conf set AFTER building the frame takes effect at planning") {
+    // the mode is resolved in the strategy (planning time), like any other
+    // spark.* runtime conf — NOT baked into the node at construction
+    val df = TopKPerGroup(orders, Seq("o_orderpriority"),
+      Seq("o_orderkey" -> true), 3)
+    spark.conf.set(TopKPerGroup.sortBasedKey, "true")
+    try {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Sort "),
+        s"conf set after construction must still select sort mode:\n$p")
+      assert(df.count() == 15)
+    } finally spark.conf.unset(TopKPerGroup.sortBasedKey)
+  }
+
+  test("ordering-equal but byte-distinct float keys stay ONE group (both modes)") {
+    import spark.implicits._
+    // -0.0 and 0.0 are SQL-equal yet bit-distinct: without normalization
+    // the clustering exchange scatters them to different partitions and
+    // byte-equality group detection splits the logical group (> k rows)
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (-0.0, 4L),
+      (Double.NaN, 5L), (Double.NaN, 6L), (Double.NaN, 7L))
+      .toDF("g", "id").repartition(5)
+    for (mode <- Seq("false", "true")) {
+      spark.conf.set(TopKPerGroup.sortBasedKey, mode)
+      try {
+        val out = TopKPerGroup(df, Seq("g"), Seq("id" -> true), 2)
+          .select("id").as[Long].collect().toSet
+        assert(out == Set(1L, 2L, 5L, 6L),
+          s"sortBased=$mode: expected k=2 per LOGICAL group, got $out")
+      } finally spark.conf.unset(TopKPerGroup.sortBasedKey)
+    }
+  }
+
   test("randomized window-equivalence (seeded corpora, ties included)") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
