@@ -240,6 +240,87 @@ object Curation {
           ipv4Pattern, "<IP>")
         .as("redacted"))
 
+  /** Sliding-window document chunking — the retrieval/embedding prep shape:
+    * each document is cut into `chunkChars`-sized character windows every
+    * `strideChars` characters (overlap = chunkChars - strideChars), one row
+    * per (doc, chunk) with offset, length, and content-hash accounting. The
+    * last window may be short; a document always yields at least one chunk.
+    *
+    * Scale: a generate-and-explode narrow map — `sequence()` builds each
+    * doc's chunk indexes IN-ROW, `posexplode`-style fan-out happens inside
+    * the same task that holds the text, and nothing shuffles (the chunk
+    * rows inherit the scan's partitioning). Fan-out is bounded by
+    * doc_len / stride, so partition row counts grow by a constant factor —
+    * the 100 TB story is identical to the scan's. Chunk text is emitted as
+    * hash + length, not body (callers joining chunks back re-slice from
+    * the source column — cheaper than shuffling duplicated text).
+    */
+  def chunkDocs(docs: DataFrame, chunkChars: Int = 160,
+                strideChars: Int = 120): DataFrame = {
+    require(chunkChars > 0 && strideChars > 0 && strideChars <= chunkChars)
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          greatest(lit(0L), expr(s"(length(text) - 1) DIV $strideChars"))))
+          .as("chunk_no"))
+      .withColumn("start", col("chunk_no") * strideChars + 1)
+      .select(col("doc_id"), col("chunk_no"), col("start"),
+        length(expr(s"substring(text, CAST(start AS INT), $chunkChars)"))
+          .cast("long").as("chunk_len"),
+        md5(expr(s"substring(text, CAST(start AS INT), $chunkChars)"))
+          .as("chunk_hash"))
+  }
+
+  /** Domain-mixture resampling — hit a target per-source sampling rate
+    * (the "mix knob" of a pretraining corpus: upsample books, downsample
+    * crawl): each source gets an md5-threshold rate in 16ths via one hex
+    * digit (same deterministic-content-hash machinery as
+    * [[hashSampleStats]]), unlisted sources fall back to `defaultRate`.
+    *
+    * Scale: the per-row keep decision is a broadcast map literal lookup +
+    * a hash compare — purely narrow, zero shuffle, stable under retries
+    * and corpus growth; only the per-source ACCOUNTING aggregates (20
+    * groups). Rates in 16ths keep the oracle a plain CASE expression; finer
+    * rates = longer hex prefixes, same machinery.
+    */
+  def domainMixSample(docs: DataFrame, rates: Map[String, String],
+                      defaultRate: String = "6",
+                      textCol: String = "text"): DataFrame = {
+    val th = coalesce(element_at(typedlit(rates), col("source")),
+      lit(defaultRate))
+    val in = md5(col(textCol)) < th
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_total"),
+      count(when(in, 1)).as("n_kept"),
+      sum(when(in, tokenCount(col(textCol))).otherwise(0L))
+        .as("kept_tokens"))
+  }
+
+  /** Quantile quality floor — drop the worst `p` fraction of the corpus by
+    * a quality score (here: whitespace token count), the data-driven
+    * alternative to [[curatedStats]]' fixed thresholds. Returns per-lang
+    * survivor accounting with the cut threshold echoed per row.
+    *
+    * Scale: one exact-percentile aggregation over the slim (lang, tokens)
+    * projection produces a SINGLE threshold row, broadcast back over the
+    * corpus for the narrow filter — two passes over a 16-byte-per-doc
+    * projection, never the text. At 100 TB swap `percentile` for
+    * `approx_percentile` (same plan shape, mergeable sketch state) — the
+    * exact sort-based percentile is the oracle-determinism choice, not the
+    * scale choice, exactly like [[CurationQueries.qProfile]]'s distincts.
+    */
+  def qualityQuantileCut(docs: DataFrame, p: Double = 0.25,
+                         textCol: String = "text"): DataFrame = {
+    val scored = docs.select(col("lang"),
+      tokenCount(col(textCol)).as("tokens"))
+    val th = scored.agg(percentile(col("tokens"), lit(p)).as("cut"))
+    scored.crossJoin(broadcast(th))
+      .filter(col("tokens") >= col("cut"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"),
+        min(col("cut")).as("cut"))
+  }
+
   /** The end-to-end curation pipeline, composed from the primitives the
     * rest of the engine already verifies one by one:
     *

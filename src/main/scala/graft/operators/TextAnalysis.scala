@@ -97,4 +97,28 @@ object TextAnalysis {
       rolling_hash(col("text")).as("fp_raw"),
       rolling_hash(regexp_replace(lower(col("text")), "\\s+", " "))
         .as("fp_normalized"))
+
+  /** Corpus bigram counts, top `topN` — the n-gram language-model shape
+    * (count tables are the classic data-quality signal AND the smoothing
+    * base of statistical LM baselines). Counts ALL occurrences (unlike the
+    * dedup family's per-doc DISTINCT shingles).
+    *
+    * Scale: adjacent-token pairing is `zip_with` over two in-row slices —
+    * narrow, codegen'd, no self-join on position. The count aggregation is
+    * one shuffle whose partial (map-side) phase absorbs the Zipfian head:
+    * a hot bigram costs one counter per task, not one row per occurrence
+    * across the wire. The global top-N runs as TakeOrderedAndProject
+    * (per-partition bounded heaps, never a full sort).
+    */
+  def bigramCounts(docs: DataFrame, topN: Int = 50): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (x, y) => concat_ws(" ", x, y))
+    docs.select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topN)
+  }
 }

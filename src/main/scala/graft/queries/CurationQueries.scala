@@ -68,6 +68,25 @@ object CurationQueries {
     Curation.curatedStats(t(spark, dir, "documents"))
       .orderBy("lang", "source")
 
+  def textChunk(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunkDocs(t(spark, dir, "documents"))
+      .orderBy("doc_id", "chunk_no")
+
+  /** Mixture targets: crawl-ish sources downsampled hard, curated-ish
+    * sources kept at higher rates — arbitrary but deterministic 16th-rates
+    * exercising the per-source threshold map plus the default fallback.
+    */
+  def sampDomainMix(spark: SparkSession, dir: String): DataFrame =
+    Curation.domainMixSample(t(spark, dir, "documents"),
+        rates = Map("src0" -> "2", "src1" -> "4", "src2" -> "8",
+          "src3" -> "c"),
+        defaultRate = "6")
+      .orderBy("source")
+
+  def curateQualityCut(spark: SparkSession, dir: String): DataFrame =
+    Curation.qualityQuantileCut(t(spark, dir, "documents"), p = 0.25)
+      .orderBy("lang")
+
   def sampSplit(spark: SparkSession, dir: String): DataFrame =
     Curation.splitStats(t(spark, dir, "documents"))
       .orderBy("split")
@@ -108,6 +127,9 @@ object CurationQueries {
     "text_contaminate" -> textContaminate,
     "text_contaminate_bench" -> textContaminateBench,
     "text_redact" -> textRedact,
+    "text_chunk" -> textChunk,
+    "samp_domain_mix" -> sampDomainMix,
+    "curate_quality_cut" -> curateQualityCut,
     "curate_stats" -> curateStats)
 
   val oracles: Map[String, String] = Map(
@@ -217,6 +239,37 @@ object CurationQueries {
         |    '<IP>', 'g')) AS BIGINT)
         |    AS redacted_len
         |FROM p ORDER BY doc_id""".stripMargin,
+    "text_chunk" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      greatest(0, (length(text) - 1) // 120))) AS chunk_no
+        |  FROM documents)
+        |SELECT doc_id, chunk_no, chunk_no * 120 + 1 AS start,
+        |  CAST(length(substr(text, CAST(chunk_no * 120 + 1 AS INT), 160))
+        |    AS BIGINT) AS chunk_len,
+        |  md5(substr(text, CAST(chunk_no * 120 + 1 AS INT), 160)) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+    "samp_domain_mix" ->
+      """WITH th AS (
+        |  SELECT *, CASE source WHEN 'src0' THEN '2' WHEN 'src1' THEN '4'
+        |    WHEN 'src2' THEN '8' WHEN 'src3' THEN 'c' ELSE '6' END AS t
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_total,
+        |  COUNT(CASE WHEN md5(text) < t THEN 1 END) AS n_kept,
+        |  CAST(SUM(CASE WHEN md5(text) < t
+        |    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens
+        |FROM th GROUP BY source ORDER BY source""".stripMargin,
+    "curate_quality_cut" ->
+      """WITH tok AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |th AS (SELECT quantile_cont(tokens, 0.25) AS cut FROM tok)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(tokens) AS BIGINT) AS sum_tokens, MIN(cut) AS cut
+        |FROM tok, th WHERE tokens >= cut
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "curate_stats" ->
       """WITH q AS (
         |  SELECT doc_id, lang, source, text,

@@ -52,6 +52,9 @@ object TextQueries {
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(t(spark, dir, "documents")).orderBy("doc_id")
 
+  def textBigrams(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramCounts(t(spark, dir, "documents"), topN = 50)
+
   /** Vocabulary build + id-encode — the tokenizer plumbing of a
     * pretraining pipeline: top-1000 terms by global count become the vocab
     * (rank = id, deterministic (count desc, term) total order), probe docs
@@ -148,12 +151,20 @@ object TextQueries {
     "text_langid" -> textLangid,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
+    "text_bigrams" -> textBigrams,
     "text_tfidf" -> textTfidf,
     "text_vocab_encode" -> textVocabEncode,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_frame_sample" -> mmFrameSample)
 
   val oracles: Map[String, String] = Map(
+    "text_bigrams" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |idx AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM tok),
+        |bg AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram FROM idx)
+        |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
     "mm_image_decode" ->
       """SELECT doc_id,
         |  CAST((n_chars % 64) + 8 AS INT) AS width,

@@ -116,4 +116,53 @@ class CurationSpec extends SparkSpec {
     val t = Curation.curatedStats(withTiny).agg(sum("n_docs")).head().getLong(0)
     assert(t == base, "a below-floor doc must not survive curation")
   }
+
+  test("chunkDocs covers every character with the declared overlap") {
+    val chunked = Curation.chunkDocs(docs, chunkChars = 160,
+      strideChars = 120).cache()
+    // every doc chunks; chunk 0 starts at 1; consecutive starts differ by
+    // exactly the stride; the final chunk reaches the end of the text
+    assert(chunked.select("doc_id").distinct().count() == docs.count())
+    val lens = docs.select(col("doc_id"), length(col("text")).as("len"))
+    val last = chunked.groupBy("doc_id")
+      .agg(max(col("start") + col("chunk_len") - 1).as("covered"),
+        count(lit(1)).as("n_chunks"), max("chunk_no").as("max_no"))
+      .join(lens, "doc_id")
+    assert(last.filter(col("covered") =!= col("len")).count() == 0,
+      "chunks must cover the doc exactly to its last character")
+    assert(last.filter(col("n_chunks") =!= col("max_no") + 1).count() == 0,
+      "chunk numbering must be dense from 0")
+    // every chunk is exactly chunkChars long unless the text ends first
+    // (with overlap, the last SEVERAL chunks can truncate, not just one)
+    val withLen = chunked.join(lens, "doc_id")
+    assert(withLen.filter(col("chunk_len") =!=
+      least(lit(160L), col("len") - col("start") + 1)).count() == 0)
+    chunked.unpersist(blocking = false)
+  }
+
+  test("domainMixSample applies per-source rates with default fallback") {
+    val out = Curation.domainMixSample(docs,
+      rates = Map("src0" -> "0", "src1" -> "g"), defaultRate = "8")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out("src0")._2 == 0, "rate '0' keeps nothing")
+    assert(out("src1")._2 == out("src1")._1, "rate 'g' (> any hex) keeps all")
+    // default-rate sources keep a strict, nonempty subset (md5 is uniform;
+    // '8' is a 1/2 rate over 25 docs — all-or-nothing has p ~ 2*2^-25)
+    val dflt = out.filterKeys(k => k != "src0" && k != "src1").values
+    assert(dflt.forall { case (tot, kept) => kept > 0 && kept < tot })
+  }
+
+  test("qualityQuantileCut drops below-threshold docs exactly") {
+    val out = Curation.qualityQuantileCut(docs, p = 0.25)
+    val cut = out.select("cut").head().getDouble(0)
+    val expected = docs
+      .select(Curation.tokenCount(col("text")).as("t"))
+      .filter(col("t") >= cut).count()
+    assert(out.agg(sum("n_docs")).head().getLong(0) == expected)
+    // the threshold is a real quantile: at most 25% of docs fall below it
+    val below = docs.select(Curation.tokenCount(col("text")).as("t"))
+      .filter(col("t") < cut).count()
+    assert(below <= (docs.count() * 0.25).ceil.toLong)
+  }
 }

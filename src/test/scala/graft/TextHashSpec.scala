@@ -40,6 +40,15 @@ class TextHashSpec extends SparkSpec {
     assert(fps(0).getLong(1) != fps(1).getLong(1)) // fp_raw differs
   }
 
+  test("bigramCounts counts every occurrence, not per-doc distincts") {
+    import spark.implicits._
+    val docs = Seq("a b a b", "a b c").toDF("text")
+    val out = TextAnalysis.bigramCounts(docs, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "a b" occurs twice in doc 1 (positions 1 and 3) and once in doc 2
+    assert(out == Map("a b" -> 3, "b a" -> 1, "b c" -> 1))
+  }
+
   test("simhash: near-identical token sets land within small hamming distance") {
     import spark.implicits._
     val base = (1 to 100).map(i => s"tok$i").mkString(" ")
