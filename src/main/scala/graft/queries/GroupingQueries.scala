@@ -77,6 +77,47 @@ object GroupingQueries {
         max(col("l_quantity")).as("max_qty"))
       .orderBy("l_returnflag")
 
+  /** Statistical aggregates — correlation, sample covariance, sample
+    * stddev — with CROSS-ENGINE BIT PARITY, which the built-in one-pass
+    * `corr`/`covar_samp`/`stddev` can never give (their streaming-update
+    * accumulation order differs per engine AND per partitioning). Instead:
+    * the five raw moments accumulate as EXACT decimal sums (the
+    * [[graft.Tables.dec]] oracle-parity rule; DECIMAL(18,2)^2 products stay
+    * exact in 38 digits), and the closed-form formulas then evaluate in
+    * double over those exact sums — the identical IEEE expression tree on
+    * both engines. Same plan shape as any partial+final aggregation: one
+    * shuffle of six accumulator columns per group, O(groups) state.
+    *
+    * Caveat the doc owns: the textbook moment formulas lose precision when
+    * means dwarf variances (catastrophic cancellation) — fine for TPC-H
+    * quantities/prices, and the price of determinism; Welford-style
+    * one-pass is numerically safer but order-dependent, hence unverifiable
+    * by hash.
+    */
+  def qCorr(spark: SparkSession, dir: String): DataFrame = {
+    val dq = col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val dp = col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val s = t(spark, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("cnt"),
+      sum(dq).as("sxd"), sum(dp).as("syd"),
+      sum(dq * dq).as("sxxd"), sum(dp * dp).as("syyd"),
+      sum(dq * dp).as("sxyd"))
+    val n = col("cnt").cast("double")
+    val sx = col("sxd").cast("double")
+    val sy = col("syd").cast("double")
+    val sxx = col("sxxd").cast("double")
+    val syy = col("syyd").cast("double")
+    val sxy = col("sxyd").cast("double")
+    s.select(col("l_returnflag"), col("cnt").as("n"),
+        ((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+          .as("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n * (n - 1))).as("covar_qty_price"),
+        sqrt((n * sxx - sx * sx) / (n * (n - 1))).as("stddev_qty"),
+        sqrt((n * syy - sy * sy) / (n * (n - 1))).as("stddev_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Correlated scalar subquery shape: customers above their nation's
     * average balance. Expressed as the at-scale plan — a broadcast join
     * against the tiny per-nation aggregate (what a correlated subquery
@@ -181,6 +222,7 @@ object GroupingQueries {
     "q_distinct_agg" -> qDistinctAgg,
     "q_approx_distinct" -> qApproxDistinct,
     "q_percentiles" -> qPercentiles,
+    "q_corr" -> qCorr,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_pivot" -> qPivot,
     "q_unpivot" -> qUnpivot,
@@ -240,6 +282,32 @@ object GroupingQueries {
         |  COUNT(DISTINCT l_suppkey) AS nd_supps,
         |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_d_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS cnt,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sxd,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS syd,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS sxxd,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS syyd,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxyd
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, cnt, CAST(cnt AS DOUBLE) AS n,
+        |    CAST(sxd AS DOUBLE) AS sx, CAST(syd AS DOUBLE) AS sy,
+        |    CAST(sxxd AS DOUBLE) AS sxx, CAST(syyd AS DOUBLE) AS syy,
+        |    CAST(sxyd AS DOUBLE) AS sxy
+        |  FROM s)
+        |SELECT l_returnflag, cnt AS n,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |    AS corr_qty_price,
+        |  (n * sxy - sx * sy) / (n * (n - 1)) AS covar_qty_price,
+        |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty,
+        |  sqrt((n * syy - sy * sy) / (n * (n - 1))) AS stddev_price
+        |FROM d ORDER BY l_returnflag""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,

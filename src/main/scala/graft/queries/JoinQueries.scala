@@ -108,6 +108,29 @@ object JoinQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Explicit bloom-filter runtime-filter join (see
+    * [[graft.operators.RuntimeFilter]]): orders from BUILDING-segment
+    * customers, with the fact side pre-screened by a bloom built over the
+    * dim subset's keys BEFORE the join. The oracle is the PLAIN join —
+    * the bloom admits ~1% false positives which the join then removes, so
+    * a hash match proves the reduction is semantics-preserving.
+    */
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val orders = t(spark, dir, "orders")
+    val pre = graft.operators.RuntimeFilter.bloomFiltered(
+      orders, col("o_custkey"), cust, col("c_custkey"),
+      expectedItems = 4096L)
+    pre.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Tables.toDouble(sum(graft.Tables.dec(col("o_totalprice"))))
+          .as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Narrow scan: projection + filter pushed to the parquet reader
     * (plan-shape asserted in tests: PushedFilters + pruned ReadSchema).
     */
@@ -167,9 +190,17 @@ object JoinQueries {
     "q_asof_join" -> qAsofJoin,
     "q_interval_join" -> qIntervalJoin,
     "q_source_formats" -> qSourceFormats,
+    "q_bloom_join" -> qBloomJoin,
     "q_scan_pushdown" -> qScanPushdown)
 
   val oracles: Map[String, String] = Map(
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty

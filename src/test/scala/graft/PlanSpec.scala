@@ -125,6 +125,26 @@ class PlanSpec extends SparkSpec {
       s"per-stratum quota must go through the bounded heap:\n$p")
   }
 
+  test("bloom runtime filter screens the fact side and preserves semantics") {
+    import org.apache.spark.sql.functions._
+    val cust = Tables.t(spark, sf001, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val orders = Tables.t(spark, sf001, "orders")
+    val pre = graft.operators.RuntimeFilter.bloomFiltered(
+      orders, col("o_custkey"), cust, col("c_custkey"), 4096L)
+    // the probe is the codegen'd native expression, applied pre-join
+    assert(plan(pre).contains("might_contain"), plan(pre))
+    // the screen genuinely reduces the fact side (BUILDING is ~1/5 of
+    // customers) but keeps every true match
+    val total = orders.count()
+    val kept = pre.count()
+    assert(kept < total, s"bloom screened nothing: $kept of $total")
+    val exact = orders.join(cust, col("o_custkey") === col("c_custkey"))
+    val screened = pre.join(cust, col("o_custkey") === col("c_custkey"))
+    assert(screened.count() == exact.count(),
+      "join-after-bloom must equal the plain join (no lost matches)")
+  }
+
   test("correlated EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
     val p = plan(RelationalQueries.qExistsSubquery(spark, sf001))
     assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
