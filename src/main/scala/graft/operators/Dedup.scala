@@ -566,4 +566,46 @@ object Dedup {
         (dotp(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup-style semantic near-dup pairs: embeddings are BLOCKED into
+    * deterministic cells, and only cell-local pairs above the cosine
+    * threshold are compared/reported — the "cluster, then dedup within the
+    * cluster" shape of embedding-based corpus dedup (SemDeDup, Abbas et
+    * al. 2023), with the k-means step replaced by a deterministic,
+    * SQL-expressible cell function: the index (x sign) of the vector's
+    * largest-magnitude dimension. Near-identical vectors agree on their
+    * dominant dimension, so true semantic duplicates co-block with high
+    * probability while the pair space shrinks from n^2 to sum(cell^2).
+    *
+    * The trade is recall BY DESIGN — cross-cell pairs are never compared,
+    * exactly like cross-cluster pairs in SemDeDup. On clustered real-world
+    * embeddings cells align with clusters and recall is high; on an
+    * isotropic corpus (this testdata's worst case) the cells shred the
+    * threshold neighborhood — DedupSpec measures exactly that. What makes
+    * this variant engine-grade: the blocking is pure deterministic column
+    * arithmetic (no learned state), so the DuckDB oracle replicates it
+    * EXACTLY and the full operator is hash-verified end-to-end —
+    * impossible for a k-means cell assignment.
+    *
+    * Scale: one narrow pass computes (cell, norm), one shuffle on the cell
+    * key; per-cell pair fan-out is bounded by cell occupancy (2*dim cells;
+    * for finer cells extend the key to the top-2 dimensions — same plan).
+    */
+  def semanticPairs(emb: DataFrame, tau: Double = 0.3): DataFrame = {
+    import graft.functions.gcolumns.dotp
+    val av = transform(col("v"), x => abs(x))
+    val e = emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("idx", array_position(av, array_max(av)))
+      .withColumn("cell", col("idx") * 2 +
+        when(element_at(col("v"), col("idx").cast("int")) >= 0, 1)
+          .otherwise(0))
+      .withColumn("n", sqrt(dotp(col("v"), col("v"))))
+    e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"),
+        (dotp(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cos"))
+      .filter(col("cos") >= tau)
+  }
 }

@@ -44,6 +44,10 @@ object DedupQueries {
         probeFilter = col("vec_id") % 20 === 0)
       .orderBy("da", "db")
 
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticPairs(t(spark, dir, "embeddings"), tau = 0.3)
+      .orderBy("da", "db")
+
   /** Near-dup clusters over the exact-Jaccard pair graph (min-label
     * propagation components; oracle = recursive-CTE reachability).
     */
@@ -86,6 +90,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed_cosine" -> dedupEmbedCosine,
+    "dedup_semantic" -> dedupSemantic,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_star" -> dedupClustersStar)
 
@@ -153,6 +158,24 @@ object DedupQueries {
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |bx AS (SELECT vec_id, v,
+        |         list_position(list_transform(v, x -> abs(x)),
+        |           list_max(list_transform(v, x -> abs(x)))) AS idx
+        |       FROM e),
+        |blk AS (SELECT vec_id, v,
+        |          idx * 2 + CASE WHEN v[idx] >= 0 THEN 1 ELSE 0 END AS cell
+        |        FROM bx),
+        |p AS (SELECT a.vec_id AS da, b.vec_id AS db,
+        |        list_inner_product(a.v, b.v) /
+        |          (sqrt(list_inner_product(a.v, a.v))
+        |           * sqrt(list_inner_product(b.v, b.v))) AS cos
+        |      FROM blk a JOIN blk b
+        |        ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT da, db, cos FROM p WHERE cos >= 0.3
+        |ORDER BY da, db""".stripMargin,
     "dedup_corpus" -> dedupCorpusSql,
     "dedup_exact" ->
       """WITH aug AS (

@@ -32,13 +32,45 @@ object SimilarityQueries {
     Similarity.labelCentroids(t(spark, dir, "embeddings"))
       .orderBy("label")
 
+  def simQuantize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizedTopK(t(spark, dir, "embeddings"),
+        probeFilter = col("vec_id") % 100 === 0, k = 5)
+      .orderBy("qid", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> simTopk,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ivf" -> simIvf,
+    "sim_quantize" -> simQuantize,
     "sim_centroid" -> simCentroid)
 
   val oracles: Map[String, String] = Map(
+    "sim_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |q0 AS (SELECT vec_id,
+        |        list_transform(v, x -> CAST(floor(x * 127.0 / mx) AS BIGINT))
+        |          AS qv
+        |      FROM m),
+        |q AS (SELECT vec_id, qv,
+        |        sqrt(CAST(list_sum(list_transform(generate_series(1, len(qv)),
+        |          i -> qv[i] * qv[i])) AS DOUBLE)) AS qn
+        |      FROM q0),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |        CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+        |          i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+        |        CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+        |          i -> a.qv[i] * b.qv[i])) AS DOUBLE) / (a.qn * b.qn) AS qcos
+        |      FROM q a JOIN q b
+        |        ON a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id),
+        |r AS (SELECT qid, nid, dot, qcos,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY qcos DESC, nid) AS rn
+        |      FROM p)
+        |SELECT qid, rn AS rank, nid, dot, qcos FROM r WHERE rn <= 5
+        |ORDER BY qid, rank""".stripMargin,
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,

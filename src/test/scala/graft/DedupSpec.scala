@@ -147,6 +147,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semantic pairs: planted duplicate co-blocks; output is exact-cosine-verified") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+    // a planted exact copy shares its dominant dimension by construction,
+    // so cell blocking MUST surface it at cosine ~1
+    val planted = emb.unionByName(emb.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(900007L)))
+    val pairs = Dedup.semanticPairs(planted, tau = 0.3).cache()
+    val hit = pairs.filter(col("da") === 7 && col("db") === 900007L)
+      .select("cos").collect()
+    assert(hit.length == 1 && math.abs(hit(0).getDouble(0) - 1.0) < 1e-9,
+      "planted duplicate must co-block and score cosine ~1")
+    // every reported pair is a genuine threshold pair (blocking only cuts
+    // candidates, never fabricates: cos is computed exactly, post-block)
+    assert(pairs.filter(col("cos") < 0.3 || col("cos") > 1.0 + 1e-12)
+      .count() == 0)
+    // and reported pairs are a SUBSET of the unblocked threshold pairs
+    val all = Dedup.embeddingPairs(planted, threshold = 0.3, lit(true))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs.select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(all), s"blocking fabricated pairs: ${got -- all}")
+    pairs.unpersist(blocking = false)
+    ()
+  }
+
   test("embedding cosine pairs are within [-1, 1] and self-free") {
     val pairs = Dedup.embeddingPairs(Tables.t(spark, sf001, "embeddings"),
       threshold = 0.3, probeFilter = col("vec_id") % 10 === 0).collect()

@@ -130,6 +130,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization bounds values and preserves the neighbor ranking") {
+    val q = Similarity.quantize(emb)
+    import spark.implicits._
+    val bounds = q.select(array_min(col("qv")).as("mn"),
+      array_max(col("qv")).as("mx"))
+      .agg(min("mn"), max("mx")).head()
+    assert(bounds.getLong(0) >= -127 && bounds.getLong(1) <= 127,
+      s"int8 range violated: $bounds")
+    // quantized top-5 against float top-5: int8 keeps ~7 bits of the
+    // signal, plenty to reproduce most of the exact neighbor set
+    val probeF = col("vec_id") % 100 === 0
+    val exact = Similarity.bruteForceTopK(emb, probeF, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(emb, probeF, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall too low: $recall")
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val df = Seq((Array(0.1, -0.5, 2.0), Array(0.1, -0.5, 2.0))).toDF("a", "b")
