@@ -112,6 +112,34 @@ object ShipperStream {
     docs.withWatermark(eventTime, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Incremental dedup against a HISTORICAL corpus — the streaming shape of
+    * a continuously-ingested training corpus: new documents dedupe first
+    * WITHIN the stream (bounded watermark state, exactly [[dedupedDocs]]'
+    * machinery, keyed by content hash), then against the static index of
+    * everything already accepted (stream-static LEFT ANTI join on the
+    * 16-byte content hash — Spark plans the static side per micro-batch,
+    * so a grown index is picked up on restart without surgery).
+    *
+    * Scale: the historical side is a bare (content_hash) projection — at
+    * 100 TB that column pruning is what keeps the anti join feasible, and a
+    * bucketed/sorted hash index elides its exchange entirely; the
+    * stream-side state holds only in-watermark hashes. At-least-once like
+    * every `dropDuplicatesWithinWatermark` pipeline: a crash between batch
+    * emit and index append can re-admit a late duplicate — downstream
+    * exact dedup (idempotent by construction) absorbs it.
+    */
+  def dedupAgainstHistory(newDocs: DataFrame, history: DataFrame,
+                          textCol: String = "text",
+                          eventTime: String = "event_ts",
+                          watermark: String = "10 minutes"): DataFrame = {
+    val hashed = newDocs.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+    hashed.join(
+      history.select(md5(col(textCol)).as("content_hash")),
+      Seq("content_hash"), "left_anti")
+  }
+
   /** Session windows (30 min gap) per function — the stateful op the
     * reference lacks entirely; state is bounded by the watermark.
     */

@@ -105,6 +105,36 @@ class StateAndStoreSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: in-stream AND against-history duplicates are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // historical corpus: texts h1, h2 already accepted
+    val history = Seq("h1 text", "h2 text").toDF("text")
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("text", "event_ts")
+    val q = graft.streaming.ShipperStream
+      .dedupAgainstHistory(stream, history)
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").start()
+    try {
+      val t0 = new java.sql.Timestamp(1700000000000L)
+      input.addData(
+        ("h1 text", t0), // dup vs history -> dropped
+        ("new A", t0), ("new A", t0), // in-batch dup -> once
+        ("new B", t0))
+      q.processAllAvailable()
+      // a later batch re-sends an already-emitted text within the
+      // watermark: the stream-side state drops it too
+      input.addData(("new A", new java.sql.Timestamp(1700000001000L)),
+        ("h2 text", t0), ("new C", t0))
+      q.processAllAvailable()
+      val out = spark.table("incdedup").select("text")
+        .as[String].collect().sorted.toSeq
+      assert(out == Seq("new A", "new B", "new C"),
+        s"expected exactly the novel texts once each, got $out")
+    } finally q.stop()
+  }
+
   test("error-burst buffer is bounded: overflow keeps earliest rows, resets streak") {
     import spark.implicits._
     // 10 consecutive errors but a buffer cap of 5: alerts fire for the
