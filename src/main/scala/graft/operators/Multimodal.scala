@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE path is REAL: [[encodePng]]/[[decodeImageBatch]]/
   * [[resizeImageBatch]] run actual PNG encode/decode/resample through the
-  * JDK's `javax.imageio` + `java.awt` (zero new dependencies). The
-  * audio/video kernels remain STUBBED with deterministic fakes (genuinely
-  * no codec in this container) — for those, everything Spark-side is still
+  * JDK's `javax.imageio` + `java.awt` (zero new dependencies). The AUDIO
+  * path is REAL too: [[encodeWav]]/[[decodeAudioBatch]] write and parse
+  * genuine RIFF/WAVE PCM16 containers through `javax.sound.sampled`
+  * (pure file-format work — no audio device, runs headless). Only the
+  * VIDEO kernels remain STUBBED with deterministic fakes (genuinely no
+  * video codec in this container) — for those, everything Spark-side is still
   * real and load-bearing: the schema (binary payload + metadata struct),
   * the partition-batched execution (`mapPartitions` with fixed-size
   * batches, the same shape a Pandas-UDF/Arrow path has in PySpark), and
@@ -249,6 +252,109 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(
       _.grouped(decodeBatchSize).flatMap(resizeImageBatch(_, w, h)))
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL audio kernels (javax.sound.sampled — JDK only, no new deps).
+  // WAV parse is pure file-format work: no audio device is touched, so
+  // these run headless on any executor.
+  // ---------------------------------------------------------------------
+
+  /** Decoded-audio features from a REAL RIFF/WAVE parse. */
+  case class DecodedAudio(doc_id: Long, n_samples: Long, sample_rate: Int,
+                          channels: Int, peak: Int, rms: Double,
+                          avg_sample: Double)
+
+  /** Deterministic mono PCM16 WAV — a REAL RIFF/WAVE container written by
+    * the JDK encoder (RIFF header, fmt chunk, data chunk). The waveform is
+    * a full-scale square wave (sample i = +amp when i is even, -amp when
+    * odd), so every decoded statistic stays closed-form for the DuckDB
+    * oracle: peak = amp, rms = sqrt(n*amp^2/n) = amp exactly (amp^2 is an
+    * exact double and IEEE sqrt of a perfect square is exact), and the
+    * mean is 0 (even n) or amp/n (odd n) — the identical integer division
+    * both engines perform.
+    */
+  def encodeWav(nSamples: Int, sampleRate: Int, amp: Int): Array[Byte] = {
+    require(amp <= Short.MaxValue, s"amp $amp overflows PCM16")
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = if (i % 2 == 0) amp else -amp
+      pcm(2 * i) = (s & 0xff).toByte // little-endian PCM16
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  /** REAL audio decode kernel: full RIFF/WAVE parse via AudioSystem
+    * (header + fmt validation, frame accounting), then a PCM16LE pass for
+    * peak / RMS / mean over all interleaved channels. Batch contract
+    * identical to the image kernels'.
+    */
+  def decodeAudioBatch(batch: Seq[MediaRecord]): Seq[DecodedAudio] =
+    batch.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val f = ais.getFormat
+        require(f.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16 && !f.isBigEndian,
+          s"unsupported WAV format for doc ${r.doc_id}: $f")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var peak = 0
+        var sum = 0L
+        var sumSq = 0L
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sum += s
+          sumSq += s.toLong * s
+          i += 1
+        }
+        val samples = n.toLong / f.getChannels
+        DecodedAudio(r.doc_id, samples, f.getSampleRate.toInt, f.getChannels,
+          peak, math.sqrt(sumSq.toDouble / n), sum.toDouble / n)
+      } finally ais.close()
+    }
+
+  /** Partition-batched real audio decode (narrow map, like [[decode]]). */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(decodeBatchSize).flatMap(decodeAudioBatch))
+  }
+
+  /** Audio manifest with REAL WAV payloads: the `audio/wav` document slice
+    * carries an actual RIFF/WAVE container (sample count / rate / amplitude
+    * derived deterministically from metadata, so decoded stats stay
+    * oracle-expressible while the bytes are a genuine file format).
+    */
+  def audioManifest(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("source"),
+        ((col("n_chars") % 2000) + 100).cast("int").as("n_samples"),
+        (lit(8000) + (col("doc_id") % 4) * 4000).cast("int").as("rate"))
+      .as[(Long, String, Int, Int)]
+      .mapPartitions(_.map { case (id, src, n, rate) =>
+        MediaRecord(id, src, "audio/wav", n, rate,
+          encodeWav(n, rate, ((id % 120) + 1).toInt * 250))
+      })
   }
 
   /** Image manifest with REAL PNG payloads: the `image/png` document slice

@@ -143,8 +143,19 @@ object TextQueries {
         Multimodal.imageManifest(t(spark, dir, "documents")), w = 16, h = 12)
       .toDF().orderBy("doc_id")
 
+  /** REAL WAV decode over the audio manifest ([[Multimodal.audioManifest]]
+    * carries genuine RIFF/WAVE containers; javax.sound.sampled parses
+    * them). Square-wave payloads keep peak/RMS/mean closed-form from the
+    * manifest metadata, so the oracle checks the real decoder cell-exact.
+    */
+  def mmAudioDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudio(
+        Multimodal.audioManifest(t(spark, dir, "documents")))
+      .toDF().orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_resize" -> mmResize,
+    "mm_audio_decode" -> mmAudioDecode,
     "mm_image_decode" -> mmImageDecode,
     "mm_image_resize" -> mmImageResize,
     "text_quality" -> textQuality,
@@ -158,6 +169,18 @@ object TextQueries {
     "mm_frame_sample" -> mmFrameSample)
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_decode" ->
+      """WITH a AS (
+        |  SELECT doc_id, (n_chars % 2000) + 100 AS n,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |    ((doc_id % 120) + 1) * 250 AS amp
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(amp AS INT) AS peak,
+        |  CAST(amp AS DOUBLE) AS rms,
+        |  CASE WHEN n % 2 = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(amp AS DOUBLE) / n END AS avg_sample
+        |FROM a ORDER BY doc_id""".stripMargin,
     "text_bigrams" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |idx AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i

@@ -78,6 +78,55 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("encodeWav emits a real RIFF/WAVE container; decode recovers format + stats") {
+    val bytes = Multimodal.encodeWav(nSamples = 101, sampleRate = 16000, amp = 5000)
+    assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+    assert(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+    val d = Multimodal.decodeAudioBatch(Seq(Multimodal.MediaRecord(
+      5L, "s", "audio/wav", 101, 16000, bytes))).head
+    assert(d.n_samples == 101 && d.sample_rate == 16000 && d.channels == 1)
+    assert(d.peak == 5000 && d.rms == 5000.0)
+    // odd sample count: one more +amp than -amp
+    assert(d.avg_sample == 5000.0 / 101)
+  }
+
+  test("audio kernel reads real samples, not metadata (linear ramp)") {
+    // a NON-square waveform: stats only a genuine PCM pass can produce
+    val n = 200
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = i * 10 // 0,10,...,1990
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val d = Multimodal.decodeAudioBatch(Seq(Multimodal.MediaRecord(
+      6L, "s", "audio/wav", n, 8000, bos.toByteArray))).head
+    assert(d.peak == 1990)
+    val mean = (0 until n).map(_ * 10).sum.toDouble / n
+    assert(d.avg_sample == mean)
+    val rms = math.sqrt((0 until n).map(i => (i * 10.0) * (i * 10)).sum / n)
+    assert(math.abs(d.rms - rms) < 1e-9)
+  }
+
+  test("audio manifest carries decodable WAVs through the distributed path") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val decoded = Multimodal.decodeAudio(Multimodal.audioManifest(docs))
+    val n = docs.filter(col("doc_id") % 3 === 1).count()
+    assert(decoded.count() == n)
+    decoded.collect().take(10).foreach { d =>
+      assert(d.n_samples >= 100 && d.sample_rate >= 8000 && d.channels == 1)
+      assert(d.peak.toDouble == d.rms, "square wave: RMS equals peak")
+    }
+  }
+
   test("decode: every record decodes once, checksum = payload byte sum") {
     val decoded = Multimodal.decode(media).collect()
     assert(decoded.length == media.count())
