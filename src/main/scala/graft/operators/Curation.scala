@@ -321,6 +321,56 @@ object Curation {
         min(col("cut")).as("cut"))
   }
 
+  /** C4-style segment-level corpus dedup: any `segWords`-word tumbling
+    * segment ("line") occurring at least `dupMin` times ACROSS the corpus is
+    * removed from every document containing it, and documents are
+    * reassembled from their surviving segments. This is the C4 pipeline's
+    * "discard any three-sentence span occurring more than once" rule, the
+    * boilerplate killer (cookie banners, nav bars, license headers) that
+    * document-level dedup cannot touch.
+    *
+    * Emits one row per input document: total/kept segment accounting plus
+    * the reassembled text (empty when every segment was boilerplate) — the
+    * doc set is preserved so downstream length filters decide what drops.
+    *
+    * Scale: segmentation is in-row (`transform` over a `sequence` of
+    * offsets — narrow, no position self-join). The corpus-wide occurrence
+    * count shuffles md5(segment) — 16-byte keys, never segment text — and
+    * the duplicated-segment set (occurrences >= dupMin, a tiny fraction of
+    * distinct segments) broadcast-joins back against the exploded segments,
+    * so the only full-width shuffle is the per-doc reassembly aggregation.
+    * At 100 TB with very wide documents you'd emit (doc, seg_no) drop masks
+    * instead and re-slice from the source column ([[chunkDocs]]' trick) to
+    * keep reassembly text off the wire too; at typical web-doc widths the
+    * one reassembly shuffle ≈ one extra scan of the kept corpus.
+    */
+  def lineDedup(docs: DataFrame, segWords: Int = 10, dupMin: Int = 3,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(segWords > 0 && dupMin >= 2)
+    val toks = split(col(textCol), " ")
+    val segs = docs.select(col(idCol),
+      posexplode(transform(
+        // integer DIV: Column./ is double division and a double bound would
+        // misround sequence() exactly at segment-count boundaries
+        sequence(lit(0L), expr(s"(size(split(`$textCol`, ' ')) - 1) DIV $segWords")),
+        i => array_join(
+          slice(toks, (i * segWords + 1).cast("int"), lit(segWords)), " ")))
+        .as(Seq("seg_no", "seg")))
+      .withColumn("seg_hash", md5(col("seg")))
+    val dup = segs.groupBy(col("seg_hash")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= dupMin)
+      .select(col("seg_hash"), lit(true).as("dup"))
+    segs.join(broadcast(dup), Seq("seg_hash"), "left")
+      .withColumn("is_dup", coalesce(col("dup"), lit(false)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(!col("is_dup"), 1)).as("n_kept"),
+        array_join(transform(
+            sort_array(collect_list(
+              when(!col("is_dup"), struct(col("seg_no"), col("seg"))))),
+            s => s.getField("seg")), " ").as("kept_text"))
+  }
+
   /** The end-to-end curation pipeline, composed from the primitives the
     * rest of the engine already verifies one by one:
     *

@@ -98,6 +98,72 @@ object TextAnalysis {
       rolling_hash(regexp_replace(lower(col("text")), "\\s+", " "))
         .as("fp_normalized"))
 
+  /** Max run length over a SORTED array — equals the max occurrence count
+    * of any value, via one linear in-row scan (the O(n log n) sort replaces
+    * the explode -> groupBy(doc, term) shuffle a naive count would pay).
+    */
+  private def maxRunLength(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("mx")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("mx"), run).as("mx"))
+      },
+      acc => greatest(acc.getField("mx"), acc.getField("run")))
+
+  /** Total occurrences belonging to values that repeat (count > 1) in a
+    * SORTED array — same linear run scan, accumulating closed runs; the
+    * finish lambda folds in the final run.
+    */
+  private def dupOccurrences(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("dup")),
+      (acc, x) => {
+        val closes = x =!= acc.getField("prev")
+        val closedDup = when(closes && acc.getField("run") > 1,
+          acc.getField("dup") + acc.getField("run"))
+          .otherwise(acc.getField("dup"))
+        struct(x.as("prev"),
+          when(closes, lit(1)).otherwise(acc.getField("run") + 1).as("run"),
+          closedDup.as("dup"))
+      },
+      acc => when(acc.getField("run") > 1,
+        acc.getField("dup") + acc.getField("run")).otherwise(acc.getField("dup")))
+
+  /** Gopher-style within-document repetition signals: top-token fraction,
+    * top-bigram fraction, and the fraction of bigram occurrences belonging
+    * to repeated bigrams — the "repetitious document" filters (templated
+    * spam, keyword stuffing, decode loops) that length/stopword rules miss.
+    *
+    * Scale: every metric is computed IN-ROW — tokens and bigrams are
+    * sorted per document and scanned once for run lengths ([[maxRunLength]]
+    * / [[dupOccurrences]]), so the operator is a narrow projection with NO
+    * shuffle at any corpus size (the explode -> groupBy(doc, term) shape
+    * would shuffle one row per token; this shuffles nothing). Fractions
+    * are exact integer/integer IEEE divisions — oracle-reproducible.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (x, y) => concat_ws(" ", x, y))
+    val nTok = size(toks)
+    val nBg = size(bigrams)
+    val maxTok = maxRunLength(sort_array(toks))
+    val maxBg = maxRunLength(sort_array(bigrams))
+    val dupBg = dupOccurrences(sort_array(bigrams))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      maxTok.as("max_token_count"),
+      (maxTok.cast("double") / nTok).as("top_token_frac"),
+      (maxBg.cast("double") / nBg).as("top_bigram_frac"),
+      (dupBg.cast("double") / nBg).as("dup_bigram_frac"))
+  }
+
   /** Corpus bigram counts, top `topN` — the n-gram language-model shape
     * (count tables are the classic data-quality signal AND the smoothing
     * base of statistical LM baselines). Counts ALL occurrences (unlike the

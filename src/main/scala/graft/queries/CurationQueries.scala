@@ -118,8 +118,25 @@ object CurationQueries {
       .orderBy("col_name")
   }
 
+  /** C4-style segment dedup with PLANTED boilerplate (the corpus generator
+    * emits unique texts, so the query deterministically prefixes a fixed
+    * 10-word banner to every 7th document — exactly one tumbling segment,
+    * so the operator has guaranteed cross-document duplicates to strip
+    * while every original segment survives untouched).
+    */
+  def curateLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val boiler =
+      "cookie policy terms subscribe newsletter follow share like privacy notice"
+    val planted = docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(lit(boiler + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    Curation.lineDedup(planted, segWords = 10, dupMin = 3).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack" -> textPack,
+    "curate_line_dedup" -> curateLineDedup,
     "samp_stratified" -> sampStratified,
     "samp_hash" -> sampHash,
     "samp_split" -> sampSplit,
@@ -133,6 +150,29 @@ object CurationQueries {
     "curate_stats" -> curateStats)
 
   val oracles: Map[String, String] = Map(
+    "curate_line_dedup" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN
+        |    'cookie policy terms subscribe newsletter follow share like privacy notice '
+        |      || text ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d0),
+        |sx AS (SELECT doc_id, toks,
+        |         unnest(generate_series(0, (len(toks) - 1) // 10)) AS seg_no
+        |       FROM tok),
+        |s AS (SELECT doc_id, seg_no,
+        |        array_to_string(toks[seg_no * 10 + 1 : seg_no * 10 + 10], ' ')
+        |          AS seg
+        |      FROM sx),
+        |dup AS (SELECT seg FROM s GROUP BY seg HAVING COUNT(*) >= 3),
+        |m AS (SELECT s.doc_id, s.seg_no, s.seg,
+        |        dup.seg IS NOT NULL AS is_dup
+        |      FROM s LEFT JOIN dup ON s.seg = dup.seg)
+        |SELECT doc_id, COUNT(*) AS n_segs,
+        |  COUNT(CASE WHEN NOT is_dup THEN 1 END) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN NOT is_dup THEN seg END, ' '
+        |    ORDER BY seg_no), '') AS kept_text
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_pack" ->
       """WITH tok AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

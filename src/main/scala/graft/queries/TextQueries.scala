@@ -55,6 +55,9 @@ object TextQueries {
   def textBigrams(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramCounts(t(spark, dir, "documents"), topN = 50)
 
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(t(spark, dir, "documents")).orderBy("doc_id")
+
   /** Vocabulary build + id-encode — the tokenizer plumbing of a
     * pretraining pipeline: top-1000 terms by global count become the vocab
     * (rank = id, deterministic (count desc, term) total order), probe docs
@@ -163,6 +166,7 @@ object TextQueries {
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "text_bigrams" -> textBigrams,
+    "text_repetition" -> textRepetition,
     "text_tfidf" -> textTfidf,
     "text_vocab_encode" -> textVocabEncode,
     "mm_decode_stats" -> mmDecodeStats,
@@ -181,6 +185,26 @@ object TextQueries {
         |  CASE WHEN n % 2 = 0 THEN CAST(0 AS DOUBLE)
         |       ELSE CAST(amp AS DOUBLE) / n END AS avg_sample
         |FROM a ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |             FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS w, len(toks) AS n FROM tok),
+        |tc AS (SELECT doc_id, n, w, COUNT(*) AS c FROM t GROUP BY 1, 2, 3),
+        |ttf AS (SELECT doc_id, any_value(n) AS n_tokens,
+        |          CAST(MAX(c) AS INT) AS max_token_count
+        |        FROM tc GROUP BY doc_id),
+        |bgx AS (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS i FROM tok),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b FROM bgx),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, SUM(c) AS n_bg, MAX(c) AS max_bg,
+        |         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bg
+        |       FROM bc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, max_token_count,
+        |  CAST(max_token_count AS DOUBLE) / n_tokens AS top_token_frac,
+        |  CAST(max_bg AS DOUBLE) / n_bg AS top_bigram_frac,
+        |  CAST(dup_bg AS DOUBLE) / n_bg AS dup_bigram_frac
+        |FROM ttf JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_bigrams" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |idx AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i

@@ -153,6 +153,43 @@ class CurationSpec extends SparkSpec {
     assert(dflt.forall { case (tot, kept) => kept > 0 && kept < tot })
   }
 
+  test("lineDedup strips cross-corpus boilerplate segments, reassembles the rest") {
+    val spark2 = spark
+    import spark2.implicits._
+    val banner = "one two three four five six seven eight nine ten"
+    val rows = Seq(
+      1L -> s"$banner alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> s"$banner lambda mu nu xi omicron pi rho sigma tau upsilon",
+      3L -> s"$banner phi chi psi omega aleph beth gimel daleth he vav",
+      4L -> banner, // ALL segments boilerplate -> empty kept_text
+      5L -> "unique words that never repeat anywhere in this tiny corpus")
+    val out = Curation.lineDedup(rows.toDF("doc_id", "text"),
+      segWords = 10, dupMin = 3).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+    assert(out(4L) == ((1L, 0L, "")), "fully-boilerplate doc stays, empty")
+    assert(out(5L) == ((1L, 1L,
+      "unique words that never repeat anywhere in this tiny corpus")))
+  }
+
+  test("repetition metrics match hand counts; plan is shuffle-free") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rep = graft.operators.TextAnalysis.repetition(
+      Seq(10L -> "a a a b", 11L -> "x y x y x").toDF("doc_id", "text"))
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition must be narrow:\n$plan")
+    val m = rep.collect().map(r => r.getLong(0) -> r).toMap
+    // "a a a b": tokens 4, max tok 3; bigrams [a a, a a, a b]
+    assert(m(10L).getInt(1) == 4 && m(10L).getInt(2) == 3)
+    assert(m(10L).getDouble(3) == 3.0 / 4)
+    assert(m(10L).getDouble(4) == 2.0 / 3 && m(10L).getDouble(5) == 2.0 / 3)
+    // "x y x y x": bigrams [x y, y x, x y, y x] -> all repeated
+    assert(m(11L).getInt(2) == 3)
+    assert(m(11L).getDouble(4) == 2.0 / 4 && m(11L).getDouble(5) == 1.0)
+  }
+
   test("qualityQuantileCut drops below-threshold docs exactly") {
     val out = Curation.qualityQuantileCut(docs, p = 0.25)
     val cut = out.select("cut").head().getDouble(0)
