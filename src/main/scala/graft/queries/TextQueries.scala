@@ -58,6 +58,24 @@ object TextQueries {
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(t(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Frequent terms via the Misra–Gries sketch ([[graft.functions
+    * .HeavyHitters]]). Capacity 1024 far exceeds this corpus's distinct
+    * vocabulary, so the sketch provably runs decrement-free and its counts
+    * are EXACT — which is what lets a sketch-valued query hash-match a
+    * plain GROUP BY oracle (the approximate regime is property-tested in
+    * StatsSpec, where merge-order dependence makes hash equality the wrong
+    * contract).
+    */
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val words = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+    words
+      .agg(graft.functions.HeavyHitters.heavy_hitters(col("term"), 1024)
+        .as("hh"))
+      .select(explode(col("hh")).as(Seq("term", "est")))
+      .orderBy(col("est").desc, col("term")).limit(20)
+  }
+
   /** Vocabulary build + id-encode — the tokenizer plumbing of a
     * pretraining pipeline: top-1000 terms by global count become the vocab
     * (rank = id, deterministic (count desc, term) total order), probe docs
@@ -167,6 +185,7 @@ object TextQueries {
     "text_fingerprint" -> textFingerprint,
     "text_bigrams" -> textBigrams,
     "text_repetition" -> textRepetition,
+    "text_heavy_hitters" -> textHeavyHitters,
     "text_tfidf" -> textTfidf,
     "text_vocab_encode" -> textVocabEncode,
     "mm_decode_stats" -> mmDecodeStats,
@@ -185,6 +204,11 @@ object TextQueries {
         |  CASE WHEN n % 2 = 0 THEN CAST(0 AS DOUBLE)
         |       ELSE CAST(amp AS DOUBLE) / n END AS avg_sample
         |FROM a ORDER BY doc_id""".stripMargin,
+    "text_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |c AS (SELECT term, COUNT(*) AS est FROM t GROUP BY term)
+        |SELECT term, est FROM c ORDER BY est DESC, term LIMIT 20""".stripMargin,
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
         |             FROM documents),

@@ -30,4 +30,38 @@ class StatsSpec extends SparkSpec {
       assert(near(mm.getAs[Double]("stddev_price"), r.getAs[Double]("sp"), 1e-9))
     }
   }
+
+  test("Misra-Gries: exact when k >= distinct, bounded error + guaranteed " +
+    "heavy hitters when k < distinct") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.functions.HeavyHitters.heavy_hitters
+    // Zipf-ish synthetic stream: item i appears ceil(3000 / i) times,
+    // i = 1..200 -> n ~ 3000 * H(200) ~ 17.6k items, 200 distinct
+    val freqs = (1 to 200).map(i => s"item_$i" -> (3000 / i + 1).toLong)
+    val n = freqs.map(_._2).sum
+    val rows = freqs.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }
+    val df = spark.createDataset(rows).toDF("term").repartition(8)
+
+    // exact regime: k >= 200 distinct -> decrement-free -> exact counts
+    val exact = df.agg(heavy_hitters(col("term"), 256).as("hh"))
+      .select(explode(col("hh"))).as[(String, Long)].collect().toMap
+    assert(exact == freqs.toMap, "k >= distinct must reproduce exact counts")
+
+    // approximate regime: k = 24 -> error <= n/(k+1)
+    val k = 24
+    val est = df.agg(heavy_hitters(col("term"), k).as("hh"))
+      .select(explode(col("hh"))).as[(String, Long)].collect().toMap
+    assert(est.size <= k)
+    val bound = n / (k + 1)
+    val truth = freqs.toMap
+    est.foreach { case (w, c) =>
+      assert(c <= truth(w), s"$w overestimated: $c > ${truth(w)}")
+      assert(truth(w) - c <= bound, s"$w error ${truth(w) - c} > $bound")
+    }
+    // every item with true frequency > n/(k+1) must be present
+    truth.filter(_._2 > bound).keys.foreach { w =>
+      assert(est.contains(w), s"guaranteed heavy hitter $w missing")
+    }
+  }
 }
