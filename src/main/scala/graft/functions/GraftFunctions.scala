@@ -19,5 +19,6 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     registry.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
     registry.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("zorder2", es => ZOrder2(es(0), es(1)), "scala_udf")
   }
 }

@@ -103,4 +103,8 @@ object gcolumns {
   /** Sequential (oracle-parity) dot product of two double-array columns. */
   def dotp(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Z-order (Morton) value of two int columns' low 16 bits. */
+  def zorder2(x: Column, y: Column): Column =
+    Bridge.column(ZOrder2(Bridge.expression(x), Bridge.expression(y)))
 }

@@ -241,8 +241,43 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
         col("o_orderkey"))
 
+  /** Z-order clustering key over (o_custkey, o_orderkey) — the layout
+    * primitive for 2-D min/max pruning ([[graft.functions.ZOrder2]], a
+    * codegen'd Catalyst expression). The query pins the Morton math
+    * cell-exact against a 32-term bit-arithmetic oracle; the LAYOUT effect
+    * (sort by zval -> tight per-block bounding boxes -> parquet row-group
+    * pruning on either dimension) is asserted in ExtensionsSpec.
+    */
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.gcolumns.zorder2
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey"),
+        zorder2((col("o_custkey") % 65536).cast("int"),
+          (col("o_orderkey") % 65536).cast("int")).as("zval"))
+      .orderBy("o_orderkey")
+  }
+
+  /** The Morton interleave as plain SQL bit arithmetic: bit i of x lands at
+    * position 2i, bit i of y at 2i+1.
+    */
+  private val zorderSql: String = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"((x >> $i) & 1) * ${1L << (2 * i)}",
+        s"((y >> $i) & 1) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT o_orderkey,
+       |    CAST(o_custkey % 65536 AS BIGINT) AS x,
+       |    CAST(o_orderkey % 65536 AS BIGINT) AS y
+       |  FROM orders WHERE o_orderkey % 37 = 0)
+       |SELECT o_orderkey, CAST($terms AS BIGINT) AS zval
+       |FROM m ORDER BY o_orderkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_groups" -> qTopkGroups,
+    "q_zorder" -> qZorder,
     "q1_agg" -> q1Agg,
     "q3_top_revenue" -> q3TopRevenue,
     "q6_filter_sum" -> q6FilterSum,
@@ -257,6 +292,7 @@ object RelationalQueries {
     "q_topk_orders" -> qTopkOrders)
 
   val oracles: Map[String, String] = Map(
+    "q_zorder" -> zorderSql,
     "q_gapfill" ->
       """WITH ev AS (SELECT * FROM events WHERE user_id % 30 = 0),
         |ranked AS (

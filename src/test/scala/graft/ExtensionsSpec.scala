@@ -93,6 +93,47 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("zorder2 matches a bit-by-bit reference interleave, incl. SQL form") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.functions.gcolumns.zorder2
+    def ref(x: Int, y: Int): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1).toLong << (2 * i)) |
+          (((y >> i) & 1).toLong << (2 * i + 1))
+      }
+    val pts = Seq((0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321),
+      (65536 + 7, 3)) // 17-bit x: only the low 16 bits participate
+    val got = pts.toDF("x", "y")
+      .select(zorder2(col("x"), col("y"))).as[Long].collect()
+    pts.zip(got).foreach { case ((x, y), z) =>
+      assert(z == ref(x, y), s"($x,$y)")
+    }
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT zorder2(12345, 54321)").head().getLong(0)
+    assert(viaSql == ref(12345, 54321))
+  }
+
+  test("z-order layout serves 2-D box pruning where row-major serves one dim") {
+    // 64x64 grid, blocks of 64 consecutive rows ≙ parquet row groups.
+    // Under z-order the blocks are aligned 8x8 tiles, so an 8x8 box query
+    // intersects 1 block; row-major (sort by x then y) strips intersect 8.
+    // This bbox-intersection count IS what min/max row-group pruning reads.
+    val pts = for (x <- 0 until 64; y <- 0 until 64) yield (x, y)
+    def blocksTouched(sorted: Seq[(Int, Int)]): Int =
+      sorted.grouped(64).count { blk =>
+        val (xs, ys) = (blk.map(_._1), blk.map(_._2))
+        // bbox intersects the box query x,y ∈ [8,15]?
+        xs.min <= 15 && xs.max >= 8 && ys.min <= 15 && ys.max >= 8
+      }
+    val byZ = pts.sortBy { case (x, y) =>
+      graft.functions.ZOrderImpl.interleave16(x, y)
+    }
+    val byRowMajor = pts.sortBy { case (x, y) => (x, y) }
+    assert(blocksTouched(byZ) == 1)
+    assert(blocksTouched(byRowMajor) == 8)
+  }
+
   test("flag on: count(DISTINCT x) plans and evaluates as the HLL sketch") {
     withExtendedSession { ext =>
       Tables.t(ext, sf001, "orders").createOrReplaceTempView("x_orders")
