@@ -226,6 +226,38 @@ object RelationalQueries {
       .orderBy("user_id", "hour")
   }
 
+  /** Batch sessionization — the gap-based session assignment every
+    * clickstream/telemetry pipeline runs (the batch analog of the
+    * streaming session window in ShipperStream): a new session starts at
+    * the first event or after a >30 min silence; sessions aggregate to
+    * (count, bounds, duration).
+    *
+    * Scale: the classic two-window + aggregate shape over ONE user_id
+    * exchange — lag and the running session counter share the same
+    * (partition, sort) spec so Catalyst plans a single Exchange + Sort and
+    * both Window operators stream over it; the final per-session aggregate
+    * partial-aggregates before its (user, sess) exchange. State per user is
+    * one row — no session buffer materializes anywhere.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir).filter(col("user_id") % 10 === 0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    ev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"))
+      .orderBy("user_id", "sess")
+  }
+
   /** Grouped top-k through the custom [[graft.plans.TopKPerGroupExec]]
     * operator (bounded heap per group — no per-partition full sort; the
     * oracle is the equivalent row_number window SQL, so the driver's gate
@@ -278,6 +310,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_groups" -> qTopkGroups,
     "q_zorder" -> qZorder,
+    "q_sessionize" -> qSessionize,
     "q1_agg" -> q1Agg,
     "q3_top_revenue" -> q3TopRevenue,
     "q6_filter_sum" -> q6FilterSum,
@@ -293,6 +326,24 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q_zorder" -> zorderSql,
+    "q_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE user_id % 10 = 0),
+        |g AS (SELECT *, lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |      FROM ev),
+        |n AS (SELECT *, CASE WHEN prev_us IS NULL
+        |        OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END
+        |        AS new_sess
+        |      FROM g),
+        |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM n)
+        |SELECT user_id, CAST(sess AS BIGINT) AS sess, COUNT(*) AS n_events,
+        |  MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+        |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
     "q_gapfill" ->
       """WITH ev AS (SELECT * FROM events WHERE user_id % 30 = 0),
         |ranked AS (

@@ -163,4 +163,15 @@ class PlanSpec extends SparkSpec {
       .select(graft.functions.gcolumns.dotp(col("a"), col("b")))
     assert(dp.head().getDouble(0) == 11.0)
   }
+
+  test("sessionization shares ONE hash exchange across windows + aggregate") {
+    // lag, the running session counter, and the (user, sess) aggregate all
+    // cluster by user_id — HashPartitioning(user_id) satisfies every
+    // downstream distribution, so the only other exchange is the
+    // presentation orderBy's range partitioning
+    val plan = graft.queries.RelationalQueries
+      .qSessionize(spark, sf001).queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected a single hash exchange:\n$plan")
+  }
 }
