@@ -183,8 +183,28 @@ object JoinQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** FULL OUTER join — both sides keep their unmatched rows (a customer
+    * slice vs an order-aggregate slice chosen so each side has exclusives).
+    * Scale: same sort-merge shuffle shape as an inner join; Spark cannot
+    * broadcast a full-outer side, which is exactly why the slices here are
+    * deliberately shuffled — the honest plan at any scale.
+    */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    val o = t(spark, dir, "orders").filter(col("o_custkey") % 75 === 0)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        toDouble(sum(dec(col("o_totalprice")))).as("total"))
+    c.join(o, Seq("custkey"), "full_outer")
+      .select(col("custkey"), col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"), col("total"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_join" -> qSaltedJoin,
+    "q_outer_join" -> qOuterJoin,
     "q_theta_join" -> qThetaJoin,
     "q_range_join" -> qRangeJoin,
     "q_asof_join" -> qAsofJoin,
@@ -194,6 +214,17 @@ object JoinQueries {
     "q_scan_pushdown" -> qScanPushdown)
 
   val oracles: Map[String, String] = Map(
+    "q_outer_join" ->
+      """WITH c AS (SELECT c_custkey AS custkey, c_name FROM customer
+        |           WHERE c_custkey % 50 = 0),
+        |o AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |          AS total
+        |      FROM orders WHERE o_custkey % 75 = 0 GROUP BY 1)
+        |SELECT COALESCE(c.custkey, o.custkey) AS custkey, c_name,
+        |  COALESCE(n_orders, 0) AS n_orders, total
+        |FROM c FULL OUTER JOIN o ON c.custkey = o.custkey
+        |ORDER BY custkey""".stripMargin,
     "q_bloom_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)

@@ -258,6 +258,31 @@ object RelationalQueries {
       .orderBy("user_id", "sess")
   }
 
+  /** SCD type-2 dimension build — collapse an event stream into validity
+    * intervals per attribute value: a new version opens whenever the
+    * tracked attribute (event_type) changes, `valid_to` is the next
+    * version's start (NULL = current). The standard warehouse
+    * change-capture shape: lag to detect changes, filter to change rows,
+    * lead for the closing bound.
+    *
+    * Scale: both windows and the change filter cluster by user_id — one
+    * hash exchange, streaming window evaluation, and the second window
+    * runs over the (much smaller) change-row set.
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir).filter(col("user_id") % 25 === 0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"))
+      .orderBy("user_id", "version")
+  }
+
   /** Grouped top-k through the custom [[graft.plans.TopKPerGroupExec]]
     * operator (bounded heap per group — no per-partition full sort; the
     * oracle is the equivalent row_number window SQL, so the driver's gate
@@ -311,6 +336,7 @@ object RelationalQueries {
     "q_topk_groups" -> qTopkGroups,
     "q_zorder" -> qZorder,
     "q_sessionize" -> qSessionize,
+    "q_scd2" -> qScd2,
     "q1_agg" -> q1Agg,
     "q3_top_revenue" -> q3TopRevenue,
     "q6_filter_sum" -> q6FilterSum,
@@ -326,6 +352,23 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q_zorder" -> zorderSql,
+    "q_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE user_id % 25 = 0),
+        |g AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |      FROM ev),
+        |ch AS (SELECT * FROM g
+        |       WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (SELECT user_id, event_type, ts,
+        |        CAST(row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS INT) AS version,
+        |        lead(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS valid_to
+        |      FROM ch)
+        |SELECT user_id, version, event_type, ts AS valid_from, valid_to
+        |FROM v ORDER BY user_id, version""".stripMargin,
     "q_sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts

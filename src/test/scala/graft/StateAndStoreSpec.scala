@@ -173,6 +173,39 @@ class StateAndStoreSpec extends SparkSpec {
     assert(LogStore.read(spark, dir).count() == 1)
   }
 
+  test("log store compaction: merges small files per partition, idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // 24 rows fanned over 8 tasks -> 8 small files per partition (the
+    // streaming-sink append pattern)
+    val docs = (1 to 24).map(i =>
+        (s"fn-$i", if (i % 2 == 0) "error" else "debug",
+          s"2024-01-0${i % 2 + 1} 10:00:00"))
+      .toDF("function_name", "severity", "ts_s")
+      .withColumn("event_ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .repartition(8)
+    LogStore.write(docs, dir)
+    def files(p: String): Int =
+      new java.io.File(s"$dir/$p").listFiles()
+        .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(files("severity=error/log_date=2024-01-01") > 1)
+    val before = LogStore.read(spark, dir).orderBy("function_name")
+      .collect().toSeq
+
+    val done = LogStore.compact(spark, dir)
+    assert(done.nonEmpty)
+    done.foreach { case (_, nBefore, nAfter) =>
+      assert(nBefore > 1 && nAfter == 1)
+    }
+    assert(files("severity=error/log_date=2024-01-01") == 1)
+    // content identical after the rewrite
+    val after = LogStore.read(spark, dir).orderBy("function_name")
+      .collect().toSeq
+    assert(after == before)
+    // second run: nothing left to compact
+    assert(LogStore.compact(spark, dir).isEmpty)
+  }
+
   test("salted join equals plain join") {
     val li = Tables.t(spark, sf001, "lineitem").select("l_orderkey", "l_quantity")
     val ord = Tables.t(spark, sf001, "orders").select("o_orderkey", "o_orderpriority")
