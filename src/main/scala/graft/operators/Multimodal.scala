@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * JDK's `javax.imageio` + `java.awt` (zero new dependencies). The AUDIO
   * path is REAL too: [[encodeWav]]/[[decodeAudioBatch]] write and parse
   * genuine RIFF/WAVE PCM16 containers through `javax.sound.sampled`
-  * (pure file-format work — no audio device, runs headless). Only the
-  * VIDEO kernels remain STUBBED with deterministic fakes (genuinely no
-  * video codec in this container) — for those, everything Spark-side is still
+  * (pure file-format work — no audio device, runs headless). The
+  * video-shaped FRAME path is real too: [[encodeGif]]/[[gifFrameBatch]]
+  * write and per-frame-decode genuine multi-frame (animated) GIF
+  * containers. Only true video CODECS (H.264 etc., genuinely absent from
+  * this container) keep STUBBED stand-ins — for those, everything
+  * Spark-side is still
   * real and load-bearing: the schema (binary payload + metadata struct),
   * the partition-batched execution (`mapPartitions` with fixed-size
   * batches, the same shape a Pandas-UDF/Arrow path has in PySpark), and
@@ -354,6 +357,112 @@ object Multimodal {
       .mapPartitions(_.map { case (id, src, n, rate) =>
         MediaRecord(id, src, "audio/wav", n, rate,
           encodeWav(n, rate, ((id % 120) + 1).toInt * 250))
+      })
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL frame extraction (multi-frame GIF via javax.imageio — JDK only).
+  // GIF is the one multi-frame container the JDK both writes and reads,
+  // so the video-shaped path (container -> per-frame decode -> sampled
+  // frame stats) runs a genuine parse end to end; only true video codecs
+  // (H.264 etc.) remain out of reach in this build.
+  // ---------------------------------------------------------------------
+
+  /** One decoded frame's stats out of a real multi-frame container. */
+  case class DecodedFrame(doc_id: Long, frame_no: Int, width: Int,
+                          height: Int, avg_px: Double)
+
+  /** Deterministic multi-frame GIF: `nFrames` constant-gray frames (frame f
+    * = gray `(base + 7f) % 256`), written through the JDK GIF encoder's
+    * sequence API — a genuine animated-GIF container (header, palette,
+    * per-frame image descriptors). Constant frames survive palette
+    * quantization exactly, keeping per-frame stats closed-form.
+    *
+    * Caveat: the JDK GIF codec corrupts the LAST ROW of very small
+    * frames (observed at 8x2 and 16x4 — an LZW edge); exhaustively
+    * verified clean for every dimension [[gifManifest]] emits
+    * (6..30 x 6..22) — keep frames at least 6x6.
+    */
+  def encodeGif(width: Int, height: Int, nFrames: Int, base: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val g = (base + 7 * f) % 256
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** REAL frame-sampling kernel: open the container once, read every
+    * `stride`-th frame through the GIF decoder, measure the decoded
+    * raster. Same batch contract as the stub [[frameSampleBatch]] — this
+    * is the kernel a real keyframe sampler swaps in.
+    */
+  def gifFrameBatch(batch: Seq[MediaRecord], stride: Int): Seq[DecodedFrame] =
+    batch.flatMap { r =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n).filter(_ % stride == 0).map { f =>
+          val img = reader.read(f)
+          val (avg, _, _) = pixelStats(img)
+          DecodedFrame(r.doc_id, f, img.getWidth, img.getHeight, avg)
+        }
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
+
+  /** Partition-batched real frame sampling (narrow flatMap, like
+    * [[frameSample]] — frames multiply rows but never shuffle).
+    */
+  def gifFrames(media: Dataset[MediaRecord],
+                stride: Int = 2): Dataset[DecodedFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(
+      _.grouped(decodeBatchSize).flatMap(gifFrameBatch(_, stride)))
+  }
+
+  /** Video-slice manifest with REAL multi-frame GIF payloads (frame count /
+    * dims / base gray derived deterministically from metadata).
+    */
+  def gifManifest(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("source"),
+        ((col("n_chars") % 24) + 6).cast("int").as("width"),
+        ((col("doc_id") % 16) + 6).cast("int").as("height"),
+        ((col("doc_id") % 5) + 2).cast("int").as("frames"))
+      .as[(Long, String, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, src, w, h, n) =>
+        MediaRecord(id, src, "image/gif", w, h,
+          encodeGif(w, h, n, (id % 200).toInt))
       })
   }
 

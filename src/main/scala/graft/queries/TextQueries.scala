@@ -174,9 +174,22 @@ object TextQueries {
         Multimodal.audioManifest(t(spark, dir, "documents")))
       .toDF().orderBy("doc_id")
 
+  /** REAL multi-frame decode over the GIF manifest ([[Multimodal
+    * .gifManifest]] writes genuine animated-GIF containers; the kernel
+    * opens each once and decodes every 2nd frame). Constant-gray frames
+    * keep per-frame stats closed-form for the oracle while the bytes are a
+    * real multi-image container — the video-path proof that only true
+    * codecs (H.264 etc.) remain stubbed.
+    */
+  def mmGifFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.gifFrames(
+        Multimodal.gifManifest(t(spark, dir, "documents")), stride = 2)
+      .toDF().orderBy("doc_id", "frame_no")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_resize" -> mmResize,
     "mm_audio_decode" -> mmAudioDecode,
+    "mm_gif_frames" -> mmGifFrames,
     "mm_image_decode" -> mmImageDecode,
     "mm_image_resize" -> mmImageResize,
     "text_quality" -> textQuality,
@@ -192,6 +205,18 @@ object TextQueries {
     "mm_frame_sample" -> mmFrameSample)
 
   val oracles: Map[String, String] = Map(
+    "mm_gif_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, (n_chars % 24) + 6 AS w, (doc_id % 16) + 6 AS h,
+        |    (doc_id % 5) + 2 AS n, doc_id % 200 AS base
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, w, h, base,
+        |        unnest(generate_series(0, CAST(n - 1 AS INT))) AS fr
+        |      FROM v)
+        |SELECT doc_id, CAST(fr AS INT) AS frame_no, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  CAST((base + 7 * fr) % 256 AS DOUBLE) AS avg_px
+        |FROM f WHERE fr % 2 = 0 ORDER BY doc_id, frame_no""".stripMargin,
     "mm_audio_decode" ->
       """WITH a AS (
         |  SELECT doc_id, (n_chars % 2000) + 100 AS n,

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
 /** Multimodal plumbing: manifest schema, batched decode/resize/frame-sample
-  * contracts (audio/video kernels are documented stubs; the batching,
-  * numbering, and byte accounting are the real, asserted surface) — plus
-  * the REAL javax.imageio PNG decode/resize kernels.
+  * contracts — with REAL kernels for PNG decode/resize (javax.imageio),
+  * WAV decode (javax.sound.sampled), and multi-frame GIF frame extraction
+  * (javax.imageio sequence API); only true video codecs stay stubbed, with
+  * the batching/numbering/byte accounting still the real asserted surface.
   */
 class MultimodalSpec extends SparkSpec {
   private lazy val media =
@@ -125,6 +126,46 @@ class MultimodalSpec extends SparkSpec {
       assert(d.n_samples >= 100 && d.sample_rate >= 8000 && d.channels == 1)
       assert(d.peak.toDouble == d.rms, "square wave: RMS equals peak")
     }
+  }
+
+  test("encodeGif emits a real multi-frame container; kernel decodes frames") {
+    val bytes = Multimodal.encodeGif(10, 8, nFrames = 4, base = 100)
+    assert(new String(bytes.take(3), "ASCII") == "GIF")
+    val frames = Multimodal.gifFrameBatch(Seq(Multimodal.MediaRecord(
+      2L, "s", "image/gif", 10, 8, bytes)), stride = 1)
+    assert(frames.map(_.frame_no) == Seq(0, 1, 2, 3))
+    frames.foreach { f =>
+      assert(f.width == 10 && f.height == 8)
+      assert(f.avg_px == ((100 + 7 * f.frame_no) % 256).toDouble)
+    }
+    // stride skips frames at the decode level, not after
+    assert(Multimodal.gifFrameBatch(Seq(Multimodal.MediaRecord(
+      2L, "s", "image/gif", 10, 8, bytes)), stride = 2)
+      .map(_.frame_no) == Seq(0, 2))
+  }
+
+  test("GIF kernel reads real frame rasters (two-tone frame, not metadata)") {
+    // a frame whose mean no manifest field carries: half 0, half 250.
+    // 16x8, inside the verified envelope: the JDK GIF codec corrupts the
+    // LAST ROW of very small frames (e.g. 8x2, 16x4 — an LZW edge);
+    // exhaustively verified clean for 6..30 x 6..22, the gifManifest range
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val g = if (x < 8) 0 else 250
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    val f = Multimodal.gifFrameBatch(Seq(Multimodal.MediaRecord(
+      8L, "s", "image/gif", 16, 8, bos.toByteArray)), stride = 1).head
+    assert(f.avg_px == 125.0)
   }
 
   test("decode: every record decodes once, checksum = payload byte sum") {
