@@ -20,5 +20,9 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
     registry.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
     registry.createOrReplaceTempFunction("zorder2", es => ZOrder2(es(0), es(1)), "scala_udf")
+    // typed Aggregator UDAFs register through the udf facade, not the
+    // expression registry
+    spark.udf.register("heavy_hitters",
+      org.apache.spark.sql.functions.udaf(new MisraGriesAggregator(1024)))
   }
 }

@@ -134,9 +134,36 @@ object CurationQueries {
     Curation.lineDedup(planted, segWords = 10, dupMin = 3).orderBy("doc_id")
   }
 
+  /** Declarative data-quality expectations over orders with PLANTED
+    * corruption (every 500th order re-enters with a negated price and an
+    * out-of-range customer key — the generator's data is clean, so the
+    * report needs guaranteed violations to prove it counts): three row
+    * rules in one aggregation pass + a referential-integrity orphan check
+    * against customer, union'd into one (rule, rows, violations, rate)
+    * report.
+    */
+  def qExpectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_custkey",
+      "o_totalprice", "o_orderpriority", "o_orderdate")
+    val corrupted = o.filter(col("o_orderkey") % 500 === 0)
+      .withColumn("o_totalprice", -col("o_totalprice"))
+      .withColumn("o_custkey", col("o_custkey") + lit(10000000L))
+    val aug = o.unionByName(corrupted)
+    val rowRules = Expectations.check(aug, Seq(
+      Expectations.Rule("date_not_null", col("o_orderdate").isNotNull),
+      Expectations.Rule("price_positive", col("o_totalprice") > 0),
+      Expectations.Rule("priority_known", col("o_orderpriority").isin(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))))
+    val fk = Expectations.orphans(aug, "o_custkey",
+      t(spark, dir, "customer"), "c_custkey", "fk_customer")
+    rowRules.unionByName(fk).orderBy("rule")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack" -> textPack,
     "curate_line_dedup" -> curateLineDedup,
+    "q_expectations" -> qExpectations,
     "samp_stratified" -> sampStratified,
     "samp_hash" -> sampHash,
     "samp_split" -> sampSplit,
@@ -150,6 +177,39 @@ object CurationQueries {
     "curate_stats" -> curateStats)
 
   val oracles: Map[String, String] = Map(
+    "q_expectations" ->
+      """WITH corrupted AS (
+        |  SELECT o_orderkey, o_custkey + 10000000 AS o_custkey,
+        |    -o_totalprice AS o_totalprice, o_orderpriority, o_orderdate
+        |  FROM orders WHERE o_orderkey % 500 = 0),
+        |aug AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+        |    o_orderdate
+        |  FROM orders
+        |  UNION ALL SELECT * FROM corrupted),
+        |n AS (SELECT COUNT(*) AS n_rows FROM aug),
+        |r AS (
+        |  SELECT 'date_not_null' AS rule, n_rows,
+        |    (SELECT COUNT(*) FROM aug WHERE o_orderdate IS NULL)
+        |      AS n_violations FROM n
+        |  UNION ALL
+        |  SELECT 'price_positive', n_rows,
+        |    (SELECT COUNT(*) FROM aug
+        |     WHERE NOT COALESCE(o_totalprice > 0, FALSE)) FROM n
+        |  UNION ALL
+        |  SELECT 'priority_known', n_rows,
+        |    (SELECT COUNT(*) FROM aug WHERE NOT COALESCE(o_orderpriority IN
+        |      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'),
+        |      FALSE)) FROM n
+        |  UNION ALL
+        |  SELECT 'fk_customer', n_rows,
+        |    (SELECT COUNT(*) FROM aug a
+        |     LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |       ON a.o_custkey = c.c_custkey
+        |     WHERE c.c_custkey IS NULL) FROM n)
+        |SELECT rule, n_rows, n_violations,
+        |  CAST(n_violations AS DOUBLE) / n_rows AS violation_rate
+        |FROM r ORDER BY rule""".stripMargin,
     "curate_line_dedup" ->
       """WITH d0 AS (
         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN

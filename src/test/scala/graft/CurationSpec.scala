@@ -173,6 +173,17 @@ class CurationSpec extends SparkSpec {
       "unique words that never repeat anywhere in this tiny corpus")))
   }
 
+  test("lineDedup with an unreachable dupMin is the identity (reassembly exact)") {
+    // round-trip invariant: segmentation + reassembly reproduces every
+    // document byte-for-byte when nothing is duplicated enough to drop
+    val out = Curation.lineDedup(docs, segWords = 10, dupMin = Int.MaxValue)
+      .select(col("doc_id"), col("kept_text"))
+    val joined = docs.select(col("doc_id"), col("text"))
+      .join(out, "doc_id")
+      .filter(col("text") =!= col("kept_text"))
+    assert(joined.count() == 0)
+  }
+
   test("repetition metrics match hand counts; plan is shuffle-free") {
     val spark2 = spark
     import spark2.implicits._

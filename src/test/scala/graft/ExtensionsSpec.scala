@@ -114,6 +114,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == ref(12345, 54321))
   }
 
+  test("heavy_hitters registers as a SQL aggregate") {
+    val spark2 = spark
+    import spark2.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq("a", "b", "a", "c", "a", "b").toDF("w").createOrReplaceTempView("hh_in")
+    val m = spark.sql("SELECT heavy_hitters(w) AS hh FROM hh_in")
+      .select(explode(col("hh"))).as[(String, Long)].collect().toMap
+    assert(m == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("z-order layout serves 2-D box pruning where row-major serves one dim") {
     // 64x64 grid, blocks of 64 consecutive rows ≙ parquet row groups.
     // Under z-order the blocks are aligned 8x8 tiles, so an 8x8 box query
