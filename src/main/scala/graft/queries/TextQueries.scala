@@ -76,6 +76,18 @@ object TextQueries {
       .orderBy(col("est").desc, col("term")).limit(20)
   }
 
+  /** BPE tokenizer training ([[graft.operators.Bpe]]): the learned merge
+    * table for 30 merges over the corpus — rows-only (a driver merge loop
+    * over the distributed word-frequency dict is not SQL-expressible);
+    * BpeSpec pins the algorithm against the textbook example and proves
+    * encode/train consistency.
+    */
+  def textBpe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val merges = Bpe.train(t(spark, dir, "documents"), nMerges = 30)
+    Bpe.mergeTable(spark, merges).orderBy("rank")
+  }
+
   /** Vocabulary build + id-encode — the tokenizer plumbing of a
     * pretraining pipeline: top-1000 terms by global count become the vocab
     * (rank = id, deterministic (count desc, term) total order), probe docs
@@ -199,6 +211,7 @@ object TextQueries {
     "text_bigrams" -> textBigrams,
     "text_repetition" -> textRepetition,
     "text_heavy_hitters" -> textHeavyHitters,
+    "text_bpe" -> textBpe,
     "text_tfidf" -> textTfidf,
     "text_vocab_encode" -> textVocabEncode,
     "mm_decode_stats" -> mmDecodeStats,
