@@ -226,6 +226,41 @@ object RelationalQueries {
       .orderBy("user_id", "hour")
   }
 
+  /** RANGE-frame window (value-based bounds, not row counts): the trailing
+    * 1-hour per-user event sum/count — rows with equal order values share
+    * a frame, and the frame edge is a TIME distance, which ROWS frames
+    * cannot express. The remaining window-frame mode after q_window_running
+    * covered ROWS.
+    *
+    * Scale: same single-exchange streaming window shape as every per-user
+    * window here; range frames keep O(window-span) state per key, bounded
+    * by the hour horizon like a watermark.
+    */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir).filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), dec(col("value")).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0)
+    ev.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        toDouble(sum(col("v")).over(w)).as("sum_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** width_bucket histogram — the equi-width profiling aggregate: order
+    * totals bucketed into 10 bins over a fixed range, one count+mass row
+    * per bin. One partial-aggregated pass; bins are a literal expression,
+    * so the scan stays codegen'd and the shuffle carries 10 rows.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(width_bucket(col("o_totalprice"), lit(0d), lit(600000d),
+        lit(10)).as("bucket"), dec(col("o_totalprice")).as("p"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"), toDouble(sum(col("p"))).as("mass"))
+      .orderBy("bucket")
+
   /** Batch sessionization — the gap-based session assignment every
     * clickstream/telemetry pipeline runs (the batch analog of the
     * streaming session window in ShipperStream): a new session starts at
@@ -337,6 +372,8 @@ object RelationalQueries {
     "q_zorder" -> qZorder,
     "q_sessionize" -> qSessionize,
     "q_scd2" -> qScd2,
+    "q_window_range" -> qWindowRange,
+    "q_histogram" -> qHistogram,
     "q1_agg" -> q1Agg,
     "q3_top_revenue" -> q3TopRevenue,
     "q6_filter_sum" -> q6FilterSum,
@@ -352,6 +389,29 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q_zorder" -> zorderSql,
+    "q_window_range" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events WHERE user_id % 20 = 0)
+        |SELECT user_id, event_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(v) OVER w AS DOUBLE) AS sum_1h
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+        |              WHEN o_totalprice >= 600000 THEN 11
+        |              ELSE 1 + floor(o_totalprice / 60000.0) END AS BIGINT)
+        |    AS bucket,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p
+        |  FROM orders)
+        |SELECT bucket, COUNT(*) AS n_orders,
+        |  CAST(SUM(p) AS DOUBLE) AS mass
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_scd2" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
