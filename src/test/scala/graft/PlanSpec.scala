@@ -164,6 +164,48 @@ class PlanSpec extends SparkSpec {
     assert(dp.head().getDouble(0) == 11.0)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the engine's OTHER skew answer besides Skew.saltedJoin: let AQE's
+    // runtime re-plan split the hot partition. Thresholds lowered so the
+    // test corpus qualifies as skewed; restored after.
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // one white-hot key (~50k rows) among 100 cold ones
+      val left = spark.range(0, 50000).select(
+        when(col("id") % 100 === 0, col("id") % 100).otherwise(0L).as("k"),
+        col("id").as("payload"))
+      val right = (0L until 100L).toDF("k")
+        .withColumn("dim", col("k") * 10)
+      val joined = left.join(right, "k")
+      // execute THIS DataFrame's query execution (count() would plan a
+      // separate one and leave this AdaptiveSparkPlan unexecuted)
+      assert(joined.collect().length == 50000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skewed="),
+        s"expected AQE skew-split markers in the final plan:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("sessionization shares ONE hash exchange across windows + aggregate") {
     // lag, the running session counter, and the (user, sess) aggregate all
     // cluster by user_id — HashPartitioning(user_id) satisfies every

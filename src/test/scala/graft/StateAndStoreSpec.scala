@@ -105,6 +105,43 @@ class StateAndStoreSpec extends SparkSpec {
     }
   }
 
+  test("burst-detector state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[Doc]
+    // the memory sink refuses checkpoint recovery — collect through
+    // foreachBatch, which is the recoverable sink shape ShipperStream uses
+    val alerts = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, Int, Long)]())
+    def start() =
+      ErrorBurst.detect(input.toDS(), threshold = 3)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Alert], _: Long) =>
+          batch.collect().foreach(a =>
+            alerts.add((a.function_name, a.consecutiveErrors, a.untilMs)))
+        }
+        .start()
+    // run 1: a 2-error streak — below threshold, no alert yet
+    val q1 = start()
+    try {
+      input.addData(Doc("fn-r", "error", 1), Doc("fn-r", "error", 2))
+      q1.processAllAvailable()
+      assert(alerts.isEmpty)
+    } finally q1.stop()
+    // run 2: SAME checkpoint — the third error must extend the streak the
+    // state store recovered, not start a fresh one
+    input.addData(Doc("fn-r", "error", 3))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(alerts.toArray.toSeq == Seq(("fn-r", 3, 3L)),
+        "recovered state must carry the pre-restart streak")
+    } finally q2.stop()
+  }
+
   test("incremental dedup: in-stream AND against-history duplicates are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
