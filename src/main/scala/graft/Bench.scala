@@ -35,16 +35,26 @@ object Bench {
         }
     }
     val passes = (1 to math.max(1, runs)).map(_ => onePass())
+    // the harness records only a bounded TAIL of stdout, so the record must
+    // be (a) short — ms-precision times, not 17-digit doubles — and (b)
+    // redundant: all pass totals appear BOTH at the head of the line (the
+    // natural parse) and again in a tiny `totals` key at the very end, so
+    // even a front-truncated capture still carries every total
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def fmt(m: Map[String, Double]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val extra =
-      if (passes.size < 2) ""
-      else passes.tail.zipWithIndex.map { case (p, i) =>
-        s""","queries${i + 2}":${fmt(p)},"value${i + 2}":${p.values.sum}"""
-      }.mkString
+      m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val totals = passes.map(_.values.sum)
+    val headTotals = totals.zipWithIndex.map { case (t, i) =>
+      val key = if (i == 0) "value" else s"value${i + 1}"
+      s""""$key":${r3(t)}"""
+    }.mkString(",")
+    val queryMaps = passes.zipWithIndex.map { case (p, i) =>
+      val key = if (i == 0) "queries" else s"queries${i + 1}"
+      s""""$key":${fmt(p)}"""
+    }.mkString(",")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = passes.head.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(passes.head)},"runs":${passes.size}$extra,"errors":$errs,"sf":"$sfDir"}""")
+    val tailTotals = totals.map(r3).mkString("[", ",", "]")
+    println(s"""{"metric":"total",$headTotals,"unit":"sec","runs":${passes.size},"errors":$errs,"sf":"$sfDir",$queryMaps,"totals":$tailTotals}""")
     spark.stop()
   }
 }

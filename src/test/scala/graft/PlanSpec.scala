@@ -199,7 +199,10 @@ class PlanSpec extends SparkSpec {
       // separate one and leave this AdaptiveSparkPlan unexecuted)
       assert(joined.collect().length == 50000)
       val finalPlan = joined.queryExecution.executedPlan.toString
-      assert(finalPlan.contains("skewed="),
+      // this Spark's renderer marks the split as `skew=true` on the SMJ node
+      // and `AQEShuffleRead skewed` on the shuffle read — not `skewed=`
+      assert(finalPlan.contains("skew=true") ||
+             finalPlan.contains("AQEShuffleRead skewed"),
         s"expected AQE skew-split markers in the final plan:\n$finalPlan")
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
