@@ -112,7 +112,7 @@ object Bpe {
     * narrow map. Returns (doc_id, n_words, n_units, units_per_word).
     */
   def encodeStats(docs: DataFrame, merges: Seq[Merge],
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     val ranks = spark.sparkContext.broadcast(
       merges.map(m => (m.left, m.right) -> m.rank).toMap)
@@ -120,8 +120,11 @@ object Bpe {
       val ws = text.split(" ").filter(_.nonEmpty)
       ws.map(w => encodeWord(w, ranks.value).length.toLong).sum
     }
-    docs.select(col("doc_id"),
-        size(split(col(textCol), " ")).cast("long").as("n_words"),
+    // n_words must use the SAME non-empty filter as unitCount, or leading /
+    // repeated spaces inflate the denominator and units_per_word dips < 1
+    docs.select(col(idCol),
+        size(filter(split(col(textCol), " "), w => length(w) > 0))
+          .cast("long").as("n_words"),
         unitCount(col(textCol)).as("n_units"))
       .withColumn("units_per_word",
         col("n_units").cast("double") / col("n_words"))

@@ -155,7 +155,10 @@ object TextAnalysis {
     val maxTok = maxRunLength(sort_array(toks))
     val maxBg = maxRunLength(sort_array(bigrams))
     val dupBg = dupOccurrences(sort_array(bigrams))
-    docs.select(
+    // sub-2-token docs have no bigrams: their fractions are 0/0. Rather
+    // than pick a convention (null vs 0.0) that an exact-SQL oracle must
+    // then reproduce, exclude them — the signal is meaningless there anyway
+    docs.where(nTok >= 2).select(
       col("doc_id"),
       nTok.as("n_tokens"),
       maxTok.as("max_token_count"),

@@ -71,7 +71,14 @@ object TextQueries {
       .select(explode(split(col("text"), " ")).as("term"))
     words
       .agg(graft.functions.HeavyHitters.heavy_hitters(col("term"), 1024)
-        .as("hh"))
+          .as("hh"),
+        count_distinct(col("term")).as("nd"))
+      // the oracle hash-match is only valid in the decrement-free EXACT
+      // regime; if a corpus change pushes distinct vocab past capacity,
+      // fail with this message instead of a mystifying hash mismatch
+      .where(isnull(assert_true(col("nd") <= 1024, lit(
+        "heavy-hitters left the exact regime: distinct terms > sketch " +
+          "capacity 1024 — raise k or re-derive the oracle"))))
       .select(explode(col("hh")).as(Seq("term", "est")))
       .orderBy(col("est").desc, col("term")).limit(20)
   }
@@ -249,7 +256,8 @@ object TextQueries {
         |SELECT term, est FROM c ORDER BY est DESC, term LIMIT 20""".stripMargin,
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |             FROM documents),
+        |             FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 2),
         |t AS (SELECT doc_id, unnest(toks) AS w, len(toks) AS n FROM tok),
         |tc AS (SELECT doc_id, n, w, COUNT(*) AS c FROM t GROUP BY 1, 2, 3),
         |ttf AS (SELECT doc_id, any_value(n) AS n_tokens,
