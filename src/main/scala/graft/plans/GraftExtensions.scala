@@ -2,10 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Count, HyperLogLogPlusPlus, Percentile}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.functions.{DotProduct, Gunzip, Gzip, RollingHash, SimHash64}
 
@@ -38,6 +39,53 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
             if c.children.size == 1 =>
           ae.copy(aggregateFunction = HyperLogLogPlusPlus(c.children.head),
             isDistinct = false)
+      }
+    }
+}
+
+/** Opt-in quantile acceleration: exact `percentile(x, p)` → the
+  * Greenwald–Khanna sketch (`approx_percentile`), enabled per session by
+  * `spark.graft.approxPercentile.enabled=true` (default false), accuracy
+  * from `spark.graft.approxPercentile.accuracy` (default 10000 — rank
+  * error ≤ n/accuracy, the built-in default).
+  *
+  * Why this is the 100 TB quantile story: exact `percentile` materializes
+  * EVERY value of the group into its aggregation buffer (an unbounded
+  * OpenHashMap partial state) — at 5×10^10 rows that is the dataset in
+  * executor heaps. The GK sketch is a bounded-size mergeable summary with
+  * true map-side combine: memory O(accuracy·log n) per group regardless of
+  * group size. Flipping the flag moves an existing workload's quantile
+  * dashboards onto the sketch without touching query text.
+  *
+  * Rewrites only the schema-preserving case: non-DISTINCT, forward (not
+  * `reverse`), unit frequency, DOUBLE-typed input — exact `percentile`
+  * interpolates to DOUBLE while the sketch returns an observed value of
+  * the INPUT type, so for a DOUBLE column (and only then) the output type
+  * is unchanged and the optimizer-time swap is sound. Everything else
+  * keeps exact semantics.
+  */
+object ApproxPercentileRewrite extends Rule[LogicalPlan] {
+  val flagKey = "spark.graft.approxPercentile.enabled"
+  val accuracyKey = "spark.graft.approxPercentile.accuracy"
+
+  private def unitFrequency(e: Expression): Boolean = e match {
+    case Literal(v: Long, LongType)    => v == 1L
+    case Literal(v: Integer, IntegerType) => v == 1
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(flagKey, "false").toBoolean) plan
+    else {
+      val acc = conf.getConfString(accuracyKey, "10000").toInt
+      plan.transform {
+        case a: Aggregate => a.transformExpressions {
+          case ae @ AggregateExpression(p: Percentile, _, false, _, _)
+              if !p.reverse && p.child.dataType == DoubleType &&
+                unitFrequency(p.frequencyExpression) =>
+            ae.copy(aggregateFunction = new ApproximatePercentile(
+              p.child, p.percentageExpression, Literal(acc)))
+        }
       }
     }
 }
@@ -87,6 +135,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "dot_product(a, b) - sequential-accumulation double dot product") {
       es => DotProduct(es(0), es(1)) })
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    ext.injectOptimizerRule(_ => ApproxPercentileRewrite)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }

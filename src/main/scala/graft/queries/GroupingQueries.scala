@@ -65,6 +65,30 @@ object GroupingQueries {
           .as("approx_median_price"))
       .orderBy("l_returnflag")
 
+  /** The approximate-percentile tier beside the exact one — rows-only (a
+    * GK-sketch value is engine-specific, so no SQL oracle). The sketch's
+    * rank-error contract (|rank(approx) − p·n| ≤ n/accuracy) is asserted
+    * in ExtensionsSpec, which also plan+value-tests the opt-in optimizer
+    * rewrite ([[graft.plans.ApproxPercentileRewrite]]) that moves EXISTING
+    * exact-percentile queries onto this sketch without query edits.
+    *
+    * Scale: exact `percentile` buffers every group value (unbounded
+    * state — untenable per-group at 100 TB); `percentile_approx` keeps an
+    * O(accuracy·log n) mergeable summary with map-side combine.
+    */
+  def qPercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .as("approx_median_qty"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(10000))
+          .as("approx_p90_qty"),
+        percentile(col("l_quantity"), lit(0.5)).as("exact_median_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("exact_p90_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** Exact percentiles (sort-based `percentile`, linear interpolation —
     * same definition as SQL-standard PERCENTILE_CONT).
     */
@@ -222,6 +246,7 @@ object GroupingQueries {
     "q_distinct_agg" -> qDistinctAgg,
     "q_approx_distinct" -> qApproxDistinct,
     "q_percentiles" -> qPercentiles,
+    "q_percentiles_approx" -> qPercentilesApprox,
     "q_corr" -> qCorr,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_pivot" -> qPivot,

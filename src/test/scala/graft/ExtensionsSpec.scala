@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.plans.{ApproxDistinctRewrite, GraftExtensions}
+import graft.plans.{ApproxDistinctRewrite, ApproxPercentileRewrite, GraftExtensions}
 
 /** SparkSessionExtensions wiring: injected SQL functions and the opt-in
   * approx-distinct rewrite, on a session built with the extension (the
@@ -167,6 +167,55 @@ class ExtensionsSpec extends SparkSpec {
         assert(!multi.queryExecution.optimizedPlan.toString
           .contains("approx_count_distinct"))
       } finally ext.conf.set(ApproxDistinctRewrite.flagKey, "false")
+    }
+  }
+
+  test("flag on: exact percentile plans as the GK sketch, within rank bound") {
+    withExtendedSession { ext =>
+      ext.conf.set(ApproxPercentileRewrite.flagKey, "true")
+      try {
+        val li = Tables.t(ext, sf001, "lineitem")
+        val df = li.groupBy(col("l_returnflag"))
+          .agg(percentile(col("l_quantity"), lit(0.9)).as("p90"))
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(optimized.contains("percentile_approx"),
+          s"expected sketch aggregate in:\n$optimized")
+        // no exact percentile survives ("percentile_approx(" would defeat a
+        // bare "percentile(" substring check — strip it first)
+        assert(!optimized.replace("percentile_approx", "")
+            .contains("percentile("),
+          s"exact percentile survived the rewrite:\n$optimized")
+        // rewritten plan must equal the explicit sketch aggregate
+        // (accuracy from the conf default, 10000)
+        val explicit = li.groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_quantity"), lit(0.9), lit(10000))
+            .as("p90"))
+        val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val exp = explicit.collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(got == exp, s"rewritten $got != explicit sketch $exp")
+        // GK contract per group: rank(approx) within p*n ± n/accuracy
+        // (±1 slack for the floor/ceil boundary)
+        got.foreach { case (flag, v) =>
+          val vals = li.where(col("l_returnflag") === flag)
+            .select(col("l_quantity")).collect().map(_.getDouble(0))
+          val n = vals.length.toDouble
+          // l_quantity is discrete, so the returned value occupies a whole
+          // TIE RUN of ranks [count(<v)+1, count(<=v)]; the GK contract is
+          // that this run intersects the target band 0.9·n ± n/accuracy
+          val lo = vals.count(_ < v).toDouble + 1
+          val hi = vals.count(_ <= v).toDouble
+          val eps = n / 10000.0
+          assert(lo <= math.ceil(0.9 * n + eps) + 1 &&
+                 hi >= math.floor(0.9 * n - eps) - 1,
+            s"group $flag: approx $v rank run [$lo,$hi] misses 0.9*$n ± $eps")
+        }
+        // non-DOUBLE input keeps exact semantics (type would change)
+        val intCase = li.groupBy(col("l_returnflag"))
+          .agg(percentile(col("l_linenumber"), lit(0.5)).as("m"))
+        assert(!intCase.queryExecution.optimizedPlan.toString
+          .contains("percentile_approx"))
+      } finally ext.conf.set(ApproxPercentileRewrite.flagKey, "false")
     }
   }
 }
