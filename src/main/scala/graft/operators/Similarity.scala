@@ -68,6 +68,23 @@ object Similarity {
         transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("vn", sqrt(dotp(col("v"), col("v"))))
 
+  /** Probe batches up to this many vectors force a `broadcast()` of the
+    * probe frames (the interactive-query fast path: one tiny table to every
+    * executor, zero shuffle of the corpus index). PAST the threshold the
+    * hint is dropped and the joins plan by size — probes-as-a-table (e.g.
+    * corpus x corpus linking) must shuffle on the join keys, not ship an
+    * executor-OOM-sized broadcast. Override via this session conf.
+    */
+  val maxBroadcastProbesKey = "spark.graft.similarity.maxBroadcastProbes"
+  private def maxBroadcastProbes(df: DataFrame): Long =
+    df.sparkSession.conf.get(maxBroadcastProbesKey, "10000").toLong
+
+  /** `broadcast(df)` iff the counted probe-batch size is under the cap —
+    * the count is one job against the already-cached vector frame.
+    */
+  private def probeHint(df: DataFrame, nProbes: Long): DataFrame =
+    if (nProbes <= maxBroadcastProbes(df)) broadcast(df) else df
+
   /** Ranked top-k per probe over a scored (qid, nid, cos) frame: the
     * bounded-heap [[graft.plans.TopKPerGroupExec]] prunes each probe's
     * candidates to k rows WITHOUT sorting them (the window alternative
@@ -93,7 +110,11 @@ object Similarity {
       emb.queryExecution.analyzed.semanticHash().toString)(asDouble(emb))
     val probes = e.filter(probeFilter)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"))
-    rankTopK(probes
+    // driver-sized probe batches broadcast explicitly (every corpus
+    // partition scans them locally — the intended brute-force shape); an
+    // over-cap probe table falls back to a partitioned cartesian instead
+    // of an executor-OOM broadcast
+    rankTopK(probeHint(probes, probes.count())
       .crossJoin(e.select(col("vec_id").as("nid"), col("v").as("nv"),
         col("vn").as("nn")))
       .filter(col("qid") =!= col("nid"))
@@ -416,11 +437,13 @@ object Similarity {
         col("sig0").bitwiseXOR(col("m")).as("sig"))
     val probeVecs = vecs.filter(probeFilter)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"))
+    val nProbes = probeVecs.count()
     rankTopK(index
-      // bare bucket ids broadcast (tiny); candidate scoring stays narrow
-      .join(broadcast(probeBuckets), Seq("t", "sig"))
+      // bare bucket ids broadcast while the probe batch is driver-sized;
+      // past the cap both joins shuffle on their keys instead
+      .join(probeHint(probeBuckets, nProbes), Seq("t", "sig"))
       .filter(col("qid") =!= col("nid"))
-      .join(broadcast(probeVecs), "qid")
+      .join(probeHint(probeVecs, nProbes), "qid")
       .select(col("qid"), col("nid"),
         (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
       // dedupe multi-table/multi-flip hits of the same pair (cos identical)

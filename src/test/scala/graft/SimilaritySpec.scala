@@ -32,6 +32,37 @@ class SimilaritySpec extends SparkSpec {
     ann.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
   }
 
+  test("over-cap probe sets drop the broadcast hint and still complete") {
+    // a probe "batch" bigger than the cap is a probe TABLE (corpus-scale
+    // linking): the engine must not force an executor-sized broadcast of it
+    spark.conf.set(Similarity.maxBroadcastProbesKey, "3")
+    val savedAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable size-based auto-broadcast too, so the assertion sees the
+    // shuffle plan the hint removal makes POSSIBLE (with the hint forced,
+    // this conf could not prevent a broadcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ann = Similarity.annLsh(emb, probe, k = 5)
+      assert(ann.count() > 0)
+      val plan = ann.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") &&
+             !plan.contains("BroadcastExchange"),
+        s"over-cap probe set must not broadcast:\n$plan")
+      // same answer as the broadcast path (join strategy must not change
+      // results): recall vs the hinted run is identity
+      spark.conf.set(Similarity.maxBroadcastProbesKey, "1000000")
+      val hinted = Similarity.annLsh(emb, probe, k = 5)
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"),
+        "under-cap probe set should broadcast again")
+      assert(ann.collect().map(_.toSeq).toSet ==
+        hinted.collect().map(_.toSeq).toSet)
+    } finally {
+      spark.conf.unset(Similarity.maxBroadcastProbesKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedAuto)
+    }
+  }
+
   test("IVF top-k recall@5 >= 0.8 vs brute force (k-means cells)") {
     val exact = Similarity.bruteForceTopK(emb, probe, k = 5)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
