@@ -25,6 +25,51 @@ object Bpe {
   /** End-of-word marker (keeps word-final units distinct, per the paper). */
   val EndOfWord = "</w>"
 
+  /** GPT-2's bytes→unicode table: every UTF-8 byte value maps to a
+    * PRINTABLE unicode char — printable bytes map to themselves, the rest
+    * shift to U+0100+ in order. This makes the BASE alphabet exactly 256
+    * symbols, so a finite vocabulary represents ANY string (no OOV ever —
+    * the byte-level fallback GPT-2-class tokenizers use), and units stay
+    * printable so a text-format vocab file round-trips verbatim.
+    */
+  val byteToChar: Array[Char] = {
+    val printable = (('!'.toInt to '~'.toInt) ++
+      ('¡'.toInt to '¬'.toInt) ++
+      ('®'.toInt to 'ÿ'.toInt)).toSet
+    val out = new Array[Char](256)
+    var shift = 0
+    for (b <- 0 until 256) {
+      if (printable(b)) out(b) = b.toChar
+      else { out(b) = (256 + shift).toChar; shift += 1 }
+    }
+    out
+  }
+  private val charToByte: Map[Char, Int] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** A word as byte-level base units (one mapped char per UTF-8 byte). */
+  def byteUnits(word: String): Array[String] =
+    word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => byteToChar(b & 0xff).toString)
+
+  /** Inverse of byte-level encoding: merge-concatenated units back to the
+    * original string. Total for any unit sequence the byte-level encoder
+    * can emit — the round-trip proof lives in BpeSpec.
+    */
+  def decodeByteUnits(units: Seq[String]): String = {
+    val bytes = units.flatMap(_.iterator).map(c => charToByte(c).toByte)
+    new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Base units for a word. Char-level gets the paper's end-of-word marker;
+    * byte-level does NOT (GPT-2 shape — the marker's own chars are valid
+    * base-alphabet bytes, so a marker would make decoding ambiguous; word
+    * boundaries live at the whitespace splitter instead).
+    */
+  private def baseUnits(word: String, byteLevel: Boolean): Array[String] =
+    if (byteLevel) byteUnits(word)
+    else word.toCharArray.map(_.toString) :+ EndOfWord
+
   /** One learned merge: rank-ordered pair of adjacent units. */
   case class Merge(rank: Int, left: String, right: String, pairCount: Long)
 
@@ -42,10 +87,10 @@ object Bpe {
     * merges the winner everywhere, and records it.
     */
   def train(docs: DataFrame, nMerges: Int, maxVocabWords: Int = 100000,
-            textCol: String = "text"): Seq[Merge] = {
+            textCol: String = "text", byteLevel: Boolean = false): Seq[Merge] = {
     var words: Array[(Array[String], Long)] =
       wordCounts(docs, maxVocabWords, textCol).map { case (w, c) =>
-        (w.map(_.toString).toArray :+ EndOfWord, c)
+        (baseUnits(w, byteLevel), c)
       }
     val merges = Seq.newBuilder[Merge]
     var rank = 0
@@ -88,8 +133,9 @@ object Bpe {
   /** Apply learned merges to one word (rank order — lowest rank first,
     * exactly like training applied them).
     */
-  def encodeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
-    var units: Vector[String] = word.map(_.toString).toVector :+ EndOfWord
+  def encodeWord(word: String, ranks: Map[(String, String), Int],
+                 byteLevel: Boolean = false): Seq[String] = {
+    var units: Vector[String] = baseUnits(word, byteLevel).toVector
     var changed = true
     while (changed && units.length > 1) {
       var best = -1
@@ -112,13 +158,14 @@ object Bpe {
     * narrow map. Returns (doc_id, n_words, n_units, units_per_word).
     */
   def encodeStats(docs: DataFrame, merges: Seq[Merge],
-                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                  textCol: String = "text", idCol: String = "doc_id",
+                  byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val ranks = spark.sparkContext.broadcast(
       merges.map(m => (m.left, m.right) -> m.rank).toMap)
     val unitCount = udf { text: String =>
       val ws = text.split(" ").filter(_.nonEmpty)
-      ws.map(w => encodeWord(w, ranks.value).length.toLong).sum
+      ws.map(w => encodeWord(w, ranks.value, byteLevel).length.toLong).sum
     }
     // n_words must use the SAME non-empty filter as unitCount, or leading /
     // repeated spaces inflate the denominator and units_per_word dips < 1

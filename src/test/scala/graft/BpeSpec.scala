@@ -49,6 +49,41 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("byte-level mode: total over any input, round-trips non-Latin/emoji") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the GPT-2 base-alphabet property: 256 distinct printable chars
+    assert(Bpe.byteToChar.distinct.length == 256)
+    assert(Bpe.byteToChar.forall(c => !Character.isISOControl(c) && c != ' '))
+    // encode with an EMPTY merge table is already total: every unit is a
+    // single base-alphabet char, and decode inverts it exactly (byte-level
+    // mode carries NO end marker — GPT-2 shape)
+    val base = Bpe.byteToChar.map(_.toString).toSet
+    val fixtures = Seq("héllo", "日本語", "🙂🙂", "привет", "naïve", "a")
+    fixtures.foreach { w =>
+      val units = Bpe.encodeWord(w, Map.empty, byteLevel = true)
+      assert(units.forall(base.contains), s"non-base unit for $w: $units")
+      assert(Bpe.decodeByteUnits(units) == w, s"round-trip failed for $w")
+    }
+    // TRAINED byte-level merges still round-trip (merged units concatenate
+    // base chars; decode flattens them back to the same bytes) — including
+    // for words the trainer never saw
+    val docs = (Seq.fill(6)("日本語") ++ Seq.fill(4)("🙂🙂") ++
+      Seq.fill(5)("привет")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 12, byteLevel = true)
+    assert(merges.nonEmpty)
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    (fixtures :+ "日本語の🙂テキスト").foreach { w =>
+      val units = Bpe.encodeWord(w, ranks, byteLevel = true)
+      assert(Bpe.decodeByteUnits(units) == w, s"trained round-trip: $w")
+    }
+    // trained words compress below their byte length
+    val jp = Bpe.encodeWord("日本語", ranks, byteLevel = true)
+    assert(jp.length < "日本語".getBytes("UTF-8").length,
+      s"merges should compress the trained word, got $jp")
+  }
+
   test("distributed encodeStats: unit counts bounded by chars, >= words") {
     val docs = Tables.t(spark, sf001, "documents").limit(50)
     val merges = Bpe.train(docs, nMerges = 20)
