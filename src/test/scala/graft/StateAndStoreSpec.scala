@@ -243,6 +243,54 @@ class StateAndStoreSpec extends SparkSpec {
     assert(LogStore.compact(spark, dir).isEmpty)
   }
 
+  test("manifest-pinned reads survive a concurrent compaction swap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val docs = (1 to 24).map(i =>
+        (s"fn-$i", if (i % 2 == 0) "error" else "debug",
+          s"2024-01-0${i % 2 + 1} 10:00:00"))
+      .toDF("function_name", "severity", "ts_s")
+      .withColumn("event_ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .repartition(8)
+    LogStore.write(docs, dir)
+    val v0 = LogStore.commitManifest(spark, dir)
+    assert(v0 == 0)
+    val expected = LogStore.readPinned(spark, dir)
+      .select("function_name", "severity", "log_date")
+      .orderBy("function_name").collect().toSeq
+    assert(expected.size == 24)
+
+    // a reader pins the PRE-compaction snapshot...
+    val pinned = LogStore.readPinned(spark, dir)
+    // ...then compaction swaps every partition, deferring deletes: the
+    // pinned snapshot's files must all still exist
+    val done = LogStore.compact(spark, dir, deferDelete = true)
+    assert(done.nonEmpty)
+    // mid-compaction view 1: the pinned reader still sees EXACTLY its
+    // snapshot — no duplicates from the renamed-in compacted files, no
+    // missing originals
+    assert(pinned.select("function_name", "severity", "log_date")
+      .orderBy("function_name").collect().toSeq == expected)
+    // mid-compaction view 2: a NEW pinned reader resolves the swap
+    // manifest — the compacted file set, same logical content, exactly once
+    assert(LogStore.readPinned(spark, dir)
+      .select("function_name", "severity", "log_date")
+      .orderBy("function_name").collect().toSeq == expected)
+    // the raw directory really does hold BOTH file sets right now (this is
+    // the window a manifest-less reader would see double)
+    assert(LogStore.read(spark, dir).count() == 48)
+
+    // vacuum drops what the latest manifest doesn't reference...
+    val dropped = LogStore.vacuum(spark, dir)
+    assert(dropped.nonEmpty)
+    assert(LogStore.read(spark, dir)
+      .select("function_name", "severity", "log_date")
+      .orderBy("function_name").collect().toSeq == expected)
+    // ...and a fresh append NEWER than the manifest is NOT vacuumable
+    LogStore.write(docs.limit(1), dir)
+    assert(LogStore.vacuum(spark, dir).isEmpty)
+  }
+
   test("salted join equals plain join") {
     val li = Tables.t(spark, sf001, "lineitem").select("l_orderkey", "l_quantity")
     val ord = Tables.t(spark, sf001, "orders").select("o_orderkey", "o_orderpriority")
