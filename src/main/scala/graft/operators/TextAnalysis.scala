@@ -167,6 +167,49 @@ object TextAnalysis {
       (dupBg.cast("double") / nBg).as("dup_bigram_frac"))
   }
 
+  /** Bigram language-model quality scoring — the perplexity-proxy filter
+    * of CCNet/Gopher-class curation pipelines: documents whose bigrams the
+    * corpus LM has rarely (or never) seen are flagged as low-quality /
+    * novel. LOG-FREE by design: `ln` differs by ulps between engines and
+    * float-sum order is partition-dependent, so instead of avg log-prob
+    * the score is built from EXACT integers — per-doc rare-bigram fraction
+    * (corpus count ≤ `rareMax`) and mean bigram corpus-frequency, each one
+    * exact-long sum followed by a single IEEE division (the same
+    * oracle-parity rule as the log-free TF-IDF and [[repetition]]).
+    *
+    * Scale: the LM "model" is the top-`vocabTop` bigram count table —
+    * TakeOrderedAndProject-capped with a (count desc, bigram) TOTAL order,
+    * so the cutoff is deterministic in both engines — and ships broadcast
+    * (bounded by `vocabTop`, never corpus-sized); bigrams outside it score
+    * as unseen, exactly the vocabulary-cutoff production LMs apply. The
+    * doc-side lookup is then a broadcast LEFT join (no shuffle of the
+    * token stream); the per-doc rollup is one hash aggregation whose
+    * map-side partials absorb the Zipfian head.
+    */
+  def bigramLmScore(docs: DataFrame, vocabTop: Int = 50000,
+                    rareMax: Long = 1): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (x, y) => concat_ws(" ", x, y))
+    val docBg = docs.where(size(toks) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+    val counts = docBg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram")).limit(vocabTop)
+    docBg.join(broadcast(counts), Seq("bigram"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt") <= rareMax, 1L).otherwise(0L)).as("n_rare"),
+        sum(col("cnt")).as("sum_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_bigrams"))
+          .as("rare_bigram_frac"),
+        (col("sum_cnt").cast("double") / col("n_bigrams"))
+          .as("mean_bigram_count"))
+  }
+
   /** Corpus bigram counts, top `topN` — the n-gram language-model shape
     * (count tables are the classic data-quality signal AND the smoothing
     * base of statistical LM baselines). Counts ALL occurrences (unlike the

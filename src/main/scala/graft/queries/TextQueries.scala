@@ -58,6 +58,13 @@ object TextQueries {
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(t(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Bigram-LM quality scoring ([[TextAnalysis.bigramLmScore]]) — the
+    * log-free perplexity proxy; exact-integer signals hash-match the
+    * DuckDB replica of the same count table + cutoff.
+    */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(t(spark, dir, "documents")).orderBy("doc_id")
+
   /** Frequent terms via the Misra–Gries sketch ([[graft.functions
     * .HeavyHitters]]). Capacity 1024 far exceeds this corpus's distinct
     * vocabulary, so the sketch provably runs decrement-free and its counts
@@ -217,6 +224,7 @@ object TextQueries {
     "text_fingerprint" -> textFingerprint,
     "text_bigrams" -> textBigrams,
     "text_repetition" -> textRepetition,
+    "text_lm_score" -> textLmScore,
     "text_heavy_hitters" -> textHeavyHitters,
     "text_bpe" -> textBpe,
     "text_tfidf" -> textTfidf,
@@ -275,6 +283,24 @@ object TextQueries {
         |  CAST(max_bg AS DOUBLE) / n_bg AS top_bigram_frac,
         |  CAST(dup_bg AS DOUBLE) / n_bg AS dup_bigram_frac
         |FROM ttf JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |             FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 2),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS i FROM tok),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram FROM idx),
+        |c AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
+        |      ORDER BY cnt DESC, bigram LIMIT 50000),
+        |s AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |        CAST(SUM(CASE WHEN COALESCE(cnt, 0) <= 1 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_rare,
+        |        CAST(SUM(COALESCE(cnt, 0)) AS BIGINT) AS sum_cnt
+        |      FROM bg LEFT JOIN c USING (bigram) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_rare,
+        |  CAST(n_rare AS DOUBLE) / n_bigrams AS rare_bigram_frac,
+        |  CAST(sum_cnt AS DOUBLE) / n_bigrams AS mean_bigram_count
+        |FROM s ORDER BY doc_id""".stripMargin,
     "text_bigrams" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents),
         |idx AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
