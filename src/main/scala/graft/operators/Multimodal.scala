@@ -174,7 +174,15 @@ object Multimodal {
     * closed-form for the DuckDB oracle (constant images survive any
     * resampling kernel bit-exactly).
     */
-  def encodePng(width: Int, height: Int, gray: Int): Array[Byte] = {
+  def encodePng(width: Int, height: Int, gray: Int): Array[Byte] =
+    encodeImage(width, height, gray, "png")
+
+  /** Constant-gray image in any ImageIO-writable container (`png`, `bmp`,
+    * …) — the SAME raster in DIFFERENT byte encodings, which is exactly
+    * what container-invariant dedup ([[pixelDedup]]) must see through.
+    */
+  def encodeImage(width: Int, height: Int, gray: Int,
+                  format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val rgb = (gray << 16) | (gray << 8) | gray
@@ -186,7 +194,10 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
+    try {
+      if (!javax.imageio.ImageIO.write(img, format, ios))
+        throw new IllegalArgumentException(s"no ImageIO writer for $format")
+    } finally ios.close()
     bos.toByteArray
   }
 
@@ -484,6 +495,91 @@ object Multimodal {
           encodePng(w, h, (id % 256).toInt))
       })
   }
+
+  /** Per-image canonical pixel digest. */
+  case class PixelHashed(doc_id: Long, container: String, width: Int,
+                         height: Int, pixel_md5: String)
+
+  /** Image manifest with MIXED containers: the same deterministic constant
+    * raster goes out as PNG or BMP — byte-distinct payloads that are
+    * pixel-identical whenever their (w, h, gray) collide, the re-encoded-
+    * duplicate shape web-scraped image corpora are full of. Dims/gray are
+    * deliberately coarse so collisions exist at test scale, and the
+    * container choice keys on `(n_chars / 16) % 2` — INDEPENDENT of the
+    * (doc_id-mod, n_chars-mod-16) collision lattice, so duplicate sets
+    * genuinely span both encodings.
+    */
+  def mixedImageManifest(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("source"),
+        ((col("n_chars") % 16) + 8).cast("int").as("width"),
+        ((col("doc_id") % 8) + 8).cast("int").as("height"),
+        (floor(col("n_chars") / 16).cast("long") % 2).cast("int").as("alt"))
+      .as[(Long, String, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, src, w, h, alt) =>
+        val fmt = if (alt == 0) "png" else "bmp"
+        MediaRecord(id, src, s"image/$fmt", w, h,
+          encodeImage(w, h, ((id % 16) * 16).toInt, fmt))
+      })
+  }
+
+  /** REAL canonicalization kernel: full container parse via ImageIO, then
+    * md5 over the decoded raster (dims + row-major 24-bit RGB) — the
+    * digest identifies the IMAGE, not its encoding.
+    */
+  def pixelHashBatch(batch: Seq[MediaRecord]): Seq[PixelHashed] =
+    batch.map { r =>
+      val img = readImage(r.payload)
+      require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
+      val row = new Array[Byte](w * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          row(x * 3) = ((rgb >> 16) & 0xff).toByte
+          row(x * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+          row(x * 3 + 2) = (rgb & 0xff).toByte
+          x += 1
+        }
+        md.update(row)
+        y += 1
+      }
+      PixelHashed(r.doc_id, r.mime, w, h,
+        md.digest().map("%02x".format(_)).mkString)
+    }
+
+  /** Partition-batched pixel canonicalization (narrow map — blobs never
+    * leave their scan partition; only the 16-byte digest + dims flow on).
+    */
+  def pixelHashes(media: Dataset[MediaRecord]): Dataset[PixelHashed] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(decodeBatchSize).flatMap(pixelHashBatch))
+  }
+
+  /** Container-invariant image dedup: group by the canonical pixel digest,
+    * keep groups of >= 2, account how many DISTINCT container formats each
+    * duplicate set spans (n_containers = 2 is the proof a byte-level dedup
+    * would have missed the pair). Exactly the exact-dedup plan shape —
+    * one shuffle of digests, never of image bytes.
+    */
+  def pixelDedup(media: Dataset[MediaRecord]): DataFrame =
+    pixelHashes(media)
+      .groupBy(col("pixel_md5"))
+      .agg(min(col("doc_id")).as("rep_doc_id"),
+        min(col("width")).as("width"),
+        min(col("height")).as("height"),
+        count(lit(1)).as("n_dups"),
+        count_distinct(col("container")).as("n_containers"))
+      .where(col("n_dups") >= 2)
+      .select(col("rep_doc_id"), col("width"), col("height"),
+        col("n_dups"), col("n_containers"))
 
   /** End-to-end: manifest -> batched decode -> per-(source, mime) stats. */
   def decodeStats(spark: SparkSession, docs: DataFrame): DataFrame =

@@ -212,7 +212,19 @@ object TextQueries {
         Multimodal.gifManifest(t(spark, dir, "documents")), stride = 2)
       .toDF().orderBy("doc_id", "frame_no")
 
+  /** Container-invariant image dedup ([[Multimodal.pixelDedup]]): mixed
+    * PNG/BMP payloads of the same deterministic raster; dedup groups by a
+    * REAL decoded-pixel digest, so the oracle can replicate groups from
+    * the fixture's closed-form (w, h, gray) — and n_containers = 2 rows
+    * prove the groups span byte-distinct encodings.
+    */
+  def mmPixelDedup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.pixelDedup(
+        Multimodal.mixedImageManifest(t(spark, dir, "documents")))
+      .orderBy("rep_doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pixel_dedup" -> mmPixelDedup,
     "mm_resize" -> mmResize,
     "mm_audio_decode" -> mmAudioDecode,
     "mm_gif_frames" -> mmGifFrames,
@@ -233,6 +245,19 @@ object TextQueries {
     "mm_frame_sample" -> mmFrameSample)
 
   val oracles: Map[String, String] = Map(
+    "mm_pixel_dedup" ->
+      """WITH v AS (
+        |  SELECT doc_id, (n_chars % 16) + 8 AS w, (doc_id % 8) + 8 AS h,
+        |    (doc_id % 16) * 16 AS g,
+        |    CASE WHEN (n_chars // 16) % 2 = 0 THEN 'image/png'
+        |         ELSE 'image/bmp' END AS container
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  COUNT(*) AS n_dups,
+        |  CAST(COUNT(DISTINCT container) AS BIGINT) AS n_containers
+        |FROM v GROUP BY w, h, g HAVING COUNT(*) >= 2
+        |ORDER BY rep_doc_id""".stripMargin,
     "mm_gif_frames" ->
       """WITH v AS (
         |  SELECT doc_id, (n_chars % 24) + 6 AS w, (doc_id % 16) + 6 AS h,

@@ -212,4 +212,30 @@ class MultimodalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
   }
+
+  test("pixel dedup sees through container re-encoding (png vs bmp)") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val media = Multimodal.mixedImageManifest(docs)
+    val hashed = Multimodal.pixelHashes(media).collect()
+    val groups = hashed.groupBy(_.pixel_md5).values.filter(_.size >= 2)
+    assert(groups.nonEmpty, "fixture must produce duplicate rasters")
+    val cross = groups.filter(_.map(_.container).distinct.size == 2)
+    assert(cross.nonEmpty, "expect duplicate sets spanning png AND bmp")
+    // the cross-container members are BYTE-distinct payloads — a
+    // byte-level dedup would have missed exactly these pairs
+    val byId = media.collect().map(m => m.doc_id -> m.payload).toMap
+    cross.foreach { g =>
+      val payloads = g.map(m => byId(m.doc_id).toSeq)
+      assert(payloads.distinct.size > 1,
+        s"cross-container group ${g.map(_.doc_id)} should differ in bytes")
+    }
+    // and the dedup operator reports the same accounting
+    val dedup = Multimodal.pixelDedup(media).collect()
+    assert(dedup.count(_.getLong(4) == 2) == cross.size)
+    // blobs stay narrow: hashing has no Exchange before the digest agg
+    val plan = Multimodal.pixelHashes(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"pixel hashing must not shuffle payloads:\n$plan")
+  }
 }
