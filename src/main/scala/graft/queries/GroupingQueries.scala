@@ -89,6 +89,28 @@ object GroupingQueries {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** HLL sketch partials + re-aggregation (DataSketches `hll_sketch_agg` /
+    * `hll_union_agg`) — rows-only (sketch estimates are engine-specific;
+    * StatsSpec bounds them against exact counts). THE pre-aggregated
+    * dashboard shape at 100 TB: per-segment sketches build in ONE narrow
+    * pass (constant-size mergeable buffers, map-side combine), and every
+    * rollup above them — here the ALL row — merges the stored partials
+    * instead of rescanning events. An exact distinct per segment + total
+    * would cost one Expand re-shuffle of every distinct value per rollup
+    * level; sketch partials make each extra level a KB-sized union.
+    */
+  def qHllPartials(spark: SparkSession, dir: String): DataFrame = {
+    val sk = t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val per = sk.select(col("event_type"),
+      hll_sketch_estimate(col("sk")).as("approx_users"))
+    val all = sk.agg(hll_union_agg(col("sk"), lit(true)).as("u"))
+      .select(lit("ALL").as("event_type"),
+        hll_sketch_estimate(col("u")).as("approx_users"))
+    per.unionByName(all).orderBy("event_type")
+  }
+
   /** Exact percentiles (sort-based `percentile`, linear interpolation —
     * same definition as SQL-standard PERCENTILE_CONT).
     */
@@ -247,6 +269,7 @@ object GroupingQueries {
     "q_approx_distinct" -> qApproxDistinct,
     "q_percentiles" -> qPercentiles,
     "q_percentiles_approx" -> qPercentilesApprox,
+    "q_hll_partials" -> qHllPartials,
     "q_corr" -> qCorr,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_pivot" -> qPivot,

@@ -11,6 +11,31 @@ import graft.queries.GroupingQueries
   */
 class StatsSpec extends SparkSpec {
 
+  test("HLL partials: estimates within bound, union of partials == direct sketch") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.t(spark, sf001, "events")
+    val rows = graft.queries.GroupingQueries.qHllPartials(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = ev.select(count_distinct(col("user_id"))).head().getLong(0)
+    // lgConfigK=12 => relative error ~1.04/sqrt(2^12) ≈ 1.6%; allow 5%
+    (exact + ("ALL" -> exactAll)).foreach { case (k, n) =>
+      val est = rows(k)
+      assert(math.abs(est - n) <= math.max(1.0, 0.05 * n),
+        s"$k: estimate $est vs exact $n")
+    }
+    // re-aggregation exactness: merging the per-type partials must give
+    // the SAME estimate as sketching all users directly (union of
+    // sketches == sketch of union — the property that makes stored
+    // partials trustworthy at rollup time)
+    val direct = ev.agg(hll_sketch_estimate(
+      hll_sketch_agg(col("user_id"), lit(12))).as("n")).head().getLong(0)
+    assert(rows("ALL") == direct,
+      s"merged partials ${rows("ALL")} != direct sketch $direct")
+  }
+
   test("manual moment formulas match built-in corr/covar/stddev") {
     val manual = GroupingQueries.qCorr(spark, sf001)
     val builtin = Tables.t(spark, sf001, "lineitem")
