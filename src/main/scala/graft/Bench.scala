@@ -22,11 +22,28 @@ object Bench {
     // and contribute NO timing at all, so `value` stays a sum of real runs
     // (a deflated total would read as a speedup across rounds)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def onePass(): Map[String, Double] = SparkEntry.queries.flatMap {
+    // Per-query PLAN FINGERPRINT: an 8-hex md5 of the canonicalized optimized
+    // logical plan (expr ids normalized by canonicalization; residual ids and
+    // object hashes stripped). A fingerprint that matches last round's proves a
+    // wall-time delta is box noise, not a plan change — the attribution tool
+    // VERDICT r6 asked for. Computed during pass 1 on the already-built
+    // DataFrame, so the only added cost is rendering a plan string (~ms) that
+    // count() was about to optimize anyway.
+    val planHashes = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def planHash(df: org.apache.spark.sql.DataFrame): String = {
+      val s = df.queryExecution.optimizedPlan.canonicalized.toString
+        .replaceAll("#\\d+L?", "#")
+        .replaceAll("@[0-9a-fA-F]+", "@")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    }
+    def onePass(collectPlans: Boolean): Map[String, Double] = SparkEntry.queries.flatMap {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          val df = fn(spark, sfDir)
+          if (collectPlans) planHashes(name) = planHash(df)
+          df.count()
           Some(name -> (System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           failed += name
@@ -34,7 +51,7 @@ object Bench {
           None
         }
     }
-    val passes = (1 to math.max(1, runs)).map(_ => onePass())
+    val passes = (1 to math.max(1, runs)).zipWithIndex.map { case (_, i) => onePass(collectPlans = i == 0) }
     // the harness records only a bounded TAIL of stdout, so the record must
     // be (a) short — ms-precision times, not 17-digit doubles — and (b)
     // redundant: all pass totals appear BOTH at the head of the line (the
@@ -54,7 +71,15 @@ object Bench {
     }.mkString(",")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val tailTotals = totals.map(r3).mkString("[", ",", "]")
-    println(s"""{"metric":"total",$headTotals,"unit":"sec","runs":${passes.size},"errors":$errs,"sf":"$sfDir",$queryMaps,"totals":$tailTotals}""")
+    val plans = planHashes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total",$headTotals,"unit":"sec","runs":${passes.size},"errors":$errs,"sf":"$sfDir",$queryMaps,"plans":$plans,"totals":$tailTotals}""")
+    // The full record above is ONE ~5-7 KB line; the harness keeps only a
+    // bounded TAIL of stdout, so its head (pass-1 totals + early per-query
+    // times) can be truncated away, leaving no complete JSON object in the
+    // capture (BENCH_r06 "parsed": null). This trailing standalone line is
+    // <=200 bytes and carries every total, so the capture always ENDS with
+    // one complete, machine-parseable JSON object.
+    println(s"""{"metric":"total",$headTotals,"unit":"sec","runs":${passes.size},"nq":${SparkEntry.queries.size},"errors":$errs,"totals":$tailTotals}""")
     spark.stop()
   }
 }

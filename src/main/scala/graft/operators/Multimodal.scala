@@ -459,6 +459,201 @@ object Multimodal {
       _.grouped(decodeBatchSize).flatMap(gifFrameBatch(_, stride)))
   }
 
+  // ---------------------------------------------------------------------
+  // REAL video container: MJPEG-in-AVI (RIFF writer + parser, JDK only).
+  // AVI is the classic RIFF video container; MJPEG ("MJPG" fourcc) streams
+  // are just per-frame JPEG images in '00dc' chunks, which ImageIO decodes
+  // natively. So a hand-written RIFF/AVI muxer + demuxer makes the VIDEO
+  // path real end to end — genuine container (headers, stream format,
+  // movi list, idx1 index), genuine per-frame codec decode — with zero new
+  // dependencies. Only inter-frame codecs (H.264 etc.) stay out of reach.
+  //
+  // Lossiness note: JPEG is lossy in general, but at quality 1.0 the quant
+  // tables are all-ones, and any frame whose 8x8 blocks are each constant
+  // (constant frames; tone boundaries on block edges) round-trips
+  // BIT-EXACTLY (verified for all 256 grays) — which keeps per-frame pixel
+  // stats closed-form for the DuckDB oracle while the bytes are a real
+  // lossy-codec bitstream.
+  // ---------------------------------------------------------------------
+
+  /** One constant-gray JPEG at quality 1.0 (all-ones quant tables). */
+  def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  private def constantImage(width: Int, height: Int, gray: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  /** Mux pre-encoded JPEG frames into a genuine RIFF/AVI container: avih
+    * main header, strh/strf stream headers (fourcc "MJPG", 24-bit DIB
+    * format block), the 'movi' LIST of '00dc' frame chunks (word-aligned,
+    * as RIFF requires), and the idx1 keyframe index. Layout per the
+    * public AVI RIFF spec (msdn "AVI RIFF File Reference").
+    */
+  def encodeAvi(width: Int, height: Int, fps: Int,
+                frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    // avih: usec/frame, maxBytesPerSec, padding, flags(HASINDEX), total
+    // frames, initialFrames, streams, suggestedBuf, w, h, reserved[4]
+    val avih = Array.concat(u32(1000000L / math.max(1, fps)),
+      u32(maxFrame.toLong * fps), u32(0), u32(0x10), u32(frames.size),
+      u32(0), u32(1), u32(maxFrame), u32(width), u32(height),
+      u32(0), u32(0), u32(0), u32(0))
+    // strh: fccType vids, handler MJPG, flags, prio+lang, initialFrames,
+    // scale, rate (fps = rate/scale), start, length, suggestedBuf,
+    // quality, sampleSize, rcFrame
+    val strh = Array.concat(fcc("vids"), fcc("MJPG"), u32(0), u16(0), u16(0),
+      u32(0), u32(1), u32(fps), u32(0), u32(frames.size), u32(maxFrame),
+      u32(10000), u32(0), u16(0), u16(0), u16(width), u16(height))
+    // strf: BITMAPINFOHEADER with biCompression = 'MJPG'
+    val strf = Array.concat(u32(40), u32(width), u32(height), u16(1), u16(24),
+      fcc("MJPG"), u32(width.toLong * height * 3), u32(0), u32(0), u32(0), u32(0))
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      Array.concat(fcc(id), u32(body.length), body, pad)
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      Array.concat(fcc("LIST"), u32(body.length + 4L), fcc(kind), body)
+    val strl = list("strl", Array.concat(chunk("strh", strh), chunk("strf", strf)))
+    val hdrl = list("hdrl", Array.concat(chunk("avih", avih), strl))
+    val frameChunks = frames.map(chunk("00dc", _))
+    val movi = list("movi", Array.concat(frameChunks: _*))
+    // idx1 offsets are relative to the 'movi' fourcc position; the first
+    // chunk starts right after the 4-byte list type, i.e. offset 4
+    val offsets = frameChunks.scanLeft(4L)((off, c) => off + c.length).init
+    val idx1 = chunk("idx1", Array.concat(
+      frames.zip(offsets).map { case (f, off) =>
+        Array.concat(fcc("00dc"), u32(0x10), u32(off), u32(f.length))
+      }: _*))
+    val body = Array.concat(fcc("AVI "), hdrl, movi, idx1)
+    bb.write(fcc("RIFF"))
+    bb.write(u32(body.length.toLong))
+    bb.write(body)
+    bb.toByteArray
+  }
+
+  /** Constant-frame MJPEG/AVI: frame f is constant gray `(base+7f) % 256`
+    * (same progression as [[encodeGif]]), each a real quality-1.0 JPEG.
+    */
+  def encodeMjpegAvi(width: Int, height: Int, nFrames: Int,
+                     base: Int): Array[Byte] =
+    encodeAvi(width, height, fps = 25,
+      (0 until nFrames).map(f =>
+        encodeJpeg(constantImage(width, height, (base + 7 * f) % 256))))
+
+  /** Demux a RIFF/AVI payload: validate the RIFF/'AVI ' signature, walk
+    * top-level chunks to the 'movi' LIST, and return every video frame
+    * chunk's bytes ('NNdc' compressed / 'NNdb' uncompressed ids) in
+    * stream order. A real demuxer — unknown chunks are skipped by their
+    * declared (word-aligned) size, exactly how players tolerate extra
+    * lists like INFO or JUNK.
+    */
+  def parseAviFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    def fourcc(off: Int): String =
+      new String(payload, off, 4, "US-ASCII")
+    def u32(off: Int): Long =
+      (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    require(payload.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
+      "not a RIFF/AVI payload")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = 12
+    val end = math.min(payload.length.toLong, 8L + u32(4)).toInt
+    while (off + 8 <= end) {
+      val id = fourcc(off)
+      val sz = u32(off + 4).toInt
+      if (id == "LIST" && fourcc(off + 8) == "movi") {
+        var p = off + 12
+        val listEnd = off + 8 + sz
+        while (p + 8 <= listEnd) {
+          val cid = fourcc(p)
+          val csz = u32(p + 4).toInt
+          if (cid.endsWith("dc") || cid.endsWith("db"))
+            frames += java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + csz)
+          p += 8 + csz + (csz % 2) // RIFF chunks are word-aligned
+        }
+      }
+      off += 8 + sz + (sz % 2)
+    }
+    frames.toSeq
+  }
+
+  /** REAL video frame-sampling kernel: demux the AVI container, decode
+    * every `stride`-th JPEG frame through ImageIO, measure the decoded
+    * raster. Same batch contract and output row as [[gifFrameBatch]].
+    */
+  def aviFrameBatch(batch: Seq[MediaRecord], stride: Int): Seq[DecodedFrame] =
+    batch.flatMap { r =>
+      val frames = parseAviFrames(r.payload)
+      frames.indices.filter(_ % stride == 0).map { f =>
+        val img = readImage(frames(f))
+        require(img != null, s"undecodable AVI frame $f for doc ${r.doc_id}")
+        val (avg, _, _) = pixelStats(img)
+        DecodedFrame(r.doc_id, f, img.getWidth, img.getHeight, avg)
+      }
+    }
+
+  /** Partition-batched real video frame sampling (narrow flatMap). */
+  def aviFrames(media: Dataset[MediaRecord],
+                stride: Int = 2): Dataset[DecodedFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(
+      _.grouped(decodeBatchSize).flatMap(aviFrameBatch(_, stride)))
+  }
+
+  /** Video-slice manifest with REAL MJPEG/AVI payloads (dims / frame count
+    * / base gray derived deterministically from metadata). Constant frames
+    * at quality 1.0 round-trip bit-exactly at ANY dims — JPEG's block
+    * padding replicates edges, so padded blocks stay constant and the
+    * all-ones quant tables preserve the DC term (verified for all 256
+    * grays across odd/even dims).
+    */
+  def aviManifest(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("source"),
+        ((col("n_chars") % 24) + 8).cast("int").as("width"),
+        ((col("doc_id") % 16) + 8).cast("int").as("height"),
+        ((col("doc_id") % 4) + 2).cast("int").as("frames"))
+      .as[(Long, String, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, src, w, h, n) =>
+        MediaRecord(id, src, "video/x-msvideo", w, h,
+          encodeMjpegAvi(w, h, n, (id % 200).toInt))
+      })
+  }
+
   /** Video-slice manifest with REAL multi-frame GIF payloads (frame count /
     * dims / base gray derived deterministically from metadata).
     */

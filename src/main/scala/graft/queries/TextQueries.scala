@@ -212,6 +212,19 @@ object TextQueries {
         Multimodal.gifManifest(t(spark, dir, "documents")), stride = 2)
       .toDF().orderBy("doc_id", "frame_no")
 
+  /** REAL video decode over the MJPEG/AVI manifest ([[Multimodal
+    * .aviManifest]] muxes genuine RIFF/AVI containers whose frames are
+    * quality-1.0 JPEGs; the kernel demuxes the container and ImageIO-
+    * decodes every 2nd frame). Constant frames round-trip the lossy codec
+    * bit-exactly, keeping per-frame stats closed-form for the oracle —
+    * this closes the video gap: container AND per-frame codec are real,
+    * only inter-frame codecs (H.264) stay absent from the JDK.
+    */
+  def mmVideoFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.aviFrames(
+        Multimodal.aviManifest(t(spark, dir, "documents")), stride = 2)
+      .toDF().orderBy("doc_id", "frame_no")
+
   /** Container-invariant image dedup ([[Multimodal.pixelDedup]]): mixed
     * PNG/BMP payloads of the same deterministic raster; dedup groups by a
     * REAL decoded-pixel digest, so the oracle can replicate groups from
@@ -228,6 +241,7 @@ object TextQueries {
     "mm_resize" -> mmResize,
     "mm_audio_decode" -> mmAudioDecode,
     "mm_gif_frames" -> mmGifFrames,
+    "mm_video_frames" -> mmVideoFrames,
     "mm_image_decode" -> mmImageDecode,
     "mm_image_resize" -> mmImageResize,
     "text_quality" -> textQuality,
@@ -262,6 +276,18 @@ object TextQueries {
       """WITH v AS (
         |  SELECT doc_id, (n_chars % 24) + 6 AS w, (doc_id % 16) + 6 AS h,
         |    (doc_id % 5) + 2 AS n, doc_id % 200 AS base
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, w, h, base,
+        |        unnest(generate_series(0, CAST(n - 1 AS INT))) AS fr
+        |      FROM v)
+        |SELECT doc_id, CAST(fr AS INT) AS frame_no, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  CAST((base + 7 * fr) % 256 AS DOUBLE) AS avg_px
+        |FROM f WHERE fr % 2 = 0 ORDER BY doc_id, frame_no""".stripMargin,
+    "mm_video_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, (n_chars % 24) + 8 AS w, (doc_id % 16) + 8 AS h,
+        |    (doc_id % 4) + 2 AS n, doc_id % 200 AS base
         |  FROM documents WHERE doc_id % 3 = 2),
         |f AS (SELECT doc_id, w, h, base,
         |        unnest(generate_series(0, CAST(n - 1 AS INT))) AS fr

@@ -168,6 +168,87 @@ class MultimodalSpec extends SparkSpec {
     assert(f.avg_px == 125.0)
   }
 
+  test("encodeMjpegAvi emits a real RIFF/AVI container; kernel demuxes + decodes") {
+    val bytes = Multimodal.encodeMjpegAvi(18, 11, nFrames = 4, base = 100)
+    assert(new String(bytes.take(4), "ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "ASCII") == "AVI ")
+    // genuine container structure: an hdrl list with an MJPG stream header
+    val s = new String(bytes.take(200), "ISO-8859-1")
+    assert(s.contains("hdrl") && s.contains("strh") && s.contains("MJPG"))
+    // each demuxed frame is a standalone JPEG (SOI marker)
+    val raw = Multimodal.parseAviFrames(bytes)
+    assert(raw.size == 4)
+    raw.foreach(f => assert(((f(0) & 0xff), (f(1) & 0xff)) == ((0xff, 0xd8)),
+      "frame must start with JPEG SOI"))
+    val frames = Multimodal.aviFrameBatch(Seq(Multimodal.MediaRecord(
+      3L, "s", "video/x-msvideo", 18, 11, bytes)), stride = 1)
+    assert(frames.map(_.frame_no) == Seq(0, 1, 2, 3))
+    frames.foreach { f =>
+      assert(f.width == 18 && f.height == 11)
+      assert(f.avg_px == ((100 + 7 * f.frame_no) % 256).toDouble,
+        "quality-1.0 constant JPEG frames round-trip bit-exactly")
+    }
+    // stride skips frames at the decode level, not after
+    assert(Multimodal.aviFrameBatch(Seq(Multimodal.MediaRecord(
+      3L, "s", "video/x-msvideo", 18, 11, bytes)), stride = 2)
+      .map(_.frame_no) == Seq(0, 2))
+  }
+
+  test("AVI kernel reads real frame rasters (two-tone JPEG frame, not metadata)") {
+    // a frame whose mean no manifest field carries: left half gray 0,
+    // right half gray 250, boundary on the 8-px JPEG block edge so the
+    // lossy codec reproduces it exactly at quality 1.0
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val g = if (x < 8) 0 else 250
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val avi = Multimodal.encodeAvi(16, 16, fps = 25,
+      Seq(Multimodal.encodeJpeg(img)))
+    val f = Multimodal.aviFrameBatch(Seq(Multimodal.MediaRecord(
+      9L, "s", "video/x-msvideo", 16, 16, avi)), stride = 1).head
+    assert(f.avg_px == 125.0)
+  }
+
+  test("AVI demuxer skips unknown chunks by declared size (JUNK tolerance)") {
+    // players tolerate JUNK/INFO padding lists; so must a real demuxer.
+    // Splice a JUNK chunk between hdrl and movi and expect identical frames.
+    val bytes = Multimodal.encodeMjpegAvi(10, 10, nFrames = 3, base = 5)
+    val moviAt = {
+      val s = new String(bytes, "ISO-8859-1")
+      s.indexOf("movi") - 8 // back up over the LIST header
+    }
+    assert(moviAt > 12)
+    val junkBody = Array.fill[Byte](17)(0x4a) // odd size exercises padding
+    val junk = Array.concat("JUNK".getBytes("US-ASCII"),
+      Array[Byte](17, 0, 0, 0), junkBody, Array[Byte](0))
+    val spliced = Array.concat(bytes.take(moviAt), junk, bytes.drop(moviAt))
+    // patch the RIFF size field (little-endian u32 at offset 4)
+    val newSz = spliced.length - 8
+    spliced(4) = (newSz & 0xff).toByte
+    spliced(5) = ((newSz >> 8) & 0xff).toByte
+    spliced(6) = ((newSz >> 16) & 0xff).toByte
+    spliced(7) = ((newSz >> 24) & 0xff).toByte
+    val a = Multimodal.parseAviFrames(bytes).map(_.toSeq)
+    val b = Multimodal.parseAviFrames(spliced).map(_.toSeq)
+    assert(a == b, "JUNK chunk must not change demuxed frames")
+  }
+
+  test("avi manifest carries decodable MJPEG videos through the distributed path") {
+    val docs = Tables.t(spark, sf001, "documents")
+    val decoded = Multimodal.aviFrames(Multimodal.aviManifest(docs), stride = 2)
+    val expected = docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), ((col("doc_id") % 4) + 2).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (0 until r.getLong(1).toInt).count(_ % 2 == 0)).toMap
+    val got = decoded.collect().groupBy(_.doc_id).map { case (k, v) => k -> v.length }
+    assert(got == expected, "every 2nd frame of every AVI decodes")
+    // blobs stay narrow: no Exchange in the frame-sampling plan
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"AVI sampling must not shuffle:\n$plan")
+  }
+
   test("decode: every record decodes once, checksum = payload byte sum") {
     val decoded = Multimodal.decode(media).collect()
     assert(decoded.length == media.count())
