@@ -371,6 +371,86 @@ object Curation {
             s => s.getField("seg")), " ").as("kept_text"))
   }
 
+  /** Substring-level (sliding-window) dedup accounting — the Lee-et-al.
+    * ("Deduplicating Training Data Makes Language Models Better")-shaped
+    * capability [[lineDedup]]'s TUMBLING segments cannot express: a
+    * duplicated span offset by fewer than `segWords` words never aligns
+    * with a tumbling boundary, so tumbling hashes miss it entirely, while
+    * EVERY `segWords`-window (stride 1) over the span matches somewhere.
+    * Windows occurring >= `dupMin` times across the corpus mark their
+    * token range; overlapping/adjacent marked ranges merge into MAXIMAL
+    * duplicated spans (the gaps-and-islands pass), approximating the
+    * suffix-array duplicated-substring query relationally. Emits one row
+    * per document that contains any duplicated substring: token total,
+    * tokens covered by duplicated spans, and the merged span count.
+    *
+    * Scale: windowing is in-row (`transform` over a `sequence` — narrow);
+    * the occurrence count shuffles md5(window) 16-byte keys, never window
+    * text — stride 1 costs ~`segWords`× the hash volume of tumbling, the
+    * price of offset-invariance, and the map-side partial absorbs hot
+    * windows. The duplicated-window set (a tiny fraction by construction)
+    * broadcasts back (swap for a shuffle join past broadcast size — plan
+    * unchanged otherwise); position coverage explodes ONLY duplicated
+    * windows (O(dup x segWords)); the island merge shares one clustering
+    * exchange on the doc key with the final rollup.
+    */
+  def substringDedup(docs: DataFrame, segWords: Int = 10, dupMin: Int = 2,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(segWords > 0 && dupMin >= 2)
+    val toks = split(col(textCol), " ")
+    val wins = docs
+      .select(col(idCol), toks.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= segWords)
+      .select(col(idCol), col("n"),
+        explode(transform(sequence(lit(1), col("n") - (segWords - 1)),
+          i => struct(i.as("start"),
+            md5(concat_ws(" ", slice(col("toks"), i, lit(segWords))))
+              .as("seg_hash"))))
+          .as("w"))
+      .select(col(idCol), col("n"), col("w.start").as("start"),
+        col("w.seg_hash").as("seg_hash"))
+    val dup = wins.groupBy(col("seg_hash"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= dupMin)
+      .select(col("seg_hash"))
+    val pos = wins.join(broadcast(dup), Seq("seg_hash"))
+      .select(col(idCol), col("n"),
+        explode(sequence(col("start"), col("start") + (segWords - 1))).as("p"))
+      .distinct()
+    val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    pos
+      .withColumn("new_span",
+        when(lag(col("p"), 1).over(w) === col("p") - 1, lit(0)).otherwise(lit(1)))
+      .groupBy(col(idCol))
+      .agg(max(col("n")).as("n_tokens"),
+        count(lit(1)).as("dup_tokens"),
+        sum(col("new_span")).as("n_spans"))
+  }
+
+  /** LM-scored quality cut — [[qualityQuantileCut]]'s shape driven by the
+    * [[TextAnalysis.bigramLmScore]] perplexity proxy instead of the length
+    * heuristic: documents whose rare-bigram fraction exceeds
+    * `1/rareFracDen` (bigrams the corpus LM saw <= rareMax times) are cut,
+    * survivors roll up per language. The threshold compares EXACT integers
+    * (`n_rare * rareFracDen <= n_bigrams`) — no float percentile to drift
+    * between engines.
+    *
+    * Scale: inherits [[TextAnalysis.bigramLmScore]]'s bounds (broadcast
+    * top-`vocabTop` count table, one doc-keyed rollup); the lang join back
+    * moves one slim (id, lang) row per doc.
+    */
+  def lmQualityCut(docs: DataFrame, vocabTop: Int = 50000, rareMax: Long = 1,
+                   rareFracDen: Int = 20): DataFrame = {
+    val scored = TextAnalysis.bigramLmScore(docs, vocabTop, rareMax)
+    scored.filter(col("n_rare") * rareFracDen <= col("n_bigrams"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("sum_bigrams"),
+        sum(col("n_rare")).as("sum_rare"))
+  }
+
   /** The end-to-end curation pipeline, composed from the primitives the
     * rest of the engine already verifies one by one:
     *

@@ -160,9 +160,54 @@ object CurationQueries {
     rowRules.unionByName(fk).orderBy("rule")
   }
 
+  /** Substring-level dedup with a PLANTED shared span at a PER-DOC VARYING
+    * offset: a fixed 25-word passage is spliced into every 7th document
+    * after its first `doc_id % 10` words, so the splice point cycles
+    * through every residue mod the tumbling width — the offset-invariance
+    * sliding windows buy. Stride-1 windows recover the full 25-token span
+    * as ONE maximal merged span for EVERY planted doc regardless of
+    * offset; tumbling segment hashes ([[Curation.lineDedup]]) only ever
+    * see the aligned fraction, and CurationSpec pins the strict-miss case
+    * (two docs, offsets 3 and 7, tumbling finds nothing).
+    */
+  def curateSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val passage = "the quick brown fox jumps over the lazy dog while " +
+      "seven wizards brew strong potions beneath ancient oak trees near " +
+      "the silver river bank tonight"
+    val toks = split(col("text"), " ")
+    val off = (col("doc_id") % 10).cast("int")
+    val planted = docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat_ws(" ", concat(slice(toks, lit(1), off),
+          split(lit(passage), " "),
+          slice(toks, off + 1, size(toks)))))
+        .otherwise(col("text")).as("text"))
+    Curation.substringDedup(planted, segWords = 10, dupMin = 2)
+      .orderBy("doc_id")
+  }
+
+  /** LM-scored quality cut with PLANTED gibberish (every 97th document's
+    * text becomes 30 doc-unique nonsense tokens, so its bigrams are
+    * guaranteed corpus-unseen and the rare-fraction threshold provably
+    * bites at any sf — the planted-corruption pattern of
+    * [[qExpectations]]).
+    */
+  def curateLmCut(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val gib = concat_ws(" ", transform(sequence(lit(1), lit(30)),
+      i => concat(lit("zq"), col("doc_id").cast("string"), lit("x"),
+        i.cast("string"))))
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 97 === 0, gib).otherwise(col("text")))
+    Curation.lmQualityCut(planted).orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack" -> textPack,
     "curate_line_dedup" -> curateLineDedup,
+    "curate_substring_dedup" -> curateSubstringDedup,
+    "curate_lm_cut" -> curateLmCut,
     "q_expectations" -> qExpectations,
     "samp_stratified" -> sampStratified,
     "samp_hash" -> sampHash,
@@ -177,6 +222,60 @@ object CurationQueries {
     "curate_stats" -> curateStats)
 
   val oracles: Map[String, String] = Map(
+    "curate_substring_dedup" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |              FROM documents),
+        |tok AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |          THEN toks[1:CAST(doc_id % 10 AS INT)] || string_split(
+        |            'the quick brown fox jumps over the lazy dog while seven wizards brew strong potions beneath ancient oak trees near the silver river bank tonight',
+        |            ' ') || toks[CAST(doc_id % 10 AS INT) + 1:]
+        |          ELSE toks END AS toks
+        |        FROM base),
+        |w AS (SELECT doc_id, len(toks) AS n, toks FROM tok
+        |      WHERE len(toks) >= 10),
+        |win AS (SELECT doc_id, n, toks,
+        |          unnest(generate_series(1, CAST(n - 9 AS INT))) AS i FROM w),
+        |seg AS (SELECT doc_id, n, i,
+        |          array_to_string(toks[i:i+9], ' ') AS s FROM win),
+        |cnt AS (SELECT s, COUNT(*) AS c FROM seg GROUP BY s),
+        |dup AS (SELECT seg.doc_id, seg.n, seg.i
+        |        FROM seg JOIN cnt ON seg.s = cnt.s WHERE cnt.c >= 2),
+        |pos AS (SELECT DISTINCT doc_id, n,
+        |          unnest(generate_series(i, i + 9)) AS p FROM dup),
+        |isl AS (SELECT doc_id, n, p,
+        |          CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+        |                 = p - 1 THEN 0 ELSE 1 END AS ns
+        |        FROM pos)
+        |SELECT doc_id, CAST(any_value(n) AS INT) AS n_tokens,
+        |  COUNT(*) AS dup_tokens, CAST(SUM(ns) AS BIGINT) AS n_spans
+        |FROM isl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "curate_lm_cut" ->
+      """WITH planted AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 97 = 0 THEN array_to_string(
+        |      list_transform(generate_series(1, 30),
+        |        i -> 'zq' || doc_id || 'x' || i), ' ')
+        |    ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |        FROM planted
+        |        WHERE len(string_split(text, ' ')) >= 2),
+        |idx AS (SELECT doc_id, lang, toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS i FROM tok),
+        |bg AS (SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS bigram
+        |       FROM idx),
+        |c AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
+        |      ORDER BY cnt DESC, bigram LIMIT 50000),
+        |s AS (SELECT doc_id, any_value(lang) AS lang,
+        |        COUNT(*) AS n_bigrams,
+        |        CAST(SUM(CASE WHEN COALESCE(cnt, 0) <= 1 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_rare
+        |      FROM bg LEFT JOIN c USING (bigram) GROUP BY doc_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+        |  CAST(SUM(n_rare) AS BIGINT) AS sum_rare
+        |FROM s WHERE n_rare * 20 <= n_bigrams
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_expectations" ->
       """WITH corrupted AS (
         |  SELECT o_orderkey, o_custkey + 10000000 AS o_custkey,

@@ -184,6 +184,72 @@ class CurationSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("substringDedup finds the offset span that lineDedup provably misses") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a 25-word span shared by two docs at DIFFERENT offsets (3 and 7
+    // words in) — no 10-word tumbling boundary of one doc aligns the span
+    // with the other doc's, so tumbling segment hashes see nothing, while
+    // stride-1 sliding windows tile the span and merge to one maximal span
+    val span = (1 to 25).map(i => s"s$i").mkString(" ")
+    val rows = Seq(
+      1L -> s"p1 p2 p3 $span q1 q2 q3 q4 q5 q6 q7",
+      2L -> s"r1 r2 r3 r4 r5 r6 r7 $span t1 t2 t3",
+      3L -> "filler words with no duplication at all present here today now")
+    val df = rows.toDF("doc_id", "text")
+    // tumbling: nothing duplicated (dupMin 2 — most permissive)
+    val line = Curation.lineDedup(df, segWords = 10, dupMin = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(line(1L)._1 == line(1L)._2 && line(2L)._1 == line(2L)._2,
+      "tumbling segments must all survive — the duplicated span is invisible")
+    // sliding: the full 25-token span is recovered as ONE merged span each
+    val sub = Curation.substringDedup(df, segWords = 10, dupMin = 2)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(sub(1L) == ((35, 25L, 1L)),
+      s"doc 1: 25 covered tokens in 1 maximal span, got ${sub.get(1L)}")
+    assert(sub(2L) == ((35, 25L, 1L)),
+      s"doc 2: 25 covered tokens in 1 maximal span, got ${sub.get(2L)}")
+    assert(!sub.contains(3L), "the undup'd doc emits no row")
+  }
+
+  test("substringDedup merges overlapping windows and splits disjoint spans") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two DISJOINT shared spans in one doc -> two islands; the span copies
+    // sit at different offsets in the partner docs
+    val a = (1 to 12).map(i => s"a$i").mkString(" ")
+    val b = (1 to 12).map(i => s"b$i").mkString(" ")
+    val mid = (1 to 5).map(i => s"m$i").mkString(" ")
+    val rows = Seq(
+      1L -> s"$a $mid $b",
+      2L -> s"x1 x2 $a y1 y2 y3 y4 y5 y6 y7 y8 y9 y10",
+      3L -> s"z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 $b w1 w2")
+    val sub = Curation.substringDedup(rows.toDF("doc_id", "text"),
+        segWords = 10, dupMin = 2)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(sub(1L) == ((29, 24L, 2L)),
+      s"doc 1: two disjoint 12-token spans, got ${sub.get(1L)}")
+    assert(sub(2L) == ((24, 12L, 1L)) && sub(3L) == ((25, 12L, 1L)))
+  }
+
+  test("lmQualityCut drops gibberish docs on the exact-integer threshold") {
+    val spark2 = spark
+    import spark2.implicits._
+    val common = "the cat sat on the mat and the dog sat on the rug"
+    val rows = Seq(
+      (1L, "en", common), (2L, "en", common), (3L, "fr", common),
+      (4L, "en", "zzq1 zzq2 zzq3 zzq4 zzq5 zzq6 zzq7 zzq8 zzq9 zzq10"))
+    val out = Curation.lmQualityCut(
+        rows.toDF("doc_id", "lang", "text"), vocabTop = 50000,
+        rareMax = 1, rareFracDen = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // docs 1-3 share every bigram (count 3 > rareMax) -> survive;
+    // doc 4's bigrams are all unseen-once -> rare frac 1 > 1/20 -> cut
+    assert(out == Map("en" -> 2L, "fr" -> 1L))
+  }
+
   test("repetition metrics match hand counts; plan is shuffle-free") {
     val spark2 = spark
     import spark2.implicits._
