@@ -111,6 +111,46 @@ object GroupingQueries {
     per.unionByName(all).orderBy("event_type")
   }
 
+  /** STORED sketch partials, end to end: per-(event_type, day) HLL partials
+    * are WRITTEN to a manifest-tracked [[graft.sources.LogStore]] (the
+    * sketch bytes land in partitioned parquet, the file set publishes via
+    * `commitManifest`), read back through the PINNED snapshot, and only
+    * then re-aggregated (per-type union across days + the ALL rollup).
+    * Rows-only like [[qHllPartials]]; StatsSpec asserts the round-tripped
+    * union ≡ the direct sketch, byte-path included.
+    *
+    * This is the materialized-dashboard tier at 100 TB: the expensive scan
+    * builds day×segment partials ONCE, persists them (KBs per segment),
+    * and every later rollup — any segment subset, any date range, the ALL
+    * row — is a metadata-pruned scan of stored KB-sized sketches plus a
+    * union, never a rescan of the raw events. The manifest pin means a
+    * dashboard refresh never sees a half-published day.
+    */
+  def qHllStored(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LogStore
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-hll-store").toString
+    val parts = t(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .select(col("event_type").as("severity"), col("day").as("event_ts"),
+        col("sk"))
+    LogStore.write(parts, store, tsCol = "event_ts")
+    LogStore.commitManifest(spark, store)
+    val merged = LogStore.readPinned(spark, store)
+      .groupBy(col("severity"))
+      .agg(hll_union_agg(col("sk"), lit(true)).as("u"),
+        count(lit(1)).as("n_partials"))
+    val per = merged.select(col("severity").as("event_type"),
+      hll_sketch_estimate(col("u")).as("approx_users"), col("n_partials"))
+    val all = merged.agg(hll_union_agg(col("u"), lit(true)).as("u2"),
+        sum(col("n_partials")).as("np"))
+      .select(lit("ALL").as("event_type"),
+        hll_sketch_estimate(col("u2")).as("approx_users"),
+        col("np").as("n_partials"))
+    per.unionByName(all).orderBy("event_type")
+  }
+
   /** Exact percentiles (sort-based `percentile`, linear interpolation —
     * same definition as SQL-standard PERCENTILE_CONT).
     */
@@ -270,6 +310,7 @@ object GroupingQueries {
     "q_percentiles" -> qPercentiles,
     "q_percentiles_approx" -> qPercentilesApprox,
     "q_hll_partials" -> qHllPartials,
+    "q_hll_stored" -> qHllStored,
     "q_corr" -> qCorr,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_pivot" -> qPivot,

@@ -36,6 +36,30 @@ class StatsSpec extends SparkSpec {
       s"merged partials ${rows("ALL")} != direct sketch $direct")
   }
 
+  test("stored HLL partials survive the LogStore parquet+manifest round-trip") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.t(spark, sf001, "events")
+    // the full stored tier: write partials -> commitManifest -> readPinned
+    // -> union. Its estimates must EQUAL the never-persisted path — sketch
+    // bytes must survive parquet encode/decode and the manifest-pinned
+    // re-read bit-exactly (union of sketches == sketch of union).
+    val stored = GroupingQueries.qHllStored(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("n")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val directAll = ev.agg(hll_sketch_estimate(
+      hll_sketch_agg(col("user_id"), lit(12)))).head().getLong(0)
+    (direct + ("ALL" -> directAll)).foreach { case (k, n) =>
+      assert(stored(k) == n, s"$k: stored-tier estimate ${stored(k)} != " +
+        s"direct sketch $n — the parquet round-trip corrupted partials")
+    }
+    // and the in-memory partials path agrees with the stored path row-wise
+    val mem = GroupingQueries.qHllPartials(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stored.forall { case (k, v) => mem(k) == v })
+  }
+
   test("manual moment formulas match built-in corr/covar/stddev") {
     val manual = GroupingQueries.qCorr(spark, sf001)
     val builtin = Tables.t(spark, sf001, "lineitem")
