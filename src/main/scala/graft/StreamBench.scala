@@ -50,6 +50,19 @@ object StreamBench {
       val rows = settled.map(_.numInputRows).sum
       val durMs = settled.map(_.durationMs.get("triggerExecution").toLong).sum
       val processedPerSec = if (durMs == 0) 0.0 else rows * 1000.0 / durMs
+      // Per-batch duration breakdown (mean ms over the settled window):
+      // where the trigger time actually goes. addBatch = plan + run the
+      // micro-batch (sink work included); latestOffset/getBatch = source
+      // bookkeeping; walCommit/commitOffsets = the two checkpoint-log
+      // fsyncs every batch pays — the fixed per-batch tax that bounds
+      // small-trigger throughput.
+      val bdKeys = Seq("addBatch", "getBatch", "latestOffset",
+        "queryPlanning", "walCommit", "commitOffsets")
+      val breakdown = bdKeys.map { k =>
+        k -> (settled.map(p =>
+          Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)).sum /
+          math.max(1, settled.size))
+      }
       // kept up = the settled window processed as fast as the source
       // produced (mean trigger duration within the trigger interval) — a
       // lagging query shows trigger executions longer than the interval
@@ -59,13 +72,15 @@ object StreamBench {
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
       System.err.println(s"[stream-bench] rate=$rate processed/s=" +
         s"${r1(processedPerSec)} meanBatchMs=$meanBatchMs keptUp=$keptUp " +
-        s"batches=${settled.size}")
-      (rate, processedPerSec, meanBatchMs, keptUp, settled.size)
+        s"batches=${settled.size} " +
+        breakdown.map { case (k, v) => s"$k=$v" }.mkString(" "))
+      (rate, processedPerSec, meanBatchMs, keptUp, settled.size, breakdown)
     }
     val sustained = results.filter(_._4).map(_._2).maxOption.getOrElse(0.0)
-    val per = results.map { case (rate, pps, mb, ok, n) =>
+    val per = results.map { case (rate, pps, mb, ok, n, bd) =>
+      val bdJson = bd.map { case (k, v) => s""""$k":$v""" }.mkString(",")
       s""""$rate":{"processed_per_sec":${r1(pps)},"mean_batch_ms":$mb,""" +
-        s""""kept_up":$ok,"batches":$n}"""
+        s""""kept_up":$ok,"batches":$n,$bdJson}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_docs_per_sec","value":${r1(sustained)},""" +
       s""""unit":"docs/sec","trigger_ms":$triggerMs,"bulk_size":$bulkSize,""" +

@@ -211,11 +211,22 @@ final case class HttpBulkTransport(url: String, maxRetries: Int = 5,
   */
 object BulkSink {
 
-  /** Ship one micro-batch. Empty-batch short-circuit per shipper.js:144;
-    * per-batch directory overwrite makes replays idempotent (a retried
-    * micro-batch rewrites the same batch dir — effective exactly-once at
-    * the file sink; HTTP delivery is at-least-once across retries, same as
-    * the reference).
+  /** Ship one micro-batch in a SINGLE pass. The empty-batch short-circuit
+    * (shipper.js:144) is structural: `grouped` over an empty partition
+    * emits no chunks, so an empty batch builds no bulk body and POSTs
+    * nothing — only an empty batch dir is written (StreamingSpec accepts
+    * either). Per-batch directory overwrite makes replays idempotent (a
+    * retried micro-batch rewrites the same batch dir — effective
+    * exactly-once at the file sink; HTTP delivery is at-least-once across
+    * retries, same as the reference).
+    *
+    * One pass matters at small triggers: the previous persist +
+    * `isEmpty`-probe + cached-write shape executed the decode plane into
+    * the block cache and read it back, pushing a 10 k-row batch past a 1 s
+    * trigger budget (StreamProbe attribution, round 7: two-pass ~1.9 s vs
+    * single-pass ~0.83 s on identical input) — the death-spiral threshold.
+    * Single execution also keeps the `observe()` counters exact with no
+    * cache to protect them.
     *
     * S15: a failure while shipping is contained — an error doc is flushed
     * to the side channel and rethrown so the streaming engine retries the
@@ -229,24 +240,18 @@ object BulkSink {
       // closed enum today, but a hand-interpolated value would be one schema
       // change away from malformed NDJSON (quotes/newlines in the field)
       to_json(struct(struct(col("severity")).as("index"))).as("action"))
-    // persist: the empty-probe and the write would otherwise re-execute the
-    // whole decode pipeline (and double-count the observe() metrics)
-    wire.persist()
     try {
-      // isEmpty is a cheap limit-1 probe, not a full count
-      if (!wire.isEmpty) {
-        val spark = batch.sparkSession
-        import spark.implicits._
-        wire.as[(String, String)]
-          .mapPartitions { rows =>
-            rows.grouped(bulkSize).map { chunk =>
-              val body = bulkBody(chunk)
-              transport.foreach(_.send(body))
-              body
-            }
+      val spark = batch.sparkSession
+      import spark.implicits._
+      wire.as[(String, String)]
+        .mapPartitions { rows =>
+          rows.grouped(bulkSize).map { chunk =>
+            val body = bulkBody(chunk)
+            transport.foreach(_.send(body))
+            body
           }
-          .write.mode("overwrite").text(s"$outputDir/batch=$batchId")
-      }
+        }
+        .write.mode("overwrite").text(s"$outputDir/batch=$batchId")
     } catch {
       case e: Throwable =>
         val spark = batch.sparkSession
@@ -260,7 +265,7 @@ object BulkSink {
             col("batch"), col("error"))).as("doc"))
           .write.mode("append").text(s"$outputDir/errors")
         throw e
-    } finally wire.unpersist()
+    }
   }
 
   /** One bulk POST body: NDJSON of (action, doc) line pairs — the
