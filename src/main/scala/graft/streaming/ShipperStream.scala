@@ -140,6 +140,72 @@ object ShipperStream {
       Seq("content_hash"), "left_anti")
   }
 
+  /** Continuous sketch-partial sink — the streaming face of the stored
+    * HLL dashboard tier ([[graft.queries.GroupingQueries.qHllStored]]):
+    * every micro-batch aggregates into per-(severity, day) HLL partials
+    * (constant-size mergeable state, one narrow pass over the batch) and
+    * APPENDS them to a manifest-tracked [[graft.sources.LogStore]],
+    * committing a new manifest version per batch. Readers union the
+    * pinned partials ([[readSketchEstimates]]) — a dashboard refresh
+    * reads KB-sized sketches behind a consistent snapshot, never the
+    * event stream, and never observes a half-published batch.
+    *
+    * Delivery: at-least-once batch replay is HARMLESS here — HLL is a
+    * set sketch, so re-appending a replayed batch's partials is a union
+    * with itself and every estimate is provably unchanged
+    * (StateAndStoreSpec asserts this). That makes the sink idempotent in
+    * effect without any dedup bookkeeping.
+    *
+    * Scale: partial rows are KBs per (severity, day); the per-batch
+    * manifest commit is one tiny file rename. Day partitions accumulate
+    * one small file per batch — exactly the shape [[graft.sources
+    * .LogStore.compact]] exists for; run it off the hot path.
+    */
+  def sketchPartials(docs: DataFrame, storeDir: String,
+                     checkpointDir: String, distinctCol: String = "event_id",
+                     eventTime: String = "event_ts",
+                     triggerMs: Long = 2000L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeSketchBatch(batch, storeDir, distinctCol, eventTime)
+      }
+      .start()
+
+  /** One micro-batch of the [[sketchPartials]] sink (factored out so tests
+    * can drive replay semantics directly).
+    */
+  def writeSketchBatch(batch: DataFrame, storeDir: String,
+                       distinctCol: String, eventTime: String): Unit = {
+    import graft.sources.LogStore
+    // empty-tick guard probes the RAW batch (limit-1, cheap) — probing the
+    // aggregated frame would run the aggregation twice per batch, the
+    // two-pass tax [[BulkSink.ship]] just shed
+    if (!batch.isEmpty) {
+      val parts = batch
+        .groupBy(col("severity"),
+          date_trunc("day", col(eventTime)).as("event_ts"))
+        .agg(hll_sketch_agg(col(distinctCol), lit(12)).as("sk"),
+          count(lit(1)).as("n_rows"))
+      LogStore.write(parts, storeDir, tsCol = "event_ts")
+      LogStore.commitManifest(batch.sparkSession, storeDir)
+    }
+  }
+
+  /** Dashboard read over the stored partials: manifest-pinned scan,
+    * per-severity union across every stored partial (days × batches) plus
+    * exact row totals. The whole read touches KBs.
+    */
+  def readSketchEstimates(spark: SparkSession, storeDir: String): DataFrame = {
+    import graft.sources.LogStore
+    LogStore.readPinned(spark, storeDir)
+      .groupBy(col("severity"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
+          .as("approx_distinct"),
+        sum(col("n_rows")).as("n_rows"))
+  }
+
   /** Session windows (30 min gap) per function — the stateful op the
     * reference lacks entirely; state is bounded by the watermark.
     */

@@ -172,6 +172,63 @@ class StateAndStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sketch partials: store equals direct sketch; replay is harmless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("sketch-store").toString
+    val input = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("severity", "event_id", "event_ts")
+    val ckpt = java.nio.file.Files.createTempDirectory("sketch-ckpt").toString
+    val q = graft.streaming.ShipperStream.sketchPartials(
+      stream, store, ckpt, triggerMs = 100L)
+    def ts(d: Int) = new java.sql.Timestamp(1700000000000L + d * 86400000L)
+    try {
+      // batch 1: two severities, day 0; batch 2: overlapping ids, day 1
+      input.addData((0L to 49L).map(i =>
+        (if (i % 5 == 0) "error" else "debug", i, ts(0))): _*)
+      q.processAllAvailable()
+      input.addData((25L to 99L).map(i =>
+        (if (i % 5 == 0) "error" else "debug", i, ts(1))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val est = graft.streaming.ShipperStream
+      .readSketchEstimates(spark, store).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // direct sketch over everything that flowed (ids 0..99 split by sev)
+    val allRows = ((0L to 49L) ++ (25L to 99L)).map(i =>
+      (if (i % 5 == 0) "error" else "debug", i))
+    val direct = allRows.toDF("severity", "event_id")
+      .groupBy("severity")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("event_id"), lit(12)))
+        .as("n")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == Set("error", "debug"))
+    est.foreach { case (sev, (approx, nRows)) =>
+      assert(approx == direct(sev),
+        s"$sev: stored-union estimate $approx != direct ${direct(sev)}")
+      assert(nRows == allRows.count(_._1 == sev))
+    }
+    // AT-LEAST-ONCE REPLAY: re-append batch 1's partials (a retried
+    // micro-batch) — HLL union with itself changes NO estimate; only the
+    // exact row counters (documented at-least-once) move
+    val replay = (0L to 49L).map(i =>
+      (if (i % 5 == 0) "error" else "debug", i, ts(0)))
+      .toDF("severity", "event_id", "event_ts")
+    graft.streaming.ShipperStream.writeSketchBatch(
+      replay, store, "event_id", "event_ts")
+    val est2 = graft.streaming.ShipperStream
+      .readSketchEstimates(spark, store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est2.foreach { case (sev, approx) =>
+      assert(approx == direct(sev),
+        s"$sev: replayed partials changed the estimate to $approx")
+    }
+    // manifest versions advanced once per non-empty batch + the replay
+    val manifests = new java.io.File(s"$store/_manifests")
+      .listFiles().count(_.getName.startsWith("manifest-"))
+    assert(manifests >= 3)
+  }
+
   test("error-burst buffer is bounded: overflow keeps earliest rows, resets streak") {
     import spark.implicits._
     // 10 consecutive errors but a buffer cap of 5: alerts fire for the
