@@ -394,8 +394,12 @@ object Curation {
     * windows (O(dup x segWords)); the island merge shares one clustering
     * exchange on the doc key with the final rollup.
     */
-  def substringDedup(docs: DataFrame, segWords: Int = 10, dupMin: Int = 2,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** Shared machinery of the substring tier: the DISTINCT token positions
+    * of `idCol`-keyed docs covered by any >=`dupMin`-occurrence
+    * `segWords`-token sliding window — (idCol, n, p) rows.
+    */
+  private def dupPositions(docs: DataFrame, segWords: Int, dupMin: Int,
+                           idCol: String, textCol: String): DataFrame = {
     require(segWords > 0 && dupMin >= 2)
     val toks = split(col(textCol), " ")
     val wins = docs
@@ -414,10 +418,15 @@ object Curation {
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= dupMin)
       .select(col("seg_hash"))
-    val pos = wins.join(broadcast(dup), Seq("seg_hash"))
+    wins.join(broadcast(dup), Seq("seg_hash"))
       .select(col(idCol), col("n"),
         explode(sequence(col("start"), col("start") + (segWords - 1))).as("p"))
       .distinct()
+  }
+
+  def substringDedup(docs: DataFrame, segWords: Int = 10, dupMin: Int = 2,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pos = dupPositions(docs, segWords, dupMin, idCol, textCol)
     val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
     pos
       .withColumn("new_span",
@@ -426,6 +435,38 @@ object Curation {
       .agg(max(col("n")).as("n_tokens"),
         count(lit(1)).as("dup_tokens"),
         sum(col("new_span")).as("n_spans"))
+  }
+
+  /** The APPLY side of [[substringDedup]] — Lee et al. don't just count
+    * duplicated substrings, they REMOVE them: every document is rebuilt
+    * from the tokens outside its duplicated spans (documents without any
+    * duplicated window pass through untouched, so the doc set is
+    * preserved — [[lineDedup]]'s contract at substring granularity).
+    *
+    * Scale: the covered-position sets are O(duplicated tokens) per doc —
+    * tiny by construction — and ride one doc-key join back to the corpus;
+    * the rebuild is in-row (`array_except` over the position sequence,
+    * then `transform`/`element_at` — no explode of kept text). The only
+    * full-width data motion is the rebuilt text itself, same as any
+    * rewrite-the-corpus pass.
+    */
+  def substringDedupApply(docs: DataFrame, segWords: Int = 10, dupMin: Int = 2,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val covs = dupPositions(docs, segWords, dupMin, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("p"))).as("cov"))
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol), col(textCol))
+      .join(covs, Seq(idCol), "left")
+      .select(col(idCol),
+        size(toks).as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).as("dup_tokens"),
+        when(col("cov").isNull, col(textCol))
+          .otherwise(array_join(
+            transform(
+              array_except(sequence(lit(1), size(toks)), col("cov")),
+              i => element_at(toks, i)), " "))
+          .as("kept_text"))
   }
 
   /** LM-scored quality cut — [[qualityQuantileCut]]'s shape driven by the

@@ -187,6 +187,30 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** The APPLY side over the same planted fixture as
+    * [[curateSubstringDedup]]: documents are REBUILT with their duplicated
+    * spans removed (planted docs lose exactly the 25-word passage and
+    * reassemble to their pre-splice text whenever the splice boundaries
+    * don't duplicate; untouched docs pass through byte-identical). The
+    * whole rebuilt corpus is oracle hash-checked cell-exact.
+    */
+  def curateSubstringApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val passage = "the quick brown fox jumps over the lazy dog while " +
+      "seven wizards brew strong potions beneath ancient oak trees near " +
+      "the silver river bank tonight"
+    val toks = split(col("text"), " ")
+    val off = (col("doc_id") % 10).cast("int")
+    val planted = docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat_ws(" ", concat(slice(toks, lit(1), off),
+          split(lit(passage), " "),
+          slice(toks, off + 1, size(toks)))))
+        .otherwise(col("text")).as("text"))
+    Curation.substringDedupApply(planted, segWords = 10, dupMin = 2)
+      .orderBy("doc_id")
+  }
+
   /** LM-scored quality cut with PLANTED gibberish (every 97th document's
     * text becomes 30 doc-unique nonsense tokens, so its bigrams are
     * guaranteed corpus-unseen and the rare-fraction threshold provably
@@ -207,6 +231,7 @@ object CurationQueries {
     "text_pack" -> textPack,
     "curate_line_dedup" -> curateLineDedup,
     "curate_substring_dedup" -> curateSubstringDedup,
+    "curate_substring_apply" -> curateSubstringApply,
     "curate_lm_cut" -> curateLmCut,
     "q_expectations" -> qExpectations,
     "samp_stratified" -> sampStratified,
@@ -249,6 +274,38 @@ object CurationQueries {
         |SELECT doc_id, CAST(any_value(n) AS INT) AS n_tokens,
         |  COUNT(*) AS dup_tokens, CAST(SUM(ns) AS BIGINT) AS n_spans
         |FROM isl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "curate_substring_apply" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |              FROM documents),
+        |tok AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |          THEN toks[1:CAST(doc_id % 10 AS INT)] || string_split(
+        |            'the quick brown fox jumps over the lazy dog while seven wizards brew strong potions beneath ancient oak trees near the silver river bank tonight',
+        |            ' ') || toks[CAST(doc_id % 10 AS INT) + 1:]
+        |          ELSE toks END AS toks
+        |        FROM base),
+        |w AS (SELECT doc_id, len(toks) AS n, toks FROM tok
+        |      WHERE len(toks) >= 10),
+        |win AS (SELECT doc_id, n, toks,
+        |          unnest(generate_series(1, CAST(n - 9 AS INT))) AS i FROM w),
+        |seg AS (SELECT doc_id, n, i,
+        |          array_to_string(toks[i:i+9], ' ') AS s FROM win),
+        |cnt AS (SELECT s, COUNT(*) AS c FROM seg GROUP BY s),
+        |dup AS (SELECT seg.doc_id, seg.i
+        |        FROM seg JOIN cnt ON seg.s = cnt.s WHERE cnt.c >= 2),
+        |pos AS (SELECT DISTINCT doc_id,
+        |          unnest(generate_series(i, i + 9)) AS p FROM dup),
+        |covs AS (SELECT doc_id, list(p ORDER BY p) AS cov
+        |         FROM pos GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+        |  CAST(COALESCE(len(c.cov), 0) AS INT) AS dup_tokens,
+        |  CASE WHEN c.cov IS NULL THEN array_to_string(t.toks, ' ')
+        |       -- array_to_string([]) is NULL in DuckDB, '' in Spark
+        |       ELSE COALESCE(array_to_string(list_transform(
+        |         list_filter(generate_series(1, len(t.toks)),
+        |           i -> NOT list_contains(c.cov, i)),
+        |         i -> t.toks[i]), ' '), '') END AS kept_text
+        |FROM tok t LEFT JOIN covs c USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "curate_lm_cut" ->
       """WITH planted AS (
         |  SELECT doc_id, lang,

@@ -234,6 +234,23 @@ class CurationSpec extends SparkSpec {
     assert(sub(2L) == ((24, 12L, 1L)) && sub(3L) == ((25, 12L, 1L)))
   }
 
+  test("substringDedupApply removes exactly the shared span, passes others through") {
+    val spark2 = spark
+    import spark2.implicits._
+    val span = (1 to 25).map(i => s"s$i").mkString(" ")
+    val rows = Seq(
+      1L -> s"p1 p2 p3 $span q1 q2 q3 q4 q5 q6 q7",
+      2L -> s"r1 r2 r3 r4 r5 r6 r7 $span t1 t2 t3",
+      3L -> "filler words with no duplication at all present here today now")
+    val out = Curation.substringDedupApply(rows.toDF("doc_id", "text"),
+        segWords = 10, dupMin = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "p1 p2 p3 q1 q2 q3 q4 q5 q6 q7",
+      "doc 1 rebuilds to its pre-splice text")
+    assert(out(2L) == "r1 r2 r3 r4 r5 r6 r7 t1 t2 t3")
+    assert(out(3L) == rows(2)._2, "undup'd doc passes through byte-identical")
+  }
+
   test("lmQualityCut drops gibberish docs on the exact-integer threshold") {
     val spark2 = spark
     import spark2.implicits._
