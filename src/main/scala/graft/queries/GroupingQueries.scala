@@ -151,6 +151,63 @@ object GroupingQueries {
     per.unionByName(all).orderBy("event_type")
   }
 
+  /** Theta-sketch distinct-set ALGEBRA (DataSketches theta): the audience
+    * questions HLL cannot answer — "users who clicked AND viewed",
+    * "viewed but never purchased" — because HLL unions only; theta
+    * sketches intersect and difference. Each per-type sketch builds as a
+    * conditional aggregate in ONE pass (constant-size mergeable state);
+    * the set algebra then runs on the sketch values.
+    *
+    * ORACLE-CHECKED (not rows-only): theta sketches are EXACT below their
+    * nominal 4096 retained entries, and every per-type user set here is
+    * under that at oracle scale — so the estimates are exact integers and
+    * DuckDB's COUNT(DISTINCT) set expressions reproduce them cell-exact.
+    * At 100 TB the same plan degrades gracefully to ~2% estimates; the
+    * 1.6 TB-of-user-ids alternative is an Expand re-shuffle per set
+    * expression.
+    */
+  def qThetaSets(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    def sk(tpe: String) = theta_sketch_agg(
+      when(col("event_type") === tpe, col("user_id"))).as(tpe)
+    ev.agg(sk("click"), sk("view"), sk("purchase"))
+      .select(
+        theta_sketch_estimate(col("click")).cast("long").as("click_users"),
+        theta_sketch_estimate(theta_intersection(col("click"), col("view")))
+          .cast("long").as("click_and_view"),
+        theta_sketch_estimate(theta_difference(col("view"), col("purchase")))
+          .cast("long").as("view_not_purchase"),
+        theta_sketch_estimate(theta_union(col("click"), col("view")))
+          .cast("long").as("click_or_view"))
+  }
+
+  /** KLL quantile-sketch partials + merge (DataSketches KLL) — the
+    * QUANTILE face of [[qHllPartials]]: per-group mergeable rank sketches
+    * build in one pass, and the ALL rollup MERGES the stored partials
+    * (`kll_merge_agg_double`) instead of re-buffering every value the way
+    * exact `percentile` must. Rows-only: KLL returns an actual data value
+    * at the queried rank (no interpolation), so exact-percentile SQL
+    * can't reproduce it — StatsSpec bounds the rank error instead.
+    */
+  def qKllPartials(spark: SparkSession, dir: String): DataFrame = {
+    val parts = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(kll_sketch_agg_double(col("l_quantity")).as("sk"),
+        count(lit(1)).as("n_rows"))
+    val per = parts.select(col("l_returnflag"),
+      kll_sketch_get_quantile_double(col("sk"), lit(0.5)).as("median_qty"),
+      kll_sketch_get_quantile_double(col("sk"), lit(0.9)).as("p90_qty"),
+      col("n_rows"))
+    val all = parts
+      .agg(kll_merge_agg_double(col("sk")).as("m"),
+        sum(col("n_rows")).as("n"))
+      .select(lit("ALL").as("l_returnflag"),
+        kll_sketch_get_quantile_double(col("m"), lit(0.5)).as("median_qty"),
+        kll_sketch_get_quantile_double(col("m"), lit(0.9)).as("p90_qty"),
+        col("n").as("n_rows"))
+    per.unionByName(all).orderBy("l_returnflag")
+  }
+
   /** Exact percentiles (sort-based `percentile`, linear interpolation —
     * same definition as SQL-standard PERCENTILE_CONT).
     */
@@ -311,6 +368,8 @@ object GroupingQueries {
     "q_percentiles_approx" -> qPercentilesApprox,
     "q_hll_partials" -> qHllPartials,
     "q_hll_stored" -> qHllStored,
+    "q_theta_sets" -> qThetaSets,
+    "q_kll_partials" -> qKllPartials,
     "q_corr" -> qCorr,
     "q_scalar_subquery" -> qScalarSubquery,
     "q_pivot" -> qPivot,
@@ -320,6 +379,21 @@ object GroupingQueries {
     "q_setops" -> qSetops)
 
   val oracles: Map[String, String] = Map(
+    "q_theta_sets" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'click'),
+        |v AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'view'),
+        |p AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT
+        |  (SELECT COUNT(*) FROM c) AS click_users,
+        |  (SELECT COUNT(*) FROM
+        |    (SELECT * FROM c INTERSECT SELECT * FROM v)) AS click_and_view,
+        |  (SELECT COUNT(*) FROM
+        |    (SELECT * FROM v EXCEPT SELECT * FROM p)) AS view_not_purchase,
+        |  (SELECT COUNT(*) FROM
+        |    (SELECT * FROM c UNION SELECT * FROM v)) AS click_or_view""".stripMargin,
     "q_merge_latest" ->
       """WITH base AS (
         |  SELECT c_custkey, c_name, c_acctbal, CAST(1 AS BIGINT) AS version

@@ -202,7 +202,54 @@ object JoinQueries {
       .orderBy("custkey")
   }
 
+  /** BUCKETED co-located join — the cluster-scale answer to "this join
+    * shuffles both fact tables every night": both sides are written
+    * bucketed AND sorted on the join key (8 buckets here; thousands at
+    * 100 TB), so the sort-merge join consumes the bucket layout directly —
+    * NO Exchange on either side (PlanSpec asserts the SMJ subtree is
+    * exchange-free; the residual in-partition Sort is Spark's default
+    * multi-file-bucket safety, and PlanSpec proves the one-file-per-bucket
+    * layout written here elides it under
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering`). The only
+    * shuffle in the query is the small post-join date rollup. The `merge` hint keeps the
+    * planner honest at oracle scale where it would otherwise broadcast
+    * the small side — at production scale neither side broadcasts and
+    * SMJ-over-buckets is exactly the plan you want.
+    *
+    * The bucketed copies are written to a per-call temp location and
+    * registered as (dropped-then-recreated) catalog tables — bucket
+    * metadata lives in the catalog, which is what makes the scan report
+    * its hash partitioning to the planner.
+    */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val loc = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
+    // repartition on the bucket key before writing: bucket hashing and
+    // repartition hashing agree, so each bucket lands in exactly ONE file —
+    // a multi-file bucket forfeits the sort metadata and the SMJ re-sorts
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .repartition(8, col("o_orderkey"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$loc/orders").saveAsTable("graft_orders_bkt")
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .repartition(8, col("l_orderkey"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$loc/lineitem").saveAsTable("graft_lineitem_bkt")
+    spark.table("graft_lineitem_bkt").hint("merge")
+      .join(spark.table("graft_orders_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderdate"))
+      .agg(count(lit(1)).as("n_items"),
+        toDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("o_orderdate"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_join" -> qBucketedJoin,
     "q_salted_join" -> qSaltedJoin,
     "q_outer_join" -> qOuterJoin,
     "q_theta_join" -> qThetaJoin,
@@ -214,6 +261,11 @@ object JoinQueries {
     "q_scan_pushdown" -> qScanPushdown)
 
   val oracles: Map[String, String] = Map(
+    "q_bucketed_join" ->
+      """SELECT o_orderdate, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderdate ORDER BY o_orderdate LIMIT 50""".stripMargin,
     "q_outer_join" ->
       """WITH c AS (SELECT c_custkey AS custkey, c_name FROM customer
         |           WHERE c_custkey % 50 = 0),

@@ -85,6 +85,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_bucketed_join consumes the bucket layout: no exchange, no re-sort") {
+    // the query itself (rollup + orderBy legitimately shuffle AFTER the
+    // join); assert on the join subtree over the tables it registers
+    assert(JoinQueries.qBucketedJoin(spark, sf001).count() > 0)
+    val j = spark.table("graft_lineitem_bkt").hint("merge")
+      .join(spark.table("graft_orders_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(j.count() > 0)
+    val p = plan(j)
+    assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$p")
+    // Spark 3+ ignores the written sort order by DEFAULT (a multi-file
+    // bucket would be silently mis-sorted) and inserts a cheap in-partition
+    // Sort; with one file per bucket (the repartition-before-write in
+    // qBucketedJoin guarantees it) the legacy conf restores sort elision
+    assert(p.contains("Sort ["), "default path re-sorts in-partition")
+    val conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(conf, "true")
+    try {
+      val j2 = spark.table("graft_lineitem_bkt").hint("merge")
+        .join(spark.table("graft_orders_bkt"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(j2.count() > 0)
+      val p2 = plan(j2)
+      assert(!p2.contains("Exchange") && !p2.contains("Sort ["),
+        s"one-file-per-bucket + outputOrdering conf must elide the sort:\n$p2")
+    } finally spark.conf.set(conf, "false")
+  }
+
   test("contamination candidates come from the shingle index: no nested loops") {
     val p = plan(graft.operators.Curation.contamination(
       Tables.t(spark, sf001, "documents"), col("id") % 50 === 0))

@@ -60,6 +60,33 @@ class StatsSpec extends SparkSpec {
     assert(stored.forall { case (k, v) => mem(k) == v })
   }
 
+  test("KLL partials: quantiles within rank-error bound; ALL row merges partials") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.t(spark, sf001, "lineitem")
+    val kll = GroupingQueries.qKllPartials(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("m"),
+        percentile(col("l_quantity"), lit(0.9)).as("p"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val exactAll = li.agg(percentile(col("l_quantity"), lit(0.5)),
+      percentile(col("l_quantity"), lit(0.9))).head()
+    // default k=200 => ~1.65% rank error; quantities are uniform over
+    // 1..50, so 2% of rank ≈ 1 value unit — allow 3 for merge slack
+    (exact + ("ALL" -> ((exactAll.getDouble(0), exactAll.getDouble(1))))).foreach {
+      case (flag, (m, p)) =>
+        val (km, kp) = kll(flag)
+        assert(math.abs(km - m) <= 3.0, s"$flag median: KLL $km vs exact $m")
+        assert(math.abs(kp - p) <= 3.0, s"$flag p90: KLL $kp vs exact $p")
+    }
+    // the ALL row must come from MERGED partials, not a rescan: its row
+    // count is the sum of the per-flag partials' counts
+    val nAll = GroupingQueries.qKllPartials(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(nAll("ALL") == nAll.filterNot(_._1 == "ALL").values.sum)
+  }
+
   test("manual moment formulas match built-in corr/covar/stddev") {
     val manual = GroupingQueries.qCorr(spark, sf001)
     val builtin = Tables.t(spark, sf001, "lineitem")
