@@ -33,6 +33,9 @@ object Bench {
     def planHash(df: org.apache.spark.sql.DataFrame): String = {
       val s = df.queryExecution.optimizedPlan.canonicalized.toString
         .replaceAll("#\\d+L?", "#")
+        // lambda class ids (Fn$$Lambda$123/0x7f...) vary with classload
+        // order, i.e. per JVM — normalize or typed-API plans never match
+        .replaceAll("\\$\\$?Lambda\\$?\\d*/0x[0-9a-fA-F]+", "\\$\\$Lambda")
         .replaceAll("@[0-9a-fA-F]+", "@")
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString

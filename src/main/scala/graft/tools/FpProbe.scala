@@ -9,11 +9,15 @@ object FpProbe {
     spark.sparkContext.setLogLevel("ERROR")
     def planHash(df: org.apache.spark.sql.DataFrame): String = {
       val s = df.queryExecution.optimizedPlan.canonicalized.toString
-        .replaceAll("#\\d+L?", "#").replaceAll("@[0-9a-fA-F]+", "@")
+        .replaceAll("#\\d+L?", "#")
+        .replaceAll("\\$\\$?Lambda\\$?\\d*/0x[0-9a-fA-F]+", "\\$\\$Lambda")
+        .replaceAll("@[0-9a-fA-F]+", "@")
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     }
-    for (n <- Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "sim_ann_lsh", "q_asof_join", "text_contaminate")) {
+    for (n <- Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "sim_ann_lsh",
+        "q_asof_join", "text_contaminate", "mm_resize", "pipe_classify",
+        "q_distinct_agg", "sim_topk")) {
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       println(s"FP $n ${planHash(df)}")
     }
