@@ -360,7 +360,7 @@ object Curation {
     val dup = segs.groupBy(col("seg_hash")).agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= dupMin)
       .select(col("seg_hash"), lit(true).as("dup"))
-    segs.join(broadcast(dup), Seq("seg_hash"), "left")
+    segs.join(dup, Seq("seg_hash"), "left")
       .withColumn("is_dup", coalesce(col("dup"), lit(false)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_segs"),
@@ -418,7 +418,7 @@ object Curation {
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= dupMin)
       .select(col("seg_hash"))
-    wins.join(broadcast(dup), Seq("seg_hash"))
+    wins.join(dup, Seq("seg_hash"))
       .select(col(idCol), col("n"),
         explode(sequence(col("start"), col("start") + (segWords - 1))).as("p"))
       .distinct()

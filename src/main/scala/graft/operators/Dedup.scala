@@ -608,4 +608,46 @@ object Dedup {
         (dotp(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cos"))
       .filter(col("cos") >= tau)
   }
+
+  /** Fuzzy-match pairs — the ENTITY-RESOLUTION face of the dedup ladder
+    * (typo'd re-submissions, OCR noise, near-identical titles): blocked
+    * candidate generation + edit-distance verification. Blocking key =
+    * md5 of the first `prefixChars` characters, so candidates share an
+    * exact prefix; blocks of 1 (nothing to pair) and blocks over
+    * `maxBlockSize` (degenerate shared prefixes — the df-cut rule in
+    * block form) are dropped before ANY pair forms. Pairs within a block
+    * verify with full `levenshtein` and keep distance <= `maxEdit`.
+    *
+    * Recall caveat (documented, inherent to prefix blocking): an edit
+    * INSIDE the first `prefixChars` characters lands the copy in a
+    * different block — production stacks union several block keys
+    * (prefix, suffix, sorted-token hash); this operator is one such key
+    * run through the standard block-join shape.
+    *
+    * Scale: the block join moves (16-byte key, id, text) and only for
+    * members of surviving blocks; pair count is bounded by
+    * sum(block_size^2) <= maxBlockSize * corpus — in practice tiny, and
+    * the quadratic verify runs in-row on candidate pairs only, exactly
+    * like the n-gram family's `array_intersect` verify.
+    */
+  def fuzzyPairs(docs: DataFrame, maxEdit: Int = 3, prefixChars: Int = 24,
+                 maxBlockSize: Int = 100, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val keyed = docs.select(col(idCol), col(textCol),
+      md5(substring(col(textCol), 1, prefixChars)).as("bk"))
+    val blocks = keyed.groupBy(col("bk"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBlockSize)
+      .select(col("bk"))
+    val kept = keyed.join(blocks, Seq("bk"))
+    val a = kept.select(col("bk"), col(idCol).as("a_id"),
+      col(textCol).as("a_text"))
+    val b = kept.select(col("bk"), col(idCol).as("b_id"),
+      col(textCol).as("b_text"))
+    a.join(b, Seq("bk"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("edit_distance", levenshtein(col("a_text"), col("b_text")))
+      .filter(col("edit_distance") <= maxEdit)
+      .select(col("a_id"), col("b_id"), col("edit_distance"))
+  }
 }

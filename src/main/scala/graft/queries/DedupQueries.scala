@@ -83,7 +83,21 @@ object DedupQueries {
       .orderBy("lang")
   }
 
+  /** Fuzzy (edit-distance) pairs with PLANTED typos: every 83rd document
+    * re-enters under a shifted id with " zq" appended — distance 3,
+    * prefix intact, so the blocked pipeline provably recovers every
+    * planted pair (plus any natural exact-dup pairs at distance 0).
+    */
+  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val typos = docs.filter(col("doc_id") % 83 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text"))
+    Dedup.fuzzyPairs(docs.unionByName(typos)).orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_fuzzy" -> dedupFuzzy,
     "dedup_corpus" -> dedupCorpus,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -158,6 +172,22 @@ object DedupQueries {
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_fuzzy" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text || ' zq' FROM documents
+        |  WHERE doc_id % 83 = 0),
+        |k AS (SELECT doc_id, text,
+        |        md5(substring(text, 1, 24)) AS bk FROM u),
+        |s AS (SELECT bk FROM k GROUP BY bk
+        |      HAVING COUNT(*) BETWEEN 2 AND 100),
+        |kk AS (SELECT k.* FROM k JOIN s USING (bk))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
+        |FROM kk a JOIN kk b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_semantic" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

@@ -181,4 +181,26 @@ class DedupSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.3)
     }
   }
+
+  test("fuzzyPairs: suffix typos pair up; prefix edits and big blocks are the documented misses") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = "the quick brown fox jumps over seventeen lazy dogs tonight"
+    val rows = Seq(
+      1L -> base,
+      2L -> (base + " ok"),             // suffix edit, distance 3 -> pair
+      3L -> ("Xhe" + base.drop(3)),     // edit INSIDE the 24-char prefix -> different block (documented recall miss)
+      4L -> "completely unrelated text with nothing in common at all",
+      5L -> (base + " okay"))           // distance 5 from base -> verified out; distance 2 from doc 2
+    val pairs = graft.operators.Dedup.fuzzyPairs(
+        rows.toDF("doc_id", "text"), maxEdit = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 3), (2L, 5L, 2)),
+      s"suffix-typo pairs within maxEdit only (1-5 at distance 5 is out), got $pairs")
+    // oversize blocks drop before any pair forms (the df-cut rule)
+    val flood = (1L to 12L).map(i => i -> base)
+    val capped = graft.operators.Dedup.fuzzyPairs(
+      flood.toDF("doc_id", "text"), maxEdit = 3, maxBlockSize = 10)
+    assert(capped.count() == 0, "a block past maxBlockSize yields no pairs")
+  }
 }
