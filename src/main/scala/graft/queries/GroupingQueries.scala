@@ -170,6 +170,7 @@ object GroupingQueries {
     val ev = t(spark, dir, "events")
     def sk(tpe: String) = theta_sketch_agg(
       when(col("event_type") === tpe, col("user_id"))).as(tpe)
+    val union = theta_sketch_estimate(theta_union(col("click"), col("view")))
     ev.agg(sk("click"), sk("view"), sk("purchase"))
       .select(
         theta_sketch_estimate(col("click")).cast("long").as("click_users"),
@@ -177,8 +178,13 @@ object GroupingQueries {
           .cast("long").as("click_and_view"),
         theta_sketch_estimate(theta_difference(col("view"), col("purchase")))
           .cast("long").as("view_not_purchase"),
-        theta_sketch_estimate(theta_union(col("click"), col("view")))
-          .cast("long").as("click_or_view"))
+        // the heavy-hitters precedent: the oracle equality RELIES on the
+        // exact (<4096-entry) regime, so leaving it must fail LOUDLY here,
+        // not as a mystifying downstream hash mismatch
+        when(assert_true(union < 4000,
+            lit("q_theta_sets left the theta exact regime — " +
+              "the COUNT(DISTINCT) oracle no longer applies")).isNull,
+          union.cast("long")).as("click_or_view"))
   }
 
   /** KLL quantile-sketch partials + merge (DataSketches KLL) — the
