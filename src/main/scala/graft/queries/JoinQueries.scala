@@ -248,7 +248,83 @@ object JoinQueries {
       .limit(50)
   }
 
+  /** Point-in-time (PIT) join — feature-store correctness: every fact is
+    * joined to the dimension version VALID AT FACT TIME, never a later one
+    * (the leakage a naive latest-version join injects into training
+    * data). The dimension is the SCD2 build of [[RelationalQueries
+    * .qScd2]] (event_type validity intervals per user); facts are the
+    * user's orders. Implemented as the [[qAsofJoin]] union-merge plan —
+    * dim-change rows and fact rows union into one per-user timeline, a
+    * running `last(state, ignoreNulls)` forward-fills the in-force
+    * version, fact rows keep it: ZERO join fan-out, one clustering
+    * exchange, O(1) window state. A fact at exactly `valid_from` takes
+    * the NEW version (change rows sort before facts at the same
+    * timestamp), matching the oracle's `[valid_from, valid_to)` interval
+    * join.
+    */
+  def qPitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    // dimension: SCD2 validity intervals of the user's non-purchase
+    // activity state; facts: the purchases themselves (same timeline by
+    // construction — TPC-H order dates predate the event clock entirely)
+    val dimEv = ev.filter(col("event_type") =!= "purchase")
+    val wv = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val dim = dimEv
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wv))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .select(col("user_id").as("u"), col("ts").as("t"),
+        col("event_id").as("tie"), lit(0).as("side"),
+        col("event_type").as("state"),
+        lit(null).cast("double").as("amount"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("ts").as("t"),
+        col("event_id").as("tie"), lit(1).as("side"),
+        lit(null).cast("string").as("state"), col("value").as("amount"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("t"), col("side"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .select(col("side"), col("amount"),
+        last(col("state"), ignoreNulls = true).over(w).as("state"))
+      .filter(col("side") === 1 && col("state").isNotNull)
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        toDouble(sum(dec(col("amount")))).as("sum_amount"))
+      .orderBy("state")
+  }
+
+  /** Schema evolution on read — the operational reality of a long-lived
+    * parquet lake: files written before a column existed coexist with
+    * files that carry it. Two physical generations are written (v1 drops
+    * `c_mktsegment`, v2 has it); `mergeSchema` unions the footers into one
+    * schema and null-fills the missing column for v1 rows, and the query
+    * aggregates across both generations with explicit null handling.
+    *
+    * Scale: schema merge reads FOOTERS (KBs per file), not data; the scan
+    * itself stays columnar + pruned. The alternative — rewriting 100 TB to
+    * backfill a column — is exactly what this avoids.
+    */
+  def qSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    val c = t(spark, dir, "customer")
+    c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$base/gen=1")
+    c.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$base/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(base)
+      .groupBy(coalesce(col("c_mktsegment"), lit("PRE_SCHEMA")).as("segment"))
+      .agg(count(lit(1)).as("n_custs"),
+        toDouble(sum(dec(col("c_acctbal")))).as("sum_bal"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pit_join" -> qPitJoin,
+    "q_schema_evolution" -> qSchemaEvolution,
     "q_bucketed_join" -> qBucketedJoin,
     "q_salted_join" -> qSaltedJoin,
     "q_outer_join" -> qOuterJoin,
@@ -261,6 +337,35 @@ object JoinQueries {
     "q_scan_pushdown" -> qScanPushdown)
 
   val oracles: Map[String, String] = Map(
+    "q_pit_join" ->
+      """WITH d AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+        |chg AS (SELECT user_id, ts, event_id, event_type,
+        |          lag(event_type) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id) AS prev
+        |        FROM d),
+        |ver AS (SELECT user_id, ts AS valid_from, event_type,
+        |          lead(ts) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id) AS valid_to
+        |        FROM chg WHERE prev IS NULL OR prev <> event_type),
+        |f AS (SELECT user_id AS u, ts AS t, value AS amount
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT v.event_type AS state, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(amount AS DECIMAL(12,2))) AS DOUBLE) AS sum_amount
+        |FROM f JOIN ver v ON f.u = v.user_id
+        |  AND f.t >= v.valid_from
+        |  AND (v.valid_to IS NULL OR f.t < v.valid_to)
+        |GROUP BY state ORDER BY state""".stripMargin,
+    "q_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT c_custkey, c_acctbal, NULL AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 2 = 1)
+        |SELECT COALESCE(c_mktsegment, 'PRE_SCHEMA') AS segment,
+        |  COUNT(*) AS n_custs,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        |FROM u GROUP BY segment ORDER BY segment""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderdate, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
