@@ -68,9 +68,130 @@ object AnalyticsQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Markov transition matrix over the event stream: for every user, each
+    * consecutive (event, next event) pair counts one transition — the
+    * input to "where do users go after X" product questions and to
+    * first-order behavioral simulators.
+    *
+    * Scale: ONE clustering exchange on user_id serves the lead() window;
+    * ties break on the unique event_id so the successor is total-order
+    * deterministic. The output is the (types x types) grid — constant-size
+    * regardless of corpus scale — and nothing wider than
+    * (user, type, next_type) survives the window projection.
+    */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    ev.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Exact-integer z-score outlier screen: per event type, flag events
+    * whose value sits more than 3 sigma from the type mean. All arithmetic
+    * is integral — values quantize to cents via floor(value*100) and the
+    * 3-sigma test rearranges to (n*x - s)^2 > 9*(n*q - s^2) over
+    * scale-0 decimals — so Spark and the oracle agree bit-for-bit with no
+    * float variance/stddev drift.
+    *
+    * Scale: two narrow passes over events. Pass one reduces to a
+    * per-type (n, s, q) stats row (map-side partials, constant output);
+    * pass two re-scans with the type-count-sized stats table BROADCAST —
+    * no event-sized shuffle anywhere, and the plan is the canonical
+    * "aggregate-then-rejoin-small" shape that survives any corpus size.
+    */
+  def qOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), floor(col("value") * lit(100)).as("x"))
+    val xd = col("x").cast(d38)
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(xd).cast(d38).as("s"),
+      sum(xd * xd).cast(d38).as("q"))
+    val dev = col("n") * xd - col("s")
+    val isOut = dev * dev > lit(9).cast(d38) *
+      (col("n") * col("q") - col("s") * col("s"))
+    ev.join(broadcast(stats), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("n")).cast("long").as("n_events"),
+        sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+        min(when(isOut, col("x"))).as("min_outlier"),
+        max(when(isOut, col("x"))).as("max_outlier"))
+      .orderBy("event_type")
+  }
+
+  /** Equi-depth (equal-count) histogram of lineitem prices: 10 buckets
+    * with |n/10| rows each, reported as (bucket, row count, price span) —
+    * the quantile-sliced view a cost-based optimizer or a pricing
+    * dashboard wants, where equal-WIDTH buckets (q_histogram) would pile
+    * 90% of rows into one bar on a skewed distribution.
+    *
+    * Scale: exact global rank WITHOUT a single-task global sort — the
+    * two-phase range-partition pattern: repartitionByRange gives ordered
+    * disjoint partitions, a partition-count-sized (32-row) count collect
+    * turns local row numbers into exact global ranks inside one
+    * mapPartitions, and bucket = (rank-1)*k div n. The only driver-side
+    * state is one row per partition; at 100 TB that is a few thousand
+    * longs, while a window-function ntile() would funnel every row
+    * through ONE task.
+    */
+  def qEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 10
+    // Persist pins ONE materialization of the range partitioning: the
+    // RangePartitioner samples boundaries per execution, so the count job
+    // and the rank job must read the same physical partitions or local
+    // row numbers no longer line up with the collected offsets.
+    val ranged = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_extendedprice").as("price"),
+        col("l_orderkey").as("okey"),
+        col("l_linenumber").as("lnum"))
+      .repartitionByRange(32, col("price"), col("okey"), col("lnum"))
+      .sortWithinPartitions("price", "okey", "lnum")
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    try {
+      val counts = ranged.groupBy("pid").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      val offsets = counts.map(_._1)
+        .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+      val bOff = spark.sparkContext.broadcast(offsets)
+      // The aggregate is OUTPUT-sized (k rows) — materialize it eagerly so
+      // the persisted input can be released before the query returns.
+      val buckets = ranged.as[(Double, Long, Int, Int)]
+        .mapPartitions { it =>
+          var local = 0L
+          it.map { case (price, _, _, pid) =>
+            local += 1
+            (bOff.value(pid) + local, price)
+          }
+        }
+        .toDF("rank", "price")
+        .withColumn("bucket", expr(s"cast(((rank - 1) * $k) div $n as int)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("price")).as("min_price"),
+          max(col("price")).as("max_price"))
+        .orderBy("bucket")
+        .as[(Int, Long, Double, Double)].collect().toSeq
+      buckets.toDF("bucket", "n_rows", "min_price", "max_price")
+    } finally ranged.unpersist(blocking = false)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> qFunnel,
-    "q_cohort" -> qCohort)
+    "q_cohort" -> qCohort,
+    "q_event_transitions" -> qEventTransitions,
+    "q_outliers" -> qOutliers,
+    "q_equidepth" -> qEquidepth)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" ->
@@ -102,5 +223,41 @@ object AnalyticsQueries {
         |    AS week_offset,
         |  COUNT(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN cohort ON ev.user_id = cohort.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_event_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s AS (SELECT user_id, event_type,
+        |        LEAD(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS to_type
+        |      FROM ev)
+        |SELECT event_type AS from_type, to_type,
+        |  COUNT(*) AS n_trans, COUNT(DISTINCT user_id) AS n_users
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_outliers" ->
+      """WITH ev AS (SELECT event_type,
+        |              CAST(FLOOR(value * 100) AS HUGEINT) AS x FROM events),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |         SUM(x) AS s, SUM(x * x) AS q
+        |       FROM ev GROUP BY 1)
+        |SELECT ev.event_type, CAST(ANY_VALUE(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN (n*x - s)*(n*x - s) > 9*(n*q - s*s)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(MIN(CASE WHEN (n*x - s)*(n*x - s) > 9*(n*q - s*s)
+        |           THEN x END) AS BIGINT) AS min_outlier,
+        |  CAST(MAX(CASE WHEN (n*x - s)*(n*x - s) > 9*(n*q - s*s)
+        |           THEN x END) AS BIGINT) AS max_outlier
+        |FROM ev JOIN st USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_equidepth" ->
+      """WITH r AS (SELECT l_extendedprice AS price,
+        |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber) AS rn,
+        |    (SELECT COUNT(*) FROM lineitem) AS n
+        |  FROM lineitem)
+        |SELECT CAST((rn - 1) * 10 // n AS INT) AS bucket,
+        |  COUNT(*) AS n_rows, MIN(price) AS min_price,
+        |  MAX(price) AS max_price
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
 }

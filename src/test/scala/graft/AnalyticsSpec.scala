@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.AnalyticsQueries
+
+/** Independent invariants for the behavioral-analytics queries on sf0.001 —
+  * each checked against a differently-shaped computation of the same fact,
+  * not against the DuckDB oracle (which the driver already runs at sf0.01).
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("event transitions: mass balance and successor totality") {
+    val ev = Tables.events(spark, sf001)
+    val trans = AnalyticsQueries.qEventTransitions(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // every user with k events contributes exactly k-1 transitions, so the
+    // grid's total mass is (rows - users) — a fact the window path never
+    // computes directly
+    val nRows = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(trans.map(_._3).sum == nRows - nUsers)
+    // the grid is over observed types only, and no cell is empty
+    val types = ev.select("event_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(trans.forall { case (f, t, n) =>
+      types(f) && types(t) && n > 0 })
+  }
+
+  test("outliers: integer 3-sigma test agrees with float stddev_pop") {
+    val out = AnalyticsQueries.qOutliers(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // recompute with the textbook float path: |x - mean| > 3 * sigma_pop
+    // over the same cents quantization. The decimal rearrangement must
+    // agree exactly — sf0.001 values are small enough that double
+    // arithmetic is exact-comparable away from the boundary, and the
+    // fixture plants no exact-boundary points.
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_type"), floor(col("value") * 100).as("x"))
+    val flt = ev.groupBy("event_type")
+      .agg(avg("x").as("m"), stddev_pop("x").as("sd"))
+    val n = ev.join(flt, "event_type")
+      .filter(abs(col("x") - col("m")) > col("sd") * 3)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (t, k) => assert(n.getOrElse(t, 0L) == k,
+      s"$t: integer path found $k outliers, float path ${n.getOrElse(t, 0L)}") }
+  }
+
+  test("equi-depth buckets: equal depth, ordered spans, full coverage") {
+    val b = AnalyticsQueries.qEquidepth(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val n = spark.read.parquet(s"$sf001/lineitem.parquet").count()
+    assert(b.map(_._1).toSeq == (0 until 10))
+    assert(b.map(_._2).sum == n)
+    // equi-DEPTH: bucket sizes differ by at most 1
+    assert(b.map(_._2).max - b.map(_._2).min <= 1)
+    // buckets tile the sorted domain: spans never run backwards (ties on
+    // price may straddle a boundary, so adjacent max/min may be EQUAL)
+    b.sortBy(_._1).sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._3, s"bucket ${lo._1} max ${lo._4} > " +
+        s"bucket ${hi._1} min ${hi._3}")
+    }
+  }
+}
