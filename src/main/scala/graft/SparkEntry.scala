@@ -34,7 +34,8 @@ object SparkEntry {
       GroupingQueries.queries ++ JoinQueries.queries ++
       FunctionQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
-      CurationQueries.queries ++ AnalyticsQueries.queries
+      CurationQueries.queries ++ AnalyticsQueries.queries ++
+      GraphQueries.queries
     // "a00..." pins the exact n-gram Jaccard query to the very FRONT of the
     // bench: it pays the one-time JVM/codegen warmup AND builds the shared
     // shingle cache, exactly as in the recorded r01/r02 baselines, so
@@ -58,5 +59,6 @@ object SparkEntry {
       GroupingQueries.oracles ++ JoinQueries.oracles ++
       FunctionQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextQueries.oracles ++
-      CurationQueries.oracles ++ AnalyticsQueries.oracles
+      CurationQueries.oracles ++ AnalyticsQueries.oracles ++
+      GraphQueries.oracles
 }

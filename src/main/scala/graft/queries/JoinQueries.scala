@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{dec, t, toDouble}
+import graft.Tables.{dec, pct, t, toDouble}
 
 /** Advanced join shapes (SURVEY.md §2.2 "Joins"): theta, range, as-of.
   *
@@ -322,7 +322,48 @@ object JoinQueries {
       .orderBy("segment")
   }
 
+  /** Star-schema multi-join (TPC-H Q5 shape): revenue by nation for intra-
+    * nation trades in one region and one order year — six tables, one query.
+    *
+    * This is the Catalyst-planning showcase: the only BIG join is
+    * lineitem x orders (shuffle on orderkey); customer, supplier, and the
+    * nation x region subtree are all dimension-sized and broadcast, so the
+    * fact rows are touched by exactly one exchange. The o_orderdate range
+    * and r_name filters push into their scans (orders prunes before the
+    * fact join), and the s_nationkey = c_nationkey residual rides the
+    * supplier broadcast. At 100 TB the plan is unchanged — dimensions stay
+    * broadcast-sized while facts scale, and the one fact exchange is the
+    * bucketed-join candidate (q_bucketed_join).
+    */
+  def qStarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val reg = t(spark, dir, "region")
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    val nat = t(spark, dir, "nation")
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val sup = t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"),
+      col("l_suppkey"),
+      (dec(col("l_extendedprice")) * (lit(1) - pct(col("l_discount"))))
+        .as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        toDouble(sum(col("rev"))).as("revenue"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_star_join" -> qStarJoin,
     "q_pit_join" -> qPitJoin,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_bucketed_join" -> qBucketedJoin,
@@ -337,6 +378,18 @@ object JoinQueries {
     "q_scan_pushdown" -> qScanPushdown)
 
   val oracles: Map[String, String] = Map(
+    "q_star_join" ->
+      """SELECT n_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pit_join" ->
       """WITH d AS (SELECT * FROM events WHERE event_type <> 'purchase'),
         |chg AS (SELECT user_id, ts, event_id, event_type,

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{GraphQueries, JoinQueries}
+
+/** Graph + star-join verification on sf0.001 — PageRank checked against a
+  * from-scratch driver-side integer recompute (adjacency maps, no Spark),
+  * the star join against plan shape (the DuckDB oracle already checks its
+  * values at sf0.01).
+  */
+class GraphSpec extends SparkSpec {
+
+  test("pagerank: exact match with a driver-side integer recompute") {
+    val got = GraphQueries.qPagerank(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // independent recompute: build the undirected edge list straight from
+    // the two parquet tables, then run the same 3 synchronous iterations
+    // with BigInt arithmetic (no shared code with the query under test)
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val ord = spark.read.parquet(s"$sf001/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = li.flatMap { case (ok, sk) =>
+      ord.get(ok).map(ck => (s"c$ck", s"s$sk")) }.distinct
+    val edges = pairs ++ pairs.map { case (a, b) => (b, a) }
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val scale = BigInt("1000000000000")
+    val base = BigInt("150000000000")
+    var score: Map[String, BigInt] = adj.map { case (n, _) => n -> scale }
+    for (_ <- 1 to 3) {
+      val contribs = adj.toSeq.flatMap { case (src, dsts) =>
+        val c = (score(src) * 85) / (100 * dsts.length)
+        dsts.map(_ -> c)
+      }
+      score = contribs.groupBy(_._1)
+        .map { case (n, cs) => n -> (base + cs.map(_._2).sum) }
+    }
+    assert(got.size == score.size)
+    score.foreach { case (n, s) =>
+      assert(got(n) == s.toLong, s"$n: spark ${got(n)} vs recompute $s") }
+    // floor division only loses mass: total stays under nodes * scale
+    assert(score.values.sum < scale * score.size)
+  }
+
+  test("star join: filters pushed, dimensions broadcast, values consistent") {
+    val df = JoinQueries.qStarJoin(spark, sf001)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the date range and region name reach their parquet scans
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"))
+    assert(plan.contains("EqualTo(r_name,ASIA)"))
+    // every dimension side is a broadcast join; the fact side never
+    // builds a hash table from anything fact-sized
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3)
+    // cross-check revenue mass against a single-purpose recompute that
+    // joins in the opposite order and never groups
+    val d = sf001
+    val total = spark.read.parquet(s"$d/lineitem.parquet")
+      .join(spark.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderdate").between("1996-01-01", "1996-12-31")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(spark.read.parquet(s"$d/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .join(spark.read.parquet(s"$d/supplier.parquet"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(spark.read.parquet(s"$d/nation.parquet"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(spark.read.parquet(s"$d/region.parquet")
+          .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .count()
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+}
