@@ -364,7 +364,43 @@ object GroupingQueries {
       .orderBy("op", "n")
   }
 
+  /** OHLC time bars: per (event_type, hour) open/high/low/close/volume —
+    * the finance-style bar aggregation where open and close are
+    * ORDER-dependent picks, not commutative aggregates.
+    *
+    * Determinism: the pick order is (us, event_id) — event_id breaks
+    * same-microsecond ties, so first/last are total-order well-defined and
+    * open/close are RAW input doubles (no arithmetic → bit-identical
+    * cross-engine); only the volume sum goes through the decimal cast.
+    *
+    * Scale: ONE clustering exchange on (type, hour) serves both window
+    * passes (row_number needs the sort, the per-bar count doesn't) and the
+    * final aggregation — bars are output-sized, and hot hours skew-split
+    * under AQE like any single-exchange aggregate.
+    */
+  def qOhlc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .withColumn("hour", expr("us div 3600000000"))
+    val w = Window.partitionBy("event_type", "hour")
+      .orderBy(col("us"), col("event_id"))
+    val wAll = Window.partitionBy("event_type", "hour")
+    ev.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy("event_type", "hour")
+      .agg(max(when(col("rn") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+        count(lit(1)).as("n_events"),
+        toDouble(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("event_type", "hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ohlc" -> qOhlc,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
     "q_grouping_sets" -> qGroupingSets,
@@ -385,6 +421,22 @@ object GroupingQueries {
     "q_setops" -> qSetops)
 
   val oracles: Map[String, String] = Map(
+    "q_ohlc" ->
+      """WITH ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, value
+        |  FROM events),
+        |r AS (SELECT event_type, us // 3600000000 AS hour, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, us // 3600000000
+        |      ORDER BY us, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type, us // 3600000000) AS cnt
+        |  FROM ev)
+        |SELECT event_type, hour,
+        |  MAX(CASE WHEN rn = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rn = cnt THEN value END) AS close,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_theta_sets" ->
       """WITH c AS (SELECT DISTINCT user_id FROM events
         |           WHERE event_type = 'click'),

@@ -19,6 +19,56 @@ object TextQueries {
     * At 100 TB the df table is the only corpus-wide aggregate (terms are
     * heavy-tailed; partial aggregation absorbs the hot ones).
     */
+  /** BM25 ranked retrieval: top-20 documents for a fixed 3-term query —
+    * the search-engine face of the text family (tf-idf ranks a doc's own
+    * terms; BM25 ranks DOCS for a query, with tf saturation and length
+    * normalization).
+    *
+    * Exactness: k1=1.2, b=0.75 are rationals, so each term's score
+    * clears denominators into one integral division —
+    * idf*(tf*(k1+1))/(tf+k1*(1-b+b*dl/avgdl)) becomes
+    * ((2(N-df)+1) * 44*tf*TL * 10^9) div ((2df+1) * (20*tf*TL + 6*TL +
+    * 18*dl*N)) with TL = total tokens (avgdl = TL/N cleared through) —
+    * and the scaled integer scores are bit-identical cross-engine; a
+    * log-idf BM25 could never hash-match.
+    *
+    * Scale: ZERO corpus-sized shuffle. Term frequencies are in-row
+    * higher-order `filter` counts (no explode), the (N, TL, df...) stats
+    * row is ONE constant-size aggregate broadcast back, and the ranking is
+    * top-k over (doc_id, score) — TakeOrderedAndProject, never a global
+    * sort. Per-query-term cost is one array scan per doc, exactly how a
+    * scan-based retrieval pass over 100 TB should look (an inverted index
+    * is the stored-tier alternative; see text_tfidf for the df machinery).
+    */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "merge", "vector")
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val withTf = terms.zipWithIndex.foldLeft(docs) { case (d, (term, i)) =>
+      d.withColumn(s"tf$i",
+        size(filter(col("toks"), x => x === lit(term))).cast("long"))
+    }.drop("toks")
+    val stats = withTf.agg(
+      count(lit(1)).as("n"), sum(col("dl")).as("tl"),
+      sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"))
+    def tscore(i: Int): String =
+      s"""CASE WHEN tf$i > 0 THEN
+         | (cast(2 * (n - df$i) + 1 as decimal(38,0))
+         |   * 44 * tf$i * tl * 1000000000)
+         | div ((2 * df$i + 1) * (20 * tf$i * tl + 6 * tl + 18 * dl * n))
+         | ELSE 0L END""".stripMargin
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("score",
+        expr(s"${tscore(0)} + ${tscore(1)} + ${tscore(2)}"))
+      .select(col("doc_id"), col("score"), col("tf0").as("tf_spark"),
+        col("tf1").as("tf_merge"), col("tf2").as("tf_vector"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val tok = docs.select(col("doc_id"),
@@ -254,11 +304,39 @@ object TextQueries {
     "text_heavy_hitters" -> textHeavyHitters,
     "text_bpe" -> textBpe,
     "text_tfidf" -> textTfidf,
+    "text_bm25" -> textBm25,
     "text_vocab_encode" -> textVocabEncode,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_frame_sample" -> mmFrameSample)
 
   val oracles: Map[String, String] = Map(
+    "text_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |t AS (SELECT doc_id, len(toks) AS dl,
+        |        len(list_filter(toks, x -> x = 'spark')) AS tf0,
+        |        len(list_filter(toks, x -> x = 'merge')) AS tf1,
+        |        len(list_filter(toks, x -> x = 'vector')) AS tf2
+        |      FROM d),
+        |s AS (SELECT COUNT(*) AS n, SUM(dl) AS tl,
+        |        SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |        SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |        SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |      FROM t)
+        |SELECT doc_id, CAST(
+        |    (CASE WHEN tf0 > 0 THEN
+        |      (CAST(2*(n - df0) + 1 AS HUGEINT) * 44 * tf0 * tl * 1000000000)
+        |      // ((2*df0 + 1) * (20*tf0*tl + 6*tl + 18*dl*n)) ELSE 0 END)
+        |  + (CASE WHEN tf1 > 0 THEN
+        |      (CAST(2*(n - df1) + 1 AS HUGEINT) * 44 * tf1 * tl * 1000000000)
+        |      // ((2*df1 + 1) * (20*tf1*tl + 6*tl + 18*dl*n)) ELSE 0 END)
+        |  + (CASE WHEN tf2 > 0 THEN
+        |      (CAST(2*(n - df2) + 1 AS HUGEINT) * 44 * tf2 * tl * 1000000000)
+        |      // ((2*df2 + 1) * (20*tf2*tl + 6*tl + 18*dl*n)) ELSE 0 END)
+        |  AS BIGINT) AS score,
+        |  tf0 AS tf_spark, tf1 AS tf_merge, tf2 AS tf_vector
+        |FROM t, s
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "mm_pixel_dedup" ->
       """WITH v AS (
         |  SELECT doc_id, (n_chars % 16) + 8 AS w, (doc_id % 8) + 8 AS h,

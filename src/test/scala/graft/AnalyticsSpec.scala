@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.AnalyticsQueries
+import graft.queries.{AnalyticsQueries, GroupingQueries}
 
 /** Independent invariants for the behavioral-analytics queries on sf0.001 —
   * each checked against a differently-shaped computation of the same fact,
@@ -45,6 +45,30 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     out.foreach { case (t, k) => assert(n.getOrElse(t, 0L) == k,
       s"$t: integer path found $k outliers, float path ${n.getOrElse(t, 0L)}") }
+  }
+
+  test("ohlc bars: picks agree with a per-bar sorted driver recompute") {
+    val bars = GroupingQueries.qOhlc(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    // recompute every bar by sorting raw rows in memory — the window/agg
+    // path under test never materializes a per-bar sorted list
+    val raw = Tables.events(spark, sf001)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val regrouped = raw.groupBy { case (t, us, _, _) => (t, us / 3600000000L) }
+    assert(bars.size == regrouped.size)
+    regrouped.foreach { case (key, rows) =>
+      val sorted = rows.sortBy { case (_, us, id, _) => (us, id) }
+      val (open, high, low, close, cnt) = bars(key)
+      assert(open == sorted.head._4 && close == sorted.last._4,
+        s"$key open/close mismatch")
+      assert(high == rows.map(_._4).max && low == rows.map(_._4).min)
+      assert(cnt == rows.length)
+    }
   }
 
   test("equi-depth buckets: equal depth, ordered spans, full coverage") {

@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.TextQueries
+
+/** BM25 retrieval checked against a from-scratch driver-side recompute:
+  * float-domain BM25 over the same tokenization, with the ranking (not the
+  * scaled-integer scores) as the comparison surface — so the integral
+  * clearing of denominators in the query under test is validated against
+  * the textbook float formula it encodes.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  test("bm25: top-20 ranking matches the textbook float formula") {
+    val got = TextQueries.textBm25(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum / n
+    val (k1, b) = (1.2, 0.75)
+    val terms = Seq("spark", "merge", "vector")
+    val dfm = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    def score(toks: Seq[String]): Double = terms.map { qt =>
+      val tf = toks.count(_ == qt).toDouble
+      if (tf == 0) 0.0
+      else ((n - dfm(qt) + 0.5) / (dfm(qt) + 0.5)) *
+        (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * toks.length / avgdl))
+    }.sum
+    val expect = docs.map { case (id, toks) => (id, score(toks)) }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+
+    // same docs in the same order (float vs scaled-int could only disagree
+    // on ties, and the fixture's Zipfian lengths make exact float ties on
+    // distinct tf/dl profiles impossible away from zero)
+    assert(got.map(_._1).toSeq == expect.map(_._1).toSeq,
+      s"got ${got.map(_._1).toSeq} expected ${expect.map(_._1).toSeq}")
+    // the scaled-integer score is the float score * 1e9, within the floor
+    // loss of three integral divisions
+    got.zip(expect).foreach { case ((_, si), (_, sf)) =>
+      assert(math.abs(si - sf * 1e9) <= 3,
+        s"scaled $si vs float ${sf * 1e9}")
+    }
+  }
+}
