@@ -362,7 +362,48 @@ object JoinQueries {
       .orderBy("n_name")
   }
 
+  /** Dynamic partition pruning: the fact table is PHYSICALLY partitioned on
+    * the join key (hive-style dirs), the dimension side carries a selective
+    * filter, and Spark injects a runtime subquery that prunes fact
+    * partitions BEFORE scanning them — the feature that turns "scan 100 TB,
+    * join, discard 60%" into "scan the 2 of 5 partitions the dimension
+    * selects". The dimension is a 5-row literal (priority -> tier), the
+    * prune keeps the two 'expedite' priorities.
+    *
+    * Scale: at 100 TB the fact scan cost is proportional to SELECTED
+    * partitions only; the pruning subquery costs one broadcast of the
+    * filtered dim keys. PlanSpec asserts `dynamicpruning` appears in the
+    * fact scan's partition filters so a plan regression (e.g. the filter
+    * collapsing away after a refactor) fails loudly.
+    */
+  def qDpp(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").partitionBy("o_orderpriority")
+      .parquet(s"$base/fact")
+    val fact = spark.read.parquet(s"$base/fact")
+    // the dim must be a REAL scan: a literal LocalRelation gets its filter
+    // constant-folded away before the PartitionPruning rule looks for a
+    // selective predicate, and no DPP subquery is ever planted
+    Seq(("1-URGENT", "expedite"), ("2-HIGH", "expedite"),
+      ("3-MEDIUM", "standard"), ("4-NOT SPECIFIED", "standard"),
+      ("5-LOW", "standard")).toDF("prio", "tier")
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim")
+    fact.join(dim.filter(col("tier") === "expedite"),
+        col("o_orderpriority") === col("prio"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        count_distinct(col("o_custkey")).as("n_custs"),
+        toDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dpp" -> qDpp,
     "q_star_join" -> qStarJoin,
     "q_pit_join" -> qPitJoin,
     "q_schema_evolution" -> qSchemaEvolution,
@@ -378,6 +419,18 @@ object JoinQueries {
     "q_scan_pushdown" -> qScanPushdown)
 
   val oracles: Map[String, String] = Map(
+    "q_dpp" ->
+      """WITH dim(prio, tier) AS (VALUES
+        |  ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'),
+        |  ('3-MEDIUM', 'standard'), ('4-NOT SPECIFIED', 'standard'),
+        |  ('5-LOW', 'standard'))
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_custs,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN dim ON o_orderpriority = prio
+        |WHERE tier = 'expedite'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_star_join" ->
       """SELECT n_name, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -34,6 +34,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"expected codegen span in:\n$p")
   }
 
+  test("dpp: fact scan carries a dynamic partition-pruning filter") {
+    val df = JoinQueries.qDpp(spark, sf001)
+    val p = plan(df).toLowerCase
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamic pruning expression on the fact scan in:\n$p")
+    // and the prune actually bites: only the two expedite partitions survive
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1-URGENT", "2-HIGH"))
+  }
+
   test("filter and projection are pushed into the parquet scan") {
     val df = JoinQueries.qScanPushdown(spark, sf001)
     val scan = df.queryExecution.executedPlan.toString
