@@ -69,6 +69,72 @@ object TextQueries {
       .limit(20)
   }
 
+  /** BM25 over a STORED inverted index — the other half of the retrieval
+    * story: text_bm25 is the scan-based pass (touches every doc per
+    * query); this builds the classic index tables ONCE — postings
+    * (term, doc_id, tf), doc lengths (doc_id, dl), one corpus-stats row —
+    * persists them to parquet, and answers the same query by reading ONLY
+    * the three query terms' postings back (term predicate pushed to the
+    * postings scan).
+    *
+    * The scoring arithmetic is identical to text_bm25, and the oracle is
+    * byte-for-byte the SAME SQL (recomputing from raw documents) — so the
+    * hash check proves index-path ≡ scan-path against an independent
+    * engine. df comes from the postings themselves (COUNT per term), so
+    * the index is self-contained: a new query needs no corpus access.
+    *
+    * Scale: the index build is one explode + two aggregations (posting
+    * lists are Zipfian — map-side partials absorb hot terms); the QUERY
+    * cost is O(postings of the query terms), not O(corpus) — with
+    * postings written partitioned/sorted by term, a 100 TB corpus serves
+    * point queries from KB-to-MB-sized slices. Doc lengths join the
+    * postings by doc_id; at this fan-in the postings side drives and dl
+    * rides a shuffle join keyed on doc_id (or a broadcast when the
+    * candidate set is small, as AQE picks here).
+    */
+  def textBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "merge", "vector")
+    val base = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    // index build: postings, doc lengths, corpus stats — written once
+    docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(s"$base/postings")
+    docs.select("doc_id", "dl")
+      .write.mode("overwrite").parquet(s"$base/doclens")
+    docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
+      .write.mode("overwrite").parquet(s"$base/stats")
+    // query: only the three terms' postings are read (pushdown asserted
+    // in RetrievalSpec); df per term is derived from the postings slice
+    val post = spark.read.parquet(s"$base/postings")
+      .filter(col("term").isin(terms: _*))
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = spark.read.parquet(s"$base/stats")
+    val dl = spark.read.parquet(s"$base/doclens")
+    val scored = post.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", expr(
+        """(cast(2 * (n - df) + 1 as decimal(38,0))
+          |  * 44 * tf * tl * 1000000000)
+          | div ((2 * df + 1) * (20 * tf * tl + 6 * tl + 18 * dl * n))
+          |""".stripMargin))
+      .groupBy("doc_id")
+      .agg(sum(col("tscore")).as("score"),
+        max(when(col("term") === terms(0), col("tf")))
+          .as("tf_spark"),
+        max(when(col("term") === terms(1), col("tf"))).as("tf_merge"),
+        max(when(col("term") === terms(2), col("tf"))).as("tf_vector"))
+    scored.select(col("doc_id"), col("score"),
+        coalesce(col("tf_spark"), lit(0L)).as("tf_spark"),
+        coalesce(col("tf_merge"), lit(0L)).as("tf_merge"),
+        coalesce(col("tf_vector"), lit(0L)).as("tf_vector"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val tok = docs.select(col("doc_id"),
@@ -305,12 +371,15 @@ object TextQueries {
     "text_bpe" -> textBpe,
     "text_tfidf" -> textTfidf,
     "text_bm25" -> textBm25,
+    "text_bm25_indexed" -> textBm25Indexed,
     "text_vocab_encode" -> textVocabEncode,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_frame_sample" -> mmFrameSample)
 
-  val oracles: Map[String, String] = Map(
-    "text_bm25" ->
+  /** Shared by `text_bm25` (scan path) and `text_bm25_indexed` (stored
+    * index path): both must hash-match this one recompute-from-raw-docs
+    * SQL, which is what proves the two paths result-identical. */
+  private val bm25OracleSql =
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),
         |t AS (SELECT doc_id, len(toks) AS dl,
@@ -336,7 +405,11 @@ object TextQueries {
         |  AS BIGINT) AS score,
         |  tf0 AS tf_spark, tf1 AS tf_merge, tf2 AS tf_vector
         |FROM t, s
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_bm25" -> bm25OracleSql,
+    "text_bm25_indexed" -> bm25OracleSql,
     "mm_pixel_dedup" ->
       """WITH v AS (
         |  SELECT doc_id, (n_chars % 16) + 8 AS w, (doc_id % 8) + 8 AS h,

@@ -43,4 +43,17 @@ class RetrievalSpec extends SparkSpec {
         s"scaled $si vs float ${sf * 1e9}")
     }
   }
+
+  test("bm25 indexed: identical to the scan path, term pushdown reaches " +
+      "the postings scan") {
+    val idx = TextQueries.textBm25Indexed(spark, sf001)
+    val scan = TextQueries.textBm25(spark, sf001)
+    assert(idx.collect().toSeq == scan.collect().toSeq)
+    // only the query terms' postings are read: the In(term, ...) predicate
+    // is pushed into the parquet scan of the stored index
+    val p = idx.queryExecution.executedPlan.toString
+    assert(p.contains("In(term, [merge,spark,vector]") ||
+      p.contains("In(term, [spark,merge,vector]"),
+      s"expected term pushdown on the postings scan in:\n$p")
+  }
 }
