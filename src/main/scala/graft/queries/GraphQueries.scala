@@ -27,32 +27,36 @@ object GraphQueries {
     *
     * Scale: the classic distributed PageRank shape — per iteration ONE join
     * of the (src, dst, outdeg) edge relation against the score table plus
-    * ONE aggregation on dst. The edge relation is built ONCE and
-    * `localCheckpoint`-ed (the star-CC loop's pattern — AQE does not reuse
-    * the exchange across iteration subtrees, so without it every iteration
-    * re-runs the lineitem x orders join: 28 scans in the observed plan vs 2
-    * after), hash-partitioned on src so each iteration's join co-locates
-    * against it. Scores are (node, long) rows: nothing wider than short ids
-    * + counters ever shuffles, and a fixed iteration count keeps plan depth
-    * constant. At a real 100 TB the same loop runs with edges bucketed on
-    * src so even the per-iteration join exchange disappears (see
-    * q_bucketed_join).
+    * ONE aggregation on dst. Nodes travel as LONGS (even = 2·custkey,
+    * odd = 2·suppkey+1; the c…/s… labels materialize only at output), so
+    * every shuffle, sort, and hash runs on fixed-width keys. The edge
+    * relation is built once, hash-partitioned on src, and persisted through
+    * the scoped `Caches` registry — `persist` (unlike `localCheckpoint`)
+    * keeps the plan's outputPartitioning, so the degree aggregate, the
+    * degree join, AND each iteration's edge side are all exchange-free;
+    * per iteration only the score table (one row per node) moves. A fixed
+    * iteration count keeps plan depth constant. At a real 100 TB the same
+    * loop runs with edges bucketed on src (see q_bucketed_join) and scores
+    * co-bucketed, deleting the remaining per-round score exchange.
     */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val ord = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("cust"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("supp"))
-      .distinct()
-    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = edges.join(deg, "src").localCheckpoint()
-    var score = deg.select(col("src").as("node"),
-      lit(1000000000000L).as("score"))
+    val withDeg = graft.Caches.cached("pagerank", dir) {
+      val li = t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cust"),
+          (col("l_suppkey") * 2 + 1).as("supp"))
+        .distinct()
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        .repartition(col("src"))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      edges.join(deg, "src")
+    }
+    var score = withDeg.select(col("src").as("node")).distinct()
+      .withColumn("score", lit(1000000000000L))
     for (_ <- 1 to 3) {
       score = withDeg.join(score, col("src") === col("node"))
         .select(col("dst"), expr(
@@ -60,7 +64,11 @@ object GraphQueries {
         .groupBy(col("dst").as("node"))
         .agg((lit(150000000000L) + sum(col("c"))).as("score"))
     }
-    score.orderBy("node")
+    score.select(
+        expr("concat(if(node % 2 = 0, 'c', 's'), cast(node div 2 as string))")
+          .as("node"),
+        col("score"))
+      .orderBy("node")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
