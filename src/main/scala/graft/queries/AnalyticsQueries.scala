@@ -186,7 +186,38 @@ object AnalyticsQueries {
     } finally ranged.unpersist(blocking = false)
   }
 
+  /** Daily / trailing-7-day active users (DAU/WAU) + integer stickiness —
+    * the dashboard headline metric whose naive form (COUNT(DISTINCT) OVER
+    * a RANGE frame) most engines either reject or execute by buffering
+    * every row per frame.
+    *
+    * Scalable formulation: pre-distinct to (user, day) FIRST — the only
+    * corpus-sized aggregation, map-side-combining to at most users×days
+    * rows — then interval-join that small relation to the day spine
+    * (spine is output-sized and broadcast; fan-out ≤ 7 per user-day) and
+    * count distincts inside each spine day. Stickiness is exact-integer
+    * permille ((dau*1000) div wau) — no float ratio drift.
+    */
+  def qDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = graft.Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val spine = ud.select(col("day").as("d")).distinct()
+    ud.join(broadcast(spine),
+        datediff(col("d"), col("day")).between(0, 6))
+      .groupBy(col("d"))
+      .agg(
+        count_distinct(when(col("day") === col("d"), col("user_id")))
+          .as("dau"),
+        count_distinct(col("user_id")).as("wau"))
+      .withColumn("stickiness_pm", expr("(dau * 1000) div wau"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"), col("stickiness_pm"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dau_wau" -> qDauWau,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
     "q_event_transitions" -> qEventTransitions,
@@ -194,6 +225,17 @@ object AnalyticsQueries {
     "q_equidepth" -> qEquidepth)
 
   val oracles: Map[String, String] = Map(
+    "q_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |sp AS (SELECT DISTINCT day AS d FROM ud)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  COUNT(DISTINCT CASE WHEN day = d THEN user_id END) AS dau,
+        |  COUNT(DISTINCT user_id) AS wau,
+        |  (COUNT(DISTINCT CASE WHEN day = d THEN user_id END) * 1000)
+        |    // COUNT(DISTINCT user_id) AS stickiness_pm
+        |FROM ud JOIN sp ON day BETWEEN d - 6 AND d
+        |GROUP BY d ORDER BY 1""".stripMargin,
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type,
         |              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -367,7 +367,30 @@ object RelationalQueries {
        |FROM m ORDER BY o_orderkey""".stripMargin
   }
 
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER join
+    * so zero-order customers land in the n_orders=0 bucket, then the
+    * aggregate-of-an-aggregate — the "how many customers placed k orders"
+    * histogram.
+    *
+    * Scale: the outer join shuffles on custkey (both sides key-partitioned;
+    * partial counts absorb each customer's orders map-side), the second
+    * aggregation's domain is order-COUNTS — tens of values at any corpus
+    * size, so the final exchange moves a constant-size table. The
+    * (n_custs, n_orders) sort key is unique by construction (n_orders is
+    * the group key), so the ordering is total and oracle-stable.
+    */
+  def qCustdist(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .join(t(spark, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("n_custs").desc, col("n_orders").desc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_custdist" -> qCustdist,
     "q_topk_groups" -> qTopkGroups,
     "q_zorder" -> qZorder,
     "q_sessionize" -> qSessionize,
@@ -388,6 +411,12 @@ object RelationalQueries {
     "q_topk_orders" -> qTopkOrders)
 
   val oracles: Map[String, String] = Map(
+    "q_custdist" ->
+      """SELECT n_orders, COUNT(*) AS n_custs FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY n_custs DESC, n_orders DESC""".stripMargin,
     "q_zorder" -> zorderSql,
     "q_window_range" ->
       """WITH ev AS (

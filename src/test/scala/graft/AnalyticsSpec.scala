@@ -71,6 +71,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("dau/wau: window counts agree with brute-force per-day filters") {
+    val got = AnalyticsQueries.qDauWau(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ud = Tables.events(spark, sf001)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    got.foreach { case (day, dau, wau, pm) =>
+      val d = java.time.LocalDate.parse(day, fmt)
+      assert(dau == ud.filter(_._2 == day).map(_._1).distinct.length)
+      val win = ud.filter { case (_, ds) =>
+        val x = java.time.LocalDate.parse(ds, fmt)
+        !x.isAfter(d) && !x.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.length
+      assert(wau == win, s"$day: wau $wau vs brute $win")
+      assert(pm == dau * 1000 / wau && dau <= wau)
+    }
+  }
+
+  test("custdist: buckets account for every customer and every order") {
+    val d = graft.queries.RelationalQueries.qCustdist(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = spark.read.parquet(s"$sf001/customer.parquet").count()
+    val nOrd = spark.read.parquet(s"$sf001/orders.parquet").count()
+    assert(d.map(_._2).sum == nCust)
+    assert(d.map { case (k, n) => k * n }.sum == nOrd)
+  }
+
   test("equi-depth buckets: equal depth, ordered spans, full coverage") {
     val b = AnalyticsQueries.qEquidepth(spark, sf001)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
