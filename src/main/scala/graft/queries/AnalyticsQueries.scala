@@ -216,7 +216,45 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  /** Sequence-pattern matching (MATCH_RECOGNIZE-lite): how many users'
+    * event streams match each behavioral regex — adjacency ("an error
+    * immediately followed by a purchase"), repetition ("three consecutive
+    * views"), and gapped order ("signup then eventually purchase") — the
+    * pattern classes the funnel's strictly-after min-aggregates cannot
+    * express.
+    *
+    * Mechanics: ONE clustering exchange collects each user's events; the
+    * ordered sequence string is built IN-ROW (array_sort over
+    * (us, event_id, type) structs — the same (us, event_id) total order
+    * every behavioral query here uses), and all three Java/RE2-common
+    * regexes evaluate in the same narrow pass, folded to one 3-row output
+    * by a conditional-sum + stack. Per-user state is that user's own
+    * event list — bounded by activity, not corpus; a production cap is
+    * one `slice(sorted, 1, N)` on the sorted array.
+    */
+  def qSeqPattern(spark: SparkSession, dir: String): DataFrame = {
+    val seq = graft.Tables.events(spark, dir)
+      .select(col("user_id"), struct(unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).as("e"))
+      .groupBy("user_id")
+      .agg(array_join(transform(array_sort(collect_list(col("e"))),
+        x => x.getField("event_type")), " ").as("seq"))
+    seq.agg(
+        sum(when(col("seq").rlike("error purchase"), 1L).otherwise(0L))
+          .as("error_then_buy"),
+        sum(when(col("seq").rlike("signup.* purchase"), 1L).otherwise(0L))
+          .as("signup_to_buy"),
+        sum(when(col("seq").rlike("view view view"), 1L).otherwise(0L))
+          .as("view_burst"))
+      .select(expr("""stack(3,
+        | 'error_then_buy', error_then_buy,
+        | 'signup_to_buy', signup_to_buy,
+        | 'view_burst', view_burst) as (pattern, n_users)""".stripMargin))
+      .orderBy("pattern")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_pattern" -> qSeqPattern,
     "q_dau_wau" -> qDauWau,
     "q_funnel" -> qFunnel,
     "q_cohort" -> qCohort,
@@ -225,6 +263,24 @@ object AnalyticsQueries {
     "q_equidepth" -> qEquidepth)
 
   val oracles: Map[String, String] = Map(
+    "q_seq_pattern" ->
+      """WITH s AS (SELECT user_id,
+        |    string_agg(event_type, ' '
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'error_then_buy' AS pattern, CAST(SUM(CASE WHEN
+        |    regexp_matches(seq, 'error purchase') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_users FROM s
+        |  UNION ALL
+        |  SELECT 'signup_to_buy', CAST(SUM(CASE WHEN
+        |    regexp_matches(seq, 'signup.* purchase') THEN 1 ELSE 0 END)
+        |    AS BIGINT) FROM s
+        |  UNION ALL
+        |  SELECT 'view_burst', CAST(SUM(CASE WHEN
+        |    regexp_matches(seq, 'view view view') THEN 1 ELSE 0 END)
+        |    AS BIGINT) FROM s)
+        |ORDER BY pattern""".stripMargin,
     "q_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

@@ -99,6 +99,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(d.map { case (k, n) => k * n }.sum == nOrd)
   }
 
+  test("seq patterns: counts agree with driver-side regex over rebuilt " +
+      "sequences") {
+    val got = AnalyticsQueries.qSeqPattern(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seqs = Tables.events(spark, sf001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+      .groupBy(_._1).values
+      .map(_.sortBy { case (_, us, id, _) => (us, id) }
+        .map(_._4).mkString(" "))
+    def n(re: String) = seqs.count(_.matches(".*" + re + ".*")).toLong
+    assert(got("error_then_buy") == n("error purchase"))
+    assert(got("signup_to_buy") == n("signup.* purchase"))
+    assert(got("view_burst") == n("view view view"))
+    // counts are per-USER (bounded by the population, not event count)
+    assert(got.values.forall(v => v >= 0 && v <= seqs.size))
+  }
+
   test("equi-depth buckets: equal depth, ordered spans, full coverage") {
     val b = AnalyticsQueries.qEquidepth(spark, sf001)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
