@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST line of the captured stdout tail as
+// JSON. By default sbt pipes forked output through its logger ("[info] "
+// prefix on every line) and prints a "[success] Total time…" trailer
+// after the run — both defeat the parse (BENCH_r07 "parsed": null).
+// StdoutOutput passes forked-process output through verbatim;
+// showSuccess drops the trailer, so the capture ENDS with bare JSON.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -81,8 +81,9 @@ object Bench {
     // times) can be truncated away, leaving no complete JSON object in the
     // capture (BENCH_r06 "parsed": null). This trailing standalone line is
     // <=200 bytes and carries every total, so the capture always ENDS with
-    // one complete, machine-parseable JSON object.
-    println(s"""{"metric":"total",$headTotals,"unit":"sec","runs":${passes.size},"nq":${SparkEntry.queries.size},"errors":$errs,"totals":$tailTotals}""")
+    // one complete, machine-parseable JSON object. Printed AFTER
+    // spark.stop() so no shutdown-time log line can land below it.
     spark.stop()
+    println(s"""{"metric":"total",$headTotals,"unit":"sec","runs":${passes.size},"nq":${SparkEntry.queries.size},"errors":$errs,"totals":$tailTotals}""")
   }
 }

@@ -37,9 +37,50 @@ object Caches {
       }
     }
 
-  /** Release every cached frame (test teardown / session shutdown). */
+  // STAGED on-disk artifacts (bucketed table copies, inverted indexes,
+  // sketch stores): the r7 bench leak was four queries creating a fresh
+  // Files.createTempDirectory and rewriting their fixture on EVERY
+  // invocation — warm passes re-paid the build, and each pass leaked a
+  // directory. Same one-live-entry-per-family discipline as `cached`:
+  // the same key returns the staged path untouched (steady-state reads),
+  // a key change deletes the predecessor tree and rebuilds.
+  private val livePaths =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+
+  /** The staged directory for (family, key), built once by `build(path)`.
+    * Include a session marker in `key` when the artifact registers
+    * catalog state (tables are per-session; a bare path is not).
+    */
+  def stagedPath(family: String, key: String)(build: String => Unit): String =
+    synchronized {
+      livePaths.get(family) match {
+        case Some((k, path)) if k == key => path
+        case prev =>
+          prev.foreach { case (_, p) => deleteTree(p) }
+          val path = java.nio.file.Files
+            .createTempDirectory(s"graft-$family").toString
+          build(path)
+          livePaths(family) = (key, path)
+          path
+      }
+    }
+
+  private def deleteTree(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Release every cached frame and staged directory (test teardown /
+    * session shutdown).
+    */
   def clear(): Unit = synchronized {
     live.values.foreach(_._2.unpersist(blocking = false))
     live.clear()
+    livePaths.values.foreach { case (_, p) => deleteTree(p) }
+    livePaths.clear()
   }
 }

@@ -239,13 +239,18 @@ object AnalyticsQueries {
       .groupBy("user_id")
       .agg(array_join(transform(array_sort(collect_list(col("e"))),
         x => x.getField("event_type")), " ").as("seq"))
+    // patterns anchor on TOKEN boundaries ((^| )…( |$)): an unanchored
+    // substring would let a future type that merely ends in a known token
+    // (e.g. "preview" vs "view") corrupt counts silently — and since the
+    // oracle applies the identical regex, the hash check could never
+    // catch it. Same anchoring in the DuckDB SQL below.
     seq.agg(
-        sum(when(col("seq").rlike("error purchase"), 1L).otherwise(0L))
-          .as("error_then_buy"),
-        sum(when(col("seq").rlike("signup.* purchase"), 1L).otherwise(0L))
-          .as("signup_to_buy"),
-        sum(when(col("seq").rlike("view view view"), 1L).otherwise(0L))
-          .as("view_burst"))
+        sum(when(col("seq").rlike("(^| )error purchase( |$)"), 1L)
+          .otherwise(0L)).as("error_then_buy"),
+        sum(when(col("seq").rlike("(^| )signup (.* )?purchase( |$)"), 1L)
+          .otherwise(0L)).as("signup_to_buy"),
+        sum(when(col("seq").rlike("(^| )view view view( |$)"), 1L)
+          .otherwise(0L)).as("view_burst"))
       .select(expr("""stack(3,
         | 'error_then_buy', error_then_buy,
         | 'signup_to_buy', signup_to_buy,
@@ -270,16 +275,16 @@ object AnalyticsQueries {
         |  FROM events GROUP BY 1)
         |SELECT * FROM (
         |  SELECT 'error_then_buy' AS pattern, CAST(SUM(CASE WHEN
-        |    regexp_matches(seq, 'error purchase') THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_users FROM s
+        |    regexp_matches(seq, '(^| )error purchase( |$)')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_users FROM s
         |  UNION ALL
         |  SELECT 'signup_to_buy', CAST(SUM(CASE WHEN
-        |    regexp_matches(seq, 'signup.* purchase') THEN 1 ELSE 0 END)
-        |    AS BIGINT) FROM s
+        |    regexp_matches(seq, '(^| )signup (.* )?purchase( |$)')
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM s
         |  UNION ALL
         |  SELECT 'view_burst', CAST(SUM(CASE WHEN
-        |    regexp_matches(seq, 'view view view') THEN 1 ELSE 0 END)
-        |    AS BIGINT) FROM s)
+        |    regexp_matches(seq, '(^| )view view view( |$)')
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM s)
         |ORDER BY pattern""".stripMargin,
     "q_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id,

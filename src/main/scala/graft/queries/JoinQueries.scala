@@ -216,28 +216,34 @@ object JoinQueries {
     * the small side — at production scale neither side broadcasts and
     * SMJ-over-buckets is exactly the plan you want.
     *
-    * The bucketed copies are written to a per-call temp location and
-    * registered as (dropped-then-recreated) catalog tables — bucket
+    * The bucketed copies are STAGED once per (session, sfDir) through
+    * [[graft.Caches.stagedPath]] and registered as catalog tables — bucket
     * metadata lives in the catalog, which is what makes the scan report
-    * its hash partitioning to the planner.
+    * its hash partitioning to the planner. Staging means warm bench passes
+    * measure the steady-state bucketed READ (the nightly-join production
+    * shape), the build cost shows once in the cold pass, and repeated
+    * invocations stop leaking temp directories. The session marker in the
+    * key forces a rebuild under a fresh session, whose catalog is empty.
     */
   def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val loc = java.nio.file.Files.createTempDirectory("graft-buckets").toString
-    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
-    spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
-    // repartition on the bucket key before writing: bucket hashing and
-    // repartition hashing agree, so each bucket lands in exactly ONE file —
-    // a multi-file bucket forfeits the sort metadata and the SMJ re-sorts
-    t(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderdate"))
-      .repartition(8, col("o_orderkey"))
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$loc/orders").saveAsTable("graft_orders_bkt")
-    t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_quantity"))
-      .repartition(8, col("l_orderkey"))
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$loc/lineitem").saveAsTable("graft_lineitem_bkt")
+    graft.Caches.stagedPath("buckets",
+        s"$dir@${System.identityHashCode(spark)}") { loc =>
+      spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
+      // repartition on the bucket key before writing: bucket hashing and
+      // repartition hashing agree, so each bucket lands in exactly ONE file —
+      // a multi-file bucket forfeits the sort metadata and the SMJ re-sorts
+      t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .repartition(8, col("o_orderkey"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$loc/orders").saveAsTable("graft_orders_bkt")
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .repartition(8, col("l_orderkey"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$loc/lineitem").saveAsTable("graft_lineitem_bkt")
+    }
     spark.table("graft_lineitem_bkt").hint("merge")
       .join(spark.table("graft_orders_bkt"),
         col("l_orderkey") === col("o_orderkey"))
@@ -307,14 +313,15 @@ object JoinQueries {
     * backfill a column — is exactly what this avoids.
     */
   def qSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-evo").toString
-    val c = t(spark, dir, "customer")
-    c.filter(col("c_custkey") % 2 === 0)
-      .select(col("c_custkey"), col("c_acctbal"))
-      .write.mode("overwrite").parquet(s"$base/gen=1")
-    c.filter(col("c_custkey") % 2 === 1)
-      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
-      .write.mode("overwrite").parquet(s"$base/gen=2")
+    val base = graft.Caches.stagedPath("evo", dir) { base =>
+      val c = t(spark, dir, "customer")
+      c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .write.mode("overwrite").parquet(s"$base/gen=1")
+      c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .write.mode("overwrite").parquet(s"$base/gen=2")
+    }
     spark.read.option("mergeSchema", "true").parquet(base)
       .groupBy(coalesce(col("c_mktsegment"), lit("PRE_SCHEMA")).as("segment"))
       .agg(count(lit(1)).as("n_custs"),
@@ -379,19 +386,20 @@ object JoinQueries {
   def qDpp(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-dpp").toString
-    t(spark, dir, "orders")
-      .select(col("o_orderpriority"), col("o_custkey"), col("o_totalprice"))
-      .write.mode("overwrite").partitionBy("o_orderpriority")
-      .parquet(s"$base/fact")
+    val base = graft.Caches.stagedPath("dpp", dir) { base =>
+      t(spark, dir, "orders")
+        .select(col("o_orderpriority"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(s"$base/fact")
+      // the dim must be a REAL scan: a literal LocalRelation gets its filter
+      // constant-folded away before the PartitionPruning rule looks for a
+      // selective predicate, and no DPP subquery is ever planted
+      Seq(("1-URGENT", "expedite"), ("2-HIGH", "expedite"),
+        ("3-MEDIUM", "standard"), ("4-NOT SPECIFIED", "standard"),
+        ("5-LOW", "standard")).toDF("prio", "tier")
+        .write.mode("overwrite").parquet(s"$base/dim")
+    }
     val fact = spark.read.parquet(s"$base/fact")
-    // the dim must be a REAL scan: a literal LocalRelation gets its filter
-    // constant-folded away before the PartitionPruning rule looks for a
-    // selective predicate, and no DPP subquery is ever planted
-    Seq(("1-URGENT", "expedite"), ("2-HIGH", "expedite"),
-      ("3-MEDIUM", "standard"), ("4-NOT SPECIFIED", "standard"),
-      ("5-LOW", "standard")).toDF("prio", "tier")
-      .write.mode("overwrite").parquet(s"$base/dim")
     val dim = spark.read.parquet(s"$base/dim")
     fact.join(dim.filter(col("tier") === "expedite"),
         col("o_orderpriority") === col("prio"))

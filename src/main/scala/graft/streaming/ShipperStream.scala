@@ -195,7 +195,14 @@ object ShipperStream {
 
   /** Dashboard read over the stored partials: manifest-pinned scan,
     * per-severity union across every stored partial (days × batches) plus
-    * exact row totals. The whole read touches KBs.
+    * row totals. The whole read touches KBs.
+    *
+    * Replay semantics differ per column: the HLL `approx_distinct` is
+    * replay-INVARIANT (re-appending a replayed batch's partials unions a
+    * set with itself), but `n_rows` is an AT-LEAST-ONCE counter — a
+    * replayed batch appends its counts again (StateAndStoreSpec shows the
+    * counters moving under replay while the estimates hold). Treat
+    * `n_rows` as a volume telemetry floor, not an exact count.
     */
   def readSketchEstimates(spark: SparkSession, storeDir: String): DataFrame = {
     import graft.sources.LogStore
@@ -278,10 +285,13 @@ final case class HttpBulkTransport(url: String, maxRetries: Int = 5,
 object BulkSink {
 
   /** Ship one micro-batch in a SINGLE pass. The empty-batch short-circuit
-    * (shipper.js:144) is structural: `grouped` over an empty partition
-    * emits no chunks, so an empty batch builds no bulk body and POSTs
-    * nothing — only an empty batch dir is written (StreamingSpec accepts
-    * either). Per-batch directory overwrite makes replays idempotent (a
+    * (shipper.js:144) is an explicit limit-1 probe on the RAW batch — the
+    * cheap half of the old two-pass shape (the expensive half was
+    * persisting the decode plane), so an idle trigger costs one source
+    * probe and writes NOTHING: without the guard every quiet tick launched
+    * a write job and left an empty `batch=<id>` dir behind — unbounded
+    * directory growth on a quiet stream. Per-batch directory overwrite
+    * makes replays idempotent (a
     * retried micro-batch rewrites the same batch dir — effective
     * exactly-once at the file sink; HTTP delivery is at-least-once across
     * retries, same as the reference).
@@ -300,6 +310,7 @@ object BulkSink {
     */
   def ship(batch: DataFrame, outputDir: String, batchId: Long,
            bulkSize: Int, transport: Option[BulkTransport] = None): Unit = {
+    if (batch.isEmpty) return
     val wire = batch.select(
       LogPipeline.wireJson(batch).as("doc"),
       // the `_bulk` action line is built by to_json as well — severity is a

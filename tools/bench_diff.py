@@ -1,0 +1,197 @@
+#!/usr/bin/env python3
+"""Cross-round bench attribution (VERDICT r7 item #2).
+
+Joins two bench records on query name and classifies every delta using the
+repo's documented discipline:
+
+  * warm-pass MINIMUM per query (min across all recorded passes) is the
+    comparable number — single passes swing up to ~2x on this box
+    (BENCH_NOISE_r07.json);
+  * a wall-time delta only counts as real if it clears the 2x noise band;
+  * a changed plan FINGERPRINT is reported regardless of wall time, because
+    fingerprint-equal + inside-band == box noise, by construction.
+
+Accepted record shapes (auto-detected):
+  * raw bench stdout object: {"queries": {...}, "queries2": {...}, "plans": {...}, ...}
+  * driver record: {"tail": "...", "parsed": {...}|null, ...} — uses "parsed"
+    when present, else scans the tail for complete JSON object lines (the
+    head of the full record may be truncated away; best effort).
+
+Usage:
+  python3 tools/bench_diff.py OLD.json NEW.json \
+      [--plans-old BENCH_PLANS_r07.json] [--plans-new BENCH_PLANS_r08.json] \
+      [--band 2.0] [-o BENCHDIFF_r08.md]
+
+Plan fingerprints come from each record's own "plans" key when present;
+--plans-old/--plans-new supply a fallback record (e.g. the committed
+BENCH_PLANS baseline) for records that lack one.
+"""
+import argparse
+import json
+import re
+import sys
+
+
+def _json_objects_in(text):
+    """Yield every parseable {...} JSON object found on lines of text."""
+    for line in text.splitlines():
+        line = line.strip()
+        # strip sbt logger prefix if present (pre-r8 captures)
+        line = re.sub(r"^\[(info|warn|error)\]\s*", "", line)
+        if not (line.startswith("{") and line.endswith("}")):
+            continue
+        try:
+            yield json.loads(line)
+        except json.JSONDecodeError:
+            continue
+
+
+def load_record(path):
+    """Return the richest bench dict recoverable from path."""
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" in d:
+        return d
+    # driver wrapper
+    best = d.get("parsed") or {}
+    if "tail" in d:
+        for obj in _json_objects_in(d["tail"]):
+            # prefer the object with per-query detail
+            if "queries" in obj or not best:
+                best = obj
+    if not best and "tail" in d:
+        # Pre-r8 captures are a mid-line truncation of the one big record —
+        # no complete JSON line survives. Recover what we can: every
+        # "name":float pair in the fragment is a (query, seconds) sample
+        # (plan hashes are strings and don't match; meta keys excluded).
+        # A query seen in several pass maps yields several samples; min of
+        # all of them IS the warm-min this tool works on.
+        meta = {"value", "value2", "value3", "value4", "nq", "sf", "runs"}
+        q = {}
+        for name, t in re.findall(r'"([A-Za-z_][A-Za-z0-9_]*)":(\d+\.\d+)', d["tail"]):
+            if name not in meta:
+                q[name] = min(q.get(name, float("inf")), float(t))
+        if q:
+            best = {"queries": q, "_recovered_from_tail": True}
+    if not best:
+        sys.exit(f"error: {path}: no parseable bench object (tail truncated?)")
+    return best
+
+
+def warm_min(rec):
+    """Per-query min across every queriesN pass map in the record."""
+    out = {}
+    for key, val in rec.items():
+        if not re.fullmatch(r"queries\d*", key) or not isinstance(val, dict):
+            continue
+        for q, t in val.items():
+            if isinstance(t, (int, float)):
+                out[q] = min(out.get(q, float("inf")), float(t))
+    return out
+
+
+def shuffle_bytes(rec):
+    """Per-query shuffle metrics if the record carries them (r8+)."""
+    sh = rec.get("shuffle")
+    return sh if isinstance(sh, dict) else {}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--plans-old", help="fallback record holding plans for OLD")
+    ap.add_argument("--plans-new", help="fallback record holding plans for NEW")
+    ap.add_argument("--band", type=float, default=2.0,
+                    help="noise band: ratios inside [1/band, band] are noise (default 2.0)")
+    ap.add_argument("-o", "--out", help="write markdown report here (default stdout)")
+    args = ap.parse_args()
+
+    old, new = load_record(args.old), load_record(args.new)
+    plans_old = old.get("plans") or (load_record(args.plans_old).get("plans") if args.plans_old else {}) or {}
+    plans_new = new.get("plans") or (load_record(args.plans_new).get("plans") if args.plans_new else {}) or {}
+    tmin_old, tmin_new = warm_min(old), warm_min(new)
+    sh_old, sh_new = shuffle_bytes(old), shuffle_bytes(new)
+
+    added = sorted(set(tmin_new) - set(tmin_old))
+    removed = sorted(set(tmin_old) - set(tmin_new))
+    common = sorted(set(tmin_old) & set(tmin_new))
+
+    fp_changed, above_band, inside = [], [], 0
+    for q in common:
+        a, b = tmin_old[q], tmin_new[q]
+        ratio = b / a if a > 0 else float("inf")
+        fpa, fpb = plans_old.get(q), plans_new.get(q)
+        row = {"q": q, "old": a, "new": b, "ratio": ratio, "fp_old": fpa, "fp_new": fpb}
+        if fpa and fpb and fpa != fpb:
+            fp_changed.append(row)
+        elif ratio > args.band or ratio < 1.0 / args.band:
+            above_band.append(row)
+        else:
+            inside += 1
+    above_band.sort(key=lambda r: -max(r["ratio"], 1 / r["ratio"]))
+
+    def sec(v):
+        return f"{v:.3f}"
+
+    lines = []
+    w = lines.append
+    w(f"# bench_diff: {args.old} -> {args.new}")
+    w("")
+    w(f"Discipline: per-query **warm-pass minimums**, noise band **{args.band}x** "
+      f"(BENCH_NOISE_r07.json), plan-fingerprint equality gates attribution.")
+    w("")
+    tot_old, tot_new = sum(tmin_old.values()), sum(tmin_new.values())
+    w(f"- queries: {len(tmin_old)} old / {len(tmin_new)} new "
+      f"({len(common)} common, {len(added)} new, {len(removed)} removed)")
+    w(f"- warm-min totals: {sec(tot_old)} s -> {sec(tot_new)} s")
+    w(f"- inside noise band with unchanged fingerprint: {inside}/{len(common)}")
+    w("")
+    w("## Fingerprint changed (plan is different — wall time not comparable)")
+    w("")
+    if fp_changed:
+        w("| query | old s | new s | ratio | fp old | fp new |")
+        w("|---|---|---|---|---|---|")
+        for r in fp_changed:
+            w(f"| {r['q']} | {sec(r['old'])} | {sec(r['new'])} | {r['ratio']:.2f}x "
+              f"| {r['fp_old']} | {r['fp_new']} |")
+    else:
+        w("(none)")
+    w("")
+    w(f"## Above noise band (> {args.band}x either way, fingerprint unchanged/unknown)")
+    w("")
+    if above_band:
+        w("| query | old s | new s | ratio | note |")
+        w("|---|---|---|---|---|")
+        for r in above_band:
+            note = "slower" if r["ratio"] > 1 else "faster"
+            if r["fp_old"] is None or r["fp_new"] is None:
+                note += ", no fingerprint"
+            if q_sh := (sh_old.get(r["q"]), sh_new.get(r["q"])):
+                if q_sh[0] and q_sh[1]:
+                    note += f", shuffle {q_sh[0]} -> {q_sh[1]}"
+            w(f"| {r['q']} | {sec(r['old'])} | {sec(r['new'])} | {r['ratio']:.2f}x | {note} |")
+    else:
+        w("(none)")
+    w("")
+    w("## New queries")
+    w("")
+    w("\n".join(f"- {q}: {sec(tmin_new[q])} s" for q in added) or "(none)")
+    w("")
+    w("## Removed queries")
+    w("")
+    w("\n".join(f"- {q} (was {sec(tmin_old[q])} s)" for q in removed) or "(none)")
+    w("")
+
+    report = "\n".join(lines)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(report)
+        print(f"wrote {args.out}: {len(fp_changed)} fp-changed, "
+              f"{len(above_band)} above-band, {len(added)} new, {len(removed)} removed")
+    else:
+        print(report)
+
+
+if __name__ == "__main__":
+    main()
