@@ -33,11 +33,21 @@ object GraphQueries {
     * relation is built once, hash-partitioned on src, and persisted through
     * the scoped `Caches` registry — `persist` (unlike `localCheckpoint`)
     * keeps the plan's outputPartitioning, so the degree aggregate, the
-    * degree join, AND each iteration's edge side are all exchange-free;
-    * per iteration only the score table (one row per node) moves. A fixed
-    * iteration count keeps plan depth constant. At a real 100 TB the same
-    * loop runs with edges bucketed on src (see q_bucketed_join) and scores
-    * co-bucketed, deleting the remaining per-round score exchange.
+    * degree join, AND each iteration's edge side are all exchange-free.
+    *
+    * The score side is exchange-free too: iteration N's scores leave the
+    * dst-aggregation hash-partitioned on `node`, which is exactly the
+    * co-partitioning the next iteration's `src === node` join needs against
+    * the src-partitioned edge cache. A SHUFFLE_HASH hint keeps AQE from
+    * demoting that to a per-round broadcast (at test scale the score table
+    * is tiny, so AQE would collect it to the driver and rebroadcast EVERY
+    * iteration — a plan that dies at real node counts; the hinted shuffled
+    * hash join instead builds a partition-local map from score rows already
+    * sitting in place, no driver round-trip, no exchange on either side —
+    * the co-bucketed shape q_bucketed_join proves, without the catalog).
+    * Per iteration the ONLY exchange is the dst-aggregation's — PageRank's
+    * scatter step, where contribution rows genuinely change key. A fixed
+    * iteration count keeps plan depth constant.
     */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
     val withDeg = graft.Caches.cached("pagerank", dir) {
@@ -58,7 +68,8 @@ object GraphQueries {
     var score = withDeg.select(col("src").as("node")).distinct()
       .withColumn("score", lit(1000000000000L))
     for (_ <- 1 to 3) {
-      score = withDeg.join(score, col("src") === col("node"))
+      score = withDeg.join(score.hint("shuffle_hash"),
+          col("src") === col("node"))
         .select(col("dst"), expr(
           "(cast(score as decimal(38,0)) * 85) div (100 * outdeg)").as("c"))
         .groupBy(col("dst").as("node"))

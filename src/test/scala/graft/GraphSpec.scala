@@ -46,6 +46,41 @@ class GraphSpec extends SparkSpec {
     assert(score.values.sum < scale * score.size)
   }
 
+  test("pagerank: iteration joins are co-partitioned, no score exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeLike, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val df = GraphQueries.qPagerank(spark, sf001)
+    df.count()
+    // walk the FINAL adaptive plan programmatically, recursing through AQE
+    // query-stage wrappers (their subtree is a field, not a child) but NOT
+    // into InMemoryTableScan's innerChildren — so this flattening sees
+    // exactly the executed loop, never the cached edge-build plan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val loop = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => flatten(a.finalPhysicalPlan)
+      case p => flatten(p)
+    }
+    // every iteration join is the hinted shuffled hash join reusing the
+    // src-partitioned edge cache against node-partitioned scores — if AQE
+    // ever demotes one to a per-round broadcast, the loop regrows a
+    // score-side exchange (and a driver collect) per iteration
+    assert(loop.count(_.isInstanceOf[ShuffledHashJoinExec]) == 3,
+      "expected all 3 iteration joins to be shuffled hash joins")
+    assert(!loop.exists(_.isInstanceOf[BroadcastExchangeLike]),
+      "iteration joins must not broadcast the score side")
+    // the only shuffles left: 3 scatter aggregations (contribution rows
+    // genuinely change key from src to dst) + the final presentation sort
+    assert(loop.count(_.isInstanceOf[ShuffleExchangeLike]) == 4,
+      "loop must carry exactly 3 scatter exchanges + 1 final sort exchange")
+  }
+
   test("star join: filters pushed, dimensions broadcast, values consistent") {
     val df = JoinQueries.qStarJoin(spark, sf001)
     val rows = df.collect()
