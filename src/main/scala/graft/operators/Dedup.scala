@@ -611,30 +611,43 @@ object Dedup {
 
   /** Fuzzy-match pairs — the ENTITY-RESOLUTION face of the dedup ladder
     * (typo'd re-submissions, OCR noise, near-identical titles): blocked
-    * candidate generation + edit-distance verification. Blocking key =
-    * md5 of the first `prefixChars` characters, so candidates share an
-    * exact prefix; blocks of 1 (nothing to pair) and blocks over
-    * `maxBlockSize` (degenerate shared prefixes — the df-cut rule in
+    * candidate generation + edit-distance verification. TWO block keys
+    * per doc, unioned: md5 of the first `prefixChars` characters and md5
+    * of the LAST `prefixChars` characters (tagged 'p:'/'s:' so a short
+    * text's identical prefix and suffix land in distinct key spaces).
+    * Within each key, blocks of 1 (nothing to pair) and blocks over
+    * `maxBlockSize` (degenerate shared affixes — the df-cut rule in
     * block form) are dropped before ANY pair forms. Pairs within a block
-    * verify with full `levenshtein` and keep distance <= `maxEdit`.
+    * verify with full `levenshtein`, keep distance <= `maxEdit`, and
+    * dedup across keys (a pair caught by both blocks counts once —
+    * `distinct` is exact because the distance is deterministic).
     *
-    * Recall caveat (documented, inherent to prefix blocking): an edit
-    * INSIDE the first `prefixChars` characters lands the copy in a
-    * different block — production stacks union several block keys
-    * (prefix, suffix, sorted-token hash); this operator is one such key
-    * run through the standard block-join shape.
+    * Recall: a single-region edit anywhere OUTSIDE one of the two affixes
+    * is always caught (prefix edit -> suffix block, suffix edit -> prefix
+    * block, interior edit -> both). The residual documented miss needs
+    * edits in BOTH the first and last `prefixChars` characters —
+    * production stacks wanting that too union a third key (sorted-token
+    * hash) through this same block-join shape.
     *
-    * Scale: the block join moves (16-byte key, id, text) and only for
-    * members of surviving blocks; pair count is bounded by
-    * sum(block_size^2) <= maxBlockSize * corpus — in practice tiny, and
-    * the quadratic verify runs in-row on candidate pairs only, exactly
-    * like the n-gram family's `array_intersect` verify.
+    * Scale: dual keys double the keyed rows, but the block join still
+    * moves only (16-byte key, id, text) for members of surviving blocks;
+    * pair count is bounded by sum(block_size^2) <= maxBlockSize * 2 *
+    * corpus — in practice tiny, and the quadratic verify runs in-row on
+    * candidate pairs only, exactly like the n-gram family's
+    * `array_intersect` verify.
     */
   def fuzzyPairs(docs: DataFrame, maxEdit: Int = 3, prefixChars: Int = 24,
                  maxBlockSize: Int = 100, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val keyed = docs.select(col(idCol), col(textCol),
-      md5(substring(col(textCol), 1, prefixChars)).as("bk"))
+    // `right` (not negative-index substring) for the suffix: Spark and
+    // DuckDB agree it returns the whole string when shorter than n
+    val pref = docs.select(col(idCol), col(textCol),
+      md5(concat(lit("p:"), substring(col(textCol), 1, prefixChars)))
+        .as("bk"))
+    val suff = docs.select(col(idCol), col(textCol),
+      md5(concat(lit("s:"), expr(s"right($textCol, $prefixChars)")))
+        .as("bk"))
+    val keyed = pref.unionByName(suff)
     val blocks = keyed.groupBy(col("bk"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2 && col("n") <= maxBlockSize)
@@ -649,5 +662,6 @@ object Dedup {
       .withColumn("edit_distance", levenshtein(col("a_text"), col("b_text")))
       .filter(col("edit_distance") <= maxEdit)
       .select(col("a_id"), col("b_id"), col("edit_distance"))
+      .distinct()
   }
 }

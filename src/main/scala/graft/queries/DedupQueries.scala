@@ -83,17 +83,24 @@ object DedupQueries {
       .orderBy("lang")
   }
 
-  /** Fuzzy (edit-distance) pairs with PLANTED typos: every 83rd document
-    * re-enters under a shifted id with " zq" appended — distance 3,
-    * prefix intact, so the blocked pipeline provably recovers every
-    * planted pair (plus any natural exact-dup pairs at distance 0).
+  /** Fuzzy (edit-distance) pairs with PLANTED typos on BOTH affixes:
+    * every 83rd document re-enters under a shifted id with " zq"
+    * appended (suffix edit — prefix block catches it), and every 89th
+    * with "zq " PREPENDED (prefix edit — exactly the copy a prefix-only
+    * blocker provably loses; the suffix block catches it). The blocked
+    * pipeline recovers every planted pair of both kinds (plus any
+    * natural exact-dup pairs at distance 0).
     */
   def dedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val typos = docs.filter(col("doc_id") % 83 === 0)
+    val sufTypos = docs.filter(col("doc_id") % 83 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"),
         concat(col("text"), lit(" zq")).as("text"))
-    Dedup.fuzzyPairs(docs.unionByName(typos)).orderBy("a_id", "b_id")
+    val preTypos = docs.filter(col("doc_id") % 89 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        concat(lit("zq "), col("text")).as("text"))
+    Dedup.fuzzyPairs(docs.unionByName(sufTypos).unionByName(preTypos))
+      .orderBy("a_id", "b_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -177,13 +184,19 @@ object DedupQueries {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 10000000, text || ' zq' FROM documents
-        |  WHERE doc_id % 83 = 0),
+        |  WHERE doc_id % 83 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, 'zq ' || text FROM documents
+        |  WHERE doc_id % 89 = 0),
         |k AS (SELECT doc_id, text,
-        |        md5(substring(text, 1, 24)) AS bk FROM u),
+        |        md5('p:' || substring(text, 1, 24)) AS bk FROM u
+        |      UNION ALL
+        |      SELECT doc_id, text,
+        |        md5('s:' || right(text, 24)) AS bk FROM u),
         |s AS (SELECT bk FROM k GROUP BY bk
         |      HAVING COUNT(*) BETWEEN 2 AND 100),
         |kk AS (SELECT k.* FROM k JOIN s USING (bk))
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
         |FROM kk a JOIN kk b ON a.bk = b.bk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) <= 3

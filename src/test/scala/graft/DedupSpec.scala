@@ -182,22 +182,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("fuzzyPairs: suffix typos pair up; prefix edits and big blocks are the documented misses") {
+  test("fuzzyPairs: prefix AND suffix typos pair up; double-affix edits and big blocks are the documented misses") {
     val spark2 = spark
     import spark2.implicits._
     val base = "the quick brown fox jumps over seventeen lazy dogs tonight"
     val rows = Seq(
       1L -> base,
-      2L -> (base + " ok"),             // suffix edit, distance 3 -> pair
-      3L -> ("Xhe" + base.drop(3)),     // edit INSIDE the 24-char prefix -> different block (documented recall miss)
+      2L -> (base + " ok"),             // suffix edit, distance 3 -> prefix block pairs it
+      3L -> ("Xhe" + base.drop(3)),     // edit INSIDE the 24-char prefix, distance 1 -> the SUFFIX block catches what a prefix-only blocker provably loses
       4L -> "completely unrelated text with nothing in common at all",
-      5L -> (base + " okay"))           // distance 5 from base -> verified out; distance 2 from doc 2
+      5L -> (base + " okay"),           // distance 5 from base -> verified out; distance 2 from doc 2
+      6L -> ("Xq " + base.drop(3) + " oX")) // edits in BOTH affixes -> neither block (the residual documented miss)
     val pairs = graft.operators.Dedup.fuzzyPairs(
         rows.toDF("doc_id", "text"), maxEdit = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(pairs == Set((1L, 2L, 3), (2L, 5L, 2)),
-      s"suffix-typo pairs within maxEdit only (1-5 at distance 5 is out), got $pairs")
-    // oversize blocks drop before any pair forms (the df-cut rule)
+    assert(pairs == Set((1L, 2L, 3), (2L, 5L, 2), (1L, 3L, 1)),
+      s"affix-typo pairs within maxEdit only (1-5 at distance 5 is out, " +
+        s"double-affix doc 6 escapes both blocks), got $pairs")
+    // oversize blocks drop before any pair forms (the df-cut rule) —
+    // the flood shares BOTH affixes, so both key families must cut it
     val flood = (1L to 12L).map(i => i -> base)
     val capped = graft.operators.Dedup.fuzzyPairs(
       flood.toDF("doc_id", "text"), maxEdit = 3, maxBlockSize = 10)
