@@ -213,6 +213,41 @@ object ShipperStream {
         sum(col("n_rows")).as("n_rows"))
   }
 
+  /** DAU / trailing-7-day WAU served straight from the stored partials —
+    * the streaming tier answering the dashboard question that
+    * [[graft.queries.AnalyticsQueries.qDauWau]] answers by rescanning
+    * events. Sketch mergeability does ALL the work, twice over: the first
+    * union collapses (severities x batches) into one sketch per day, the
+    * second unions each day's trailing 7-day window into WAU — so the
+    * same stored partials serve per-severity distincts, per-day DAU, and
+    * any re-windowing over days, none of which re-touch the event stream.
+    *
+    * Scale: input is KB-sized sketch rows (days x severities x batches);
+    * the spine join fans each day-sketch out <=7x, the same
+    * pre-distinct-then-spine shape `q_dau_wau` uses — except here the
+    * "distinct" is a constant-size sketch, so a year of 100 TB-a-day
+    * events re-windows in milliseconds. Replay-invariant end to end
+    * (HLL union is idempotent; no row counters involved).
+    */
+  def readActiveUsers(spark: SparkSession, storeDir: String): DataFrame = {
+    import graft.sources.LogStore
+    val daySk = LogStore.readPinned(spark, storeDir)
+      .groupBy(to_date(col("event_ts")).as("day"))
+      .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
+    val spine = daySk.select(col("day").as("d")).distinct()
+    daySk.join(broadcast(spine),
+        datediff(col("d"), col("day")).between(0, 6))
+      .groupBy(col("d"))
+      .agg(
+        hll_sketch_estimate(
+          hll_union_agg(when(col("day") === col("d"), col("sk")), lit(true)))
+          .as("dau"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("wau"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
   /** Session windows (30 min gap) per function — the stateful op the
     * reference lacks entirely; state is bounded by the watermark.
     */

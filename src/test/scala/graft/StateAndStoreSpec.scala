@@ -229,6 +229,40 @@ class StateAndStoreSpec extends SparkSpec {
     assert(manifests >= 3)
   }
 
+  test("streamed DAU/WAU partials equal the batch q_dau_wau (exact below the sketch regime)") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files
+      .createTempDirectory("dau-store").toString
+    // the REAL events table, sliced into three "micro-batches" by user
+    // (overlapping days across batches) and driven through the factored
+    // batch face of the sketchPartials sink — severity = event_type, the
+    // sketched id = user_id
+    val ev = graft.Tables.events(spark, sf001)
+      .select(col("event_type").as("severity"), col("user_id"), col("ts"))
+    for (b <- 0 to 2)
+      graft.streaming.ShipperStream.writeSketchBatch(
+        ev.filter(pmod(col("user_id"), lit(3)) === b), store,
+        "user_id", "ts")
+    // plus an at-least-once replay of slice 0 — must change nothing below
+    graft.streaming.ShipperStream.writeSketchBatch(
+      ev.filter(pmod(col("user_id"), lit(3)) === 0), store,
+      "user_id", "ts")
+    val got = graft.streaming.ShipperStream.readActiveUsers(spark, store)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    // the batch dashboard query, rescanning the event stream
+    val want = graft.queries.AnalyticsQueries.qDauWau(spark, sf001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    // ~15 users/day is deep inside the HLL sparse (exact) regime, so the
+    // stored-partial answers must EQUAL the rescan, day for day — at real
+    // cardinalities the same comparison holds within the sketch's ~1.6%
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq,
+      "day spines differ")
+    got.zip(want).foreach { case ((d, (dau, wau)), (_, (bDau, bWau))) =>
+      assert(dau == bDau, s"$d: streamed-partial DAU $dau != batch $bDau")
+      assert(wau == bWau, s"$d: streamed-partial WAU $wau != batch $bWau")
+    }
+  }
+
   test("error-burst buffer is bounded: overflow keeps earliest rows, resets streak") {
     import spark.implicits._
     // 10 consecutive errors but a buffer cap of 5: alerts fire for the
