@@ -1,6 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Per-job-group shuffle read/write byte totals, attributed via each
+    * stage's job's `spark.jobGroup.id` local property (the bench sets a
+    * distinct group per (pass, query)). Listener events arrive async —
+    * [[drain]] polls until the totals stop moving before anyone reads
+    * them. Shuffle BYTES are the direct "plan got wider" signal wall-time
+    * noise keeps obscuring: a fingerprint-equal plan with equal shuffle
+    * bytes that's 2x slower is box noise, period.
+    */
+  private final class ShuffleByGroup extends org.apache.spark.scheduler.SparkListener {
+    import org.apache.spark.scheduler.{SparkListenerJobStart, SparkListenerStageCompleted}
+    private val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val read = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val write = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+      if (g != null) js.stageIds.foreach(sid => stageGroup.put(sid, g))
+    }
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val g = stageGroup.get(sc.stageInfo.stageId)
+      if (g != null) {
+        val m = sc.stageInfo.taskMetrics
+        read.computeIfAbsent(g, _ => new java.util.concurrent.atomic.AtomicLong)
+          .addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.computeIfAbsent(g, _ => new java.util.concurrent.atomic.AtomicLong)
+          .addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    private def total: Long = {
+      import scala.jdk.CollectionConverters._
+      read.values.asScala.map(_.get).sum + write.values.asScala.map(_.get).sum
+    }
+    /** Wait (bounded) until the async listener queue has visibly settled. */
+    def drain(): Unit = {
+      var last = -1L; var t = total; var waited = 0
+      while (t != last && waited < 2000) {
+        last = t; Thread.sleep(100); waited += 100; t = total
+      }
+    }
+    def snapshot(prefix: String): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      read.keySet.asScala.filter(_.startsWith(prefix)).map { g =>
+        g.stripPrefix(prefix) ->
+          ((read.get(g).get, Option(write.get(g)).map(_.get).getOrElse(0L)))
+      }.toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,21 +88,25 @@ object Bench {
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     }
-    def onePass(collectPlans: Boolean): Map[String, Double] = SparkEntry.queries.flatMap {
+    val shuffles = new ShuffleByGroup
+    spark.sparkContext.addSparkListener(shuffles)
+    def onePass(pass: Int): Map[String, Double] = SparkEntry.queries.flatMap {
       case (name, fn) =>
         val t0 = System.nanoTime()
+        spark.sparkContext.setJobGroup(s"p$pass:$name", name)
         try {
           val df = fn(spark, sfDir)
-          if (collectPlans) planHashes(name) = planHash(df)
+          if (pass == 0) planHashes(name) = planHash(df)
           df.count()
           Some(name -> (System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           None
-        }
+        } finally spark.sparkContext.clearJobGroup()
     }
-    val passes = (1 to math.max(1, runs)).zipWithIndex.map { case (_, i) => onePass(collectPlans = i == 0) }
+    val passes = (1 to math.max(1, runs)).zipWithIndex.map { case (_, i) => onePass(i) }
+    shuffles.drain()
     // the harness records only a bounded TAIL of stdout, so the record must
     // be (a) short — ms-precision times, not 17-digit doubles — and (b)
     // redundant: all pass totals appear BOTH at the head of the line (the
@@ -75,7 +127,18 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val tailTotals = totals.map(r3).mkString("[", ",", "]")
     val plans = planHashes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total",$headTotals,"unit":"sec","runs":${passes.size},"errors":$errs,"sf":"$sfDir",$queryMaps,"plans":$plans,"totals":$tailTotals}""")
+    // per-query shuffle [read, write] bytes, one map per pass ("shuffle"
+    // = cold incl. any staged fixture build, "shuffle2" = steady state) —
+    // ordered like `queries` so diffs line up
+    val shuffleMaps = passes.indices.map { i =>
+      val snap = shuffles.snapshot(s"p$i:")
+      val key = if (i == 0) "shuffle" else s"shuffle${i + 1}"
+      val body = SparkEntry.queries.keys.toSeq.flatMap { name =>
+        snap.get(name).map { case (r, w) => "\"" + name + s"\":[$r,$w]" }
+      }.mkString("{", ",", "}")
+      s""""$key":$body"""
+    }.mkString(",")
+    println(s"""{"metric":"total",$headTotals,"unit":"sec","runs":${passes.size},"errors":$errs,"sf":"$sfDir",$queryMaps,"plans":$plans,$shuffleMaps,"totals":$tailTotals}""")
     // The full record above is ONE ~5-7 KB line; the harness keeps only a
     // bounded TAIL of stdout, so its head (pass-1 totals + early per-query
     // times) can be truncated away, leaving no complete JSON object in the

@@ -91,9 +91,26 @@ def warm_min(rec):
 
 
 def shuffle_bytes(rec):
-    """Per-query shuffle metrics if the record carries them (r8+)."""
-    sh = rec.get("shuffle")
-    return sh if isinstance(sh, dict) else {}
+    """Per-query total shuffle bytes (read+write), min across shuffleN pass
+    maps (r8+ records; the min is the steady-state pass, free of one-time
+    staged-fixture builds). Bytes are near-deterministic — a material move
+    here is a plan change even when wall time sits inside the noise band.
+    """
+    out = {}
+    for key, val in rec.items():
+        if not re.fullmatch(r"shuffle\d*", key) or not isinstance(val, dict):
+            continue
+        for q, rw in val.items():
+            if isinstance(rw, list) and len(rw) == 2:
+                out[q] = min(out.get(q, float("inf")), rw[0] + rw[1])
+    return out
+
+
+def human(n):
+    for unit in ("B", "KB", "MB", "GB"):
+        if abs(n) < 1024 or unit == "GB":
+            return f"{n:.0f}{unit}" if unit == "B" else f"{n:.1f}{unit}"
+        n /= 1024.0
 
 
 def main():
@@ -167,12 +184,35 @@ def main():
             note = "slower" if r["ratio"] > 1 else "faster"
             if r["fp_old"] is None or r["fp_new"] is None:
                 note += ", no fingerprint"
-            if q_sh := (sh_old.get(r["q"]), sh_new.get(r["q"])):
-                if q_sh[0] and q_sh[1]:
-                    note += f", shuffle {q_sh[0]} -> {q_sh[1]}"
+            if sh_old.get(r["q"]) is not None and sh_new.get(r["q"]) is not None:
+                note += f", shuffle {human(sh_old[r['q']])} -> {human(sh_new[r['q']])}"
             w(f"| {r['q']} | {sec(r['old'])} | {sec(r['new'])} | {r['ratio']:.2f}x | {note} |")
     else:
         w("(none)")
+    w("")
+    # shuffle bytes are the direct "plan got wider" signal: flag material
+    # moves (>1.2x and >1 MB) regardless of wall time — these deserve a
+    # look even when the clock sat happily inside the noise band
+    sh_moved = []
+    for q in common:
+        a, b = sh_old.get(q), sh_new.get(q)
+        if a is None or b is None or max(a, b) < (1 << 20):
+            continue
+        r = b / a if a > 0 else float("inf")
+        if r > 1.2 or r < 1 / 1.2:
+            sh_moved.append((q, a, b, r))
+    sh_moved.sort(key=lambda t: -max(t[3], 1 / t[3]))
+    w("## Shuffle bytes moved (>1.2x and >1 MB — plan width changed)")
+    w("")
+    if sh_moved:
+        w("| query | old | new | ratio |")
+        w("|---|---|---|---|")
+        for q, a, b, r in sh_moved:
+            w(f"| {q} | {human(a)} | {human(b)} | {r:.2f}x |")
+    elif sh_old and sh_new:
+        w("(none — every common query's steady-state shuffle is stable)")
+    else:
+        w("(no shuffle data on one or both records — pre-r8)")
     w("")
     w("## New queries")
     w("")
