@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Empirical scaling-exponent probe (VERDICT r7 item #7): time each named
+  * query at TWO scale factors in one JVM and report the per-query growth
+  * exponent, so SURVEY §9's "linear in rows" extrapolation claims are
+  * measured instead of asserted.
+  *
+  * Method: `passes` timed runs per (query, sf) after one untimed warm-up
+  * at each sf (JIT + page cache + Caches fixtures — the steady state §9
+  * reasons about); the WARM-MIN is the comparable number, same discipline
+  * as the bench record. Exponent = log(tBig/tSmall) / log(rowRatio) with
+  * rowRatio = 10 between sf0.01 and sf0.1: 1.0 = linear, 0 = constant
+  * (driver/planning floor dominates), >1 = super-linear — the flag §9
+  * claims never fires.
+  *
+  * Usage: ScalingProbe <outFile> [name ...] (default: the headline set —
+  * the most expensive warm queries of the r8 bench record).
+  */
+object ScalingProbe {
+
+  private val defaultSet = Seq(
+    "curate_substring_dedup", "pipe_codec_roundtrip", "q_pagerank",
+    "dedup_clusters_star", "q_equidepth", "dedup_minhash_lsh",
+    "text_contaminate", "dedup_corpus", "q_pit_join", "sim_ann_lsh",
+    "dedup_fuzzy", "q3_top_revenue")
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("SCALING_r08.json")
+    val names = if (args.length > 1) args.drop(1).toSeq else defaultSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "3").toInt
+    val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+    val sfBig = sys.env.getOrElse("SPARK_GRAFT_SF_BIG", "/root/testdata/sf0.1")
+    val rowRatio = sys.env.getOrElse("SPARK_GRAFT_SF_RATIO", "10.0").toDouble
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def warmMin(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      fn(spark, dir).count() // untimed warm-up: JIT, caches, staged fixtures
+      (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    def r3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // all small-sf runs first, then all big: Caches fixtures are keyed on
+    // sfDir with one live entry per family, so interleaving would rebuild
+    // them per query — this order pays each build once per sf
+    val small = names.map(n => n -> warmMin(n, sfSmall)).toMap
+    val big = names.map(n => n -> warmMin(n, sfBig)).toMap
+    val entries = names.map { n =>
+      val e = math.log(big(n) / small(n)) / math.log(rowRatio)
+      s""""$n":{"t_small":${r3(small(n))},"t_big":${r3(big(n))},"exponent":${r3(e)}}"""
+    }
+    val flagged = names.filter(n =>
+      math.log(big(n) / small(n)) / math.log(rowRatio) > 1.1)
+    val json =
+      s"""{"sf_small":"$sfSmall","sf_big":"$sfBig","row_ratio":$rowRatio,"passes":$passes,
+         |"note":"exponent=log(t_big/t_small)/log(row_ratio); warm-min per (query,sf); <=0 means the fixed driver/planning floor dominates; >1.1 flags super-linear",
+         |"super_linear":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},
+         |"queries":{${entries.mkString(",")}}}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}
