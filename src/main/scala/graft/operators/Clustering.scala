@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed exact-integer Lloyd's k-means over an embedding column.
+  *
+  * [[Similarity]]'s IVF tier trains centroids on a bounded driver sample —
+  * the right call when centroids are an internal index detail. This operator
+  * is the other regime: cluster EVERY vector, with both the E step
+  * (assignment) and the M step (centroid update) distributed — the shape
+  * behind cluster-balanced sampling and per-cluster curation of a training
+  * corpus, where the full assignment table IS the product.
+  *
+  * Everything is exact integer arithmetic so the result is reproducible
+  * cross-engine (the DuckDB oracle hash-matches the assignment cell-exactly,
+  * something float k-means can never promise):
+  *
+  *  - vectors quantize to `floor(x * scale)` longs (both engines do the
+  *    multiply and floor in IEEE double — bit-identical);
+  *  - centroids are carried as exact (member count n, per-dim sum s) pairs
+  *    and NEVER divided: the squared distance to the mean, scaled by n², is
+  *    `Σ_d (n·x_d − s_d)²` — pure integer. Comparing across centroids with
+  *    different n divides by n² in double; with `scale`=1000, unit-range
+  *    vectors, dim ≤ 64 the numerator stays < 2^53, so the division is
+  *    IEEE-exact and the comparison deterministic. (That exactness budget
+  *    caps cluster sizes near 2^22 at this scale; a 100 TB run drops
+  *    `scale` an order of magnitude or re-centres sums per iteration —
+  *    the plan below is unchanged.)
+  *  - equal-distance ties break to the lowest cluster id on both sides
+  *    (struct `least` here ≡ `ORDER BY dist, cl` in the oracle).
+  *
+  * Scale: per iteration ONE narrow scan (the k centroids ride the plan as
+  * literals — nothing joins, nothing shuffles but the update's
+  * k×(dim+1)-cell partial aggregate) + a k-row driver collect. That is the
+  * textbook 100 TB Lloyd's plan — what MLlib's KMeans runs via
+  * treeAggregate, minus its sampled init. Init picks the k vectors with the
+  * lowest md5(vec_id) — deterministic, uniformly spread, seed-free. A
+  * cluster that loses all members drops out; both engines agree on that by
+  * construction, so k may shrink (documented, not hidden).
+  */
+object Clustering {
+
+  /** Final (vec_id, cluster) assignment after `iters` full Lloyd rounds.
+    * `cluster` ids are the 0-based init ranks; gaps appear if a cluster
+    * empties. The quantized corpus is [[graft.Caches]]-persisted once per
+    * (input, scale) — iterations and repeat calls rescan the cached frame.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                   scale: Int = 1000,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, s"k-means needs k >= 2, got $k")
+    val q0 = emb.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * scale).cast("long")).as("q"))
+    val key = s"${emb.queryExecution.analyzed.semanticHash()}|s=$scale"
+    val q = graft.Caches.cached("kmeans-quantized", key)(q0)
+
+    // k-row bounded collect (same discipline as Similarity.kmeansCentroids)
+    val initRows = q
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(k).select("q").collect()
+    require(initRows.length == k, s"corpus has fewer than $k vectors")
+    val dim = initRows.head.getSeq[Long](0).length
+    var cents: Seq[(Long, Long, Seq[Long])] = initRows.zipWithIndex.map {
+      case (r, i) => (i.toLong, 1L, r.getSeq[Long](0)) }.toSeq
+
+    // codegen'd per-centroid distance columns + struct-least argmin (the
+    // HOF aggregate/zip_with form evaluates interpreted — wrong for the
+    // corpus-sized hot path, same reasoning as Similarity.ivfTopK's
+    // corpus-side when-chain)
+    def assignment(cs: Seq[(Long, Long, Seq[Long])]): Column = {
+      val scored = cs.map { case (c, n, s) =>
+        val num = (0 until dim).map { d =>
+          val t = lit(n) * element_at(col("q"), d + 1) - lit(s(d))
+          t * t
+        }.reduce(_ + _)
+        struct((num.cast("double") / lit((n * n).toDouble)).as("d"),
+          lit(c).as("c"))
+      }
+      least(scored: _*).getField("c")
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = q.withColumn("cluster", assignment(cents))
+      val aggCols = count(lit(1)).as("n") +:
+        (0 until dim).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
+      val rows = assigned.groupBy("cluster")
+        .agg(aggCols.head, aggCols.tail: _*).collect()
+      cents = rows.map { r =>
+        (r.getLong(0), r.getLong(1),
+          (0 until dim).map(d => r.getLong(2 + d)).toSeq)
+      }.sortBy(_._1).toSeq
+    }
+    q.select(col("vec_id"), assignment(cents).as("cluster"))
+  }
+
+  /** Per-cluster profile of the final assignment joined back to labels —
+    * the "is my clustering balanced / label-coherent" report a curation
+    * pipeline reads before cluster-stratified sampling. Output is k rows.
+    */
+  def kmeansProfile(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                    scale: Int = 1000): DataFrame = {
+    val a = kmeansAssign(emb, k, iters, scale)
+    a.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("label")).as("n_labels"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+  }
+}

@@ -240,6 +240,32 @@ object Curation {
           ipv4Pattern, "<IP>")
         .as("redacted"))
 
+  /** Unicode + whitespace normalization — the step every crawl pipeline
+    * runs BEFORE hashing, dedup, or tokenization (an NFD "e + combining
+    * accent" and the NFC "é" must hash as equals; stray control bytes and
+    * run-on whitespace otherwise split exact-dup groups). Order matters and
+    * is fixed: strip C0/DEL control characters (keeping \t \n \r, which the
+    * whitespace pass owns), compose to NFC ([[graft.functions.TextNorm]] —
+    * a codegen Catalyst expression, identity-fast on pure ASCII), collapse
+    * whitespace runs to one space, trim. Emits the normalized text plus the
+    * audit columns a curation report wants: post-normalization length and
+    * how many characters normalization removed.
+    *
+    * Scale: a narrow per-row map of codegen'd string expressions — nothing
+    * shuffles, scan-speed at any corpus size.
+    */
+  def normalizeDocs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val stripped = regexp_replace(col(textCol),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val normed = trim(regexp_replace(
+      graft.functions.TextNorm.nfcNormalize(stripped), "\\s+", " "))
+    docs.select(col("doc_id"), length(col(textCol)).as("n_raw"),
+        normed.as("norm"))
+      .select(col("doc_id"), col("norm"),
+        length(col("norm")).as("n_chars_norm"),
+        (col("n_raw") - length(col("norm"))).cast("long").as("n_removed"))
+  }
+
   /** Sliding-window document chunking — the retrieval/embedding prep shape:
     * each document is cut into `chunkChars`-sized character windows every
     * `strideChars` characters (overlap = chunkChars - strideChars), one row

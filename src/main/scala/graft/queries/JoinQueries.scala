@@ -108,6 +108,47 @@ object JoinQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q21-shaped "who held up the order" report: for finished orders,
+    * count per supplier the late lineitems (shipped > 60 days after the
+    * order date) on multi-supplier orders where NO other supplier was also
+    * late — one semi join (another supplier exists on the order) plus one
+    * anti join (no other LATE supplier exists) over the same fact, the
+    * classic EXISTS/NOT-EXISTS double-correlation. (The reference TPC-H
+    * predicate uses receipt-vs-commit dates the testdata lacks;
+    * ship-vs-order keeps the exact join topology.)
+    *
+    * Scale: the `late` frame is built once and drives both the semi and the
+    * anti probe; all three joins are equi on l_orderkey with the
+    * supplier-inequality as residual, so each is one orderkey-clustered
+    * shuffle — AQE turns the supplier dim side into a broadcast. No
+    * correlated per-row re-execution anywhere: the subqueries are join
+    * shapes, which is exactly how Catalyst decorrelates EXISTS.
+    */
+  def qWaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > date_add(col("o_orderdate"), 60))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = l.select(col("l_orderkey").as("l2_orderkey"),
+      col("l_suppkey").as("l2_suppkey"))
+    val lateOthers = late.select(col("l_orderkey").as("l3_orderkey"),
+      col("l_suppkey").as("l3_suppkey"))
+    late
+      .join(others, col("l_orderkey") === col("l2_orderkey") &&
+        col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("l3_orderkey") &&
+        col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+      .join(t(spark, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+  }
+
   /** Explicit bloom-filter runtime-filter join (see
     * [[graft.operators.RuntimeFilter]]): orders from BUILDING-segment
     * customers, with the fact side pre-screened by a bloom built over the
@@ -421,12 +462,28 @@ object JoinQueries {
     "q_theta_join" -> qThetaJoin,
     "q_range_join" -> qRangeJoin,
     "q_asof_join" -> qAsofJoin,
+    "q_waiting_supplier" -> qWaitingSupplier,
     "q_interval_join" -> qIntervalJoin,
     "q_source_formats" -> qSourceFormats,
     "q_bloom_join" -> qBloomJoin,
     "q_scan_pushdown" -> qScanPushdown)
 
   val oracles: Map[String, String] = Map(
+    "q_waiting_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |        WHERE l2.l_orderkey = l1.l_orderkey
+        |          AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |        WHERE l3.l_orderkey = l1.l_orderkey
+        |          AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
     "q_dpp" ->
       """WITH dim(prio, tier) AS (VALUES
         |  ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'),
