@@ -35,7 +35,7 @@ object SparkEntry {
       FunctionQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
       CurationQueries.queries ++ AnalyticsQueries.queries ++
-      GraphQueries.queries
+      GraphQueries.queries ++ ClusteringQueries.queries
     // "a00..." pins the exact n-gram Jaccard query to the very FRONT of the
     // bench: it pays the one-time JVM/codegen warmup AND builds the shared
     // shingle cache, exactly as in the recorded r01/r02 baselines, so
@@ -60,5 +60,5 @@ object SparkEntry {
       FunctionQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextQueries.oracles ++
       CurationQueries.oracles ++ AnalyticsQueries.oracles ++
-      GraphQueries.oracles
+      GraphQueries.oracles ++ ClusteringQueries.oracles
 }

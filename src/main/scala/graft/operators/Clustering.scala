@@ -21,12 +21,15 @@ import org.apache.spark.sql.functions._
   *  - centroids are carried as exact (member count n, per-dim sum s) pairs
   *    and NEVER divided: the squared distance to the mean, scaled by n², is
   *    `Σ_d (n·x_d − s_d)²` — pure integer. Comparing across centroids with
-  *    different n divides by n² in double; with `scale`=1000, unit-range
-  *    vectors, dim ≤ 64 the numerator stays < 2^53, so the division is
-  *    IEEE-exact and the comparison deterministic. (That exactness budget
-  *    caps cluster sizes near 2^22 at this scale; a 100 TB run drops
-  *    `scale` an order of magnitude or re-centres sums per iteration —
-  *    the plan below is unchanged.)
+  *    different n divides by n² in double; each term |n·x_d − s_d| ≤
+  *    n·scale, so the numerator is ≤ dim·(n·scale)² and the division is
+  *    IEEE-exact (numerator < 2^53) only while n ≤ sqrt(2^53/(dim·scale²))
+  *    — n ≲ 2^13.5 ≈ 11,800 members per cluster at scale=1000, dim=64; the
+  *    Long numerator itself overflows 2^63 (ANSI ArithmeticException) near
+  *    n ≈ 2^18.5. [[kmeansAssign]] guards the tighter bound at runtime
+  *    (cluster sizes are on the driver after every update — the check is
+  *    free); a 100 TB run drops `scale` an order of magnitude or re-centres
+  *    sums per iteration — the plan below is unchanged.
   *  - equal-distance ties break to the lowest cluster id on both sides
   *    (struct `least` here ≡ `ORDER BY dist, cl` in the oracle).
   *
@@ -66,10 +69,16 @@ object Clustering {
     var cents: Seq[(Long, Long, Seq[Long])] = initRows.zipWithIndex.map {
       case (r, i) => (i.toLong, 1L, r.getSeq[Long](0)) }.toSeq
 
+    // exactness budget (see class doc): IEEE-exact distance comparison
+    // needs dim·(n·scale)² < 2^53 per cluster
+    val exactLimit = math.sqrt((1L << 53).toDouble / (dim.toDouble * scale * scale)).toLong
+
     // codegen'd per-centroid distance columns + struct-least argmin (the
     // HOF aggregate/zip_with form evaluates interpreted — wrong for the
     // corpus-sized hot path, same reasoning as Similarity.ivfTopK's
-    // corpus-side when-chain)
+    // corpus-side when-chain). Caveat: this is k×dim literal expressions —
+    // fine at k≈8/dim≈64 (512 terms); a k in the hundreds wants the
+    // centroid side as a broadcast join instead of a codegen when-chain.
     def assignment(cs: Seq[(Long, Long, Seq[Long])]): Column = {
       val scored = cs.map { case (c, n, s) =>
         val num = (0 until dim).map { d =>
@@ -79,7 +88,10 @@ object Clustering {
         struct((num.cast("double") / lit((n * n).toDouble)).as("d"),
           lit(c).as("c"))
       }
-      least(scored: _*).getField("c")
+      // `least` needs >= 2 args; a corpus that empties down to ONE
+      // surviving cluster has a constant assignment
+      if (scored.size == 1) lit(cs.head._1)
+      else least(scored: _*).getField("c")
     }
 
     for (_ <- 1 to iters) {
@@ -92,6 +104,11 @@ object Clustering {
         (r.getLong(0), r.getLong(1),
           (0 until dim).map(d => r.getLong(2 + d)).toSeq)
       }.sortBy(_._1).toSeq
+      val maxN = cents.map(_._2).max
+      require(maxN <= exactLimit,
+        s"cluster of $maxN members exceeds the exact-arithmetic budget " +
+          s"($exactLimit at scale=$scale, dim=$dim) — lower `scale` or " +
+          s"re-centre sums per iteration (see Clustering doc)")
     }
     q.select(col("vec_id"), assignment(cents).as("cluster"))
   }
@@ -101,9 +118,13 @@ object Clustering {
     * pipeline reads before cluster-stratified sampling. Output is k rows.
     */
   def kmeansProfile(emb: DataFrame, k: Int = 8, iters: Int = 2,
-                    scale: Int = 1000): DataFrame = {
-    val a = kmeansAssign(emb, k, iters, scale)
-    a.join(emb.select(col("vec_id"), col("label")), "vec_id")
+                    scale: Int = 1000,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val a = kmeansAssign(emb, k, iters, scale, idCol, vecCol)
+    a.join(emb.select(col(idCol).cast("long").as("vec_id"),
+        col(labelCol).as("label")), "vec_id")
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_members"),
         countDistinct(col("label")).as("n_labels"),
