@@ -611,43 +611,59 @@ object Dedup {
 
   /** Fuzzy-match pairs — the ENTITY-RESOLUTION face of the dedup ladder
     * (typo'd re-submissions, OCR noise, near-identical titles): blocked
-    * candidate generation + edit-distance verification. TWO block keys
-    * per doc, unioned: md5 of the first `prefixChars` characters and md5
-    * of the LAST `prefixChars` characters (tagged 'p:'/'s:' so a short
-    * text's identical prefix and suffix land in distinct key spaces).
-    * Within each key, blocks of 1 (nothing to pair) and blocks over
-    * `maxBlockSize` (degenerate shared affixes — the df-cut rule in
-    * block form) are dropped before ANY pair forms. Pairs within a block
-    * verify with full `levenshtein`, keep distance <= `maxEdit`, and
-    * dedup across keys (a pair caught by both blocks counts once —
-    * `distinct` is exact because the distance is deterministic).
+    * candidate generation + edit-distance verification. THREE block keys
+    * per doc, exploded from ONE pass over the corpus: md5 of the first
+    * `prefixChars` characters, md5 of the LAST `prefixChars` characters,
+    * and md5 of the sorted-token string (tagged 'p:'/'s:'/'t:' so a
+    * degenerate text can't alias across key spaces). Within each key,
+    * blocks of 1 (nothing to pair) and blocks over `maxBlockSize`
+    * (degenerate shared affixes — the df-cut rule in block form) are
+    * dropped before ANY pair forms. Pairs within a block verify with full
+    * `levenshtein`, keep distance <= `maxEdit`, and dedup across keys (a
+    * pair caught by several blocks counts once — `distinct` is exact
+    * because the distance is deterministic).
     *
     * Recall: a single-region edit anywhere OUTSIDE one of the two affixes
     * is always caught (prefix edit -> suffix block, suffix edit -> prefix
-    * block, interior edit -> both). The residual documented miss needs
-    * edits in BOTH the first and last `prefixChars` characters —
-    * production stacks wanting that too union a third key (sorted-token
-    * hash) through this same block-join shape.
+    * block, interior edit -> both); a TOKEN REORDER — edits in both
+    * affixes that permute whole tokens, the shuffled-title case — leaves
+    * the sorted-token multiset fixed, so the 't:' block catches what both
+    * affix blocks provably lose. The residual documented miss is now a
+    * both-affix CHARACTER edit that also changes the token multiset
+    * (e.g. distinct typos in the first and last word).
     *
-    * Scale: dual keys double the keyed rows, but the block join still
-    * moves only (16-byte key, id, text) for members of surviving blocks;
-    * pair count is bounded by sum(block_size^2) <= maxBlockSize * 2 *
-    * corpus — in practice tiny, and the quadratic verify runs in-row on
-    * candidate pairs only, exactly like the n-gram family's
-    * `array_intersect` verify.
+    * Cross-engine note: block keys never leave their engine — the oracle
+    * only has to agree on WHICH docs share a key, and equal token
+    * multisets sort to equal strings under any deterministic collation,
+    * so Spark/DuckDB sort-order differences can't desynchronize blocks.
+    *
+    * Scale: the exploded key build is ONE corpus scan (vs one per key
+    * family), persisted via [[graft.Caches]] so the block-size cut and
+    * both sides of the pair join reread the 3×-keyed frame instead of
+    * rescanning text thrice more; the block join still moves only
+    * (16-byte key, id, text) for members of surviving blocks; pair count
+    * is bounded by sum(block_size^2) <= maxBlockSize * 3 * corpus — in
+    * practice tiny, and the quadratic verify runs in-row on candidate
+    * pairs only, exactly like the n-gram family's `array_intersect`
+    * verify. At 100 TB the persist is 3× corpus text — spill-backed
+    * (MEMORY_AND_DISK); a cluster short on local disk trades it back for
+    * the three rescans by dropping the cache call.
     */
   def fuzzyPairs(docs: DataFrame, maxEdit: Int = 3, prefixChars: Int = 24,
                  maxBlockSize: Int = 100, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     // `right` (not negative-index substring) for the suffix: Spark and
     // DuckDB agree it returns the whole string when shorter than n
-    val pref = docs.select(col(idCol), col(textCol),
-      md5(concat(lit("p:"), substring(col(textCol), 1, prefixChars)))
+    val keyed0 = docs.select(col(idCol), col(textCol),
+      explode(array(
+        md5(concat(lit("p:"), substring(col(textCol), 1, prefixChars))),
+        md5(concat(lit("s:"), expr(s"right($textCol, $prefixChars)"))),
+        md5(concat(lit("t:"),
+          array_join(array_sort(split(col(textCol), " ")), " ")))))
         .as("bk"))
-    val suff = docs.select(col(idCol), col(textCol),
-      md5(concat(lit("s:"), expr(s"right($textCol, $prefixChars)")))
-        .as("bk"))
-    val keyed = pref.unionByName(suff)
+    val key =
+      s"${docs.queryExecution.analyzed.semanticHash()}|p=$prefixChars|id=$idCol|t=$textCol"
+    val keyed = graft.Caches.cached("fuzzy-keyed", key)(keyed0)
     val blocks = keyed.groupBy(col("bk"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2 && col("n") <= maxBlockSize)

@@ -83,13 +83,17 @@ object DedupQueries {
       .orderBy("lang")
   }
 
-  /** Fuzzy (edit-distance) pairs with PLANTED typos on BOTH affixes:
-    * every 83rd document re-enters under a shifted id with " zq"
-    * appended (suffix edit — prefix block catches it), and every 89th
-    * with "zq " PREPENDED (prefix edit — exactly the copy a prefix-only
-    * blocker provably loses; the suffix block catches it). The blocked
-    * pipeline recovers every planted pair of both kinds (plus any
-    * natural exact-dup pairs at distance 0).
+  /** Fuzzy (edit-distance) pairs with PLANTED typos on BOTH affixes plus
+    * a planted TOKEN REORDER: every 83rd document re-enters under a
+    * shifted id with " zq" appended (suffix edit — prefix block catches
+    * it), every 89th with "zq " PREPENDED (prefix edit — exactly the copy
+    * a prefix-only blocker provably loses; the suffix block catches it),
+    * and every 101st spawns a sibling PAIR ("a b "…" c d" vs
+    * "b a "…" d c") whose members differ in BOTH affixes — invisible to
+    * both affix blocks — but share a token multiset, so the sorted-token
+    * block recovers them at edit distance 4. The blocked pipeline
+    * recovers every planted pair of all three kinds (plus any natural
+    * pairs within the distance budget).
     */
   def dedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
@@ -99,7 +103,16 @@ object DedupQueries {
     val preTypos = docs.filter(col("doc_id") % 89 === 0)
       .select((col("doc_id") + 20000000L).as("doc_id"),
         concat(lit("zq "), col("text")).as("text"))
-    Dedup.fuzzyPairs(docs.unionByName(sufTypos).unionByName(preTypos))
+    val reorderA = docs.filter(col("doc_id") % 101 === 0)
+      .select((col("doc_id") + 30000000L).as("doc_id"),
+        concat(lit("a b "), col("text"), lit(" c d")).as("text"))
+    val reorderB = docs.filter(col("doc_id") % 101 === 0)
+      .select((col("doc_id") + 40000000L).as("doc_id"),
+        concat(lit("b a "), col("text"), lit(" d c")).as("text"))
+    Dedup.fuzzyPairs(
+        docs.unionByName(sufTypos).unionByName(preTypos)
+          .unionByName(reorderA).unionByName(reorderB),
+        maxEdit = 4)
       .orderBy("a_id", "b_id")
   }
 
@@ -187,19 +200,25 @@ object DedupQueries {
         |  WHERE doc_id % 83 = 0
         |  UNION ALL
         |  SELECT doc_id + 20000000, 'zq ' || text FROM documents
-        |  WHERE doc_id % 89 = 0),
-        |k AS (SELECT doc_id, text,
-        |        md5('p:' || substring(text, 1, 24)) AS bk FROM u
-        |      UNION ALL
-        |      SELECT doc_id, text,
-        |        md5('s:' || right(text, 24)) AS bk FROM u),
+        |  WHERE doc_id % 89 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000000, 'a b ' || text || ' c d' FROM documents
+        |  WHERE doc_id % 101 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 40000000, 'b a ' || text || ' d c' FROM documents
+        |  WHERE doc_id % 101 = 0),
+        |k AS (SELECT doc_id, text, unnest([
+        |        md5('p:' || substring(text, 1, 24)),
+        |        md5('s:' || right(text, 24)),
+        |        md5('t:' || array_to_string(list_sort(string_split(text, ' ')), ' '))
+        |      ]) AS bk FROM u),
         |s AS (SELECT bk FROM k GROUP BY bk
         |      HAVING COUNT(*) BETWEEN 2 AND 100),
         |kk AS (SELECT k.* FROM k JOIN s USING (bk))
         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
         |FROM kk a JOIN kk b ON a.bk = b.bk AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.text, b.text) <= 3
+        |WHERE levenshtein(a.text, b.text) <= 4
         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_semantic" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -182,7 +182,7 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("fuzzyPairs: prefix AND suffix typos pair up; double-affix edits and big blocks are the documented misses") {
+  test("fuzzyPairs: affix typos AND token reorders pair up; both-affix character edits and big blocks are the documented misses") {
     val spark2 = spark
     import spark2.implicits._
     val base = "the quick brown fox jumps over seventeen lazy dogs tonight"
@@ -192,13 +192,15 @@ class DedupSpec extends SparkSpec {
       3L -> ("Xhe" + base.drop(3)),     // edit INSIDE the 24-char prefix, distance 1 -> the SUFFIX block catches what a prefix-only blocker provably loses
       4L -> "completely unrelated text with nothing in common at all",
       5L -> (base + " okay"),           // distance 5 from base -> verified out; distance 2 from doc 2
-      6L -> ("Xq " + base.drop(3) + " oX")) // edits in BOTH affixes -> neither block (the residual documented miss)
+      6L -> ("Xq " + base.drop(3) + " oX"), // character edits in BOTH affixes altering the token multiset -> all three blocks miss (the residual documented miss)
+      7L -> ("a b " + base + " c d"),   // token-reorder siblings: both affixes differ
+      8L -> ("b a " + base + " d c"))   //   but the sorted-token block pairs them at distance 4
     val pairs = graft.operators.Dedup.fuzzyPairs(
-        rows.toDF("doc_id", "text"), maxEdit = 3)
+        rows.toDF("doc_id", "text"), maxEdit = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(pairs == Set((1L, 2L, 3), (2L, 5L, 2), (1L, 3L, 1)),
-      s"affix-typo pairs within maxEdit only (1-5 at distance 5 is out, " +
-        s"double-affix doc 6 escapes both blocks), got $pairs")
+    assert(pairs == Set((1L, 2L, 3), (2L, 5L, 2), (1L, 3L, 1), (7L, 8L, 4)),
+      s"affix-typo + token-reorder pairs within maxEdit only (1-5 at " +
+        s"distance 5 is out, both-affix-edit doc 6 escapes all blocks), got $pairs")
     // oversize blocks drop before any pair forms (the df-cut rule) —
     // the flood shares BOTH affixes, so both key families must cut it
     val flood = (1L to 12L).map(i => i -> base)
