@@ -251,6 +251,12 @@ object Curation {
     * audit columns a curation report wants: post-normalization length and
     * how many characters normalization removed.
     *
+    * The whitespace class is the explicit Unicode White_Space codepoint
+    * list, NOT `\s`: Java's bare `\s` is ASCII-only (an NBSP or U+2028 run
+    * would survive and split dedup groups), and an explicit class means the
+    * Spark plan and a DuckDB/RE2 oracle match character for character
+    * instead of each trusting its own `\s` dialect.
+    *
     * Scale: a narrow per-row map of codegen'd string expressions — nothing
     * shuffles, scan-speed at any corpus size.
     */
@@ -258,13 +264,20 @@ object Curation {
     val stripped = regexp_replace(col(textCol),
       "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
     val normed = trim(regexp_replace(
-      graft.functions.TextNorm.nfcNormalize(stripped), "\\s+", " "))
+      graft.functions.TextNorm.nfcNormalize(stripped), unicodeSpaceRun, " "))
     docs.select(col("doc_id"), length(col(textCol)).as("n_raw"),
         normed.as("norm"))
       .select(col("doc_id"), col("norm"),
-        length(col("norm")).as("n_chars_norm"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
         (col("n_raw") - length(col("norm"))).cast("long").as("n_removed"))
   }
+
+  /** Unicode White_Space as an explicit character class (Java regex
+    * syntax): TAB..CR, SPACE, NEL, NBSP, OGHAM, the U+2000 em/en family,
+    * LINE/PARA separators, NNBSP, MMSP, IDEOGRAPHIC SPACE. */
+  private[graft] val unicodeSpaceRun: String =
+    "[\\t\\n\\u000B\\f\\r \\u0085\\u00A0\\u1680\\u2000-\\u200A" +
+      "\\u2028\\u2029\\u202F\\u205F\\u3000]+"
 
   /** Sliding-window document chunking — the retrieval/embedding prep shape:
     * each document is cut into `chunkChars`-sized character windows every

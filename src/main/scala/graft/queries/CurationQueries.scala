@@ -227,8 +227,31 @@ object CurationQueries {
     Curation.lmQualityCut(planted).orderBy("lang")
   }
 
+  /** Unicode + whitespace normalization over documents with PLANTED messy
+    * re-entries (the corpus generator emits clean ASCII, so the query
+    * deterministically re-enters every 97th document through the classic
+    * crawl noise: an NFD-decomposed accent prefix, a BEL control byte,
+    * NBSP/LINE-SEPARATOR/IDEOGRAPHIC-SPACE runs, and trailing Unicode
+    * whitespace — [[Curation.normalizeDocs]] must compose, strip, collapse,
+    * and trim all of it, cell-exactly matching DuckDB's `nfc_normalize`).
+    * The NFD prefix "cafe&#x301;" normalizes to the 4-char NFC "café" — the
+    * composition is visible in `n_removed`.
+    */
+  def curateNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // NFD e+U+0301, BEL, NBSP NBSP, LINE SEPARATOR, IDEOGRAPHIC SPACE,
+    // trailing space+NBSP — explicit escapes so the oracle's chr() calls
+    // mirror them codepoint for codepoint
+    val messy = docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 50000000L).as("doc_id"),
+        concat(lit("cafe\u0301 \u0007 "), col("text"),
+          lit("\u00a0\u00a0over\u2028the\u3000line \u00a0")).as("text"))
+    Curation.normalizeDocs(docs.unionByName(messy)).orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack" -> textPack,
+    "curate_normalize" -> curateNormalize,
     "curate_line_dedup" -> curateLineDedup,
     "curate_substring_dedup" -> curateSubstringDedup,
     "curate_substring_apply" -> curateSubstringApply,
@@ -247,6 +270,24 @@ object CurationQueries {
     "curate_stats" -> curateStats)
 
   val oracles: Map[String, String] = Map(
+    "curate_normalize" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 50000000,
+        |    'cafe' || chr(769) || ' ' || chr(7) || ' ' || text ||
+        |    chr(160) || chr(160) || 'over' || chr(8232) || 'the' ||
+        |    chr(12288) || 'line ' || chr(160)
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |n AS (SELECT doc_id, length(text) AS n_raw,
+        |  trim(regexp_replace(
+        |    nfc_normalize(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+        |    '[\t\n\x0B\f\r \x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+        |    ' ', 'g')) AS norm
+        |  FROM u)
+        |SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_norm,
+        |  CAST(n_raw - length(norm) AS BIGINT) AS n_removed
+        |FROM n ORDER BY doc_id""".stripMargin,
     "curate_substring_dedup" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
         |              FROM documents),

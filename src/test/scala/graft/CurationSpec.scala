@@ -296,4 +296,50 @@ class CurationSpec extends SparkSpec {
       .filter(col("t") < cut).count()
     assert(below <= (docs.count() * 0.25).ceil.toLong)
   }
+
+  test("normalizeDocs: NFC composes, control strips, Unicode whitespace collapses") {
+    val spark2 = spark
+    import spark2.implicits._
+    // NFD cafe+combining-acute, BEL, NBSP run, LINE SEP, IDEOGRAPHIC SPACE,
+    // trailing NBSP -- every class the planted curate_normalize fixture uses
+    val raw = "cafe\u0301 \u0007 hi\u00a0\u00a0over\u2028the\u3000line \u00a0"
+    val out = Curation.normalizeDocs(Seq((1L, raw)).toDF("doc_id", "text"))
+      .head()
+    assert(out.getString(1) == "caf\u00e9 hi over the line",
+      s"got [${out.getString(1)}]")
+    // audit math: n_chars_norm counts the NFC'd text, n_removed the delta
+    assert(out.getLong(2) == "caf\u00e9 hi over the line".length)
+    assert(out.getLong(3) == raw.length - out.getLong(2))
+    // pure-ASCII fast path is the identity
+    val clean = Curation.normalizeDocs(Seq((2L, "plain ascii text"))
+      .toDF("doc_id", "text")).head()
+    assert(clean.getString(1) == "plain ascii text" && clean.getLong(3) == 0L)
+  }
+
+  test("normalize-then-hash collapses an NFD/NFC dup pair dedup_exact misses") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pair = Seq(1L -> "le caf\u00e9 du matin",          // NFC
+                   2L -> "le cafe\u0301 du matin")         // NFD, same glyphs
+      .toDF("doc_id", "text")
+    // raw bytes differ -> exact dedup sees two singleton groups
+    val rawGroups = graft.operators.Dedup.exactDedup(pair)
+    assert(rawGroups.count() == 2 &&
+      rawGroups.filter(col("n_copies") > 1).count() == 0,
+      "byte-level exact dedup must miss the NFD/NFC pair")
+    // normalize first -> one group of two, keeper = min id
+    val norm = Curation.normalizeDocs(pair)
+      .select(col("doc_id"), col("norm").as("text"))
+    val dup = graft.operators.Dedup.exactDedup(norm)
+      .filter(col("n_copies") > 1).collect()
+    assert(dup.length == 1 && dup(0).getLong(1) == 1L &&
+      dup(0).getLong(2) == 2L)
+  }
+
+  test("nfc_normalize is SQL-registered for spark.sql users") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301'), nfc_normalize(NULL)").head()
+    assert(got.getString(0) == "caf\u00e9" && got.isNullAt(1))
+  }
 }
