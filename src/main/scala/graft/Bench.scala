@@ -138,7 +138,18 @@ object Bench {
       }.mkString("{", ",", "}")
       s""""$key":$body"""
     }.mkString(",")
-    println(s"""{"metric":"total",$headTotals,"unit":"sec","runs":${passes.size},"errors":$errs,"sf":"$sfDir",$queryMaps,"plans":$plans,$shuffleMaps,"totals":$tailTotals}""")
+    val full = s"""{"metric":"total",$headTotals,"unit":"sec","runs":${passes.size},"errors":$errs,"sf":"$sfDir",$queryMaps,"plans":$plans,$shuffleMaps,"totals":$tailTotals}"""
+    println(full)
+    // The driver keeps only a bounded tail of stdout, which drops the
+    // per-query detail cross-round attribution needs (VERDICT r8 "What's
+    // missing" #1) — so ALSO write the full record to a repo file that gets
+    // committed each round as BENCH_FULL_r{N}.json.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/BENCH_FULL_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] full-record write failed: ${e.getMessage}") }
     // The full record above is ONE ~5-7 KB line; the harness keeps only a
     // bounded TAIL of stdout, so its head (pass-1 totals + early per-query
     // times) can be truncated away, leaving no complete JSON object in the

@@ -65,6 +65,28 @@ object Caches {
       }
     }
 
+  // DRIVER-SIDE memo (trained centroids, fitted thresholds): tiny values
+  // whose computation runs Spark jobs — a consumer query (e.g. the cluster
+  // profile joining the k-means assignment back to labels) must not re-pay
+  // the whole training loop the assignment query just ran. Same
+  // one-live-entry-per-family discipline.
+  private val liveVals =
+    scala.collection.mutable.Map.empty[String, (String, Any)]
+
+  /** The memoized value for (family, key), computing on first use. A key
+    * change within a family evicts the predecessor.
+    */
+  def memo[T](family: String, key: String)(compute: => T): T =
+    synchronized {
+      liveVals.get(family) match {
+        case Some((k, v)) if k == key => v.asInstanceOf[T]
+        case _ =>
+          val v = compute
+          liveVals(family) = (key, v)
+          v
+      }
+    }
+
   private def deleteTree(root: String): Unit = {
     val p = java.nio.file.Paths.get(root)
     if (java.nio.file.Files.exists(p)) {
@@ -82,5 +104,6 @@ object Caches {
     live.clear()
     livePaths.values.foreach { case (_, p) => deleteTree(p) }
     livePaths.clear()
+    liveVals.clear()
   }
 }

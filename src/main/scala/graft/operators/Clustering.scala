@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   *    free); a 100 TB run drops `scale` an order of magnitude or re-centres
   *    sums per iteration — the plan below is unchanged.
   *  - equal-distance ties break to the lowest cluster id on both sides
-  *    (struct `least` here ≡ `ORDER BY dist, cl` in the oracle).
+  *    ([[graft.functions.KMeansArgmin]]'s first-minimum over ascending ids
+  *    ≡ `ORDER BY dist, cl` in the oracle).
   *
   * Scale: per iteration ONE narrow scan (the k centroids ride the plan as
   * literals — nothing joins, nothing shuffles but the update's
@@ -60,55 +61,54 @@ object Clustering {
     val key = s"${emb.queryExecution.analyzed.semanticHash()}|s=$scale"
     val q = graft.Caches.cached("kmeans-quantized", key)(q0)
 
-    // k-row bounded collect (same discipline as Similarity.kmeansCentroids)
-    val initRows = q
-      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
-      .limit(k).select("q").collect()
-    require(initRows.length == k, s"corpus has fewer than $k vectors")
-    val dim = initRows.head.getSeq[Long](0).length
-    var cents: Seq[(Long, Long, Seq[Long])] = initRows.zipWithIndex.map {
-      case (r, i) => (i.toLong, 1L, r.getSeq[Long](0)) }.toSeq
+    // The E step is [[graft.functions.KMeansArgmin]] — a codegen expression
+    // looping over the centroid matrix as a REFERENCE OBJECT. The k×dim
+    // literal when-chain it replaced made Janino compile a fresh
+    // multi-second projection per iteration and capped k; the kernel's
+    // generated code is one call, constant-size in k·dim.
+    def assignment(cs: Seq[(Long, Long, Seq[Long])]): Column =
+      // a corpus that empties down to ONE surviving cluster has a
+      // constant assignment
+      if (cs.size == 1) lit(cs.head._1)
+      else graft.functions.Cluster.kmeansArgmin(col("q"),
+        cs.map { case (c, n, s) => (c +: n +: s).toArray }.toArray)
 
-    // exactness budget (see class doc): IEEE-exact distance comparison
-    // needs dim·(n·scale)² < 2^53 per cluster
-    val exactLimit = math.sqrt((1L << 53).toDouble / (dim.toDouble * scale * scale)).toLong
+    // Training (init collect + `iters` Lloyd rounds, each ONE k×(dim+1)
+    // partial agg + k-row collect) is memoized per (input, params): the
+    // profile query consumes the same fit the assignment query just
+    // trained instead of re-paying the loop.
+    val cents = graft.Caches.memo("kmeans-cents",
+        s"$key|k=$k|i=$iters") {
+      // k-row bounded collect (same discipline as Similarity.kmeansCentroids)
+      val initRows = q
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+        .limit(k).select("q").collect()
+      require(initRows.length == k, s"corpus has fewer than $k vectors")
+      val dim = initRows.head.getSeq[Long](0).length
+      var cs: Seq[(Long, Long, Seq[Long])] = initRows.zipWithIndex.map {
+        case (r, i) => (i.toLong, 1L, r.getSeq[Long](0)) }.toSeq
 
-    // codegen'd per-centroid distance columns + struct-least argmin (the
-    // HOF aggregate/zip_with form evaluates interpreted — wrong for the
-    // corpus-sized hot path, same reasoning as Similarity.ivfTopK's
-    // corpus-side when-chain). Caveat: this is k×dim literal expressions —
-    // fine at k≈8/dim≈64 (512 terms); a k in the hundreds wants the
-    // centroid side as a broadcast join instead of a codegen when-chain.
-    def assignment(cs: Seq[(Long, Long, Seq[Long])]): Column = {
-      val scored = cs.map { case (c, n, s) =>
-        val num = (0 until dim).map { d =>
-          val t = lit(n) * element_at(col("q"), d + 1) - lit(s(d))
-          t * t
-        }.reduce(_ + _)
-        struct((num.cast("double") / lit((n * n).toDouble)).as("d"),
-          lit(c).as("c"))
+      // exactness budget (see class doc): IEEE-exact distance comparison
+      // needs dim·(n·scale)² < 2^53 per cluster
+      val exactLimit = math.sqrt((1L << 53).toDouble / (dim.toDouble * scale * scale)).toLong
+
+      for (_ <- 1 to iters) {
+        val assigned = q.withColumn("cluster", assignment(cs))
+        val aggCols = count(lit(1)).as("n") +:
+          (0 until dim).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
+        val rows = assigned.groupBy("cluster")
+          .agg(aggCols.head, aggCols.tail: _*).collect()
+        cs = rows.map { r =>
+          (r.getLong(0), r.getLong(1),
+            (0 until dim).map(d => r.getLong(2 + d)).toSeq)
+        }.sortBy(_._1).toSeq
+        val maxN = cs.map(_._2).max
+        require(maxN <= exactLimit,
+          s"cluster of $maxN members exceeds the exact-arithmetic budget " +
+            s"($exactLimit at scale=$scale, dim=$dim) — lower `scale` or " +
+            s"re-centre sums per iteration (see Clustering doc)")
       }
-      // `least` needs >= 2 args; a corpus that empties down to ONE
-      // surviving cluster has a constant assignment
-      if (scored.size == 1) lit(cs.head._1)
-      else least(scored: _*).getField("c")
-    }
-
-    for (_ <- 1 to iters) {
-      val assigned = q.withColumn("cluster", assignment(cents))
-      val aggCols = count(lit(1)).as("n") +:
-        (0 until dim).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
-      val rows = assigned.groupBy("cluster")
-        .agg(aggCols.head, aggCols.tail: _*).collect()
-      cents = rows.map { r =>
-        (r.getLong(0), r.getLong(1),
-          (0 until dim).map(d => r.getLong(2 + d)).toSeq)
-      }.sortBy(_._1).toSeq
-      val maxN = cents.map(_._2).max
-      require(maxN <= exactLimit,
-        s"cluster of $maxN members exceeds the exact-arithmetic budget " +
-          s"($exactLimit at scale=$scale, dim=$dim) — lower `scale` or " +
-          s"re-centre sums per iteration (see Clustering doc)")
+      cs
     }
     q.select(col("vec_id"), assignment(cents).as("cluster"))
   }
