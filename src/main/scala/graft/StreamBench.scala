@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 import graft.streaming.{RateSourceAdapter, ShipperStream}
 
@@ -82,9 +83,56 @@ object StreamBench {
       s""""$rate":{"processed_per_sec":${r1(pps)},"mean_batch_ms":$mb,""" +
         s""""kept_up":$ok,"batches":$n,$bdJson}"""
     }.mkString("{", ",", "}")
+
+    // Sketch-tier end to end (VERDICT r8 item #7): stream events through
+    // the [[ShipperStream.sketchPartials]] sink (HLL partials -> LogStore
+    // day partitions -> manifest commit per batch), then time the
+    // dashboard reads that consume ONLY the stored partials —
+    // readActiveUsers (DAU + trailing-7-day WAU) and readSketchEstimates.
+    // Events spread across 10 synthetic days so the WAU spine has real
+    // windows to merge.
+    val skRate = sys.env.getOrElse("SPARK_GRAFT_STREAM_SKETCH_RATE", "50000").toInt
+    val skSecs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SKETCH_SECS", secs.toString).toInt
+    val skBase = java.nio.file.Files.createTempDirectory("sb-sketch")
+    val skDocs = spark.readStream.format("rate")
+      .option("rowsPerSecond", skRate.toString).load()
+      .select(
+        when(pmod(col("value"), lit(5)) === 0, "error")
+          .otherwise("info").as("severity"),
+        col("value").as("event_id"),
+        timestamp_seconds(lit(1700000000L) +
+          pmod(col("value"), lit(10)) * lit(86400L)).as("event_ts"))
+    val skQ = ShipperStream.sketchPartials(skDocs, s"$skBase/store",
+      s"$skBase/ckpt", triggerMs = triggerMs)
+    Thread.sleep(skSecs * 1000L)
+    val skBatches = skQ.recentProgress.count(_.numInputRows > 0)
+    skQ.stop()
+    // stored-partial read latency: 3 timed passes each (cold first —
+    // includes the manifest-pinned snapshot resolution)
+    def timedMs(build: => org.apache.spark.sql.DataFrame): Seq[Long] =
+      // fresh frame per pass: the read path re-resolves the manifest
+      // snapshot each time, exactly as a dashboard request would
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        build.collect()
+        (System.nanoTime() - t0) / 1000000L
+      }
+    val dauMs = timedMs(ShipperStream.readActiveUsers(spark, s"$skBase/store"))
+    val estMs = timedMs(ShipperStream.readSketchEstimates(spark, s"$skBase/store"))
+    val dauDays = ShipperStream.readActiveUsers(spark, s"$skBase/store").count()
+    org.apache.commons.io.FileUtils.deleteQuietly(skBase.toFile)
+    System.err.println(s"[stream-bench] sketch-tier rate=$skRate " +
+      s"batches=$skBatches dau_ms=${dauMs.mkString(",")} " +
+      s"est_ms=${estMs.mkString(",")} days=$dauDays")
+    val sketch =
+      s"""{"rate":$skRate,"secs":$skSecs,"batches":$skBatches,""" +
+        s""""days":$dauDays,"read_active_users_ms":[${dauMs.mkString(",")}],""" +
+        s""""read_estimates_ms":[${estMs.mkString(",")}]}"""
+
     println(s"""{"metric":"stream_docs_per_sec","value":${r1(sustained)},""" +
       s""""unit":"docs/sec","trigger_ms":$triggerMs,"bulk_size":$bulkSize,""" +
-      s""""cpus":"$cpus","secs_per_rate":$secs,"rates":$per}""")
+      s""""cpus":"$cpus","secs_per_rate":$secs,"rates":$per,""" +
+      s""""sketch_tier":$sketch}""")
     spark.stop()
   }
 }

@@ -15,8 +15,14 @@ import org.apache.spark.sql.SparkSession
   * (driver/planning floor dominates), >1 = super-linear — the flag §9
   * claims never fires.
   *
-  * Usage: ScalingProbe <outFile> [name ...] (default: the headline set —
-  * the most expensive warm queries of the r8 bench record).
+  * Usage:
+  *   ScalingProbe <outFile> [name ...]                — explicit set
+  *   ScalingProbe <outFile> --from-bench <record> [minWarmSec]
+  *     — every query whose warm-min (min across the record's passes)
+  *       exceeds minWarmSec (default 0.5 s), so the measured set tracks
+  *       the expensive tail mechanically instead of a hand-kept list
+  *       (VERDICT r8 item #6).
+  * Default (no names): the r8 headline set.
   */
 object ScalingProbe {
 
@@ -26,9 +32,36 @@ object ScalingProbe {
     "text_contaminate", "dedup_corpus", "q_pit_join", "sim_ann_lsh",
     "dedup_fuzzy", "q3_top_revenue")
 
+  /** Warm-min per query from a full bench record: min across every
+    * "queries"/"queries2"/... pass map. Plain string scanning — the
+    * record is this repo's own single-line JSON, and the tools directory
+    * stays dependency-free.
+    */
+  private[tools] def warmMinsFromBench(path: String): Map[String, Double] = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val passMap = """"queries\d*":\{([^}]*)\}""".r
+    val entry = """"([^"]+)":([0-9.]+)""".r
+    passMap.findAllMatchIn(txt).flatMap(m =>
+        entry.findAllMatchIn(m.group(1)).map(e =>
+          e.group(1) -> e.group(2).toDouble))
+      .toSeq.groupMapReduce(_._1)(_._2)(math.min)
+  }
+
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("SCALING_r08.json")
-    val names = if (args.length > 1) args.drop(1).toSeq else defaultSet
+    val out = args.headOption.getOrElse("SCALING_r09.json")
+    val names =
+      if (args.length > 2 && args(1) == "--from-bench") {
+        val thresh = if (args.length > 3) args(3).toDouble else 0.5
+        val wm = warmMinsFromBench(args(2))
+        val picked = wm.filter(_._2 > thresh).keys.toSeq.sorted
+        System.err.println(
+          s"[scaling] ${picked.size} queries with warm-min > $thresh s: " +
+            picked.mkString(", "))
+        picked
+      }
+      else if (args.length > 1) args.drop(1).toSeq
+      else defaultSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "3").toInt
     val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")

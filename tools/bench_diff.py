@@ -122,6 +122,9 @@ def main():
     ap.add_argument("--band", type=float, default=2.0,
                     help="noise band: ratios inside [1/band, band] are noise (default 2.0)")
     ap.add_argument("-o", "--out", help="write markdown report here (default stdout)")
+    ap.add_argument("--scaling", help="SCALING_r{N}.json from tools/ScalingProbe: "
+                    "append the measured exponents and flag super-linear "
+                    "queries (>1.1) mechanically")
     args = ap.parse_args()
 
     old, new = load_record(args.old), load_record(args.new)
@@ -222,6 +225,26 @@ def main():
     w("")
     w("\n".join(f"- {q} (was {sec(tmin_old[q])} s)" for q in removed) or "(none)")
     w("")
+    if args.scaling:
+        with open(args.scaling) as f:
+            sc = json.load(f)
+        rows = sorted(sc.get("queries", {}).items(),
+                      key=lambda kv: -kv[1]["exponent"])
+        supl = [q for q, v in rows if v["exponent"] > 1.1]
+        w(f"## Scaling exponents ({args.scaling}: "
+          f"sf {sc.get('sf_small')} -> {sc.get('sf_big')}, warm-min)")
+        w("")
+        if supl:
+            w(f"**SUPER-LINEAR REGRESSION FLAG: {', '.join(supl)}** — "
+              f"exponent > 1.1; a plan here grows faster than its input.")
+            w("")
+        w("| query | t_small | t_big | exponent |")
+        w("|---|---|---|---|")
+        for q, v in rows:
+            mark = " **<- super-linear**" if v["exponent"] > 1.1 else ""
+            w(f"| {q} | {sec(v['t_small'])} | {sec(v['t_big'])} "
+              f"| {v['exponent']:.2f}{mark} |")
+        w("")
 
     report = "\n".join(lines)
     if args.out:
