@@ -78,13 +78,109 @@ object Bench {
     // DataFrame, so the only added cost is rendering a plan string (~ms) that
     // count() was about to optimize anyway.
     val planHashes = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def planHash(df: org.apache.spark.sql.DataFrame): String = {
-      val s = df.queryExecution.optimizedPlan.canonicalized.toString
+    val planDumpDir = sys.env.get("SPARK_GRAFT_BENCH_PLANDUMP")
+    planDumpDir.foreach(d => new java.io.File(d).mkdirs())
+
+    // --- fingerprint determinism (r9) ---------------------------------
+    // Two run-to-run leaks found by diffing SPARK_GRAFT_BENCH_PLANDUMP
+    // dumps of back-to-back identical runs: (a) queries consuming a
+    // Caches-persisted frame embed the cached PHYSICAL plan inside
+    // InMemoryRelation, which prints volatile `plan_id=N` /
+    // `QueryStage N` / Statistics sizes; (b) canonicalization orders
+    // commutative AND/OR operands by hashCode, and expressions holding a
+    // Class reference (e.g. MultiCommutativeOp's opCls) use identity
+    // hashes — so operand ORDER varies per JVM. Both are presentation
+    // noise, not plan changes; normalize them away so a fingerprint
+    // diff means the plan really moved.
+
+    /** Sort top-level ` AND ` (else ` OR `) operands inside every
+      * parenthesized group, recursively; paren-free text is untouched.
+      */
+    def sortBool(str: String): String = {
+      def topSplit(s: String, sep: String): Option[Seq[String]] = {
+        var depth = 0; var i = 0; var last = 0
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          if (depth == 0 && s.startsWith(sep, i)) {
+            parts += s.substring(last, i); last = i + sep.length; i = last
+          } else i += 1
+        }
+        if (parts.isEmpty) None else Some(parts.toSeq :+ s.substring(last))
+      }
+      def body(s: String): String = {
+        val out = new StringBuilder; var i = 0
+        while (i < s.length) {
+          if (s.charAt(i) == '(') {
+            var depth = 1; var j = i + 1
+            while (j < s.length && depth > 0) {
+              val c = s.charAt(j)
+              if (c == '(') depth += 1 else if (c == ')') depth -= 1
+              j += 1
+            }
+            if (depth == 0) {
+              val inner = body(s.substring(i + 1, j - 1))
+              val sorted = topSplit(inner, " AND ")
+                .map(_.sorted.mkString(" AND "))
+                .orElse(topSplit(inner, " OR ").map(_.sorted.mkString(" OR ")))
+                .getOrElse(inner)
+              out.append('(').append(sorted).append(')'); i = j
+            } else { out.append(s.substring(i)); i = s.length }
+          } else { out.append(s.charAt(i)); i += 1 }
+        }
+        out.toString
+      }
+      body(str)
+    }
+
+    /** Sort the top-level comma args of every `fname(...)` call (the
+      * n-ary commutative printout whose arg order is identity-hash
+      * driven). Recurses for nested calls.
+      */
+    def sortNamedArgs(str: String, fname: String): String = {
+      val tag = fname + "("
+      def go(s: String): String = {
+        val idx = s.indexOf(tag)
+        if (idx < 0) return s
+        var depth = 1; var j = idx + tag.length
+        while (j < s.length && depth > 0) {
+          val c = s.charAt(j)
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          j += 1
+        }
+        if (depth != 0) return s
+        val inner = go(s.substring(idx + tag.length, j - 1))
+        var d2 = 0; var i2 = 0; var last = 0
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (i2 < inner.length) {
+          val c = inner.charAt(i2)
+          if (c == '(') d2 += 1 else if (c == ')') d2 -= 1
+          if (d2 == 0 && inner.startsWith(", ", i2)) {
+            parts += inner.substring(last, i2); last = i2 + 2; i2 = last
+          } else i2 += 1
+        }
+        parts += inner.substring(last)
+        s.substring(0, idx) + tag + parts.sorted.mkString(", ") + ")" +
+          go(s.substring(j))
+      }
+      go(str)
+    }
+
+    def planHash(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val s0 = df.queryExecution.optimizedPlan.canonicalized.toString
         .replaceAll("#\\d+L?", "#")
         // lambda class ids (Fn$$Lambda$123/0x7f...) vary with classload
         // order, i.e. per JVM — normalize or typed-API plans never match
         .replaceAll("\\$\\$?Lambda\\$?\\d*/0x[0-9a-fA-F]+", "\\$\\$Lambda")
         .replaceAll("@[0-9a-fA-F]+", "@")
+        // cached-physical-plan volatiles (see block comment above)
+        .replaceAll("plan_id=\\d+", "plan_id=x")
+        .replaceAll("QueryStage \\d+", "QueryStage x")
+        .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+      val s = sortBool(sortNamedArgs(s0, "multicommutativeop"))
+      planDumpDir.foreach(d => java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$d/$name.txt"), s.getBytes("UTF-8")))
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     }
@@ -96,7 +192,7 @@ object Bench {
         spark.sparkContext.setJobGroup(s"p$pass:$name", name)
         try {
           val df = fn(spark, sfDir)
-          if (pass == 0) planHashes(name) = planHash(df)
+          if (pass == 0) planHashes(name) = planHash(df, name)
           df.count()
           Some(name -> (System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
