@@ -10,17 +10,32 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright. Read it as a long (legacy conf) and rebuild a
-    * micro-precision timestamp with exact integer division (a double division
-    * would lose precision above 2^53 ns — i.e. for any date after 1970).
+  /** Schema-adaptive `events` loader. The testdata generator has shipped
+    * `ts` as parquet TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * accepts as a raw long via the legacy conf) and as TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (which resolves to TIMESTAMP_NTZ). Inspect the
+    * resolved type and normalize either shape to a session-zone timestamp:
+    *  - LongType (nanos-as-long): rebuild with exact integer division —
+    *    a double division would lose precision above 2^53 ns, i.e. for any
+    *    date after 1970.
+    *  - TIMESTAMP_NTZ: reinterpret the wall-clock value in the session zone
+    *    (UTC everywhere in this repo), matching what the DuckDB oracle sees.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Harmless for non-nanos files; required to even resolve a nanos schema.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported parquet type $other")
+    }
   }
 
   /** Exact-decimal cast for money/ratio doubles.
