@@ -113,6 +113,34 @@ object Clustering {
     q.select(col("vec_id"), assignment(cents).as("cluster"))
   }
 
+  /** Cluster-stratified sample: a deterministic quota of `perCluster`
+    * vectors per cluster, ranked by md5(vec_id) inside each cluster — the
+    * consumer that turns a full-corpus assignment into a balanced training
+    * subset (over-represented clusters are capped, small ones kept whole).
+    * Reuses the memoized fit from [[kmeansAssign]] — the assignment query
+    * trains once, this query re-scans only the cached quantized corpus —
+    * and the same md5-quota shape as [[Curation.stratifiedSample]]:
+    * [[graft.plans.TopKPerGroup]] cuts each partition to its local top
+    * `perCluster` BEFORE the rank window, so the single-key window sort
+    * never sees more than partitions×k×perCluster rows no matter the
+    * corpus size.
+    */
+  def kmeansSample(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                   perCluster: Int = 25, scale: Int = 1000,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val a = kmeansAssign(emb, k, iters, scale, idCol, vecCol)
+    val slim = a.select(col("cluster"), col("vec_id"),
+      md5(col("vec_id").cast("string").cast("binary")).as("h"))
+    val topk = graft.plans.TopKPerGroup(slim, Seq("cluster"),
+      Seq("h" -> true, "vec_id" -> true), perCluster)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("h"), col("vec_id"))
+    topk.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perCluster)
+      .select(col("cluster"), col("rn"), col("vec_id"))
+  }
+
   /** Per-cluster profile of the final assignment joined back to labels —
     * the "is my clustering balanced / label-coherent" report a curation
     * pipeline reads before cluster-stratified sampling. Output is k rows.

@@ -21,6 +21,11 @@ object ClusteringQueries {
     Clustering.kmeansProfile(t(spark, dir, "embeddings"), k = 8, iters = 2)
       .orderBy("cluster")
 
+  def clusterSample(spark: SparkSession, dir: String): DataFrame =
+    Clustering.kmeansSample(t(spark, dir, "embeddings"), k = 8, iters = 2,
+        perCluster = 25)
+      .orderBy("cluster", "rn")
+
   /** The unrolled Lloyd CTE chain, mirroring [[Clustering.kmeansAssign]]
     * step for step, independently: quantize → deterministic md5 init →
     * per-iteration (assign via exact n²-scaled distance + (dist, cl)
@@ -69,7 +74,8 @@ object ClusteringQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cluster_kmeans" -> clusterKmeans,
-    "q_cluster_profile" -> clusterProfile)
+    "q_cluster_profile" -> clusterProfile,
+    "samp_cluster" -> clusterSample)
 
   val oracles: Map[String, String] = Map(
     "q_cluster_kmeans" ->
@@ -81,5 +87,13 @@ object ClusteringQueries {
         |  COUNT(DISTINCT e.label) AS n_labels,
         |  MIN(e.vec_id) AS min_vec, MAX(e.vec_id) AS max_vec
         |FROM af JOIN embeddings e USING (vec_id)
-        |GROUP BY af.cl ORDER BY cluster""".stripMargin)
+        |GROUP BY af.cl ORDER BY cluster""".stripMargin,
+    "samp_cluster" ->
+      s"""WITH ${lloydCtes(k = 8, iters = 2, scale = 1000)},
+        |r AS (SELECT cl AS cluster, vec_id, row_number() OVER (
+        |        PARTITION BY cl ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |        vec_id) AS rn
+        |      FROM af)
+        |SELECT cluster, rn, vec_id FROM r WHERE rn <= 25
+        |ORDER BY cluster, rn""".stripMargin)
 }

@@ -74,6 +74,27 @@ class ClusteringSpec extends SparkSpec {
     assert(e.getMessage.contains("exact-arithmetic budget"))
   }
 
+  test("kmeansSample caps each cluster at its quota, deterministically") {
+    val s = Clustering.kmeansSample(twoBlobs, k = 2, iters = 2,
+        perCluster = 3)
+      .orderBy("cluster", "rn").collect()
+    val byCluster = s.groupBy(_.getLong(0))
+    assert(byCluster.size == 2, s"sample must cover both clusters: ${s.toSeq}")
+    // each 4-member blob capped at 3, rn dense from 1
+    byCluster.values.foreach { rows =>
+      assert(rows.length == 3)
+      assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    }
+    // quota larger than the cluster keeps the whole cluster
+    val all = Clustering.kmeansSample(twoBlobs, k = 2, iters = 2,
+      perCluster = 100).collect()
+    assert(all.length == 8)
+    // deterministic run to run
+    val again = Clustering.kmeansSample(twoBlobs, k = 2, iters = 2,
+      perCluster = 3).orderBy("cluster", "rn").collect()
+    assert(s.toSeq == again.toSeq)
+  }
+
   test("kmeansProfile threads custom column names") {
     val renamed = twoBlobs.toDF("id", "vec", "lang")
     val p = Clustering.kmeansProfile(renamed, k = 2, iters = 2,
