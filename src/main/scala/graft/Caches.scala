@@ -16,9 +16,17 @@ import org.apache.spark.storage.StorageLevel
   * disappear too.
   */
 object Caches {
-  // MEMORY_AND_DISK measured equivalent to _SER / DISK_ONLY here (the
-  // columnar-batch build dominates persist cost, reread ~0.1s at sf0.1
-  // for all levels — tools.CacheLevelProbe), so keep the default level.
+  // DISK_ONLY: read cost measured equivalent to MEMORY_AND_DISK(_SER) here
+  // (the columnar-batch build dominates persist cost, reread ~0.1s at sf0.1
+  // for all levels — tools.CacheLevelProbe), but on-heap cached blocks are
+  // NOT free: with ~20 live family caches and this box's single-threaded
+  // SerialGC, heap occupancy turned full collections into 2-3s pauses that
+  // landed on whichever query ran next (the r9/r10 "perf-weak"
+  // dedup_minhash_lsh and q_pagerank inflations — per-query gc maps in
+  // BENCH_FULL_r10.json attribute 50-70% of their warm wall time to GC,
+  // with zero cache misses). Keeping shared corpus frames off-heap trades a
+  // page-cache read for a quiet heap — the same call a real executor makes
+  // when cached partitions compete with task memory.
   private val live =
     scala.collection.mutable.Map.empty[String, (String, DataFrame)]
 
@@ -50,7 +58,7 @@ object Caches {
         case prev =>
           prev.foreach(_._2.unpersist(blocking = false))
           bump(misses, family)
-          val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+          val df = build.persist(StorageLevel.DISK_ONLY)
           live(family) = (key, df)
           df
       }
