@@ -38,6 +38,24 @@ object StreamBench {
 
     def r1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
 
+    // Discarded warmup query: the first ~20 s of a fresh JVM runs batches
+    // 3-10x slower (JIT + codegen + first-touch pages), and the rate
+    // source clocks rows from query start — so a cold-start measured
+    // window begins with a backlog the stream must then drain, and
+    // `kept_up` reflects the warmup artifact instead of steady state
+    // (r10: 47k docs/s processed yet every kept_up=false). Warm the
+    // whole plane once, throw the query away, then measure each rate
+    // from a backlog-free start.
+    val warmupSecs = sys.env.getOrElse("SPARK_GRAFT_STREAM_WARMUP_SECS", "25").toInt
+    if (warmupSecs > 0) {
+      val wb = java.nio.file.Files.createTempDirectory("sb-warm")
+      val wq = ShipperStream.start(spark, RateSourceAdapter(20000),
+        s"$wb/out", s"$wb/ckpt", bulkSize, triggerMs, None)
+      Thread.sleep(warmupSecs * 1000L)
+      wq.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(wb.toFile)
+    }
+
     val results = rates.map { rate =>
       val base = java.nio.file.Files.createTempDirectory(s"sb-$rate")
       val q = ShipperStream.start(spark, RateSourceAdapter(rate),
