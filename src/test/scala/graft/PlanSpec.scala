@@ -165,6 +165,20 @@ class PlanSpec extends SparkSpec {
       s"per-stratum quota must go through the bounded heap:\n$p")
   }
 
+  test("cluster-stratified sample bounds the quota heap and joins nothing") {
+    // samp_cluster = assignment scan + per-cluster quota. Scale hazards
+    // pinned: the quota must run through the bounded TopKPerGroup heap
+    // (a full window sort materializes whole clusters — the corpus itself
+    // at k=8), and the E-step assignment must stay join-free (centroids
+    // ride the plan as a codegen reference object, never a joined table).
+    val df = graft.queries.ClusteringQueries.clusterSample(spark, sf001)
+    df.count()
+    val p = plan(df)
+    assert(p.contains("TopKPerGroup"),
+      s"per-cluster quota must go through the bounded heap:\n$p")
+    assert(!p.contains("Join"), s"assignment + quota must not join:\n$p")
+  }
+
   test("bloom runtime filter screens the fact side and preserves semantics") {
     import org.apache.spark.sql.functions._
     val cust = Tables.t(spark, sf001, "customer")
