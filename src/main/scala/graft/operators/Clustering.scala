@@ -54,30 +54,49 @@ object Clustering {
                    scale: Int = 1000,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    require(k >= 2, s"k-means needs k >= 2, got $k")
+    val q = quantized(emb, scale, idCol, vecCol)
+    val cents = kmeansFit(emb, k, iters, scale, idCol, vecCol)
+    q.select(col("vec_id"), assignment(cents).as("cluster"))
+  }
+
+  /** Quantized (vec_id, q) corpus, [[graft.Caches]]-persisted per
+    * (input, scale) so iterations and repeat calls rescan one frame.
+    */
+  private def quantized(emb: DataFrame, scale: Int,
+                        idCol: String, vecCol: String): DataFrame = {
     val q0 = emb.select(col(idCol).cast("long").as("vec_id"),
       transform(col(vecCol),
         x => floor(x.cast("double") * scale).cast("long")).as("q"))
     val key = s"${emb.queryExecution.analyzed.semanticHash()}|s=$scale"
-    val q = graft.Caches.cached("kmeans-quantized", key)(q0)
+    graft.Caches.cached("kmeans-quantized", key)(q0)
+  }
 
-    // The E step is [[graft.functions.KMeansArgmin]] — a codegen expression
-    // looping over the centroid matrix as a REFERENCE OBJECT. The k×dim
-    // literal when-chain it replaced made Janino compile a fresh
-    // multi-second projection per iteration and capped k; the kernel's
-    // generated code is one call, constant-size in k·dim.
-    def assignment(cs: Seq[(Long, Long, Seq[Long])]): Column =
-      // a corpus that empties down to ONE surviving cluster has a
-      // constant assignment
-      if (cs.size == 1) lit(cs.head._1)
-      else graft.functions.Cluster.kmeansArgmin(col("q"),
-        cs.map { case (c, n, s) => (c +: n +: s).toArray }.toArray)
+  /** The E step over a `q` column: [[graft.functions.KMeansArgmin]] — a
+    * codegen expression looping over the centroid matrix as a REFERENCE
+    * OBJECT. The k×dim literal when-chain it replaced made Janino compile
+    * a fresh multi-second projection per iteration and capped k; the
+    * kernel's generated code is one call, constant-size in k·dim.
+    */
+  private def assignment(cs: Seq[(Long, Long, Seq[Long])]): Column =
+    // a corpus that empties down to ONE surviving cluster has a
+    // constant assignment
+    if (cs.size == 1) lit(cs.head._1)
+    else graft.functions.Cluster.kmeansArgmin(col("q"),
+      cs.map { case (c, n, s) => (c +: n +: s).toArray }.toArray)
 
-    // Training (init collect + `iters` Lloyd rounds, each ONE k×(dim+1)
-    // partial agg + k-row collect) is memoized per (input, params): the
-    // profile query consumes the same fit the assignment query just
-    // trained instead of re-paying the loop.
-    val cents = graft.Caches.memo("kmeans-cents",
+  /** The trained centroids as exact (cluster, n, per-dim sums): init
+    * collect + `iters` Lloyd rounds, each ONE k×(dim+1) partial agg +
+    * k-row collect. Memoized per (input, params): the profile and the
+    * streaming router consume the same fit the assignment query trained
+    * instead of re-paying the loop.
+    */
+  private[graft] def kmeansFit(emb: DataFrame, k: Int, iters: Int,
+                               scale: Int, idCol: String,
+                               vecCol: String): Seq[(Long, Long, Seq[Long])] = {
+    require(k >= 2, s"k-means needs k >= 2, got $k")
+    val q = quantized(emb, scale, idCol, vecCol)
+    val key = s"${emb.queryExecution.analyzed.semanticHash()}|s=$scale"
+    graft.Caches.memo("kmeans-cents",
         s"$key|k=$k|i=$iters") {
       // k-row bounded collect (same discipline as Similarity.kmeansCentroids)
       val initRows = q
@@ -110,7 +129,29 @@ object Clustering {
       }
       cs
     }
-    q.select(col("vec_id"), assignment(cents).as("cluster"))
+  }
+
+  /** Streaming cluster router: assign a STREAM of embeddings to the
+    * centroids trained on a batch corpus — the online face of
+    * cluster-stratified curation (route arriving documents to per-cluster
+    * sinks/quotas without re-training). Training happens (or is memo-hit)
+    * at stream-definition time on the batch side; the stream side is then
+    * a pure narrow projection — quantize + the [[graft.functions
+    * .KMeansArgmin]] kernel with the centroid matrix riding the plan as a
+    * reference object. No state store, no join, no shuffle: per-row
+    * routing at source parallelism, exactly what a 1000-executor ingest
+    * needs. Same exact-integer arithmetic as the batch E step, so a
+    * routed row agrees bit-for-bit with what [[kmeansAssign]] would say.
+    */
+  def kmeansRoute(stream: DataFrame, corpus: DataFrame, k: Int = 8,
+                  iters: Int = 2, scale: Int = 1000,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansFit(corpus, k, iters, scale, idCol, vecCol)
+    stream.select(col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * scale).cast("long")).as("q"))
+      .select(col("vec_id"), assignment(cents).as("cluster"))
   }
 
   /** Cluster-stratified sample: a deterministic quota of `perCluster`

@@ -95,6 +95,30 @@ class ClusteringSpec extends SparkSpec {
     assert(s.toSeq == again.toSeq)
   }
 
+  test("kmeansRoute assigns a stream bit-identically to the batch E step") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batch = Clustering.kmeansAssign(twoBlobs, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Long, Seq[Double])]
+    val routed = Clustering.kmeansRoute(
+      input.toDF().toDF("vec_id", "embedding"), twoBlobs, k = 2, iters = 2)
+    val q = routed.writeStream.format("memory").queryName("routed").start()
+    try {
+      // replay the corpus itself plus an unseen vector near blob B
+      input.addData(twoBlobs.collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1))) :+
+        (999L, Seq(0.92, 0.9, 0.89)))
+      q.processAllAvailable()
+      val out = spark.table("routed").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.size == 9)
+      assert(batch.forall { case (id, cl) => out(id) == cl },
+        s"stream routing must match batch assignment: $out vs $batch")
+      assert(out(999L) == batch(100L), s"unseen vector near blob B: $out")
+    } finally q.stop()
+  }
+
   test("kmeansProfile threads custom column names") {
     val renamed = twoBlobs.toDF("id", "vec", "lang")
     val p = Clustering.kmeansProfile(renamed, k = 2, iters = 2,
