@@ -1,7 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * CONTRACT FILE (SURVEY.md §7): the driver invokes `main(sfDir, outDir)`
+  * and reads `outDir/<name>.parquet` + `outDir/oracle_sql.json`. Changes
+  * must stay drop-in compatible with that call shape. The optional
+  * trailing query-name filter below is additive only — zero extra args
+  * (the driver's invocation) still dumps the full set. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (Array(sfDir, outDir), onlyArgs) = args.splitAt(2)
