@@ -60,4 +60,55 @@ class TablesSpec extends SparkSpec {
     assert(df.schema("ts").dataType === TimestampType)
     assert(df.limit(1).count() === 1L)
   }
+
+  // Early-warning drift guard, generalized from the round-9 break: the
+  // driver regenerates /root/testdata between rounds and has already
+  // changed a column's physical type once (events.ts). If regeneration
+  // drifts ANY table's loaded shape, fail HERE with the exact column —
+  // not as dozens of downstream query errors. Expected shapes are the
+  // post-`Tables.t`-normalization schemas as of round 10.
+  private val expectedSchemas = Map(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double",
+      "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"),
+    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      // raw NTZ passthrough (oracle-parity: DuckDB sees the same naive
+      // micros; only `events.ts` is normalized, because only it has
+      // SHIPPED in two different physical types)
+      "l_shipdate" -> "timestamp_ntz"),
+    "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+      "user_id" -> "bigint", "event_type" -> "string",
+      "value" -> "double", "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint",
+      "embedding" -> "array<float>", "label" -> "int"))
+
+  test("driver-generated tables keep their round-10 loaded schemas") {
+    val drift = expectedSchemas.toSeq.sortBy(_._1).flatMap {
+      case (name, expected) =>
+        val got = Tables.t(spark, sf001, name).schema.fields.toSeq
+          .map(f => f.name -> f.dataType.simpleString)
+        if (got == expected) None
+        else Some(s"$name: expected $expected, got $got")
+    }
+    assert(drift.isEmpty,
+      "testdata regeneration drifted these tables (update loaders AND " +
+        "oracles together):\n" + drift.mkString("\n"))
+  }
 }
