@@ -657,6 +657,29 @@ object TextQueries {
         |  CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*) AS avg_bytes,
         |  MIN(first_byte) AS min_first_byte,
         |  CAST(SUM(checksum) AS BIGINT) AS total_checksum
-        |FROM m GROUP BY source, mime ORDER BY source, mime""".stripMargin)
-    // text_fingerprint: custom rolling-hash expression -> rows-only.
+        |FROM m GROUP BY source, mime ORDER BY source, mime""".stripMargin,
+    // text_fingerprint oracle (r10, formerly rows-only): DuckDB replays the
+    // polynomial rolling hash (functions/texthash.scala `rollingHash`:
+    // h = (h*1000003 mod 2^61-1) + byte + 1, one conditional subtraction)
+    // exactly — HUGEINT holds the 81-bit product, list_reduce folds the
+    // byte stream, the prepended 0 is the kernel's h=0 seed. Byte values
+    // come from `ascii(char)`, which equals the UTF-8 byte ONLY for ASCII
+    // text — true for the generated corpus (asserted: octet_length ==
+    // length over all docs at every sf); a non-ASCII regeneration would
+    // surface here as a hash mismatch, which is the desired loud failure.
+    "text_fingerprint" -> {
+      def fp(s: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(1, length($s)+1),
+           |      i -> CAST(ascii($s[i:i]) AS BIGINT))),
+           |  (a, b) -> CAST(((CAST(a AS HUGEINT)*1000003)
+           |     % 2305843009213693951 + b + 1)
+           |     % 2305843009213693951 AS BIGINT))""".stripMargin
+      s"""WITH n AS (SELECT doc_id, text,
+        |  regexp_replace(lower(text), '\\s+', ' ', 'g') AS tn
+        |  FROM documents)
+        |SELECT doc_id, ${fp("text")} AS fp_raw,
+        |  ${fp("tn")} AS fp_normalized
+        |FROM n ORDER BY doc_id""".stripMargin
+    })
 }

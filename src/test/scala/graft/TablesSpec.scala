@@ -99,6 +99,17 @@ class TablesSpec extends SparkSpec {
     "embeddings" -> Seq("vec_id" -> "bigint",
       "embedding" -> "array<float>", "label" -> "int"))
 
+  test("documents text is pure ASCII (the text_fingerprint oracle assumes it)") {
+    // the DuckDB rolling-hash oracle reads bytes via ascii(char), which
+    // equals the UTF-8 byte only for ASCII — if a regeneration plants
+    // non-ASCII text, fail here with a count instead of as a hash mismatch
+    val nonAscii = Tables.t(spark, sf001, "documents")
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii === 0L,
+      s"$nonAscii documents contain non-ASCII text; rewrite the " +
+        "text_fingerprint oracle to fold real UTF-8 bytes")
+  }
+
   test("driver-generated tables keep their round-10 loaded schemas") {
     val drift = expectedSchemas.toSeq.sortBy(_._1).flatMap {
       case (name, expected) =>
