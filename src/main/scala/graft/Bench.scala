@@ -93,8 +93,12 @@ object Bench {
     // noise, not plan changes; normalize them away so a fingerprint
     // diff means the plan really moved.
 
-    /** Sort top-level ` AND ` (else ` OR `) operands inside every
-      * parenthesized group, recursively; paren-free text is untouched.
+    /** Sort top-level ` AND ` (else ` OR `, else ` = `) operands inside
+      * every parenthesized group, recursively; paren-free text is
+      * untouched. The ` = ` case is the r10 leak: canonicalization orders
+      * commutative EqualTo children by hashCode, and `static_invoke`
+      * operands carry identity hashes that vary per JVM — back-to-back
+      * identical runs printed `(x = STRING)` vs `(STRING = x)`.
       */
     def sortBool(str: String): String = {
       def topSplit(s: String, sep: String): Option[Seq[String]] = {
@@ -124,6 +128,11 @@ object Bench {
               val sorted = topSplit(inner, " AND ")
                 .map(_.sorted.mkString(" AND "))
                 .orElse(topSplit(inner, " OR ").map(_.sorted.mkString(" OR ")))
+                .orElse(topSplit(inner, " = ").map(_.sorted.mkString(" = ")))
+                // comparison DIRECTION is hash-ordered too (`a > b` prints
+                // as `b < a` in some JVMs) — rewrite to one direction
+                .orElse(topSplit(inner, " <= ").map(_.reverse.mkString(" >= ")))
+                .orElse(topSplit(inner, " < ").map(_.reverse.mkString(" > ")))
                 .getOrElse(inner)
               out.append('(').append(sorted).append(')'); i = j
             } else { out.append(s.substring(i)); i = s.length }
@@ -174,10 +183,14 @@ object Bench {
         // order, i.e. per JVM — normalize or typed-API plans never match
         .replaceAll("\\$\\$?Lambda\\$?\\d*/0x[0-9a-fA-F]+", "\\$\\$Lambda")
         .replaceAll("@[0-9a-fA-F]+", "@")
-        // cached-physical-plan volatiles (see block comment above)
+        // cached-physical-plan volatiles (see block comment above); the
+        // `*(N)` whole-stage-codegen ids depend on how many stages the JVM
+        // compiled before the cached frame was built — execution order, not
+        // plan shape
         .replaceAll("plan_id=\\d+", "plan_id=x")
         .replaceAll("QueryStage \\d+", "QueryStage x")
         .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+        .replaceAll("\\*\\(\\d+\\)", "*(x)")
       val s = sortBool(sortNamedArgs(s0, "multicommutativeop"))
       planDumpDir.foreach(d => java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$d/$name.txt"), s.getBytes("UTF-8")))
