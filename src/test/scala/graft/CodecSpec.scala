@@ -37,6 +37,48 @@ class CodecSpec extends SparkSpec {
     assert(out == payload)
   }
 
+  // The r10 hand-parsed gunzip (thread-reused Inflater) must keep every
+  // GZIPInputStream behavior: RFC 1952 flag fields, member concatenation,
+  // and loud failure on corruption/truncation.
+  test("gunzip handles header flag fields, concatenation, and corruption") {
+    import java.io.ByteArrayOutputStream
+    import java.util.zip.{Deflater, CRC32, ZipException}
+    val payload = "flagged content".getBytes("UTF-8")
+    // hand-build a member with FEXTRA + FNAME + FCOMMENT + FHCRC set
+    def member(body: Array[Byte]): Array[Byte] = {
+      val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(body); d.finish()
+      val buf = new Array[Byte](4096)
+      val n = d.deflate(buf); d.end()
+      val crc = new CRC32(); crc.update(body)
+      val out = new ByteArrayOutputStream()
+      out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, (4 | 8 | 16 | 2).toByte,
+        0, 0, 0, 0, 0, 0))
+      out.write(Array[Byte](3, 0)); out.write(Array[Byte](9, 9, 9)) // FEXTRA
+      out.write("name".getBytes); out.write(0) // FNAME
+      out.write("comment".getBytes); out.write(0) // FCOMMENT
+      out.write(Array[Byte](0x42, 0x42)) // FHCRC (value unchecked, as JDK)
+      out.write(buf, 0, n)
+      def le32(v: Long): Unit =
+        (0 to 3).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+      le32(crc.getValue); le32(body.length.toLong)
+      out.toByteArray
+    }
+    assert(GzipCodec.gunzip(member(payload)).toSeq == payload.toSeq)
+    // concatenated members decode to concatenated bodies (RFC 1952 §2.2)
+    val two = member(payload) ++ member("second".getBytes("UTF-8"))
+    assert(new String(GzipCodec.gunzip(two), "UTF-8") == "flagged contentsecond")
+    // corrupt CRC trailer must throw, not return garbage
+    val corrupt = member(payload)
+    corrupt(corrupt.length - 6) = (corrupt(corrupt.length - 6) ^ 0xff).toByte
+    intercept[ZipException](GzipCodec.gunzip(corrupt))
+    // truncated stream must throw
+    intercept[Exception](
+      GzipCodec.gunzip(member(payload).dropRight(9)))
+    // non-gzip bytes must throw the GZIPInputStream error
+    intercept[ZipException](GzipCodec.gunzip("plain".getBytes))
+  }
+
   test("null propagates (nullIntolerant)") {
     import spark.implicits._
     val out = Seq(Option.empty[Array[Byte]]).toDF("b")
