@@ -35,5 +35,7 @@ object GunzipProbe {
       in.close()
       out.toByteArray
     }
+
+    time("GzipCodec.gzip")(graft.functions.GzipCodec.gzip(payload))
   }
 }
