@@ -24,7 +24,7 @@ class CachesSpec extends SparkSpec {
     // memo registry shares the counter surface
     val vfam = s"$fam-memo"
     assert(Caches.memo(vfam, "k")(41) == 41)
-    assert(Caches.memo(vfam, "k")(sys.error("must not recompute")) == 41)
+    assert(Caches.memo[Int](vfam, "k")(sys.error("must not recompute")) == 41)
     assert(Caches.counters(vfam) == ((1L, 1L)))
   }
 }
