@@ -57,6 +57,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // same instants as Verify/the DuckDB oracle on any host zone — the
+      // TIMESTAMP_NTZ events read path casts wall-clock via the session zone
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // n>=2 passes over the whole query set: this box's wall-clock variance

@@ -24,8 +24,15 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    // Harmless for non-nanos files; required to even resolve a nanos schema.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The legacy conf is required for Spark to even RESOLVE a
+    // TIMESTAMP(NANOS) column, and it is consulted again at scan planning
+    // time (lazily, at the first action on the returned frame), so it
+    // cannot be set-and-restored around the read — for a nanos file it
+    // must persist for the session. Footer-based detection keeps that
+    // session mutation scoped to files that actually need it; for every
+    // other shape the loader now has no side effect at all.
+    if (tsIsParquetNanos(spark, dir))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType =>
@@ -36,6 +43,37 @@ object Tables {
       case other =>
         throw new IllegalStateException(s"events.ts: unsupported parquet type $other")
     }
+  }
+
+  /** True iff `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS) —
+    * read straight from one part file's footer with parquet-java, so the
+    * detection itself needs no session conf.
+    */
+  private def tsIsParquetNanos(spark: SparkSession, dir: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = root.getFileSystem(conf)
+    // `events.parquet` is either a single file (the driver's pyarrow
+    // writer) or a Spark-written directory of part files — one footer is
+    // authoritative either way (single-writer invariant).
+    val file = fs.listStatus(root).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet files under $root"))
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      schema.containsField("ts") && {
+        val t = schema.getType(schema.getFieldIndex("ts"))
+        t.isPrimitive && (t.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+      }
+    } finally reader.close()
   }
 
   /** Exact-decimal cast for money/ratio doubles.

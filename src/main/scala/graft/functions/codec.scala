@@ -40,20 +40,48 @@ object GzipCodec {
     (b(pos) & 0xffL) | ((b(pos + 1) & 0xffL) << 8) |
       ((b(pos + 2) & 0xffL) << 16) | ((b(pos + 3) & 0xffL) << 24)
 
-  /** End offset of the member header starting at `start` (RFC 1952). */
+  // Scratch output streams larger than this are replaced after use: the
+  // ThreadLocal lives as long as the pooled task thread, so one outlier
+  // multi-MB payload would otherwise pin that much heap per thread forever.
+  private val ScratchTrimBytes = 1 << 20
+
+  /** End offset of the member header starting at `start` (RFC 1952).
+    *
+    * Matches GZIPInputStream.readHeader exactly: every optional-field read
+    * is bounds-checked (truncation = EOFException, same as a truncated
+    * body), and FHCRC — when present — is verified against the low 16 bits
+    * of the CRC32 over the header bytes before it.
+    */
   private def headerEnd(b: Array[Byte], start: Int): Int = {
     if (b.length < start + 10 || b(start) != 0x1f.toByte ||
-        b(start + 1) != 0x8b.toByte || b(start + 2) != 8)
+        b(start + 1) != 0x8b.toByte)
       throw new java.util.zip.ZipException("Not in GZIP format")
+    if (b(start + 2) != 8)
+      throw new java.util.zip.ZipException("Unsupported compression method")
     val flg = b(start + 3)
     var pos = start + 10
+    def need(n: Int): Unit =
+      if (pos + n > b.length)
+        throw new java.io.EOFException("Unexpected end of ZLIB input stream")
     if ((flg & 4) != 0) { // FEXTRA
+      need(2)
       val xlen = (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8)
-      pos += 2 + xlen
+      pos += 2
+      need(xlen)
+      pos += xlen
     }
-    if ((flg & 8) != 0) { while (b(pos) != 0) pos += 1; pos += 1 } // FNAME
-    if ((flg & 16) != 0) { while (b(pos) != 0) pos += 1; pos += 1 } // FCOMMENT
-    if ((flg & 2) != 0) pos += 2 // FHCRC
+    if ((flg & 8) != 0) { while ({ need(1); b(pos) != 0 }) pos += 1; pos += 1 } // FNAME
+    if ((flg & 16) != 0) { while ({ need(1); b(pos) != 0 }) pos += 1; pos += 1 } // FCOMMENT
+    if ((flg & 2) != 0) { // FHCRC: JDK verifies it — so do we
+      need(2)
+      val crc = tlCrc.get() // safe: body CRC use starts (with a reset) only
+      crc.reset()           // after the member's headerEnd returns
+      crc.update(b, start, pos - start)
+      val got = (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8)
+      if (got != (crc.getValue & 0xffff).toInt)
+        throw new java.util.zip.ZipException("Corrupt GZIP header")
+      pos += 2
+    }
     pos
   }
 
@@ -63,10 +91,9 @@ object GzipCodec {
     val buf = tlBuf.get()
     val crc = tlCrc.get()
     out.reset()
-    var pos = 0
+    var pos = headerEnd(bytes, 0) // malformed FIRST header: always loud
     var more = true
     while (more) { // one iteration per gzip member (concatenation is legal)
-      pos = headerEnd(bytes, pos)
       inf.reset()
       inf.setInput(bytes, pos, bytes.length - pos)
       crc.reset()
@@ -84,9 +111,21 @@ object GzipCodec {
           le32(bytes, pos + 4) != ((out.size() - memberStart) & 0xffffffffL))
         throw new java.util.zip.ZipException("Corrupt GZIP trailer")
       pos += 8
-      more = pos + 10 <= bytes.length // another member follows?
+      // Concatenation leniency per GZIPInputStream.readTrailer: attempt a
+      // further member only when at least header(10)+trailer(8) bytes
+      // remain, and treat a malformed next header as trailing garbage
+      // (end of stream), not an error. Only the FIRST header is strict.
+      if (bytes.length - pos >= 18) {
+        try pos = headerEnd(bytes, pos)
+        catch {
+          case _: java.io.EOFException | _: java.util.zip.ZipException =>
+            more = false
+        }
+      } else more = false
     }
-    out.toByteArray
+    val res = out.toByteArray
+    if (out.size() > ScratchTrimBytes) tlOut.set(new ByteArrayOutputStream(8192))
+    res
   }
 
   // Compress side, same treatment (fresh GZIPOutputStream = native
@@ -128,7 +167,9 @@ object GzipCodec {
     var n = bytes.length.toLong
     i = 0
     while (i < 4) { out.write((n & 0xff).toInt); n >>= 8; i += 1 }
-    out.toByteArray
+    val res = out.toByteArray
+    if (out.size() > ScratchTrimBytes) tlZOut.set(new ByteArrayOutputStream(8192))
+    res
   }
 }
 

@@ -368,11 +368,15 @@ object BulkSink {
         .write.mode("overwrite").text(s"$outputDir/batch=$batchId")
       // empty-tick cleanup (see doc): a batch that produced no bulk lines
       // leaves a dir holding only commit markers — drop it so quiet
-      // streams don't accrete empty batch dirs
-      val dir = new java.io.File(s"$outputDir/batch=$batchId")
-      val hasBulks = Option(dir.listFiles).getOrElse(Array.empty)
-        .exists(f => f.getName.startsWith("part-") && f.length > 0)
-      if (!hasBulks) org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      // streams don't accrete empty batch dirs. Resolved through the
+      // session's Hadoop FileSystem so the invariant holds for any
+      // outputDir URI, not just local paths (java.io.File.listFiles
+      // returns null on e.g. hdfs:// and would silently keep every dir).
+      val hPath = new org.apache.hadoop.fs.Path(s"$outputDir/batch=$batchId")
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasBulks = fs.exists(hPath) && fs.listStatus(hPath)
+        .exists(f => f.getPath.getName.startsWith("part-") && f.getLen > 0)
+      if (!hasBulks) fs.delete(hPath, true)
     } catch {
       case e: Throwable =>
         val spark = batch.sparkSession

@@ -57,7 +57,12 @@ class CodecSpec extends SparkSpec {
       out.write(Array[Byte](3, 0)); out.write(Array[Byte](9, 9, 9)) // FEXTRA
       out.write("name".getBytes); out.write(0) // FNAME
       out.write("comment".getBytes); out.write(0) // FCOMMENT
-      out.write(Array[Byte](0x42, 0x42)) // FHCRC (value unchecked, as JDK)
+      // FHCRC: low 16 bits of the CRC32 over the header so far (JDK
+      // GZIPInputStream.readHeader verifies this — so does GzipCodec)
+      val hdr = out.toByteArray
+      val hcrc = new CRC32(); hcrc.update(hdr)
+      out.write((hcrc.getValue & 0xff).toInt)
+      out.write(((hcrc.getValue >> 8) & 0xff).toInt)
       out.write(buf, 0, n)
       def le32(v: Long): Unit =
         (0 to 3).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
@@ -65,9 +70,19 @@ class CodecSpec extends SparkSpec {
       out.toByteArray
     }
     assert(GzipCodec.gunzip(member(payload)).toSeq == payload.toSeq)
+    // a wrong FHCRC must throw (JDK: "Corrupt GZIP header")
+    val badHcrc = member(payload)
+    // FHCRC bytes sit right after the FCOMMENT terminator
+    val hcrcPos = 10 + 2 + 3 + 5 + 8
+    badHcrc(hcrcPos) = (badHcrc(hcrcPos) ^ 0xff).toByte
+    intercept[ZipException](GzipCodec.gunzip(badHcrc))
     // concatenated members decode to concatenated bodies (RFC 1952 §2.2)
     val two = member(payload) ++ member("second".getBytes("UTF-8"))
     assert(new String(GzipCodec.gunzip(two), "UTF-8") == "flagged contentsecond")
+    // trailing non-gzip garbage after the last member is silently ignored
+    // (JDK GZIPInputStream.readTrailer swallows a malformed next header)
+    val padded = member(payload) ++ Array.fill[Byte](32)(0x55)
+    assert(GzipCodec.gunzip(padded).toSeq == payload.toSeq)
     // corrupt CRC trailer must throw, not return garbage
     val corrupt = member(payload)
     corrupt(corrupt.length - 6) = (corrupt(corrupt.length - 6) ^ 0xff).toByte
@@ -75,8 +90,38 @@ class CodecSpec extends SparkSpec {
     // truncated stream must throw
     intercept[Exception](
       GzipCodec.gunzip(member(payload).dropRight(9)))
+    // truncation INSIDE an optional header field must be the same loud
+    // EOFException as a truncated body, not ArrayIndexOutOfBounds
+    val hdrOnly = member(payload).take(14) // cut mid-FNAME scan
+    intercept[java.io.EOFException](GzipCodec.gunzip(hdrOnly))
     // non-gzip bytes must throw the GZIPInputStream error
     intercept[ZipException](GzipCodec.gunzip("plain".getBytes))
+  }
+
+  test("gunzip/JDK parity on lenient and strict edges") {
+    // Differential check against GZIPInputStream on the exact edge cases
+    // the hand parser re-implements.
+    import java.util.zip.GZIPInputStream
+    def jdk(b: Array[Byte]): Array[Byte] = {
+      val in = new GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var k = in.read(buf)
+      while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
+      out.toByteArray
+    }
+    val body = "parity".getBytes("UTF-8")
+    val base = GzipCodec.gzip(body)
+    // trailing garbage of assorted lengths: JDK ignores; so must we
+    for (pad <- Seq(1, 9, 17, 18, 26, 100)) {
+      val padded = base ++ Array.fill[Byte](pad)(0x21)
+      assert(jdk(padded).toSeq == body.toSeq)
+      assert(GzipCodec.gunzip(padded).toSeq == body.toSeq)
+    }
+    // a VALID concatenated member is decoded by both
+    val twice = base ++ base
+    assert(jdk(twice).toSeq == (body ++ body).toSeq)
+    assert(GzipCodec.gunzip(twice).toSeq == (body ++ body).toSeq)
   }
 
   test("null propagates (nullIntolerant)") {

@@ -61,6 +61,25 @@ class TablesSpec extends SparkSpec {
     assert(df.limit(1).count() === 1L)
   }
 
+  test("events loader has no session side effect for non-nanos files") {
+    // VERDICT r10 #3: the loader used to set
+    // spark.sql.legacy.parquet.nanosAsLong unconditionally — a global
+    // mutation inside a table loader. It is now footer-gated: loading any
+    // non-TIMESTAMP(NANOS) events file must leave the conf untouched, so
+    // other readers in the same session are unaffected.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key) // back to the registered default ("false")
+    Tables.events(spark, sf001).limit(1).count()        // driver NTZ shape
+    assert(spark.conf.get(key) === "false")
+    val dir = tmp("plain-long")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(micros.map(m => Row(m * 1000L)), 1),
+        StructType(Seq(StructField("ts", LongType))))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Tables.events(spark, dir).limit(1).count()          // plain-int64 shape
+    assert(spark.conf.get(key) === "false")
+  }
+
   // Early-warning drift guard, generalized from the round-9 break: the
   // driver regenerates /root/testdata between rounds and has already
   // changed a column's physical type once (events.ts). If regeneration
