@@ -254,6 +254,140 @@ object DedupQueries {
     "dedup_embed_cosine" -> cosineSql,
     "dedup_clusters" -> clustersSql,
     // same reachability oracle: both component algorithms must agree with it
-    "dedup_clusters_star" -> clustersSql)
-    // dedup_simhash: xxhash64-based, not SQL-expressible -> rows-only.
+    "dedup_clusters_star" -> clustersSql,
+    "dedup_simhash" -> SimhashOracle.pairsSql)
+}
+
+/** DuckDB replay of [[graft.functions.SimHash64]] — the r10
+  * `text_fingerprint` conversion template applied to SimHash (VERDICT r10
+  * ask #2): the oracle recomputes Spark's exact per-token XXH64 (seed 42,
+  * the `xxhash64` kernel of `functions/texthash.scala:27`) with HUGEINT
+  * mod-2^64 arithmetic, takes the per-bit majority vote, and emits all
+  * pairs at Hamming distance <= 3 by brute force — independently of the
+  * engine's chunk-LSH search path, so the oracle also re-proves the
+  * pigeonhole completeness argument of `Dedup.simhashPairs`.
+  *
+  * Two corpus facts the replay relies on, both drift-guarded in
+  * TablesSpec: text is pure ASCII (`ascii(char)` = UTF-8 byte) and every
+  * whitespace token is < 32 bytes (tokens at or above 32 bytes enter
+  * XXH64's 4-lane stripe loop, which this SQL does not unroll).
+  *
+  * SQL-generation notes: DuckDB has no 64-bit wrap-around arithmetic
+  * (BIGINT/UBIGINT overflow is an error), so every multiply routes
+  * through HUGEINT with an explicit `% 2^64`, split so no intermediate
+  * exceeds 2^127. Let-bindings are emulated with single-element
+  * `list_transform([expr], v -> body)[1]` so each intermediate is bound
+  * to a lambda variable once — naive textual substitution would grow the
+  * SQL exponentially across the hash's sequential steps.
+  */
+private[queries] object SimhashOracle {
+  private val T = "18446744073709551616" // 2^64
+  private val P1 = "11400714785074694791"
+  private val P2 = "14029467366897019727"
+  private val P3 = "1609587929392839161"
+  private val P4 = "9650029242287828579"
+  private val P5 = "2870177450012600261"
+
+  /** Bind `expr` to variable `v` inside `body`. */
+  private def let(expr: String, v: String, body: String): String =
+    s"list_transform([$expr], $v -> $body)[1]"
+
+  /** a*b mod 2^64. `a` MUST be a bound variable (referenced 3x); `b` a
+    * literal. Split form: a*b = (a%2^32)*b + ((a/2^32)*(b%2^32) mod 2^32)<<32,
+    * keeping every intermediate under 2^96 (fits HUGEINT).
+    */
+  private def mul(a: String, b: String): String =
+    s"CAST(((CAST($a % 4294967296 AS HUGEINT) * $b) % $T + " +
+      s"CAST(((($a // 4294967296) * ($b % 4294967296)) % 4294967296)" +
+      s" * 4294967296 AS HUGEINT)) % $T AS UBIGINT)"
+
+  /** rotl(a, r) for a bound variable `a` (referenced 2x). */
+  private def rotl(a: String, r: Int): String =
+    s"(CAST((CAST($a AS HUGEINT) * ${1L << r}) % $T AS UBIGINT)" +
+      s" | ($a >> ${64 - r}))"
+
+  private def add(a: String, b: String): String =
+    s"CAST((CAST($a AS HUGEINT) + $b) % $T AS UBIGINT)"
+
+  private def xor(a: String, b: String): String = s"xor($a, $b)"
+
+  /** Little-endian 8-byte word of byte list `bv` at 1-based offset expr. */
+  private def word(base: String): String =
+    (0 until 8).map(j => s"bv[$base + ${j + 1}] * ${1L << (8 * j)}")
+      .mkString("(", " + ", ")")
+
+  /** Full XXH64(seed=42) of token variable `tv`'s ASCII bytes — the
+    * <32-byte path (stripe loop unreachable under the token-length guard).
+    */
+  private def tokenHash(tv: String): String = {
+    val bytesExpr = s"list_transform(range(1, length($tv)+1)," +
+      s" ii -> CAST(ascii($tv[ii:ii]) AS UBIGINT))"
+    val h0 = s"CAST((CAST($P5 AS HUGEINT) + 42 + nv) % $T AS UBIGINT)"
+    val words = s"list_transform(range(0, nv // 8), jj -> ${word("8*jj")})"
+    val step8 =
+      let(mul("w8", P2), "t1",
+        let(rotl("t1", 31), "t2",
+          let(mul("t2", P1), "t3",
+            let(xor("ac8", "t3"), "u0",
+              let(rotl("u0", 27), "u1",
+                add(mul("u1", P1), P4))))))
+    val fold8 = s"list_reduce(list_prepend(hv, wv), (ac8, w8) -> $step8)"
+    val w4 = (0 until 4).map(j => s"bv[8*(nv//8) + ${j + 1}] * ${1L << (8 * j)}")
+      .mkString("(", " + ", ")")
+    val step4 =
+      let(w4, "w4v",
+        let(mul("w4v", P1), "s1",
+          let(xor("g1", "s1"), "s2",
+            let(rotl("s2", 23), "s3",
+              add(mul("s3", P2), P3)))))
+    val tail4 = s"CASE WHEN nv % 8 >= 4 THEN $step4 ELSE g1 END"
+    val bstep =
+      let(mul("bb", P5), "q1",
+        let(xor("ac1", "q1"), "q2",
+          let(rotl("q2", 11), "q3",
+            mul("q3", P1))))
+    val tailBytes =
+      "bv[8*(nv//8) + (CASE WHEN nv % 8 >= 4 THEN 4 ELSE 0 END) + 1 : nv]"
+    val foldb = s"list_reduce(list_prepend(g2, $tailBytes), (ac1, bb) -> $bstep)"
+    val fmix =
+      let(xor("g3", "(g3 >> 33)"), "f1",
+        let(mul("f1", P2), "f2",
+          let(xor("f2", "(f2 >> 29)"), "f3",
+            let(mul("f3", P3), "f4",
+              xor("f4", "(f4 >> 32)")))))
+    let(bytesExpr, "bv",
+      let("len(bv)", "nv",
+        let(h0, "hv",
+          let(words, "wv",
+            let(fold8, "g1",
+              let(tail4, "g2",
+                let(foldb, "g3", fmix)))))))
+  }
+
+  /** 64-bit SimHash of a text column expr: per-bit strict-majority vote
+    * over the token hashes (ties -> 0, as the kernel's `votes(b) > 0`).
+    */
+  private def simhashExpr(s: String): String = {
+    val hashes =
+      s"list_transform(string_split($s, ' '), tkv -> ${tokenHash("tkv")})"
+    val bits = (0 until 64).map { b =>
+      s"(CASE WHEN 2*len(list_filter(hs, hh -> ((hh >> $b) & 1) = 1)) > ntok" +
+        s" THEN CAST(${java.lang.Long.toUnsignedString(1L << b)} AS UBIGINT)" +
+        s" ELSE CAST(0 AS UBIGINT) END)"
+    }.mkString("(", " + ", ")")
+    let(hashes, "hs", let("len(hs)", "ntok", bits))
+  }
+
+  val pairsSql: String =
+    s"""WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 100 = 0),
+      |sims AS (SELECT doc_id, ${simhashExpr("text")} AS sim FROM aug)
+      |SELECT a.doc_id AS da, b.doc_id AS db,
+      |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+      |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+      |ORDER BY da, db""".stripMargin
 }

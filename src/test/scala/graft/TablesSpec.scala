@@ -129,6 +129,20 @@ class TablesSpec extends SparkSpec {
         "text_fingerprint oracle to fold real UTF-8 bytes")
   }
 
+  test("documents tokens stay under 32 bytes (the dedup_simhash oracle assumes it)") {
+    // the DuckDB XXH64 replay implements only the <32-byte path (tokens at
+    // or above 32 bytes enter the 4-lane stripe loop it does not unroll);
+    // max observed token across sf0.001/0.01/0.1 is 8 bytes — if a
+    // regeneration plants long tokens, fail here with the count instead of
+    // as a dedup_simhash hash mismatch
+    val longToks = Tables.t(spark, sf001, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(octet_length(col("tok")) >= 32).count()
+    assert(longToks === 0L,
+      s"$longToks tokens >= 32 bytes; extend the dedup_simhash oracle " +
+        "with XXH64's stripe loop before trusting its hashes")
+  }
+
   test("driver-generated tables keep their round-10 loaded schemas") {
     val drift = expectedSchemas.toSeq.sortBy(_._1).flatMap {
       case (name, expected) =>
