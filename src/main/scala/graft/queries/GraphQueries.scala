@@ -30,27 +30,47 @@ object GraphQueries {
     * ONE aggregation on dst. Nodes travel as LONGS (even = 2·custkey,
     * odd = 2·suppkey+1; the c…/s… labels materialize only at output), so
     * every shuffle, sort, and hash runs on fixed-width keys. The edge
-    * relation is built once, hash-partitioned on src, and persisted through
-    * the scoped `Caches` registry — `persist` (unlike `localCheckpoint`)
-    * keeps the plan's outputPartitioning, so the degree aggregate, the
-    * degree join, AND each iteration's edge side are all exchange-free.
+    * relation is built once and STAGED as a catalog table BUCKETED on
+    * `src` (r11; the `q_bucketed_join` machinery) with bucket count =
+    * the session's shuffle partitions: the bucketed parquet scan reports
+    * hash partitioning on src to the planner, so the degree/initial-score
+    * aggregates and every iteration's edge side are exchange-free — and,
+    * unlike the previous DISK_ONLY cache, warm passes re-read a
+    * vectorized columnar scan instead of deserializing InMemoryRelation
+    * blocks (which was this query's dominant GC source, BENCH_FULL_r10
+    * gc2 = 2.09 s).
     *
     * The score side is exchange-free too: iteration N's scores leave the
-    * dst-aggregation hash-partitioned on `node`, which is exactly the
-    * co-partitioning the next iteration's `src === node` join needs against
-    * the src-partitioned edge cache. A SHUFFLE_HASH hint keeps AQE from
+    * dst-aggregation hash-partitioned on `node` with shuffle-partition
+    * fan-out equal to the bucket count, which is exactly the
+    * co-partitioning the next iteration's `src === node` join needs
+    * against the bucketed edge scan. A SHUFFLE_HASH hint keeps AQE from
     * demoting that to a per-round broadcast (at test scale the score table
     * is tiny, so AQE would collect it to the driver and rebroadcast EVERY
     * iteration — a plan that dies at real node counts; the hinted shuffled
     * hash join instead builds a partition-local map from score rows already
-    * sitting in place, no driver round-trip, no exchange on either side —
-    * the co-bucketed shape q_bucketed_join proves, without the catalog).
+    * sitting in place, no driver round-trip, no exchange on either side).
+    *
     * Per iteration the ONLY exchange is the dst-aggregation's — PageRank's
-    * scatter step, where contribution rows genuinely change key. A fixed
-    * iteration count keeps plan depth constant.
+    * scatter step, where contribution rows genuinely change key
+    * (src-partitioned to dst-partitioned). That exchange is NOT deletable
+    * by any layout choice: PageRank is a sparse matrix–vector multiply,
+    * and moving each partial score sum from the partition owning the edge
+    * to the partition owning its destination IS the algorithm's
+    * communication — a lower bound, not an artifact (what the map-side
+    * partial aggregate already minimizes: at most partitions × distinct
+    * dst rows cross the wire, never the edge count). SURVEY §9's earlier
+    * "bucket edges on src to delete the remaining score exchange" claimed
+    * more than that; corrected there. A fixed iteration count keeps plan
+    * depth constant.
     */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val withDeg = graft.Caches.cached("pagerank", dir) {
+    // bucket count must equal the session's shuffle fan-out or the score
+    // side loses co-partitioning (and with it the exchange-free join)
+    val buckets = spark.sessionState.conf.numShufflePartitions
+    graft.Caches.stagedPath("pagerank_edges",
+        s"$dir@$buckets@${System.identityHashCode(spark)}") { loc =>
+      spark.sql("DROP TABLE IF EXISTS graft_pr_edges_bkt")
       val li = t(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
       val ord = t(spark, dir, "orders")
@@ -61,10 +81,15 @@ object GraphQueries {
         .distinct()
       val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
         .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-        .repartition(col("src"))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // repartition on the bucket key first: bucket hashing and repartition
+      // hashing agree, so each bucket lands in exactly one file
       edges.join(deg, "src")
+        .repartition(buckets, col("src"))
+        .write.bucketBy(buckets, "src")
+        .option("path", s"$loc/edges").saveAsTable("graft_pr_edges_bkt")
     }
+    val withDeg = spark.table("graft_pr_edges_bkt")
     var score = withDeg.select(col("src").as("node")).distinct()
       .withColumn("score", lit(1000000000000L))
     for (_ <- 1 to 3) {

@@ -76,9 +76,23 @@ class GraphSpec extends SparkSpec {
     assert(!loop.exists(_.isInstanceOf[BroadcastExchangeLike]),
       "iteration joins must not broadcast the score side")
     // the only shuffles left: 3 scatter aggregations (contribution rows
-    // genuinely change key from src to dst) + the final presentation sort
+    // genuinely change key from src to dst) + the final presentation sort.
+    // The scatter exchange itself is PageRank's inherent SpMV
+    // communication — no layout deletes it (see qPagerank Scaladoc)
     assert(loop.count(_.isInstanceOf[ShuffleExchangeLike]) == 4,
       "loop must carry exactly 3 scatter exchanges + 1 final sort exchange")
+    // r11: the edge side is a BUCKETED catalog scan (4 reads: 3 iteration
+    // joins + the initial-score distinct), reporting hash partitioning on
+    // src straight from the layout — no cache deserialization, no
+    // edge-side exchange anywhere
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val bucketedScans = loop.collect {
+      case f: FileSourceScanExec if f.bucketedScan => f
+    }
+    assert(bucketedScans.size == 4,
+      s"expected 4 bucketed edge scans, got ${bucketedScans.size}")
+    assert(!loop.exists(_.getClass.getSimpleName.contains("InMemoryTableScan")),
+      "edge relation must come from the bucketed table, not a cache")
   }
 
   test("star join: filters pushed, dimensions broadcast, values consistent") {
