@@ -224,25 +224,18 @@ object Dedup {
         .as("sig"))
   }
 
-  /** Banded LSH candidate pairs, exact-verified.
-    *
-    * bands x rowsPerBand = numHashes. With 16 bands of 2 rows, a pair at
-    * Jaccard 0.6 is caught with prob 1-(1-0.6^2)^16 ~ 0.999 — high recall at
-    * the verification threshold, and the exact-Jaccard verify step removes
-    * every false positive, so the output equals [[ngramJaccardPairs]] with
-    * near-certainty (the oracle checks exactly that).
-    *
-    * Scale: signatures are 1 row/doc; candidates come from grouping by
-    * (band, band-hash) — a bounded-key shuffle; no full cross join anywhere.
+  /** Banded signatures, small-bucket-cut: (id, band, bh) rows for every
+    * doc×band whose bucket holds <= [[maxBucketSize]] members. Shared by
+    * the batch pair search and the stored streaming index ([[writeLshIndex]]).
+    * Cached because the bucket-size cut and both sides of the candidate
+    * self-join each consume the banded signatures (Spark would otherwise
+    * recompute the signature aggregation once per consumer).
     */
-  def minhashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
-                      bands: Int = 16, threshold: Double = 0.6): DataFrame = {
+  private[operators] def lshInBuckets(docs: DataFrame, k: Int,
+                                      numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val key = s"${docs.queryExecution.analyzed.semanticHash()}" +
       s"|k=$k|h=$numHashes|b=$bands"
-    // cached: the bucket-size cut and both sides of the candidate self-join
-    // below each consume the banded signatures (Spark would otherwise
-    // recompute the signature aggregation once per consumer)
     val bucketed = graft.Caches.cached("dedup-lsh-buckets", key) {
       val sig = minhashSignatures(docs, k, numHashes)
       val bandCols = (0 until bands).map { b =>
@@ -256,7 +249,23 @@ object Dedup {
     val smallBuckets = bucketed.groupBy("band", "bh")
       .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucketSize)
       .select("band", "bh")
-    val inBuckets = bucketed.join(smallBuckets, Seq("band", "bh"))
+    bucketed.join(smallBuckets, Seq("band", "bh"))
+  }
+
+  /** Banded LSH candidate pairs, exact-verified.
+    *
+    * bands x rowsPerBand = numHashes. With 16 bands of 2 rows, a pair at
+    * Jaccard 0.6 is caught with prob 1-(1-0.6^2)^16 ~ 0.999 — high recall at
+    * the verification threshold, and the exact-Jaccard verify step removes
+    * every false positive, so the output equals [[ngramJaccardPairs]] with
+    * near-certainty (the oracle checks exactly that).
+    *
+    * Scale: signatures are 1 row/doc; candidates come from grouping by
+    * (band, band-hash) — a bounded-key shuffle; no full cross join anywhere.
+    */
+  def minhashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
+                      bands: Int = 16, threshold: Double = 0.6): DataFrame = {
+    val inBuckets = lshInBuckets(docs, k, numHashes, bands)
     val candidates = inBuckets.as("a")
       .join(inBuckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -268,6 +277,102 @@ object Dedup {
     // arrays — O(candidates) — not from a corpus-wide pair generation that
     // would make the LSH screen pointless).
     verifiedJaccard(candidates, docs, k, threshold)
+  }
+
+  // -------------------------------------------------------------------------
+  // Streaming near-dup routing (stored LSH index + per-arrival screen)
+  // -------------------------------------------------------------------------
+
+  /** Persist the corpus-side LSH index for [[minhashRoute]]: three parquet
+    * tables under `dir` —
+    *  - `buckets`: the small-bucket-cut banded signatures (id, band, bh),
+    *    exactly [[lshInBuckets]] (so the stream search space IS the batch
+    *    search space);
+    *  - `arrays`: per-doc sorted kept-shingle arrays (id, sa, n) for
+    *    in-row exact verification;
+    *  - `stop`: the df-cut stop shingles (df > [[maxBucketSize]]) so an
+    *    arriving doc can reproduce the batch kept-set without the corpus.
+    *
+    * A production rebuild would publish these through the
+    * [[graft.sources.LogStore]] manifest commit for snapshot isolation
+    * (proven by the sketch-store tier); the index layout itself is the
+    * deliverable here.
+    */
+  def writeLshIndex(docs: DataFrame, dir: String, k: Int = 3,
+                    numHashes: Int = 32, bands: Int = 16): Unit = {
+    lshInBuckets(docs, k, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    docShingleArrays(docs, k).write.mode("overwrite").parquet(s"$dir/arrays")
+    shingles(docs, k).groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBucketSize).select("shingle")
+      .write.mode("overwrite").parquet(s"$dir/stop")
+  }
+
+  /** Streaming near-dup screen — the [[graft.operators.Clustering.kmeansRoute]]
+    * analog for MinHash-LSH: flags each ARRIVING doc's near-duplicates in a
+    * stored corpus without touching the corpus itself.
+    *
+    * Per arriving doc, everything up to the bucket probe is IN-ROW
+    * (codegen'd, source-parallel): distinct k-word shingles via the
+    * [[graft.functions.WordShingles]] expression, the corpus stop-shingle
+    * cut as an `array_except` against one broadcast stop-array row (the
+    * stop list is bounded by postings/[[maxBucketSize]] BY CONSTRUCTION —
+    * the df cut is what makes broadcasting it legitimate at scale; swap in
+    * a Bloom filter when even that bound is too wide), the `numHashes`
+    * seeded-xxhash64 minima via `array_min(transform(...))` — bit-identical
+    * to the batch [[minhashSignatures]] aggregation — and the band keys.
+    * Then ONE stream-static equi-join against the stored `buckets` table
+    * finds candidates, and verification is again in-row: exact Jaccard
+    * from `array_intersect` against the stored per-doc arrays. No state
+    * store, no stream-stream join, no corpus scan per batch.
+    *
+    * Emits (da, db, jaccard) with da < db, deduplicated per micro-batch —
+    * run under `foreachBatch` (like every store-consuming sink here) so the
+    * dedup is per-batch, not unbounded stream state. Replaying the corpus
+    * through the stream yields exactly the batch [[minhashLshPairs]] pair
+    * set (StateAndStoreSpec proves it): same kept-sets, same signatures,
+    * same small-bucket search space, same verification arithmetic.
+    */
+  def minhashRoute(arrivals: DataFrame, indexDir: String, k: Int = 3,
+                   numHashes: Int = 32, bands: Int = 16,
+                   threshold: Double = 0.6, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val spark = arrivals.sparkSession
+    val rows = numHashes / bands
+    val buckets = spark.read.parquet(s"$indexDir/buckets")
+    val arrays = spark.read.parquet(s"$indexDir/arrays")
+    val stopArr = spark.read.parquet(s"$indexDir/stop")
+      .agg(sort_array(collect_list(col("shingle"))).as("stopa"))
+    val kept = arrivals
+      .select(col(idCol).cast("long").as("sid"), col(textCol).as("text"))
+      .crossJoin(broadcast(stopArr))
+      .select(col("sid"),
+        array_except(graft.functions.gcolumns.word_shingles(col("text"), k),
+          col("stopa")).as("kept"))
+      .filter(size(col("kept")) > 0) // no kept shingles -> no batch signature
+    val sig = kept.select(col("sid"), col("kept"),
+      array((0 until numHashes).map(i =>
+        array_min(transform(col("kept"), s => xxhash64(lit(i), s)))): _*)
+        .as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bh"))
+    }
+    val banded = sig
+      .select(col("sid"), col("kept"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("sid"), col("kept"),
+        col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = banded.join(buckets, Seq("band", "bh"))
+      .filter(col("id") =!= col("sid"))
+      .select(col("sid"), col("kept"), col("id"))
+      .dropDuplicates("sid", "id")
+    cand.join(arrays, "id")
+      .withColumn("inter", size(array_intersect(col("kept"), col("sa"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("kept")) + col("n") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("sid"), col("id")).as("da"),
+        greatest(col("sid"), col("id")).as("db"), col("jaccard"))
   }
 
   // -------------------------------------------------------------------------

@@ -382,6 +382,47 @@ class StateAndStoreSpec extends SparkSpec {
     assert(LogStore.vacuum(spark, dir).isEmpty)
   }
 
+  test("minhashRoute: replayed stream flags exactly the batch LSH pair set") {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    val docs = Tables.t(spark, sf001, "documents")
+    // batch ground truth on the same corpus
+    val batchPairs = Dedup.minhashLshPairs(docs, k = 3, numHashes = 32,
+        bands = 16, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchPairs.nonEmpty, "corpus must contain seeded near-dups")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+    Dedup.writeLshIndex(docs, dir)
+    // replay the corpus through a MemoryStream in two micro-batches,
+    // routing each batch against the stored index under foreachBatch
+    // (the operator's documented deployment shape)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Dedup.minhashRoute(batch, dir).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+        ()
+      }.start()
+    try {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1)
+      q.processAllAvailable()
+      input.addData(h2)
+      q.processAllAvailable()
+    } finally q.stop()
+    // every unordered pair is flagged from BOTH endpoints' arrivals with
+    // the same exact-Jaccard value, so the distinct set equals batch
+    assert(got.toSet == batchPairs,
+      s"stream: ${got.toSet.toSeq.sorted}\nbatch: ${batchPairs.toSeq.sorted}")
+  }
+
   test("salted join equals plain join") {
     val li = Tables.t(spark, sf001, "lineitem").select("l_orderkey", "l_quantity")
     val ord = Tables.t(spark, sf001, "orders").select("o_orderkey", "o_orderpriority")
