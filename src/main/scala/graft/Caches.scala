@@ -8,12 +8,21 @@ import org.apache.spark.storage.StorageLevel
   * every invocation and nothing ever unpersisted, so a long-lived session
   * accreted cached partitions).
   *
-  * One live entry per family: requesting a new key under the same family
-  * unpersists the previous frame first, so the session holds at most one
-  * cached corpus per family no matter how many (sf, params) combinations a
-  * long-lived server sees. Same-key requests return the SAME persisted
-  * instance, so the "Asked to cache already cached data" re-persist warnings
-  * disappear too.
+  * BOUNDED live entries per family: requesting a key under a family at
+  * capacity unpersists the least-recently-used frame first, so the session
+  * holds at most [[Caches.frameCapacity]] cached corpora per family no
+  * matter how many (sf, params) combinations a long-lived server sees.
+  * Same-key requests return the SAME persisted instance, so the "Asked to
+  * cache already cached data" re-persist warnings disappear too.
+  *
+  * Capacity is 2, not 1, since r11: the flagship curation pipeline runs
+  * the near-dup/contamination index families over its post-dedup CURATED
+  * frame while the dedup_* and text_contaminate* queries run them over the
+  * RAW corpus — a genuine two-corpus working set, interleaved by the
+  * bench's alphabetical order. At capacity 1 each switch evicted the other
+  * corpus's index and every warm pass re-paid both builds; at 2 both stay
+  * resident (frames are DISK_ONLY, so the residency cost is scratch disk,
+  * not heap — see the storage-level note below).
   */
 object Caches {
   // DISK_ONLY: read cost measured equivalent to MEMORY_AND_DISK(_SER) here
@@ -27,8 +36,10 @@ object Caches {
   // with zero cache misses). Keeping shared corpus frames off-heap trades a
   // page-cache read for a quiet heap — the same call a real executor makes
   // when cached partitions compete with task memory.
+  /** Max resident frames per family (most-recently-used first). */
+  val frameCapacity = 2
   private val live =
-    scala.collection.mutable.Map.empty[String, (String, DataFrame)]
+    scala.collection.mutable.Map.empty[String, List[(String, DataFrame)]]
 
   // Bench-visible hit/miss/evict counters (VERDICT r9 #3: a warm pass that
   // is SLOWER than cold smells like a silent cache eviction — make
@@ -48,18 +59,23 @@ object Caches {
     }.toMap
   }
 
-  /** The cached frame for (family, key), building + persisting on first use.
-    * A key change within a family evicts the predecessor.
+  /** The cached frame for (family, key), building + persisting on first
+    * use. A miss at family capacity evicts the least-recently-used entry.
     */
   def cached(family: String, key: String)(build: => DataFrame): DataFrame =
     synchronized {
-      live.get(family) match {
-        case Some((k, df)) if k == key => bump(hits, family); df
-        case prev =>
-          prev.foreach(_._2.unpersist(blocking = false))
+      val entries = live.getOrElse(family, Nil)
+      entries.find(_._1 == key) match {
+        case Some((_, df)) =>
+          bump(hits, family)
+          live(family) = (key, df) :: entries.filterNot(_._1 == key)
+          df
+        case None =>
           bump(misses, family)
           val df = build.persist(StorageLevel.DISK_ONLY)
-          live(family) = (key, df)
+          val all = (key, df) :: entries
+          all.drop(frameCapacity).foreach(_._2.unpersist(blocking = false))
+          live(family) = all.take(frameCapacity)
           df
       }
     }
@@ -129,7 +145,7 @@ object Caches {
     * session shutdown).
     */
   def clear(): Unit = synchronized {
-    live.values.foreach(_._2.unpersist(blocking = false))
+    live.values.flatten.foreach(_._2.unpersist(blocking = false))
     live.clear()
     livePaths.values.foreach { case (_, p) => deleteTree(p) }
     livePaths.clear()

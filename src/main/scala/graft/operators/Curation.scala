@@ -531,6 +531,74 @@ object Curation {
         sum(col("n_rare")).as("sum_rare"))
   }
 
+  /** The FLAGSHIP end-to-end curation pipeline — every curation tier the
+    * engine verifies one by one, composed into the single pass a
+    * pretraining corpus actually runs, with the packing manifest as the
+    * product (any keep/drop or token-count divergence anywhere in the
+    * chain shifts the manifest, so one hash-exact oracle proves the whole
+    * composition):
+    *
+    *   1. normalize  — [[normalizeDocs]] (control-strip, NFC, whitespace
+    *      collapse) so mess-only variants of the same page hash as equals;
+    *   2. quality floor — minimum whitespace-token count, narrow, applied
+    *      BEFORE any shuffle so the dedup exchanges only move survivors;
+    *   3. exact dedup — min-id keeper per content hash ([[curatedStats]]'
+    *      window shape: one exchange on md5(text), every column kept);
+    *   4. near-dup screen — [[Dedup.ngramJaccardPairs]] at the Jaccard
+    *      threshold; the LARGER id of each verified pair drops;
+    *   5. contamination screen — [[contamination]] against the held-out
+    *      id slice (`doc_id % benchMod == 0`): flagged corpus docs drop,
+    *      and the bench slice itself is excluded from the corpus;
+    *   6. pack — [[packSequences]] lays the final keep set out into
+    *      training sequences.
+    *
+    * Cache composition is the point: steps 4 and 5 call into the SAME
+    * df-cut shingle index ([[Dedup.keptShingles]] /
+    * [[Dedup.docShingleArrays]]) over the SAME post-dedup frame, so the
+    * index builds ONCE and every later consumer hits the scoped cache
+    * (CurationSpec pins the counters: one miss per shingle family, hits
+    * from then on). No orchestrator, no handoff files — the stages are
+    * ordinary DataFrames and the scoped [[graft.Caches]] registry is the
+    * only shared state.
+    *
+    * Scale: the narrow stages (normalize, floor) run first and fuse into
+    * the scan; the dedup window shuffles once on the content hash; the
+    * near-dup/contamination tiers inherit the bounded-key index shapes
+    * (df cut, prefix filter, candidate-only verification); the two drop
+    * sets are O(duplicates) and O(contaminated) — tiny — so both screens
+    * apply as broadcast anti-joins; packing shuffles the slim (id, shard,
+    * tokens) projection only. Nothing here moves document text through an
+    * exchange except the one dedup window, same as [[curatedStats]].
+    */
+  def curatePipeline(docs: DataFrame, minTokens: Int = 20, k: Int = 3,
+                     nearThreshold: Double = 0.6, benchMod: Int = 97,
+                     minOverlap: Int = 3, budgetTokens: Int = 2048,
+                     shards: Int = 8): DataFrame = {
+    val normed = normalizeDocs(docs).select(col("doc_id"),
+      col("norm").as("text"))
+    val floored = normed.filter(tokenCount(col("text")) >= minTokens)
+    val w = Window.partitionBy(col("content_hash"))
+    val kept0 = floored
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("text"))
+    // persisted: consumed by the shingle-index build AND the final
+    // keep-set scan below (Spark would otherwise run the normalize +
+    // dedup chain once per consumer)
+    val kept = graft.Caches.cached("curate-kept",
+      s"${kept0.queryExecution.analyzed.semanticHash()}")(kept0)
+    val nearDrop = Dedup.ngramJaccardPairs(kept, k, nearThreshold)
+      .select(col("db").as("doc_id")).distinct()
+    val contDrop = contamination(kept, col("id") % benchMod === 0, k,
+        minOverlap)
+      .select(col("corpus_doc").as("doc_id")).distinct()
+    val finalKeep = kept.filter(col("doc_id") % benchMod =!= 0)
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .join(contDrop, Seq("doc_id"), "left_anti")
+    packSequences(finalKeep, budgetTokens, shards)
+  }
+
   /** The end-to-end curation pipeline, composed from the primitives the
     * rest of the engine already verifies one by one:
     *

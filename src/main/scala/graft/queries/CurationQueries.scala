@@ -249,7 +249,32 @@ object CurationQueries {
     Curation.normalizeDocs(docs.unionByName(messy)).orderBy("doc_id")
   }
 
+  /** The flagship composition ([[Curation.curatePipeline]]): normalize →
+    * quality floor → exact dedup → near-dup screen → contamination screen
+    * → pack, one oracle-hashed manifest. PLANTED mess proves the
+    * normalize→dedup composition end to end: every 100th document
+    * re-enters under a shifted id wrapped in crawl noise (BEL prefix,
+    * NBSP/LINE-SEPARATOR trailer) — normalization reduces it to an EXACT
+    * copy of its original, so the exact-dedup stage must drop every
+    * planted row (a normalize-then-hash divergence anywhere would leak
+    * them into the manifest). The near-dup and contamination screens run
+    * on the generator's natural near-duplicates and the `% 97` held-out
+    * slice.
+    */
+  def curatePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val messy = docs.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        // BEL + space prefix, NBSP/space/LINE-SEPARATOR trailer: explicit
+        // escapes so the oracle chr() calls mirror them codepoint for
+        // codepoint (the curate_normalize convention)
+        concat(lit("\u0007 "), col("text"), lit("\u00a0 \u2028"))
+          .as("text"))
+    Curation.curatePipeline(docs.unionByName(messy)).orderBy("shard", "seq")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_pipeline" -> curatePipeline,
     "text_pack" -> textPack,
     "curate_normalize" -> curateNormalize,
     "curate_line_dedup" -> curateLineDedup,
@@ -270,6 +295,67 @@ object CurationQueries {
     "curate_stats" -> curateStats)
 
   val oracles: Map[String, String] = Map(
+    // The flagship composition, replayed stage for stage: planted-mess
+    // union -> normalize (the curate_normalize expressions) -> token floor
+    // -> min-id exact dedup -> the shared df-cut shingle chain (the
+    // dedup_ngram_jaccard CTEs, over the deduped frame) feeding BOTH the
+    // near-dup pair screen and the %97 contamination screen -> pack (the
+    // text_pack expressions over the final keep set).
+    "curate_pipeline" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    chr(7) || ' ' || text || chr(160) || ' ' || chr(8232)
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |norm AS (SELECT doc_id, trim(regexp_replace(
+        |    nfc_normalize(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+        |    '[\t\n\x0B\f\r \x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+        |    ' ', 'g')) AS text
+        |  FROM u),
+        |flo AS (SELECT doc_id, text FROM norm
+        |        WHERE len(string_split(text, ' ')) >= 20),
+        |ex AS (SELECT MIN(doc_id) AS doc_id, text FROM flo GROUP BY text),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ex),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks)-2)) AS i FROM tok),
+        |sh0 AS (SELECT DISTINCT doc_id AS id,
+        |          array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |df AS (SELECT shingle FROM sh0 GROUP BY shingle
+        |       HAVING COUNT(*) <= 1000),
+        |sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN df USING (shingle)),
+        |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+        |inter AS (SELECT a.id AS da, b.id AS db, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        |          GROUP BY a.id, b.id),
+        |neardrop AS (SELECT DISTINCT db AS doc_id
+        |             FROM inter JOIN sizes x ON da = x.id
+        |               JOIN sizes y ON db = y.id
+        |             WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.6),
+        |ov AS (SELECT b.id AS bench_doc, c.id AS corpus_doc,
+        |         COUNT(*) AS overlap
+        |       FROM (SELECT id, shingle FROM sh WHERE id % 97 = 0) b
+        |       JOIN (SELECT id, shingle FROM sh WHERE id % 97 <> 0) c
+        |         USING (shingle)
+        |       GROUP BY 1, 2),
+        |contdrop AS (SELECT DISTINCT corpus_doc AS doc_id FROM ov
+        |             WHERE overlap >= 3),
+        |fin AS (SELECT doc_id, text FROM ex
+        |        WHERE doc_id % 97 <> 0
+        |          AND doc_id NOT IN (SELECT doc_id FROM neardrop)
+        |          AND doc_id NOT IN (SELECT doc_id FROM contdrop)),
+        |ptok AS (SELECT doc_id, doc_id % 8 AS shard,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |         FROM fin),
+        |off AS (SELECT doc_id, shard, tokens,
+        |          CAST(COALESCE(SUM(tokens) OVER (PARTITION BY shard
+        |            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |        FROM ptok)
+        |SELECT shard, CAST(start // 2048 AS BIGINT) AS seq,
+        |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM off GROUP BY shard, seq ORDER BY shard, seq""".stripMargin,
     "curate_normalize" ->
       """WITH u AS (SELECT doc_id, text FROM documents
         |  UNION ALL

@@ -342,4 +342,45 @@ class CurationSpec extends SparkSpec {
       "SELECT nfc_normalize('cafe\u0301'), nfc_normalize(NULL)").head()
     assert(got.getString(0) == "caf\u00e9" && got.isNullAt(1))
   }
+
+  test("curatePipeline: every stage bites once, one shared shingle index") {
+    val spark2 = spark
+    import spark2.implicits._
+    def words(p: String, lo: Int, hi: Int) =
+      (lo to hi).map(i => s"$p$i").mkString(" ")
+    val a = words("a", 1, 24)            // clean unique survivor
+    val b = words("b", 1, 24)            // near-dup keeper...
+    val bNear = words("b", 1, 23) + " zz" // ...vs J=21/23 near-dup (drops)
+    val bench = words("c", 1, 24)        // held-out slice (97 % 97 == 0)
+    // shares the c1..c6 run with bench -> 4 shingles >= minOverlap 3
+    val contaminated =
+      words("d", 1, 10) + " " + words("c", 1, 6) + " " + words("d", 11, 24)
+    val short = "s1 s2 s3"               // under the 20-token floor
+    val messyA = "\u0007 " + a + "\u00a0 \u2028" // normalizes to exactly a
+    val docs = Seq(1L -> a, 2L -> b, 3L -> bNear, 4L -> contaminated,
+      5L -> short, 97L -> bench, 101L -> messyA).toDF("doc_id", "text")
+    val before = Caches.counters
+    val out = Curation.curatePipeline(docs)
+      .orderBy("shard", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // survivors: 1 (messy copy 101 deduped away post-normalize) and 2
+    // (near-dup 3 dropped); 4 contaminated, 5 floored, 97 held out
+    assert(out.toSeq == Seq((1L, 0L, 1L, 24L, 1L, 1L),
+      (2L, 0L, 1L, 24L, 2L, 2L)), s"got ${out.toSeq}")
+    // the composition claim: the df-cut shingle index over the curated
+    // frame built ONCE (one miss) and every later consumer \u2014 the LSH-free
+    // near-dup verify and both sides of the contamination screen \u2014 hit it
+    def delta(fam: String): (Long, Long) = {
+      val (h0, m0) = before.getOrElse(fam, (0L, 0L))
+      val (h, m) = Caches.counters(fam)
+      (h - h0, m - m0)
+    }
+    val (shH, shM) = delta("dedup-shingles")
+    assert(shM == 1 && shH >= 2,
+      s"shared shingle index must build once: hits=$shH misses=$shM")
+    val (arH, arM) = delta("dedup-shingle-arrays")
+    assert(arM == 1 && arH >= 1,
+      s"shared doc-array index must build once: hits=$arH misses=$arM")
+  }
 }
