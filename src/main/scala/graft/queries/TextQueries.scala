@@ -223,10 +223,11 @@ object TextQueries {
   }
 
   /** BPE tokenizer training ([[graft.operators.Bpe]]): the learned merge
-    * table for 30 merges over the corpus — rows-only (a driver merge loop
-    * over the distributed word-frequency dict is not SQL-expressible);
-    * BpeSpec pins the algorithm against the textbook example and proves
-    * encode/train consistency.
+    * table for 30 merges over the corpus — hash-exact since r11 via the
+    * unrolled-merge DuckDB replay ([[BpeOracle]], the k-means
+    * unrolled-Lloyd / r10 `text_fingerprint` conversion template applied
+    * to the merge loop); BpeSpec additionally pins the algorithm against
+    * the textbook example and proves encode/train consistency.
     */
   def textBpe(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Bpe
@@ -424,6 +425,7 @@ object TextQueries {
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_bpe" -> BpeOracle.mergesSql,
     "text_bm25" -> bm25OracleSql,
     "text_bm25_indexed" -> bm25OracleSql,
     "mm_pixel_dedup" ->
@@ -682,4 +684,62 @@ object TextQueries {
         |  ${fp("tn")} AS fp_normalized
         |FROM n ORDER BY doc_id""".stripMargin
     })
+}
+
+/** DuckDB replay of [[graft.operators.Bpe.train]] — the VERDICT r10 #6
+  * conversion: the driver merge loop is DETERMINISTIC over the bounded
+  * word-frequency dict (winner = (count desc, left, right) total order),
+  * so its first 30 iterations unroll into 30 chained CTE steps, the same
+  * shape as the k-means unrolled-Lloyd oracle.
+  *
+  * State encoding is the key trick: each word's unit sequence is one
+  * string `SEP u1 SEP SEP u2 SEP ... SEP un SEP` (SEP = chr(1), absent
+  * from the corpus — TablesSpec drift-guards that), so applying a merge
+  * is `replace(s, SEP||l||SEP||SEP||r||SEP, SEP||l||r||SEP)`: SQL
+  * `replace` substitutes left-to-right non-overlapping occurrences and
+  * resumes scanning AFTER each replacement — exactly the train loop's
+  * greedy `i += 2` semantics (the double separator keeps adjacent
+  * matches independent: each unit carries its own delimiters, so a
+  * consumed trailing SEP never steals the next match's leading SEP).
+  * Pair counting splits the state string back to units per step.
+  *
+  * Step CTEs are MATERIALIZED: DuckDB inlines plain CTEs, and with the
+  * final union referencing every step the inlined plan re-expands each
+  * step's full prefix chain — O(M^2) scans of the corpus (the naive form
+  * exhausted file handles); materialization makes the chain linear.
+  */
+private[queries] object BpeOracle {
+  private val M = 30 // merges; must match textBpe's nMerges
+  private val S = "chr(1)"
+
+  val mergesSql: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""wc AS MATERIALIZED (SELECT w, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0 GROUP BY w
+      |  ORDER BY cnt DESC, w LIMIT 100000)""".stripMargin
+    ctes += s"""st0 AS MATERIALIZED (SELECT $S || array_to_string(
+      |    list_transform(range(1, length(w)+1), i -> w[i:i]) || ['</w>'],
+      |    $S||$S) || $S AS s, cnt FROM wc)""".stripMargin
+    for (k <- 0 until M) {
+      ctes += s"""c$k AS (SELECT u[i] AS l, u[i+1] AS r, SUM(cnt) AS c
+        |  FROM (SELECT u, cnt, unnest(generate_series(1, len(u)-1)) AS i
+        |        FROM (SELECT string_split(s[2:length(s)-1], $S||$S) AS u,
+        |                cnt FROM st$k))
+        |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"w$k AS MATERIALIZED (SELECT l, r, c FROM c$k " +
+        "ORDER BY c DESC, l, r LIMIT 1)"
+      if (k < M - 1)
+        ctes += s"""st${k + 1} AS MATERIALIZED (SELECT
+          |  replace(st.s, $S||w.l||$S||$S||w.r||$S, $S||w.l||w.r||$S) AS s,
+          |  st.cnt FROM st$k st CROSS JOIN w$k w)""".stripMargin
+    }
+    val union = (0 until M)
+      .map(k => s"SELECT $k AS rank, l, r, c FROM w$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${ctes.result().mkString(",\n")}
+      |SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right",
+      |  CAST(c AS BIGINT) AS "pairCount"
+      |FROM ($union) ORDER BY rank""".stripMargin
+  }
 }

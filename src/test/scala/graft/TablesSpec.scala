@@ -143,6 +143,18 @@ class TablesSpec extends SparkSpec {
         "with XXH64's stripe loop before trusting its hashes")
   }
 
+  test("documents text has no control chars (the text_bpe oracle assumes it)") {
+    // the unrolled-merge BPE replay encodes each word's unit sequence as a
+    // chr(1)-delimited string — a corpus word containing U+0001 would
+    // corrupt the state encoding; if a regeneration plants control bytes,
+    // fail here with the count instead of as a text_bpe hash mismatch
+    val ctl = Tables.t(spark, sf001, "documents")
+      .filter(col("text").rlike("[\\x00-\\x08]")).count()
+    assert(ctl === 0L,
+      s"$ctl documents contain C0 control bytes; pick a different " +
+        "delimiter for the text_bpe oracle's unit-state encoding")
+  }
+
   test("driver-generated tables keep their round-10 loaded schemas") {
     val drift = expectedSchemas.toSeq.sortBy(_._1).flatMap {
       case (name, expected) =>
