@@ -283,13 +283,21 @@ object Dedup {
   // Streaming near-dup routing (stored LSH index + per-arrival screen)
   // -------------------------------------------------------------------------
 
-  /** Persist the corpus-side LSH index for [[minhashRoute]]: three parquet
-    * tables under `dir` —
+  /** Persist the corpus-side LSH index for [[minhashRoute]] /
+    * [[appendLshIndex]] / [[pairsFromIndex]]: five parquet tables under
+    * `dir` —
     *  - `buckets`: the small-bucket-cut banded signatures (id, band, bh),
     *    exactly [[lshInBuckets]] (so the stream search space IS the batch
     *    search space);
+    *  - `buckets_raw`: the UNCUT banded signatures — the maintenance-side
+    *    source of truth ([[appendLshIndex]] re-derives the cut after each
+    *    append; bucket sizes are not monotone, so the filtered view alone
+    *    could not be maintained);
     *  - `arrays`: per-doc sorted kept-shingle arrays (id, sa, n) for
-    *    in-row exact verification;
+    *    in-row exact verification AND for the append path's affected-doc
+    *    rebuild;
+    *  - `df`: every shingle's global document frequency — the statistic
+    *    incremental maintenance must carry forward;
     *  - `stop`: the df-cut stop shingles (df > [[maxBucketSize]]) so an
     *    arriving doc can reproduce the batch kept-set without the corpus.
     *
@@ -300,12 +308,188 @@ object Dedup {
     */
   def writeLshIndex(docs: DataFrame, dir: String, k: Int = 3,
                     numHashes: Int = 32, bands: Int = 16): Unit = {
-    lshInBuckets(docs, k, numHashes, bands)
+    val raw0 = {
+      val rows = numHashes / bands
+      val sig = minhashSignatures(docs, k, numHashes)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bh"))
+      }
+      sig.select(col("id"), explode(array(bandCols: _*)).as("bucket"))
+        .select(col("id"), col("bucket.band").as("band"),
+          col("bucket.bh").as("bh"))
+    }
+    raw0.write.mode("overwrite").parquet(s"$dir/buckets_raw")
+    val spark = docs.sparkSession
+    val raw = spark.read.parquet(s"$dir/buckets_raw")
+    val small = raw.groupBy("band", "bh")
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucketSize)
+      .select("band", "bh")
+    raw.join(small, Seq("band", "bh"))
       .write.mode("overwrite").parquet(s"$dir/buckets")
     docShingleArrays(docs, k).write.mode("overwrite").parquet(s"$dir/arrays")
-    shingles(docs, k).groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxBucketSize).select("shingle")
-      .write.mode("overwrite").parquet(s"$dir/stop")
+    val dfreq = shingles(docs, k).groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+    dfreq.write.mode("overwrite").parquet(s"$dir/df")
+    spark.read.parquet(s"$dir/df").filter(col("df") > maxBucketSize)
+      .select("shingle").write.mode("overwrite").parquet(s"$dir/stop")
+  }
+
+  /** INCREMENTAL index maintenance — grow a [[writeLshIndex]] index by a
+    * new document batch without re-shingling or re-signing the corpus:
+    * the continuously-ingested-corpus shape at 100 TB, where a nightly
+    * full rebuild re-hashes petabytes to absorb a gigabyte drop.
+    *
+    * The key invariant is df MONOTONICITY under append-only growth:
+    * document frequencies only grow, so the stop set only grows and
+    * per-doc kept sets only SHRINK. An appended batch therefore affects
+    * exactly (a) its own docs and (b) the old docs holding a shingle that
+    * CROSSED the df cut in this append (`stopNew`) — everything else's
+    * kept set, signature, and bucket rows are bit-identical to a full
+    * rebuild, and are carried forward unread. Affected docs rebuild
+    * in-row from their stored arrays (`array_except` the crossed
+    * shingles, re-sign via the same `array_min(transform(..,xxhash64))`
+    * kernel [[minhashRoute]] uses — bit-identical to the batch
+    * aggregation); new docs shingle once and cut against the MERGED df
+    * (full-rebuild semantics by construction). The small-bucket cut is
+    * re-derived from `buckets_raw` because bucket sizes are NOT monotone
+    * (an affected doc's signature change can shrink a bucket).
+    *
+    * Compute per append: O(batch shingling + affected-doc re-sign +
+    * index-table rewrite). The stage-and-swap rewrites move 16-byte-ish
+    * index rows, never corpus text; at 100 TB you'd partition `arrays`/
+    * `buckets_raw` by id range and rewrite only partitions holding
+    * affected docs (the [[graft.sources.LogStore]] manifest machinery),
+    * which turns the rewrite IO into O(affected) too. IndexMaintenance-
+    * Spec proves append-equals-rebuild table for table, including a
+    * forced df-crossing.
+    *
+    * Precondition: `newDocs` ids are fresh (append-only corpus — an id
+    * rewrite is a delete+append, which df monotonicity does not cover).
+    */
+  def appendLshIndex(newDocs: DataFrame, dir: String, k: Int = 3,
+                     numHashes: Int = 32, bands: Int = 16,
+                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val rows = numHashes / bands
+    val oldDf = spark.read.parquet(s"$dir/df")
+    val oldArrays = spark.read.parquet(s"$dir/arrays")
+    val oldRaw = spark.read.parquet(s"$dir/buckets_raw")
+
+    // merged document frequencies (outer sum), and the crossing set
+    val delta = shingles(newDocs, k, textCol, idCol)
+      .groupBy("shingle").agg(count(lit(1)).as("ddf"))
+    val merged = oldDf.join(delta, Seq("shingle"), "full_outer")
+      .select(col("shingle"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("ddf"), lit(0L)))
+          .as("df"),
+        coalesce(col("df"), lit(0L)).as("df_old"))
+    val stopNew = merged
+      .filter(col("df_old") <= maxBucketSize && col("df") > maxBucketSize)
+      .select("shingle")
+    // the crossing set is <= one shingle per maxBucketSize old postings —
+    // tiny — so it broadcasts as one sorted array for in-row array_except
+    val stopNewArr = stopNew
+      .agg(sort_array(collect_list(col("shingle"))).as("sn"))
+
+    // (a) old docs holding a crossed shingle: rebuild arrays + signatures
+    // in-row from the stored sorted arrays (narrow columnar scan; the
+    // overlap probe never explodes postings)
+    val affected0 = oldArrays.crossJoin(broadcast(stopNewArr))
+      .filter(arrays_overlap(col("sa"), col("sn")))
+      .select(col("id"), array_except(col("sa"), col("sn")).as("sa"))
+    // a doc whose kept set empties out LEAVES the index (batch semantics:
+    // only docs with >=1 kept shingle are indexed) — its old rows are
+    // still removed below, so the id list is taken BEFORE the size cut
+    val affectedIds = affected0.select("id")
+    val affected = affected0.filter(size(col("sa")) > 0)
+      .select(col("id"), col("sa"), size(col("sa")).cast("long").as("n"))
+    // (b) new docs: shingle once, cut against the MERGED df
+    val newKept = shingles(newDocs, k, textCol, idCol)
+      .join(merged.filter(col("df") <= maxBucketSize).select("shingle"),
+        Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("sa"),
+        count(lit(1)).as("n"))
+
+    def signed(arr: DataFrame): DataFrame = {
+      val sig = arr.select(col("id"),
+        array((0 until numHashes).map(i =>
+          array_min(transform(col("sa"), s => xxhash64(lit(i), s)))): _*)
+          .as("sig"))
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bh"))
+      }
+      sig.select(col("id"), explode(array(bandCols: _*)).as("bucket"))
+        .select(col("id"), col("bucket.band").as("band"),
+          col("bucket.bh").as("bh"))
+    }
+
+    // stage-and-swap, in two waves: every staged plan LAZILY re-reads the
+    // OLD on-disk tables, so all plans over old state must execute before
+    // any promote replaces their inputs (parquet inputs cannot be
+    // overwritten in place, and a promoted table must never feed a plan
+    // that believes it still reads the predecessor)
+    def stage(df: DataFrame, table: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/.$table-stage")
+    def promote(table: String): Unit = {
+      val p = java.nio.file.Paths.get(dir, table)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/.$table-stage"), p)
+    }
+
+    // wave 1: the three base tables, computed over old state
+    stage(oldArrays.join(affectedIds, Seq("id"), "left_anti")
+      .unionByName(affected).unionByName(newKept), "arrays")
+    stage(oldRaw.join(affectedIds, Seq("id"), "left_anti")
+      .unionByName(signed(affected)).unionByName(signed(newKept)),
+      "buckets_raw")
+    stage(merged.select("shingle", "df"), "df")
+    Seq("arrays", "buckets_raw", "df").foreach(promote)
+    // wave 2: the two derived cuts, re-read from the PROMOTED state
+    val raw = spark.read.parquet(s"$dir/buckets_raw")
+    val small = raw.groupBy("band", "bh")
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucketSize)
+      .select("band", "bh")
+    stage(raw.join(small, Seq("band", "bh")), "buckets")
+    stage(spark.read.parquet(s"$dir/df")
+      .filter(col("df") > maxBucketSize).select("shingle"), "stop")
+    Seq("buckets", "stop").foreach(promote)
+  }
+
+  /** Batch near-dup pair search served ENTIRELY from a stored index
+    * ([[writeLshIndex]] layout, however it was built — one shot or
+    * [[appendLshIndex]]-grown): candidates from the stored small-bucket
+    * self-join, verification from the stored arrays, no corpus access.
+    * Output shape = [[minhashLshPairs]]; the `dedup_lsh_incremental`
+    * query hash-checks an append-grown index's pairs against the same
+    * exact-Jaccard oracle as the scan-path queries.
+    */
+  def pairsFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     threshold: Double = 0.6): DataFrame = {
+    val buckets = spark.read.parquet(s"$dir/buckets")
+    val arrays = spark.read.parquet(s"$dir/arrays")
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+    cand
+      .join(arrays.select(col("id").as("da"), col("sa").as("xa"),
+        col("n").as("na")), "da")
+      .join(arrays.select(col("id").as("db"), col("sa").as("xb"),
+        col("n").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("xa"), col("xb"))))
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("da", "db", "jaccard")
   }
 
   /** Streaming near-dup screen — the [[graft.operators.Clustering.kmeansRoute]]

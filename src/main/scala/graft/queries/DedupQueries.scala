@@ -116,7 +116,27 @@ object DedupQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Near-dup pairs served from an INCREMENTALLY-GROWN stored index
+    * ([[Dedup.appendLshIndex]]): the index is built from the even-id half
+    * of the corpus, the odd-id half is appended (re-shingling only the
+    * appended batch plus any df-crossing-affected docs), and the pair
+    * search runs entirely from the stored tables — hash-checked against
+    * the SAME exact-Jaccard oracle as the scan-path queries, so the
+    * append path carries the same verification as a full rebuild.
+    * IndexMaintenanceSpec additionally proves append-equals-rebuild table
+    * for table, including a forced df-crossing.
+    */
+  def dedupLshIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Caches.stagedPath("lsh-incr", dir) { base =>
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.writeLshIndex(docs.filter(col("doc_id") % 2 === 0), base)
+      Dedup.appendLshIndex(docs.filter(col("doc_id") % 2 === 1), base)
+    }
+    Dedup.pairsFromIndex(spark, base).orderBy("da", "db")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_incremental" -> dedupLshIncremental,
     "dedup_fuzzy" -> dedupFuzzy,
     "dedup_corpus" -> dedupCorpus,
     "dedup_exact" -> dedupExact,
@@ -251,6 +271,8 @@ object DedupQueries {
     // LSH+verify equals the exact pairs (recall ~0.999 at the threshold;
     // the verify step removes every false positive) — same oracle.
     "dedup_minhash_lsh" -> jaccardSql,
+    // the append-grown stored index must serve the same pair set
+    "dedup_lsh_incremental" -> jaccardSql,
     "dedup_embed_cosine" -> cosineSql,
     "dedup_clusters" -> clustersSql,
     // same reachability oracle: both component algorithms must agree with it

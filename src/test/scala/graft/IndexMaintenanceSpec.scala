@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Incremental LSH-index maintenance ([[Dedup.appendLshIndex]]): growing an
+  * index by a document batch must produce EXACTLY the index a full rebuild
+  * over the union produces — table for table — including when the append
+  * pushes a shingle across the df cut (the case where old docs must be
+  * rewritten). Plus the served-pairs equivalence the production consumer
+  * cares about.
+  */
+class IndexMaintenanceSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+
+  /** Sorted canonical rows of one index table (arrays' sa joined flat). */
+  private def canon(dir: String, table: String): Seq[String] = {
+    val df = spark.read.parquet(s"$dir/$table")
+    val flat = table match {
+      case "arrays" => df.select(col("id"), array_join(col("sa"), ""),
+        col("n"))
+      case _ => df
+    }
+    flat.collect().map(_.mkString("|")).sorted.toSeq
+  }
+
+  private def assertSameIndex(incr: String, full: String): Unit =
+    for (t <- Seq("df", "stop", "arrays", "buckets_raw", "buckets")) {
+      val (a, b) = (canon(incr, t), canon(full, t))
+      assert(a == b, s"table $t diverges: incremental ${a.size} rows vs " +
+        s"rebuild ${b.size} rows\n${a.diff(b).take(3)}\n${b.diff(a).take(3)}")
+    }
+
+  test("append-equals-rebuild on the corpus (even half + odd half)") {
+    val docs = Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val incr = tmp(); val full = tmp()
+    Dedup.writeLshIndex(docs.filter(col("doc_id") % 2 === 0), incr)
+    Dedup.appendLshIndex(docs.filter(col("doc_id") % 2 === 1), incr)
+    Dedup.writeLshIndex(docs, full)
+    assertSameIndex(incr, full)
+    // the production consumer's view: pairs served from the grown index
+    // equal the batch LSH pairs over the union corpus
+    val served = Dedup.pairsFromIndex(spark, incr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.minhashLshPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == batch && served.nonEmpty)
+  }
+
+  test("a df-crossing append rewrites exactly the affected old docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 600 + 600 docs all sharing the shingle "p q r" (df crosses the 1000
+    // cut mid-append), each with a unique tail so every doc also keeps
+    // private shingles; two of the A docs are near-dups of each other
+    // through a long shared tail that must SURVIVE the crossing rewrite
+    def mk(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (i.toLong, s"p q r u$i v$i w$i x$i y$i z$i"))
+    val shared = "p q r s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12 s13"
+    val a = (mk(0, 598) :+ (598L, shared) :+ (599L, shared + " t599"))
+      .toDF("doc_id", "text")
+    val b = mk(1000, 1600).toDF("doc_id", "text")
+    val incr = tmp(); val full = tmp()
+    Dedup.writeLshIndex(a, incr)
+    // before the append, "p q r" is under the cut and indexed
+    assert(spark.read.parquet(s"$incr/df")
+      .filter(col("shingle") === "p q r").head().getLong(1) == 600L)
+    assert(spark.read.parquet(s"$incr/arrays")
+      .filter(array_contains(col("sa"), "p q r")).count() == 600L)
+    Dedup.appendLshIndex(b, incr)
+    Dedup.writeLshIndex(a.unionByName(b), full)
+    assertSameIndex(incr, full)
+    // the crossed shingle is now stop, carried at its merged df, and
+    // scrubbed from every stored array
+    assert(spark.read.parquet(s"$incr/df")
+      .filter(col("shingle") === "p q r").head().getLong(1) == 1200L)
+    assert(spark.read.parquet(s"$incr/stop")
+      .filter(col("shingle") === "p q r").count() == 1L)
+    assert(spark.read.parquet(s"$incr/arrays")
+      .filter(array_contains(col("sa"), "p q r")).count() == 0L)
+    // and the near-dup pair that rode the surviving tail is still served
+    val served = Dedup.pairsFromIndex(spark, incr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served.contains((598L, 599L)),
+      s"crossing rewrite must preserve unaffected shingles: $served")
+  }
+}
