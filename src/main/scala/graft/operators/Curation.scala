@@ -211,6 +211,52 @@ object Curation {
         (col("overlap").cast("double") / col("bench_n")).as("bench_frac"))
   }
 
+  /** Streaming contamination screen — the [[Dedup.minhashRoute]] /
+    * [[graft.operators.Clustering.kmeansRoute]] analog for benchmark
+    * leakage, completing the arrival-screening trio (exact dedup ->
+    * near-dup -> contamination): each ARRIVING document is checked
+    * against the fixed held-out benchmark before it can enter the
+    * corpus, using the stored index's stop list so the arrival's kept
+    * shingle set is bit-identical to the batch corpus-side cut.
+    *
+    * Entirely NARROW: the benchmark's uncut shingle arrays and the stop
+    * list are benchmark-/bound-sized broadcasts, the arrival's shingles
+    * and the per-bench overlap (`array_intersect`) compute in-row, and
+    * nothing shuffles — no state store, no stream-stream join, no corpus
+    * access. Source-parallel like the rest of the shipper plane.
+    *
+    * Equality with the batch screen ([[contaminationAgainst]]) is exact:
+    * overlap counts shared KEPT shingles (arrival kept set = shingles
+    * minus stored stop = the batch df-cut by complement), `bench_n` is
+    * the bench doc's FULL uncut shingle count, and the batch candidate
+    * join cannot drop a pair at `minOverlap >= 1` (any flagged pair
+    * shares a kept shingle). StateAndStoreSpec replays the corpus and
+    * proves the flagged sets equal.
+    */
+  def contaminationRoute(arrivals: DataFrame, indexDir: String,
+                         bench: DataFrame, k: Int = 3, minOverlap: Int = 5,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    import graft.functions.gcolumns.word_shingles
+    val spark = arrivals.sparkSession
+    val stopArr = spark.read.parquet(s"$indexDir/stop")
+      .agg(sort_array(collect_list(col("shingle"))).as("stopa"))
+    val bArrays = bench.select(col("bench_id"),
+        sort_array(word_shingles(col("text"), k)).as("ba"))
+      .withColumn("bench_n", size(col("ba")))
+    arrivals
+      .select(col(idCol).cast("long").as("corpus_doc"),
+        col(textCol).as("text"))
+      .crossJoin(broadcast(stopArr))
+      .select(col("corpus_doc"),
+        array_except(word_shingles(col("text"), k), col("stopa")).as("kept"))
+      .crossJoin(broadcast(bArrays))
+      .withColumn("overlap", size(array_intersect(col("ba"), col("kept"))))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("bench_id"), col("corpus_doc"), col("overlap"),
+        (col("overlap").cast("double") / col("bench_n")).as("bench_frac"))
+  }
+
   /** PII redaction — the scrubbing pass a training corpus runs before
     * anything ships: masks email addresses and IPv4 literals, with per-doc
     * match accounting (the audit trail a compliance review reads).

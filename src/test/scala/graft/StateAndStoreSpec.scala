@@ -423,6 +423,49 @@ class StateAndStoreSpec extends SparkSpec {
       s"stream: ${got.toSet.toSeq.sorted}\nbatch: ${batchPairs.toSeq.sorted}")
   }
 
+  test("contaminationRoute: replayed stream flags the batch contamination set") {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.{Curation, Dedup}
+    implicit val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    val docs = Tables.t(spark, sf001, "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"),
+        array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+    // batch ground truth (the text_contaminate_bench shape)
+    val batch = Curation.contaminationAgainst(docs, bench, k = 3,
+        minOverlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(batch.nonEmpty, "excerpt bench must hit its source pages")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cont").toString
+    Dedup.writeLshIndex(docs, dir) // provides the stored stop list
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[(Long, Long, Int, Double)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Curation.contaminationRoute(b, dir, bench, k = 3,
+              minOverlap = 3).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+              r.getDouble(3)))
+        }
+        ()
+      }.start()
+    try {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1)
+      q.processAllAvailable()
+      input.addData(h2)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == batch,
+      s"stream-only: ${(got.toSet -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- got.toSet).take(3)}")
+  }
+
   test("salted join equals plain join") {
     val li = Tables.t(spark, sf001, "lineitem").select("l_orderkey", "l_quantity")
     val ord = Tables.t(spark, sf001, "orders").select("o_orderkey", "o_orderpriority")
