@@ -202,6 +202,36 @@ object Similarity {
       }
     }
 
+  /** Corpus-side IVF cell assignment: argmax as codegen'd per-cell dot
+    * columns + a when-chain (the transform/array_sort HOF form evaluates
+    * every dot interpreted — fine for the handful of probes, wasteful over
+    * the whole corpus). First index wins score ties, matching
+    * [[bestCells]]' array_position. (cell, nid, nv, nn) rows.
+    */
+  private def corpusCells(e: DataFrame,
+                          cents: Seq[Seq[Double]]): DataFrame = {
+    val scoreCols = cents.indices.map { c =>
+      val cn = math.sqrt(cents(c).foldLeft(0.0)((a, x) => a + x * x))
+      (dotp(col("v"), typedlit(cents(c))) / lit(cn)).as(s"s$c")
+    }
+    val scored = e.select(
+      (Seq(col("vec_id").as("nid"), col("v").as("nv"), col("vn").as("nn"))
+        ++ scoreCols): _*)
+    // long-typed to match the probe side's array_position-derived cells;
+    // greatest() needs >= 2 args, so the degenerate one-cell index is a
+    // constant assignment
+    val cell =
+      if (cents.size == 1) lit(0L)
+      else {
+        val mx = greatest(cents.indices.map(c => col(s"s$c")): _*)
+        cents.indices.tail.foldLeft(
+            when(col("s0") === mx, lit(0L))) { (w, c) =>
+          w.when(col(s"s$c") === mx, lit(c.toLong))
+        }
+      }
+    scored.select(cell.as("cell"), col("nid"), col("nv"), col("nn"))
+  }
+
   /** IVF ANN top-k: corpus vectors index into their argmax cell (one narrow
     * pass, cached), probes search their `nprobe` best cells. Recall is the
     * nprobe knob; the learned centroids replace round-1's stride-sampled
@@ -214,35 +244,61 @@ object Similarity {
     // shared with annLsh/bruteForce callers — one vector cache per corpus
     val e = graft.Caches.cached("emb-vectors", embKey)(asDouble(emb))
     val cents = kmeansCentroids(e, nCells, iters)
-    val corpus = graft.Caches.cached("ivf-index", key) {
-      // corpus-side argmax as codegen'd per-cell dot columns + a when-chain
-      // (the transform/array_sort HOF form evaluates every dot interpreted
-      // — fine for the handful of probes, wasteful over the whole corpus).
-      // First index wins score ties, matching bestCells' array_position.
-      val scoreCols = cents.indices.map { c =>
-        val cn = math.sqrt(cents(c).foldLeft(0.0)((a, x) => a + x * x))
-        (dotp(col("v"), typedlit(cents(c))) / lit(cn)).as(s"s$c")
-      }
-      val scored = e.select(
-        (Seq(col("vec_id").as("nid"), col("v").as("nv"), col("vn").as("nn"))
-          ++ scoreCols): _*)
-      // long-typed to match the probe side's array_position-derived cells;
-      // greatest() needs >= 2 args, so the degenerate one-cell index is a
-      // constant assignment
-      val cell =
-        if (cents.size == 1) lit(0L)
-        else {
-          val mx = greatest(cents.indices.map(c => col(s"s$c")): _*)
-          cents.indices.tail.foldLeft(
-              when(col("s0") === mx, lit(0L))) { (w, c) =>
-            w.when(col(s"s$c") === mx, lit(c.toLong))
-          }
-        }
-      scored.select(cell.as("cell"), col("nid"), col("nv"), col("nn"))
-    }
+    val corpus = graft.Caches.cached("ivf-index", key)(corpusCells(e, cents))
     val probes = e.filter(probeFilter)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("vn").as("qn"),
         explode(bestCells(col("v"), cents, nprobe)).as("cell"))
+      .dropDuplicates("qid", "cell")
+    rankTopK(probes.join(corpus, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos")), k)
+  }
+
+  /** Persist the IVF search state for [[annRoute]]: `centroids` (cell ->
+    * centroid vector — k x dim, driver-sized) and `postings` (the
+    * [[corpusCells]] cell-keyed corpus). Parquet DOUBLE round-trips are
+    * lossless, so a route against the stored index reproduces the batch
+    * assignment bit for bit. At 100 TB, postings write partitioned by
+    * `cell` so a probe's `nprobe` cells prune to their own files.
+    */
+  def ivfWriteIndex(emb: DataFrame, dir: String, nCells: Int = 8,
+                    iters: Int = 3): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val embKey = emb.queryExecution.analyzed.semanticHash().toString
+    val e = graft.Caches.cached("emb-vectors", embKey)(asDouble(emb))
+    val cents = kmeansCentroids(e, nCells, iters)
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("cell", "cv")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    corpusCells(e, cents).write.mode("overwrite").parquet(s"$dir/postings")
+  }
+
+  /** Streaming ANN — the [[graft.operators.Dedup.minhashRoute]] analog for
+    * vectors: each ARRIVING embedding retrieves its top-k approximate
+    * neighbors from a stored [[ivfWriteIndex]] index. The centroid table
+    * is read once and folded into the plan as literals (exactly the batch
+    * [[bestCells]] expression — cell choice is bit-identical), so the
+    * per-arrival work is in-row dots + ONE stream-static equi-join against
+    * the cell-keyed postings + the bounded-heap top-k. No state store, no
+    * stream-stream join, no corpus scan per batch; run under
+    * `foreachBatch` like the other route operators. SimilaritySpec
+    * replays corpus probes and proves route == batch [[ivfTopK]] exactly.
+    */
+  def annRoute(arrivals: DataFrame, indexDir: String, k: Int,
+               nprobe: Int = 5, idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame = {
+    val spark = arrivals.sparkSession
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val corpus = spark.read.parquet(s"$indexDir/postings")
+    val probes = arrivals
+      .select(col(idCol).cast("long").as("qid"),
+        transform(col(embCol), _.cast("double")).as("qv"))
+      .withColumn("qn", sqrt(dotp(col("qv"), col("qv"))))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(bestCells(col("qv"), cents, nprobe)).as("cell"))
       .dropDuplicates("qid", "cell")
     rankTopK(probes.join(corpus, "cell")
       .filter(col("qid") =!= col("nid"))

@@ -203,4 +203,41 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.labelCentroids(emb)
     assert(out.exceptAll(again).count() == 0)
   }
+
+  test("annRoute: replayed stream retrieves exactly the batch IVF top-k") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    // batch ground truth: same cells/iters/nprobe as the stored index
+    val batch = Similarity.ivfTopK(emb, probe, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(batch.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfWriteIndex(emb, dir)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.Set[(Long, Int, Long, Double)]()
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Similarity.annRoute(b, dir, k = 5).collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+              r.getDouble(3)))
+        }
+        ()
+      }.start()
+    try {
+      val rows = emb.filter(probe).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1)
+      q.processAllAvailable()
+      input.addData(h2)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == batch,
+      s"stream-only: ${(got.toSet -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- got.toSet).take(3)}")
+  }
 }
