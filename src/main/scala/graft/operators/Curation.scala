@@ -619,16 +619,35 @@ object Curation {
   def curatePipeline(docs: DataFrame, minTokens: Int = 20, k: Int = 3,
                      nearThreshold: Double = 0.6, benchMod: Int = 97,
                      minOverlap: Int = 3, budgetTokens: Int = 2048,
-                     shards: Int = 8): DataFrame = {
+                     shards: Int = 8): DataFrame =
+    packSequences(curateKeep(docs, minTokens, k, nearThreshold, benchMod,
+      minOverlap), budgetTokens, shards)
+
+  /** Stages 1-3 of the pipeline (normalize -> floor -> exact dedup):
+    * the curated frame both screens run over. Shared with
+    * [[writeCurateIndex]] so the streaming admission path's stored state
+    * derives from the identical chain.
+    */
+  private def curatedFrame(docs: DataFrame, minTokens: Int): DataFrame = {
     val normed = normalizeDocs(docs).select(col("doc_id"),
       col("norm").as("text"))
     val floored = normed.filter(tokenCount(col("text")) >= minTokens)
     val w = Window.partitionBy(col("content_hash"))
-    val kept0 = floored
+    floored
       .withColumn("content_hash", md5(col("text")))
       .withColumn("keeper", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("text"))
+  }
+
+  /** The pipeline's final keep set (doc_id, text) before packing — the
+    * frame [[curatePipeline]] packs, and the batch ground truth
+    * [[curateRoute]]'s streaming admission decisions must reproduce.
+    */
+  def curateKeep(docs: DataFrame, minTokens: Int = 20, k: Int = 3,
+                 nearThreshold: Double = 0.6, benchMod: Int = 97,
+                 minOverlap: Int = 3): DataFrame = {
+    val kept0 = curatedFrame(docs, minTokens)
     // persisted: consumed by the shingle-index build AND the final
     // keep-set scan below (Spark would otherwise run the normalize +
     // dedup chain once per consumer)
@@ -639,10 +658,106 @@ object Curation {
     val contDrop = contamination(kept, col("id") % benchMod === 0, k,
         minOverlap)
       .select(col("corpus_doc").as("doc_id")).distinct()
-    val finalKeep = kept.filter(col("doc_id") % benchMod =!= 0)
+    kept.filter(col("doc_id") % benchMod =!= 0)
       .join(nearDrop, Seq("doc_id"), "left_anti")
       .join(contDrop, Seq("doc_id"), "left_anti")
-    packSequences(finalKeep, budgetTokens, shards)
+  }
+
+  /** Persist the curation pipeline's decision state for [[curateRoute]]:
+    * `hashes` (content_hash -> min-id keeper — the exact-dedup verdict
+    * table) and an LSH index ([[Dedup.writeLshIndex]] layout under
+    * `dir/lsh`) over the exact-deduped curated frame — the same frame the
+    * batch screens run over, so streaming admission reproduces batch
+    * decisions bit for bit.
+    */
+  def writeCurateIndex(docs: DataFrame, dir: String, minTokens: Int = 20,
+                       k: Int = 3): Unit = {
+    val normed = normalizeDocs(docs).select(col("doc_id"),
+      col("norm").as("text"))
+    val floored = normed.filter(tokenCount(col("text")) >= minTokens)
+    floored.select(md5(col("text")).as("content_hash"), col("doc_id"))
+      .groupBy("content_hash").agg(min(col("doc_id")).as("keeper"))
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    Dedup.writeLshIndex(curatedFrame(docs, minTokens), s"$dir/lsh", k)
+  }
+
+  /** STREAMING admission control — the whole [[curatePipeline]] as a
+    * per-arrival decision against the stored [[writeCurateIndex]] state,
+    * composing the route tier end to end: normalize (in-row) -> quality
+    * floor (in-row) -> exact-dup verdict (one stream-static lookup in
+    * `hashes`: drop iff a SMALLER id holds the same content hash) ->
+    * near-dup verdict ([[Dedup.minhashRouteRaw]] against the curated
+    * LSH index, oriented: drop iff a smaller-id kept doc matches — the
+    * batch smaller-id-wins rule) -> contamination verdict (overlap vs
+    * the index's own `% benchMod` bench arrays, broadcast) -> held-out
+    * exclusion. Emits one row per arrival: (doc_id, accepted, reason)
+    * with reason the FIRST failing stage in pipeline order.
+    *
+    * Replaying the corpus through the route admits EXACTLY the batch
+    * [[curateKeep]] set (CurationSpec proves it) — the property that
+    * lets one engine serve both the nightly batch curation and the
+    * online ingest gate without the two drifting apart.
+    *
+    * Scale shape: narrow normalize/floor/shingle work per arrival, one
+    * broadcast hash... no — the `hashes` lookup is a stream-static
+    * equi-join on a 16-byte key (pruned/pushed like any static side),
+    * the LSH probe is [[Dedup.minhashRoute]]'s bounded bucket join, and
+    * the bench arrays are benchmark-sized broadcasts. No state store, no
+    * stream-stream join; run under `foreachBatch`.
+    */
+  def curateRoute(arrivals: DataFrame, dir: String, minTokens: Int = 20,
+                  k: Int = 3, nearThreshold: Double = 0.6,
+                  benchMod: Int = 97, minOverlap: Int = 3): DataFrame = {
+    val spark = arrivals.sparkSession
+    val normed = normalizeDocs(arrivals).select(col("doc_id"),
+      col("norm").as("text"))
+    val staged = normed
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("ch", md5(col("text")))
+    val hashes = spark.read.parquet(s"$dir/hashes")
+    val withExact = staged
+      .join(hashes, staged("ch") === hashes("content_hash"), "left")
+      .withColumn("exact_dup",
+        coalesce(col("keeper") < col("doc_id"), lit(false)))
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("exact_dup"))
+    // near-dup: a SMALLER-id kept doc matches (the batch db-drops rule)
+    val nearHit = Dedup.minhashRouteRaw(normed, s"$dir/lsh", k,
+        threshold = nearThreshold)
+      .filter(col("id") < col("sid"))
+      .select(col("sid").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    // contamination: the bench side is the curated frame's own held-out
+    // slice, read from the index arrays (kept shingles — the batch
+    // contamination() cut on BOTH sides)
+    val stopArr = spark.read.parquet(s"$dir/lsh/stop")
+      .agg(sort_array(collect_list(col("shingle"))).as("stopa"))
+    val benchArrays = spark.read.parquet(s"$dir/lsh/arrays")
+      .filter(col("id") % benchMod === 0)
+      .select(col("id").as("bench_id"), col("sa").as("ba"))
+    val contHit = normed
+      .crossJoin(broadcast(stopArr))
+      .select(col("doc_id"),
+        array_except(graft.functions.gcolumns.word_shingles(col("text"), k),
+          col("stopa")).as("kept"))
+      .crossJoin(broadcast(benchArrays))
+      // bench members are never "corpus" docs in the batch screen — they
+      // leave via held_out, not contamination
+      .filter(col("doc_id") % benchMod =!= 0 &&
+        size(array_intersect(col("ba"), col("kept"))) >= minOverlap)
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    withExact
+      .join(nearHit, Seq("doc_id"), "left")
+      .join(contHit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_tokens") < minTokens, "quality")
+          .when(col("exact_dup"), "exact_dup")
+          .when(coalesce(col("near_dup"), lit(false)), "near_dup")
+          .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+          .when(col("doc_id") % benchMod === 0, "held_out")
+          .as("reason"))
+      .select(col("doc_id"), col("reason").isNull.as("accepted"),
+        col("reason"))
   }
 
   /** The end-to-end curation pipeline, composed from the primitives the

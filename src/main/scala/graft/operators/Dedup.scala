@@ -520,6 +520,20 @@ object Dedup {
   def minhashRoute(arrivals: DataFrame, indexDir: String, k: Int = 3,
                    numHashes: Int = 32, bands: Int = 16,
                    threshold: Double = 0.6, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    minhashRouteRaw(arrivals, indexDir, k, numHashes, bands, threshold,
+        idCol, textCol)
+      .select(least(col("sid"), col("id")).as("da"),
+        greatest(col("sid"), col("id")).as("db"), col("jaccard"))
+
+  /** [[minhashRoute]] with the orientation kept: (sid = arriving doc,
+    * id = indexed candidate, jaccard). [[Curation.curateRoute]] needs the
+    * direction to apply the batch pipeline's smaller-id-wins rule.
+    */
+  private[operators] def minhashRouteRaw(arrivals: DataFrame,
+                   indexDir: String, k: Int = 3,
+                   numHashes: Int = 32, bands: Int = 16,
+                   threshold: Double = 0.6, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val spark = arrivals.sparkSession
     val rows = numHashes / bands
@@ -555,8 +569,7 @@ object Dedup {
       .withColumn("jaccard",
         col("inter") / (size(col("kept")) + col("n") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(least(col("sid"), col("id")).as("da"),
-        greatest(col("sid"), col("id")).as("db"), col("jaccard"))
+      .select(col("sid"), col("id"), col("jaccard"))
   }
 
   // -------------------------------------------------------------------------

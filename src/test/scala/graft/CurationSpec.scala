@@ -383,4 +383,63 @@ class CurationSpec extends SparkSpec {
     assert(arM == 1 && arH >= 1,
       s"shared doc-array index must build once: hits=$arH misses=$arM")
   }
+
+  test("curateRoute: streaming admission equals the batch keep set") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    // the curate_pipeline query's planted corpus: raw docs + crawl-noise
+    // exact copies of every 100th under shifted ids
+    val raw = Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val messy = raw.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("\u0007 "), col("text"), lit("\u00a0 \u2028"))
+          .as("text"))
+    val planted = raw.unionByName(messy)
+    val batchKeep = Curation.curateKeep(planted)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKeep.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-curidx").toString
+    Curation.writeCurateIndex(planted, dir)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, (Boolean, String)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Curation.curateRoute(b, dir).collect()
+            .map(r => r.getLong(0) ->
+              ((r.getBoolean(1), if (r.isNullAt(2)) "" else r.getString(2))))
+        }
+        ()
+      }.start()
+    try {
+      val rows = planted.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1)
+      q.processAllAvailable()
+      input.addData(h2)
+      q.processAllAvailable()
+    } finally q.stop()
+    // exactly one decision per arrival; the admitted set IS the batch set
+    assert(got.size == planted.count())
+    val admitted = got.collect { case (id, (true, _)) => id }.toSet
+    assert(admitted == batchKeep,
+      s"route-only: ${(admitted -- batchKeep).take(5)}; " +
+        s"batch-only: ${(batchKeep -- admitted).take(5)}")
+    // reason spot checks: every planted messy copy normalizes into an
+    // exact dup of its original — unless the original itself is under the
+    // token floor, in which case the copy fails the floor first (reason
+    // order is pipeline order); every bench-slice survivor is held out
+    val shortOrigs = raw.filter(col("doc_id") % 100 === 0 &&
+        Curation.tokenCount(col("text")) < 20)
+      .select("doc_id").collect().map(_.getLong(0) + 10000000L).toSet
+    val messyIds = got.keys.filter(_ >= 10000000L)
+    assert(messyIds.nonEmpty && messyIds.forall(id => got(id) ==
+      ((false, if (shortOrigs(id)) "quality" else "exact_dup"))))
+    val heldOut = got.collect { case (id, (false, "held_out")) => id }
+    assert(heldOut.nonEmpty && heldOut.forall(_ % 97 == 0))
+  }
 }
