@@ -658,9 +658,13 @@ object Curation {
     val contDrop = contamination(kept, col("id") % benchMod === 0, k,
         minOverlap)
       .select(col("corpus_doc").as("doc_id")).distinct()
+    // both drop sets are O(duplicates)/O(contaminated) — tiny by
+    // construction — so the screens apply as broadcast anti-joins (the
+    // contamination side's pre-AQE size estimate otherwise plans a
+    // two-exchange sort-merge anti)
     kept.filter(col("doc_id") % benchMod =!= 0)
-      .join(nearDrop, Seq("doc_id"), "left_anti")
-      .join(contDrop, Seq("doc_id"), "left_anti")
+      .join(broadcast(nearDrop), Seq("doc_id"), "left_anti")
+      .join(broadcast(contDrop), Seq("doc_id"), "left_anti")
   }
 
   /** Persist the curation pipeline's decision state for [[curateRoute]]:

@@ -52,6 +52,19 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(served == batch && served.nonEmpty)
   }
 
+  test("chained appends carry state correctly (A, +B, +C == rebuild)") {
+    // two successive appends: the second reads df/arrays state the FIRST
+    // append wrote — catches any carry bug a single append can't see
+    val docs = Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val incr = tmp(); val full = tmp()
+    Dedup.writeLshIndex(docs.filter(col("doc_id") % 3 === 0), incr)
+    Dedup.appendLshIndex(docs.filter(col("doc_id") % 3 === 1), incr)
+    Dedup.appendLshIndex(docs.filter(col("doc_id") % 3 === 2), incr)
+    Dedup.writeLshIndex(docs, full)
+    assertSameIndex(incr, full)
+  }
+
   test("a df-crossing append rewrites exactly the affected old docs") {
     val spark2 = spark
     import spark2.implicits._
