@@ -65,6 +65,16 @@ class IndexMaintenanceSpec extends SparkSpec {
     assertSameIndex(incr, full)
   }
 
+  test("an empty append batch is an identity") {
+    val docs = Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val incr = tmp(); val full = tmp()
+    Dedup.writeLshIndex(docs, incr)
+    Dedup.appendLshIndex(docs.filter(lit(false)), incr)
+    Dedup.writeLshIndex(docs, full)
+    assertSameIndex(incr, full)
+  }
+
   test("a df-crossing append rewrites exactly the affected old docs") {
     val spark2 = spark
     import spark2.implicits._
