@@ -261,20 +261,45 @@ object CurationQueries {
     * on the generator's natural near-duplicates and the `% 97` held-out
     * slice.
     */
-  def curatePipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** The planted pipeline corpus shared by `curate_pipeline` and
+    * `curate_route`: raw docs plus crawl-noise exact copies of every
+    * 100th under shifted ids (BEL + space prefix, NBSP/space/
+    * LINE-SEPARATOR trailer — explicit escapes so the oracle chr() calls
+    * mirror them codepoint for codepoint, the curate_normalize
+    * convention).
+    */
+  private def plantedDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     val messy = docs.filter(col("doc_id") % 100 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"),
-        // BEL + space prefix, NBSP/space/LINE-SEPARATOR trailer: explicit
-        // escapes so the oracle chr() calls mirror them codepoint for
-        // codepoint (the curate_normalize convention)
         concat(lit("\u0007 "), col("text"), lit("\u00a0 \u2028"))
           .as("text"))
-    Curation.curatePipeline(docs.unionByName(messy)).orderBy("shard", "seq")
+    docs.unionByName(messy)
+  }
+
+  def curatePipeline(spark: SparkSession, dir: String): DataFrame =
+    Curation.curatePipeline(plantedDocs(spark, dir)).orderBy("shard", "seq")
+
+  /** The streaming admission gate ([[Curation.curateRoute]]) run in its
+    * batch harness over the SAME planted corpus, against the staged
+    * [[Curation.writeCurateIndex]] state — every per-document decision
+    * (accepted + first-failing reason) replayed and hash-checked in
+    * DuckDB. CurationSpec separately proves the MemoryStream replay of
+    * this operator admits exactly the batch keep set; this query makes
+    * the decision TABLE itself oracle-exact, including the reason
+    * column's pipeline ordering.
+    */
+  def curateRouteQ(spark: SparkSession, dir: String): DataFrame = {
+    val planted = plantedDocs(spark, dir)
+    val base = graft.Caches.stagedPath("curate-index", dir) { b =>
+      Curation.writeCurateIndex(planted, b)
+    }
+    Curation.curateRoute(planted, base).orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_pipeline" -> curatePipeline,
+    "curate_route" -> curateRouteQ,
     "text_pack" -> textPack,
     "curate_normalize" -> curateNormalize,
     "curate_line_dedup" -> curateLineDedup,
@@ -294,6 +319,53 @@ object CurationQueries {
     "curate_quality_cut" -> curateQualityCut,
     "curate_stats" -> curateStats)
 
+  /** Shared replay of the pipeline stages both `curate_pipeline` and
+    * `curate_route` hash against: planted-mess union -> normalize (the
+    * curate_normalize expressions) -> token floor -> min-id exact dedup
+    * -> the df-cut shingle chain (the dedup_ngram_jaccard CTEs, over the
+    * deduped frame) -> the near-dup drop set (larger id of each pair at
+    * Jaccard >= 0.6) and the %97 contamination drop set.
+    */
+  private val pipelineCtes: String =
+    """u AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000,
+      |    chr(7) || ' ' || text || chr(160) || ' ' || chr(8232)
+      |  FROM documents WHERE doc_id % 100 = 0),
+      |norm AS (SELECT doc_id, trim(regexp_replace(
+      |    nfc_normalize(regexp_replace(text,
+      |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+      |    '[\t\n\x0B\f\r \x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+      |    ' ', 'g')) AS text
+      |  FROM u),
+      |flo AS (SELECT doc_id, text FROM norm
+      |        WHERE len(string_split(text, ' ')) >= 20),
+      |ex AS (SELECT MIN(doc_id) AS doc_id, text FROM flo GROUP BY text),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ex),
+      |idx AS (SELECT doc_id, toks,
+      |          unnest(generate_series(1, len(toks)-2)) AS i FROM tok),
+      |sh0 AS (SELECT DISTINCT doc_id AS id,
+      |          array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+      |df AS (SELECT shingle FROM sh0 GROUP BY shingle
+      |       HAVING COUNT(*) <= 1000),
+      |sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN df USING (shingle)),
+      |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+      |inter AS (SELECT a.id AS da, b.id AS db, COUNT(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      |          GROUP BY a.id, b.id),
+      |neardrop AS (SELECT DISTINCT db AS doc_id
+      |             FROM inter JOIN sizes x ON da = x.id
+      |               JOIN sizes y ON db = y.id
+      |             WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.6),
+      |ov AS (SELECT b.id AS bench_doc, c.id AS corpus_doc,
+      |         COUNT(*) AS overlap
+      |       FROM (SELECT id, shingle FROM sh WHERE id % 97 = 0) b
+      |       JOIN (SELECT id, shingle FROM sh WHERE id % 97 <> 0) c
+      |         USING (shingle)
+      |       GROUP BY 1, 2),
+      |contdrop AS (SELECT DISTINCT corpus_doc AS doc_id FROM ov
+      |             WHERE overlap >= 3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // The flagship composition, replayed stage for stage: planted-mess
     // union -> normalize (the curate_normalize expressions) -> token floor
@@ -302,44 +374,7 @@ object CurationQueries {
     // near-dup pair screen and the %97 contamination screen -> pack (the
     // text_pack expressions over the final keep set).
     "curate_pipeline" ->
-      """WITH u AS (SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000000,
-        |    chr(7) || ' ' || text || chr(160) || ' ' || chr(8232)
-        |  FROM documents WHERE doc_id % 100 = 0),
-        |norm AS (SELECT doc_id, trim(regexp_replace(
-        |    nfc_normalize(regexp_replace(text,
-        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
-        |    '[\t\n\x0B\f\r \x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
-        |    ' ', 'g')) AS text
-        |  FROM u),
-        |flo AS (SELECT doc_id, text FROM norm
-        |        WHERE len(string_split(text, ' ')) >= 20),
-        |ex AS (SELECT MIN(doc_id) AS doc_id, text FROM flo GROUP BY text),
-        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ex),
-        |idx AS (SELECT doc_id, toks,
-        |          unnest(generate_series(1, len(toks)-2)) AS i FROM tok),
-        |sh0 AS (SELECT DISTINCT doc_id AS id,
-        |          array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
-        |df AS (SELECT shingle FROM sh0 GROUP BY shingle
-        |       HAVING COUNT(*) <= 1000),
-        |sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN df USING (shingle)),
-        |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
-        |inter AS (SELECT a.id AS da, b.id AS db, COUNT(*) AS inter
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-        |          GROUP BY a.id, b.id),
-        |neardrop AS (SELECT DISTINCT db AS doc_id
-        |             FROM inter JOIN sizes x ON da = x.id
-        |               JOIN sizes y ON db = y.id
-        |             WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.6),
-        |ov AS (SELECT b.id AS bench_doc, c.id AS corpus_doc,
-        |         COUNT(*) AS overlap
-        |       FROM (SELECT id, shingle FROM sh WHERE id % 97 = 0) b
-        |       JOIN (SELECT id, shingle FROM sh WHERE id % 97 <> 0) c
-        |         USING (shingle)
-        |       GROUP BY 1, 2),
-        |contdrop AS (SELECT DISTINCT corpus_doc AS doc_id FROM ov
-        |             WHERE overlap >= 3),
+      s"""WITH $pipelineCtes,
         |fin AS (SELECT doc_id, text FROM ex
         |        WHERE doc_id % 97 <> 0
         |          AND doc_id NOT IN (SELECT doc_id FROM neardrop)
@@ -356,6 +391,30 @@ object CurationQueries {
         |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM off GROUP BY shard, seq ORDER BY shard, seq""".stripMargin,
+    // The admission gate's per-document decision table: the SAME CTE
+    // chain feeding a first-failing-reason CASE in the route's pipeline
+    // order (quality -> exact_dup -> near_dup -> contaminated ->
+    // held_out). `keeper` joins on normalized text over the floored
+    // frame, so an exact copy resolves to its min-id original.
+    "curate_route" ->
+      s"""WITH $pipelineCtes,
+        |nt AS (SELECT doc_id, text,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |       FROM norm),
+        |kp AS (SELECT text, MIN(doc_id) AS keeper FROM nt
+        |       WHERE ntok >= 20 GROUP BY text),
+        |dec AS (SELECT n.doc_id,
+        |  CASE WHEN n.ntok < 20 THEN 'quality'
+        |       WHEN k.keeper < n.doc_id THEN 'exact_dup'
+        |       WHEN n.doc_id IN (SELECT doc_id FROM neardrop)
+        |         THEN 'near_dup'
+        |       WHEN n.doc_id IN (SELECT doc_id FROM contdrop)
+        |         THEN 'contaminated'
+        |       WHEN n.doc_id % 97 = 0 THEN 'held_out'
+        |       ELSE NULL END AS reason
+        |  FROM nt n LEFT JOIN kp k ON n.text = k.text)
+        |SELECT doc_id, reason IS NULL AS accepted, reason
+        |FROM dec ORDER BY doc_id""".stripMargin,
     "curate_normalize" ->
       """WITH u AS (SELECT doc_id, text FROM documents
         |  UNION ALL
