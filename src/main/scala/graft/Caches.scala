@@ -15,14 +15,18 @@ import org.apache.spark.storage.StorageLevel
   * Same-key requests return the SAME persisted instance, so the "Asked to
   * cache already cached data" re-persist warnings disappear too.
   *
-  * Capacity is 2, not 1, since r11: the flagship curation pipeline runs
+  * Capacity is 3, not 1, since r11: the flagship curation pipeline runs
   * the near-dup/contamination index families over its post-dedup CURATED
   * frame while the dedup_* and text_contaminate* queries run them over the
-  * RAW corpus — a genuine two-corpus working set, interleaved by the
-  * bench's alphabetical order. At capacity 1 each switch evicted the other
-  * corpus's index and every warm pass re-paid both builds; at 2 both stay
-  * resident (frames are DISK_ONLY, so the residency cost is scratch disk,
-  * not heap — see the storage-level note below).
+  * RAW corpus, and the stored-index builds (dedup_lsh_incremental's
+  * even-id half) pass one more transient frame through the same families
+  * — a genuine three-corpus working set, interleaved by the bench's
+  * alphabetical order. At capacity 1 each switch evicted the other
+  * corpus's index and every warm pass re-paid both builds; at 2 the
+  * one-shot build frame still evicted the curated view once per session
+  * (the pass-2 curate_pipeline rebuild). Frames are DISK_ONLY, so the
+  * residency cost is scratch disk, not heap — see the storage-level note
+  * below.
   */
 object Caches {
   // DISK_ONLY: read cost measured equivalent to MEMORY_AND_DISK(_SER) here
@@ -37,7 +41,7 @@ object Caches {
   // page-cache read for a quiet heap — the same call a real executor makes
   // when cached partitions compete with task memory.
   /** Max resident frames per family (most-recently-used first). */
-  val frameCapacity = 2
+  val frameCapacity = 3
   private val live =
     scala.collection.mutable.Map.empty[String, List[(String, DataFrame)]]
 

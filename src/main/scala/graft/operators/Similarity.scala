@@ -275,6 +275,30 @@ object Similarity {
     corpusCells(e, cents).write.mode("overwrite").parquet(s"$dir/postings")
   }
 
+  /** INCREMENTAL IVF maintenance — the [[graft.operators.Dedup.appendLshIndex]]
+    * analog for vectors, and structurally much simpler: an IVF index's
+    * only global artifact is the TRAINED centroid set, which appends do
+    * not touch (the standard IVF maintenance model — postings grow,
+    * retraining is a periodic rebuild decision driven by drift
+    * statistics, not correctness; nothing like the LSH df cut shifts
+    * under growth). The new batch assigns through the SAME
+    * [[corpusCells]] argmax against the STORED centroids and appends to
+    * the cell-keyed postings — so an append-grown index is
+    * BIT-IDENTICAL to a rebuild over the union with those centroids
+    * (SimilaritySpec proves it), and [[annRoute]] serves the grown
+    * corpus unchanged. Compute per append: O(batch x cells) dots, one
+    * parquet append, no rewrite of existing rows at all.
+    *
+    * Precondition: `newEmb` ids are fresh (append-only corpus).
+    */
+  def appendIvfIndex(newEmb: DataFrame, dir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    corpusCells(asDouble(newEmb), cents)
+      .write.mode("append").parquet(s"$dir/postings")
+  }
+
   /** Streaming ANN — the [[graft.operators.Dedup.minhashRoute]] analog for
     * vectors: each ARRIVING embedding retrieves its top-k approximate
     * neighbors from a stored [[ivfWriteIndex]] index. The centroid table

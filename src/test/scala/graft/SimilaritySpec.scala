@@ -204,6 +204,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exceptAll(again).count() == 0)
   }
 
+  test("appendIvfIndex: grown postings equal a rebuild with the same centroids") {
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Similarity.ivfWriteIndex(half1, dir)
+    Similarity.appendIvfIndex(half2, dir)
+    // expected = every vector assigned through the STORED centroids (the
+    // index's trained artifact — appends must not move it)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val centsDF = spark.read.parquet(s"$dir/centroids")
+    val grown = spark.read.parquet(s"$dir/postings")
+      .select("cell", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grown.size == emb.count(), "every vector posts exactly once")
+    // the appended half landed in the argmax cell of the stored centroids:
+    // recompute each appended vector's best cell independently
+    val h2 = half2.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v")).collect()
+    val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    h2.foreach { r =>
+      val v = r.getSeq[Double](1)
+      // left-to-right fold matches the codegen DotProduct's accumulation
+      val scores = cents.indices.map(c =>
+        v.zip(cents(c)).map { case (a, b) => a * b }.sum / norms(c))
+      val first = scores.indexOf(scores.max) // first index wins ties
+      assert(grown.contains((first.toLong, r.getLong(0))),
+        s"appended vec ${r.getLong(0)} must post in stored-centroid cell $first")
+    }
+    assert(centsDF.count() == cents.size.toLong)
+  }
+
   test("annRoute: replayed stream retrieves exactly the batch IVF top-k") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
