@@ -156,6 +156,15 @@ object Bpe {
 
   /** Distributed encode: broadcast the merge ranks, tokenize per word in a
     * narrow map. Returns (doc_id, n_words, n_units, units_per_word).
+    *
+    * Implementation tier: a Scala UDF — the repo's ONLY one, and a
+    * deliberate choice per SURVEY §7's preference order (builtin >
+    * codegen Expression > UDF): the BPE encode loop is a data-dependent
+    * iterative merge per word that no builtin composition expresses, and
+    * its cost is the merge loop itself, not the UDF boundary — a custom
+    * codegen Expression would re-implement the same JVM loop to save one
+    * String argument's boxing. The heavy column work around it (word
+    * split, counts) stays in builtins.
     */
   def encodeStats(docs: DataFrame, merges: Seq[Merge],
                   textCol: String = "text", idCol: String = "doc_id",

@@ -754,7 +754,11 @@ object Curation {
       .join(nearHit, Seq("doc_id"), "left")
       .join(contHit, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("n_tokens") < minTokens, "quality")
+        // null-safe: a null-text arrival has null n_tokens, which every
+        // comparison below would skip — it must REJECT as quality, not
+        // fall through every when() to an accept
+        when(col("n_tokens").isNull || col("n_tokens") < minTokens,
+          "quality")
           .when(col("exact_dup"), "exact_dup")
           .when(coalesce(col("near_dup"), lit(false)), "near_dup")
           .when(coalesce(col("contaminated"), lit(false)), "contaminated")

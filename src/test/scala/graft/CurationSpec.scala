@@ -397,7 +397,15 @@ class CurationSpec extends SparkSpec {
       .select((col("doc_id") + 10000000L).as("doc_id"),
         concat(lit("\u0007 "), col("text"), lit("\u00a0 \u2028"))
           .as("text"))
-    val planted = raw.unionByName(messy)
+    // plus two malformed arrivals an ingest gate must REJECT, not drop
+    // silently or accept by null-propagation: null text and empty text
+    val spark3 = spark
+    val malformed = spark3.createDataFrame(
+      spark3.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(90000001L, null),
+        org.apache.spark.sql.Row(90000002L, ""))),
+      raw.schema)
+    val planted = raw.unionByName(messy).unionByName(malformed)
     val batchKeep = Curation.curateKeep(planted)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(batchKeep.nonEmpty)
@@ -436,10 +444,13 @@ class CurationSpec extends SparkSpec {
     val shortOrigs = raw.filter(col("doc_id") % 100 === 0 &&
         Curation.tokenCount(col("text")) < 20)
       .select("doc_id").collect().map(_.getLong(0) + 10000000L).toSet
-    val messyIds = got.keys.filter(_ >= 10000000L)
+    val messyIds = got.keys.filter(id => id >= 10000000L && id < 90000000L)
     assert(messyIds.nonEmpty && messyIds.forall(id => got(id) ==
       ((false, if (shortOrigs(id)) "quality" else "exact_dup"))))
     val heldOut = got.collect { case (id, (false, "held_out")) => id }
     assert(heldOut.nonEmpty && heldOut.forall(_ % 97 == 0))
+    // malformed arrivals get explicit quality rejections
+    assert(got(90000001L) == ((false, "quality")), "null text must reject")
+    assert(got(90000002L) == ((false, "quality")), "empty text must reject")
   }
 }
