@@ -284,22 +284,29 @@ object Dedup {
   // -------------------------------------------------------------------------
 
   /** Persist the corpus-side LSH index for [[minhashRoute]] /
-    * [[appendLshIndex]] / [[pairsFromIndex]]: five parquet tables under
-    * `dir` —
-    *  - `buckets`: the small-bucket-cut banded signatures (id, band, bh),
-    *    exactly [[lshInBuckets]] (so the stream search space IS the batch
-    *    search space);
-    *  - `buckets_raw`: the UNCUT banded signatures — the maintenance-side
-    *    source of truth ([[appendLshIndex]] re-derives the cut after each
-    *    append; bucket sizes are not monotone, so the filtered view alone
-    *    could not be maintained);
+    * [[appendLshIndex]] / [[pairsFromIndex]]: under `dir` —
     *  - `arrays`: per-doc sorted kept-shingle arrays (id, sa, n) for
     *    in-row exact verification AND for the append path's affected-doc
-    *    rebuild;
+    *    rebuild — PARTITIONED by id range (`pid = id div idRangeSize`),
+    *    so [[appendLshIndex]] rewrites only the ranges holding touched
+    *    docs (this is the corpus-scale table: shingle arrays are
+    *    text-sized);
+    *  - `buckets_raw`: the UNCUT banded signatures (id, band, bh), same
+    *    id-range partitioning — the maintenance-side source of truth
+    *    (bucket sizes are not monotone, so a filtered view alone could
+    *    not be maintained);
+    *  - `oversize`: the bucket-size-cut COMPLEMENT — (band, bh) of
+    *    buckets holding > [[maxBucketSize]] members. Tiny by the same
+    *    argument as `stop`, so the SERVED search space is
+    *    raw ANTI-JOIN broadcast(oversize) ([[servedBuckets]]) and no
+    *    materialized filtered copy of the corpus-scale table exists to
+    *    rewrite;
     *  - `df`: every shingle's global document frequency — the statistic
     *    incremental maintenance must carry forward;
     *  - `stop`: the df-cut stop shingles (df > [[maxBucketSize]]) so an
-    *    arriving doc can reproduce the batch kept-set without the corpus.
+    *    arriving doc can reproduce the batch kept-set without the corpus;
+    *  - `meta.json`: the partition range size, carried so appends
+    *    partition identically.
     *
     * A production rebuild would publish these through the
     * [[graft.sources.LogStore]] manifest commit for snapshot isolation
@@ -307,7 +314,12 @@ object Dedup {
     * deliverable here.
     */
   def writeLshIndex(docs: DataFrame, dir: String, k: Int = 3,
-                    numHashes: Int = 32, bands: Int = 16): Unit = {
+                    numHashes: Int = 32, bands: Int = 16,
+                    idRangeSize: Long = 1L << 20): Unit = {
+    val spark = docs.sparkSession
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "meta.json"),
+      s"""{"idRangeSize":$idRangeSize}""".getBytes("UTF-8"))
     val raw0 = {
       val rows = numHashes / bands
       val sig = minhashSignatures(docs, k, numHashes)
@@ -319,21 +331,48 @@ object Dedup {
         .select(col("id"), col("bucket.band").as("band"),
           col("bucket.bh").as("bh"))
     }
-    raw0.write.mode("overwrite").parquet(s"$dir/buckets_raw")
-    val spark = docs.sparkSession
+    raw0.withColumn("pid", expr(s"id div $idRangeSize"))
+      .write.partitionBy("pid").mode("overwrite")
+      .parquet(s"$dir/buckets_raw")
     val raw = spark.read.parquet(s"$dir/buckets_raw")
-    val small = raw.groupBy("band", "bh")
-      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucketSize)
+    raw.groupBy("band", "bh")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
       .select("band", "bh")
-    raw.join(small, Seq("band", "bh"))
-      .write.mode("overwrite").parquet(s"$dir/buckets")
-    docShingleArrays(docs, k).write.mode("overwrite").parquet(s"$dir/arrays")
+      .write.mode("overwrite").parquet(s"$dir/oversize")
+    docShingleArrays(docs, k)
+      .withColumn("pid", expr(s"id div $idRangeSize"))
+      .write.partitionBy("pid").mode("overwrite").parquet(s"$dir/arrays")
     val dfreq = shingles(docs, k).groupBy("shingle")
       .agg(count(lit(1)).as("df"))
     dfreq.write.mode("overwrite").parquet(s"$dir/df")
     spark.read.parquet(s"$dir/df").filter(col("df") > maxBucketSize)
       .select("shingle").write.mode("overwrite").parquet(s"$dir/stop")
   }
+
+  /** The id-range size an index was written with. */
+  private def indexRangeSize(dir: String): Long = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "meta.json")), "UTF-8")
+    """"idRangeSize":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+  }
+
+  /** The SERVED search space: uncut banded signatures minus the tiny
+    * oversize-bucket complement (broadcast anti-join — no corpus-scale
+    * filtered copy is ever materialized). Identical rows to the old
+    * materialized `buckets` table / [[lshInBuckets]]'s cut.
+    */
+  private[operators] def servedBuckets(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/buckets_raw")
+      .select("id", "band", "bh")
+    val over = spark.read.parquet(s"$dir/oversize")
+    raw.join(broadcast(over), Seq("band", "bh"), "left_anti")
+  }
+
+  /** Stored per-doc arrays without the partition column. */
+  private def storedArrays(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame =
+    spark.read.parquet(s"$dir/arrays").select("id", "sa", "n")
 
   /** INCREMENTAL index maintenance — grow a [[writeLshIndex]] index by a
     * new document batch without re-shingling or re-signing the corpus:
@@ -346,23 +385,23 @@ object Dedup {
     * exactly (a) its own docs and (b) the old docs holding a shingle that
     * CROSSED the df cut in this append (`stopNew`) — everything else's
     * kept set, signature, and bucket rows are bit-identical to a full
-    * rebuild, and are carried forward unread. Affected docs rebuild
-    * in-row from their stored arrays (`array_except` the crossed
-    * shingles, re-sign via the same `array_min(transform(..,xxhash64))`
-    * kernel [[minhashRoute]] uses — bit-identical to the batch
-    * aggregation); new docs shingle once and cut against the MERGED df
-    * (full-rebuild semantics by construction). The small-bucket cut is
-    * re-derived from `buckets_raw` because bucket sizes are NOT monotone
-    * (an affected doc's signature change can shrink a bucket).
+    * rebuild, and are carried forward UNTOUCHED ON DISK: the corpus-scale
+    * tables (`arrays`, `buckets_raw`) are id-range partitioned, and only
+    * the ranges holding affected or new docs restage — IndexMaintenance-
+    * Spec asserts unaffected ranges' files are byte-identical after an
+    * append. With append-only ids, new docs land in the top ranges, so
+    * rewrite IO is O(affected ranges + batch ranges), not O(index).
     *
-    * Compute per append: O(batch shingling + affected-doc re-sign +
-    * index-table rewrite). The stage-and-swap rewrites move 16-byte-ish
-    * index rows, never corpus text; at 100 TB you'd partition `arrays`/
-    * `buckets_raw` by id range and rewrite only partitions holding
-    * affected docs (the [[graft.sources.LogStore]] manifest machinery),
-    * which turns the rewrite IO into O(affected) too. IndexMaintenance-
-    * Spec proves append-equals-rebuild table for table, including a
-    * forced df-crossing.
+    * Affected docs rebuild in-row from their stored arrays
+    * (`array_except` the crossed shingles, re-sign via the same
+    * `array_min(transform(..,xxhash64))` kernel [[minhashRoute]] uses —
+    * bit-identical to the batch aggregation); new docs shingle once and
+    * cut against the MERGED df (full-rebuild semantics by construction).
+    * The oversize-bucket complement is re-derived from `buckets_raw`
+    * (bucket sizes are NOT monotone — an affected doc's signature change
+    * can shrink a bucket); that pass and the `df` merge are the remaining
+    * whole-table work, but both are metadata-scale (16-24-byte rows),
+    * never text-scale — and both outputs (`oversize`, `stop`) stay tiny.
     *
     * Precondition: `newDocs` ids are fresh (append-only corpus — an id
     * rewrite is a delete+append, which df monotonicity does not cover).
@@ -372,9 +411,11 @@ object Dedup {
                      idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = newDocs.sparkSession
     val rows = numHashes / bands
+    val rangeSize = indexRangeSize(dir)
     val oldDf = spark.read.parquet(s"$dir/df")
-    val oldArrays = spark.read.parquet(s"$dir/arrays")
+    val oldArrays = storedArrays(spark, dir)
     val oldRaw = spark.read.parquet(s"$dir/buckets_raw")
+      .select("id", "band", "bh")
 
     // merged document frequencies (outer sum), and the crossing set
     val delta = shingles(newDocs, k, textCol, idCol)
@@ -426,40 +467,85 @@ object Dedup {
           col("bucket.bh").as("bh"))
     }
 
-    // stage-and-swap, in two waves: every staged plan LAZILY re-reads the
-    // OLD on-disk tables, so all plans over old state must execute before
-    // any promote replaces their inputs (parquet inputs cannot be
-    // overwritten in place, and a promoted table must never feed a plan
-    // that believes it still reads the predecessor)
-    def stage(df: DataFrame, table: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dir/.$table-stage")
-    def promote(table: String): Unit = {
-      val p = java.nio.file.Paths.get(dir, table)
+    // the id ranges this append touches: the affected docs' plus the new
+    // batch's (tiny driver lists — one entry per range, not per doc)
+    val pidOf = (df: DataFrame) => df
+      .select(expr(s"id div $rangeSize").as("pid")).distinct()
+    val touched = pidOf(affectedIds)
+      .unionByName(pidOf(newKept.select("id"))).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val touchedLit = touched.toSeq.sorted
+
+    def deleteTree(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
-      java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/.$table-stage"), p)
+
+    // stage-and-swap, in two waves: every staged plan LAZILY re-reads the
+    // OLD on-disk tables, so all plans over old state must execute before
+    // any promote replaces their inputs. For the partitioned tables only
+    // the TOUCHED ranges stage; promote then swaps exactly those pid
+    // directories and leaves every other range's files untouched.
+    def stagePartitioned(content: DataFrame, table: String): Unit =
+      content.withColumn("pid", expr(s"id div $rangeSize"))
+        .filter(col("pid").isin(touchedLit: _*))
+        .write.partitionBy("pid").mode("overwrite")
+        .parquet(s"$dir/.$table-stage")
+    def promotePartitioned(table: String): Unit = {
+      touchedLit.foreach { pid =>
+        val live = java.nio.file.Paths.get(s"$dir/$table/pid=$pid")
+        deleteTree(live)
+        val staged = java.nio.file.Paths.get(s"$dir/.$table-stage/pid=$pid")
+        if (java.nio.file.Files.exists(staged))
+          java.nio.file.Files.move(staged, live)
+      }
+      deleteTree(java.nio.file.Paths.get(s"$dir/.$table-stage"))
+    }
+    def stage(df: DataFrame, table: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/.$table-stage")
+    def promote(table: String): Unit = {
+      deleteTree(java.nio.file.Paths.get(dir, table))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/.$table-stage"),
+        java.nio.file.Paths.get(dir, table))
     }
 
-    // wave 1: the three base tables, computed over old state
-    stage(oldArrays.join(affectedIds, Seq("id"), "left_anti")
-      .unionByName(affected).unionByName(newKept), "arrays")
-    stage(oldRaw.join(affectedIds, Seq("id"), "left_anti")
-      .unionByName(signed(affected)).unionByName(signed(newKept)),
-      "buckets_raw")
+    // wave 1: the three base tables, computed over old state. The
+    // partitioned stages carry only touched-range rows (old rows of those
+    // ranges minus affected, plus rebuilt, plus new).
+    if (touchedLit.nonEmpty) {
+      // pruned re-reads: filtering on the PARTITION column means the scan
+      // of carried-forward rows touches only the affected ranges' files
+      val oldArraysTouched = spark.read.parquet(s"$dir/arrays")
+        .filter(col("pid").isin(touchedLit: _*)).select("id", "sa", "n")
+      val oldRawTouched = spark.read.parquet(s"$dir/buckets_raw")
+        .filter(col("pid").isin(touchedLit: _*)).select("id", "band", "bh")
+      stagePartitioned(oldArraysTouched
+        .join(affectedIds, Seq("id"), "left_anti")
+        .unionByName(affected).unionByName(newKept), "arrays")
+      stagePartitioned(oldRawTouched
+        .join(affectedIds, Seq("id"), "left_anti")
+        .unionByName(signed(affected)).unionByName(signed(newKept)),
+        "buckets_raw")
+    }
     stage(merged.select("shingle", "df"), "df")
-    Seq("arrays", "buckets_raw", "df").foreach(promote)
-    // wave 2: the two derived cuts, re-read from the PROMOTED state
+    if (touchedLit.nonEmpty) {
+      promotePartitioned("arrays")
+      promotePartitioned("buckets_raw")
+    }
+    promote("df")
+    // wave 2: the two derived complements, re-read from the PROMOTED
+    // state (metadata-scale aggregations; tiny outputs)
     val raw = spark.read.parquet(s"$dir/buckets_raw")
-    val small = raw.groupBy("band", "bh")
-      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucketSize)
-      .select("band", "bh")
-    stage(raw.join(small, Seq("band", "bh")), "buckets")
+    stage(raw.groupBy("band", "bh")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
+      .select("band", "bh"), "oversize")
     stage(spark.read.parquet(s"$dir/df")
       .filter(col("df") > maxBucketSize).select("shingle"), "stop")
-    Seq("buckets", "stop").foreach(promote)
+    promote("oversize")
+    promote("stop")
   }
 
   /** Batch near-dup pair search served ENTIRELY from a stored index
@@ -472,8 +558,8 @@ object Dedup {
     */
   def pairsFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                      threshold: Double = 0.6): DataFrame = {
-    val buckets = spark.read.parquet(s"$dir/buckets")
-    val arrays = spark.read.parquet(s"$dir/arrays")
+    val buckets = servedBuckets(spark, dir)
+    val arrays = storedArrays(spark, dir)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -537,8 +623,8 @@ object Dedup {
                    textCol: String = "text"): DataFrame = {
     val spark = arrivals.sparkSession
     val rows = numHashes / bands
-    val buckets = spark.read.parquet(s"$indexDir/buckets")
-    val arrays = spark.read.parquet(s"$indexDir/arrays")
+    val buckets = servedBuckets(spark, indexDir)
+    val arrays = storedArrays(spark, indexDir)
     val stopArr = spark.read.parquet(s"$indexDir/stop")
       .agg(sort_array(collect_list(col("shingle"))).as("stopa"))
     val kept = arrivals

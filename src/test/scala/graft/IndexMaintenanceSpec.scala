@@ -9,27 +9,45 @@ import graft.operators.Dedup
   * index by a document batch must produce EXACTLY the index a full rebuild
   * over the union produces — table for table — including when the append
   * pushes a shingle across the df cut (the case where old docs must be
-  * rewritten). Plus the served-pairs equivalence the production consumer
-  * cares about.
+  * rewritten). The id-range partitioning additionally makes rewrite IO
+  * proportional to TOUCHED ranges: an append must leave unaffected ranges'
+  * files byte-identical on disk. Plus the served-pairs equivalence the
+  * production consumer cares about.
   */
 class IndexMaintenanceSpec extends SparkSpec {
 
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft-lshidx").toString
 
-  /** Sorted canonical rows of one index table (arrays' sa joined flat). */
+  /** The consumer-facing search space: uncut rows minus oversize buckets
+    * (recomputed here from public reads, independent of the operator's
+    * own servedBuckets).
+    */
+  private def served(dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/buckets_raw")
+      .select("id", "band", "bh")
+    val over = spark.read.parquet(s"$dir/oversize")
+    raw.join(over, Seq("band", "bh"), "left_anti")
+  }
+
+  /** Sorted canonical rows of one index table (arrays' sa joined flat;
+    * partition column dropped — layout is compared separately).
+    */
   private def canon(dir: String, table: String): Seq[String] = {
-    val df = spark.read.parquet(s"$dir/$table")
     val flat = table match {
-      case "arrays" => df.select(col("id"), array_join(col("sa"), ""),
-        col("n"))
-      case _ => df
+      case "arrays" => spark.read.parquet(s"$dir/$table")
+        .select(col("id"), array_join(col("sa"), ""), col("n"))
+      case "buckets_raw" => spark.read.parquet(s"$dir/$table")
+        .select("id", "band", "bh")
+      case "served" => served(dir)
+      case _ => spark.read.parquet(s"$dir/$table")
     }
     flat.collect().map(_.mkString("|")).sorted.toSeq
   }
 
   private def assertSameIndex(incr: String, full: String): Unit =
-    for (t <- Seq("df", "stop", "arrays", "buckets_raw", "buckets")) {
+    for (t <- Seq("df", "stop", "oversize", "arrays", "buckets_raw",
+        "served")) {
       val (a, b) = (canon(incr, t), canon(full, t))
       assert(a == b, s"table $t diverges: incremental ${a.size} rows vs " +
         s"rebuild ${b.size} rows\n${a.diff(b).take(3)}\n${b.diff(a).take(3)}")
@@ -45,11 +63,11 @@ class IndexMaintenanceSpec extends SparkSpec {
     assertSameIndex(incr, full)
     // the production consumer's view: pairs served from the grown index
     // equal the batch LSH pairs over the union corpus
-    val served = Dedup.pairsFromIndex(spark, incr)
+    val servedPairs = Dedup.pairsFromIndex(spark, incr)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val batch = Dedup.minhashLshPairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(served == batch && served.nonEmpty)
+    assert(servedPairs == batch && servedPairs.nonEmpty)
   }
 
   test("chained appends carry state correctly (A, +B, +C == rebuild)") {
@@ -72,6 +90,49 @@ class IndexMaintenanceSpec extends SparkSpec {
     Dedup.writeLshIndex(docs, incr)
     Dedup.appendLshIndex(docs.filter(lit(false)), incr)
     Dedup.writeLshIndex(docs, full)
+    assertSameIndex(incr, full)
+  }
+
+  test("an append leaves unaffected id ranges' files byte-identical") {
+    val docs = Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val incr = tmp(); val full = tmp()
+    // small ranges so the 500-doc corpus spans multiple partitions; the
+    // appended batch lives in fresh top ranges and forces no df crossing,
+    // so every original range must stay physically untouched
+    Dedup.writeLshIndex(docs, incr, idRangeSize = 128L)
+    def fileStamps(table: String): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$incr/$table"))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.contains("pid="))
+        .map(p => p.toString ->
+          ((java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)))
+        .toMap
+    }
+    val arraysBefore = fileStamps("arrays")
+    val rawBefore = fileStamps("buckets_raw")
+    assert(arraysBefore.keys.map(_.split("pid=")(1).takeWhile(_ != '/'))
+      .toSet.size > 1, "fixture must span multiple id ranges")
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" zq unique tail")).as("text"))
+    Dedup.appendLshIndex(fresh, incr)
+    val arraysAfter = fileStamps("arrays")
+    val rawAfter = fileStamps("buckets_raw")
+    // every pre-append file survives with identical size + mtime
+    arraysBefore.foreach { case (path, stamp) =>
+      assert(arraysAfter.get(path).contains(stamp),
+        s"unaffected arrays file rewritten: $path")
+    }
+    rawBefore.foreach { case (path, stamp) =>
+      assert(rawAfter.get(path).contains(stamp),
+        s"unaffected buckets_raw file rewritten: $path")
+    }
+    // and the grown index still equals a rebuild at the same range size
+    Dedup.writeLshIndex(docs.unionByName(fresh), full, idRangeSize = 128L)
     assertSameIndex(incr, full)
   }
 
@@ -107,9 +168,9 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$incr/arrays")
       .filter(array_contains(col("sa"), "p q r")).count() == 0L)
     // and the near-dup pair that rode the surviving tail is still served
-    val served = Dedup.pairsFromIndex(spark, incr)
+    val servedPairs = Dedup.pairsFromIndex(spark, incr)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(served.contains((598L, 599L)),
-      s"crossing rewrite must preserve unaffected shingles: $served")
+    assert(servedPairs.contains((598L, 599L)),
+      s"crossing rewrite must preserve unaffected shingles: $servedPairs")
   }
 }
