@@ -685,6 +685,61 @@ object Curation {
     Dedup.writeLshIndex(curatedFrame(docs, minTokens), s"$dir/lsh", k)
   }
 
+  /** The LEARN half of the online ingest loop: grow the
+    * [[writeCurateIndex]] state by an arrival batch so FUTURE arrivals
+    * screen against it ([[curateRoute]] is the decide half; together
+    * they are the production loop — decide, admit, learn, repeat).
+    *
+    * What gets appended is every KEEPER in the batch — each doc that
+    * passes the floor and is the first holder of its normalized content
+    * hash — NOT just the accepted ones. This is the batch pipeline's
+    * near-dup semantics made incremental: batch `curateKeep` drops doc x
+    * when ANY smaller-id kept1 member matches, including members that
+    * were themselves near-dup-rejected (a transitive chain a<b<c with
+    * J(a,b), J(b,c) >= t but J(a,c) < t drops BOTH b and c). An
+    * accepted-only index would admit c; appending all keepers reproduces
+    * the batch decision exactly — CurationSpec's sequential-ingest case
+    * pins precisely this chain.
+    *
+    * Mechanics: normalize + floor the batch in-row, pick batch keepers
+    * (min id per hash) not already in the stored hash table, APPEND
+    * their (content_hash, keeper) rows (pure file-append — staged part
+    * files move in, nothing rewrites), and [[Dedup.appendLshIndex]] the
+    * kept normalized texts (touched-range-only restaging). Single-writer
+    * contract, like every maintenance path here.
+    */
+  def appendCurateIndex(newDocs: DataFrame, dir: String,
+                        minTokens: Int = 20, k: Int = 3): Unit = {
+    val spark = newDocs.sparkSession
+    val normed = normalizeDocs(newDocs).select(col("doc_id"),
+      col("norm").as("text"))
+    val floored = normed.filter(tokenCount(col("text")) >= minTokens)
+    val stored = Dedup.readIndexTable(spark, s"$dir/hashes",
+      "content_hash STRING, keeper BIGINT")
+    val w = Window.partitionBy(col("content_hash"))
+    val batchKeep = floored
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .join(stored.select("content_hash"), Seq("content_hash"), "left_anti")
+      .select(col("content_hash"), col("doc_id"), col("text"))
+    // stage the new hash rows, then move the part files in: parquet
+    // append is file-level, so the stored table is never rewritten (and
+    // never read-while-overwritten)
+    val stage = java.nio.file.Files.createTempDirectory("graft-hash-append")
+    batchKeep.select(col("content_hash"), col("doc_id").as("keeper"))
+      .write.mode("overwrite").parquet(stage.toString)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(stage).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .foreach(p => java.nio.file.Files.move(p,
+        java.nio.file.Paths.get(s"$dir/hashes", p.getFileName.toString)))
+    java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverseIterator
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    Dedup.appendLshIndex(batchKeep.select(col("doc_id"), col("text")),
+      s"$dir/lsh", k)
+  }
+
   /** STREAMING admission control — the whole [[curatePipeline]] as a
     * per-arrival decision against the stored [[writeCurateIndex]] state,
     * composing the route tier end to end: normalize (in-row) -> quality
@@ -718,7 +773,8 @@ object Curation {
     val staged = normed
       .withColumn("n_tokens", tokenCount(col("text")))
       .withColumn("ch", md5(col("text")))
-    val hashes = spark.read.parquet(s"$dir/hashes")
+    val hashes = Dedup.readIndexTable(spark, s"$dir/hashes",
+      "content_hash STRING, keeper BIGINT")
     val withExact = staged
       .join(hashes, staged("ch") === hashes("content_hash"), "left")
       .withColumn("exact_dup",
@@ -733,9 +789,11 @@ object Curation {
     // contamination: the bench side is the curated frame's own held-out
     // slice, read from the index arrays (kept shingles — the batch
     // contamination() cut on BOTH sides)
-    val stopArr = spark.read.parquet(s"$dir/lsh/stop")
+    val stopArr = Dedup.readIndexTable(spark, s"$dir/lsh/stop",
+        "shingle STRING")
       .agg(sort_array(collect_list(col("shingle"))).as("stopa"))
-    val benchArrays = spark.read.parquet(s"$dir/lsh/arrays")
+    val benchArrays = Dedup.readIndexTable(spark, s"$dir/lsh/arrays",
+        "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT")
       .filter(col("id") % benchMod === 0)
       .select(col("id").as("bench_id"), col("sa").as("ba"))
     val contHit = normed

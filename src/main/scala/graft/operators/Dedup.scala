@@ -334,7 +334,7 @@ object Dedup {
     raw0.withColumn("pid", expr(s"id div $idRangeSize"))
       .write.partitionBy("pid").mode("overwrite")
       .parquet(s"$dir/buckets_raw")
-    val raw = spark.read.parquet(s"$dir/buckets_raw")
+    val raw = rawBuckets(spark, dir)
     raw.groupBy("band", "bh")
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
       .select("band", "bh")
@@ -345,7 +345,8 @@ object Dedup {
     val dfreq = shingles(docs, k).groupBy("shingle")
       .agg(count(lit(1)).as("df"))
     dfreq.write.mode("overwrite").parquet(s"$dir/df")
-    spark.read.parquet(s"$dir/df").filter(col("df") > maxBucketSize)
+    readIndexTable(spark, s"$dir/df", "shingle STRING, df BIGINT")
+      .filter(col("df") > maxBucketSize)
       .select("shingle").write.mode("overwrite").parquet(s"$dir/stop")
   }
 
@@ -356,6 +357,37 @@ object Dedup {
     """"idRangeSize":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
   }
 
+  /** Read an index table, tolerating the EMPTY-BOOTSTRAP case: a write of
+    * zero rows can emit no data files at all (a partitionBy write always,
+    * a plain write when the frame has zero partitions) — exactly the
+    * state of a curation index initialized over an empty corpus before
+    * its first append. Schema inference has nothing to read then, and in
+    * Spark 4 the failure surfaces lazily at ANALYSIS of the consuming
+    * query, so the empty case is detected eagerly by listing for data
+    * files (index dirs are local-path by the same contract as the
+    * stage-and-swap promotion) and served as a zero-row frame with the
+    * layout's declared schema.
+    */
+  private[operators] def readIndexTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, ddl: String): DataFrame = {
+    val root = java.nio.file.Paths.get(path)
+    val hasData = java.nio.file.Files.exists(root) && {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .exists(_.toString.endsWith(".parquet"))
+    }
+    if (hasData) spark.read.parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
+
+  private def rawBuckets(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    readIndexTable(spark, s"$dir/buckets_raw",
+      "id BIGINT, band INT, bh BIGINT, pid BIGINT")
+
   /** The SERVED search space: uncut banded signatures minus the tiny
     * oversize-bucket complement (broadcast anti-join — no corpus-scale
     * filtered copy is ever materialized). Identical rows to the old
@@ -363,16 +395,17 @@ object Dedup {
     */
   private[operators] def servedBuckets(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/buckets_raw")
-      .select("id", "band", "bh")
-    val over = spark.read.parquet(s"$dir/oversize")
+    val raw = rawBuckets(spark, dir).select("id", "band", "bh")
+    val over = readIndexTable(spark, s"$dir/oversize", "band INT, bh BIGINT")
     raw.join(broadcast(over), Seq("band", "bh"), "left_anti")
   }
 
   /** Stored per-doc arrays without the partition column. */
   private def storedArrays(spark: org.apache.spark.sql.SparkSession,
                            dir: String): DataFrame =
-    spark.read.parquet(s"$dir/arrays").select("id", "sa", "n")
+    readIndexTable(spark, s"$dir/arrays",
+      "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT")
+      .select("id", "sa", "n")
 
   /** INCREMENTAL index maintenance — grow a [[writeLshIndex]] index by a
     * new document batch without re-shingling or re-signing the corpus:
@@ -412,10 +445,9 @@ object Dedup {
     val spark = newDocs.sparkSession
     val rows = numHashes / bands
     val rangeSize = indexRangeSize(dir)
-    val oldDf = spark.read.parquet(s"$dir/df")
+    val oldDf = readIndexTable(spark, s"$dir/df", "shingle STRING, df BIGINT")
     val oldArrays = storedArrays(spark, dir)
-    val oldRaw = spark.read.parquet(s"$dir/buckets_raw")
-      .select("id", "band", "bh")
+    val oldRaw = rawBuckets(spark, dir).select("id", "band", "bh")
 
     // merged document frequencies (outer sum), and the crossing set
     val delta = shingles(newDocs, k, textCol, idCol)
@@ -518,9 +550,10 @@ object Dedup {
     if (touchedLit.nonEmpty) {
       // pruned re-reads: filtering on the PARTITION column means the scan
       // of carried-forward rows touches only the affected ranges' files
-      val oldArraysTouched = spark.read.parquet(s"$dir/arrays")
+      val oldArraysTouched = readIndexTable(spark, s"$dir/arrays",
+          "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT")
         .filter(col("pid").isin(touchedLit: _*)).select("id", "sa", "n")
-      val oldRawTouched = spark.read.parquet(s"$dir/buckets_raw")
+      val oldRawTouched = rawBuckets(spark, dir)
         .filter(col("pid").isin(touchedLit: _*)).select("id", "band", "bh")
       stagePartitioned(oldArraysTouched
         .join(affectedIds, Seq("id"), "left_anti")
@@ -538,11 +571,11 @@ object Dedup {
     promote("df")
     // wave 2: the two derived complements, re-read from the PROMOTED
     // state (metadata-scale aggregations; tiny outputs)
-    val raw = spark.read.parquet(s"$dir/buckets_raw")
+    val raw = rawBuckets(spark, dir)
     stage(raw.groupBy("band", "bh")
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
       .select("band", "bh"), "oversize")
-    stage(spark.read.parquet(s"$dir/df")
+    stage(readIndexTable(spark, s"$dir/df", "shingle STRING, df BIGINT")
       .filter(col("df") > maxBucketSize).select("shingle"), "stop")
     promote("oversize")
     promote("stop")
@@ -625,7 +658,7 @@ object Dedup {
     val rows = numHashes / bands
     val buckets = servedBuckets(spark, indexDir)
     val arrays = storedArrays(spark, indexDir)
-    val stopArr = spark.read.parquet(s"$indexDir/stop")
+    val stopArr = readIndexTable(spark, s"$indexDir/stop", "shingle STRING")
       .agg(sort_array(collect_list(col("shingle"))).as("stopa"))
     val kept = arrivals
       .select(col(idCol).cast("long").as("sid"), col(textCol).as("text"))

@@ -453,4 +453,55 @@ class CurationSpec extends SparkSpec {
     assert(got(90000001L) == ((false, "quality")), "null text must reject")
     assert(got(90000002L) == ((false, "quality")), "empty text must reject")
   }
+
+  test("sequential ingest (decide + learn) converges to the batch keep set") {
+    val spark2 = spark
+    import spark2.implicits._
+    def words(p: String, lo: Int, hi: Int) =
+      (lo to hi).map(i => s"$p$i").mkString(" ")
+    // the transitive near-dup chain a<b<c: J(a,b)=J(b,c)=17/27≈0.63 >= 0.6
+    // but J(a,c)=12/32 < 0.6 — batch curation drops BOTH b and c (b stays
+    // a kept1 member after its own rejection), so the online index must
+    // learn every KEEPER, not just accepted docs, or c slips through
+    val a = words("t", 1, 24)
+    val b = words("q", 1, 5) + " " + words("t", 6, 24)
+    val c = words("q", 1, 5) + " " + words("t", 6, 19) + " " + words("r", 1, 5)
+    val g = words("g", 1, 24)                       // bench member (97%97=0)
+    val h = words("x", 1, 18) + " " + words("g", 7, 11) // 3 shared shingles
+    val all = Seq(10L -> a, 20L -> b, 30L -> c, 40L -> a, 50L -> a,
+      60L -> "too short", 97L -> g, 200L -> h).toDF("doc_id", "text")
+    val batchKeep = Curation.curateKeep(all)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKeep == Set(10L), s"fixture regression: $batchKeep")
+    // start from an EMPTY index and ingest in arrival batches, learning
+    // after each decision round — the production loop
+    val dir = java.nio.file.Files.createTempDirectory("graft-seq").toString
+    Curation.writeCurateIndex(all.filter(lit(false)), dir)
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(10L -> a, 60L -> "too short"),
+      Seq(20L -> b, 40L -> a),
+      Seq(30L -> c, 50L -> a),
+      Seq(97L -> g),
+      Seq(200L -> h))
+    val got = scala.collection.mutable.Map[Long, (Boolean, String)]()
+    batches.foreach { rows =>
+      val bdf = rows.toDF("doc_id", "text")
+      got ++= Curation.curateRoute(bdf, dir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getBoolean(1), if (r.isNullAt(2)) "" else r.getString(2))))
+      Curation.appendCurateIndex(bdf, dir)
+    }
+    val admitted = got.collect { case (id, (true, _)) => id }.toSet
+    assert(admitted == batchKeep,
+      s"sequential admissions $admitted != batch $batchKeep")
+    assert(got(20L) == ((false, "near_dup")))
+    assert(got(30L) == ((false, "near_dup")),
+      "the chain's c must reject against the REJECTED-but-kept b")
+    assert(got(40L) == ((false, "exact_dup")) &&
+      got(50L) == ((false, "exact_dup")))
+    assert(got(60L) == ((false, "quality")))
+    assert(got(97L) == ((false, "held_out")))
+    assert(got(200L) == ((false, "contaminated")),
+      "the learned bench member must screen later arrivals")
+  }
 }
