@@ -231,20 +231,28 @@ object Dedup {
     * self-join each consume the banded signatures (Spark would otherwise
     * recompute the signature aggregation once per consumer).
     */
+  /** Banded bucket keys of a signature frame (id, sig): one (id, band,
+    * bh) row per band — the ONE banding derivation every LSH surface
+    * shares (batch buckets, stored-index writes, append re-signing), so
+    * signatures can never band differently between the paths.
+    */
+  private def banded(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bh"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bucket"))
+      .select(col("id"), col("bucket.band").as("band"),
+        col("bucket.bh").as("bh"))
+  }
+
   private[operators] def lshInBuckets(docs: DataFrame, k: Int,
                                       numHashes: Int, bands: Int): DataFrame = {
-    val rows = numHashes / bands
     val key = s"${docs.queryExecution.analyzed.semanticHash()}" +
       s"|k=$k|h=$numHashes|b=$bands"
     val bucketed = graft.Caches.cached("dedup-lsh-buckets", key) {
-      val sig = minhashSignatures(docs, k, numHashes)
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bh"))
-      }
-      sig.select(col("id"), explode(array(bandCols: _*)).as("bucket"))
-        .select(col("id"), col("bucket.band").as("band"),
-          col("bucket.bh").as("bh"))
+      banded(minhashSignatures(docs, k, numHashes), numHashes, bands)
     }
     val smallBuckets = bucketed.groupBy("band", "bh")
       .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucketSize)
@@ -320,17 +328,7 @@ object Dedup {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "meta.json"),
       s"""{"idRangeSize":$idRangeSize}""".getBytes("UTF-8"))
-    val raw0 = {
-      val rows = numHashes / bands
-      val sig = minhashSignatures(docs, k, numHashes)
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bh"))
-      }
-      sig.select(col("id"), explode(array(bandCols: _*)).as("bucket"))
-        .select(col("id"), col("bucket.band").as("band"),
-          col("bucket.bh").as("bh"))
-    }
+    val raw0 = banded(minhashSignatures(docs, k, numHashes), numHashes, bands)
     raw0.withColumn("pid", expr(s"id div $idRangeSize"))
       .write.partitionBy("pid").mode("overwrite")
       .parquet(s"$dir/buckets_raw")
@@ -443,7 +441,6 @@ object Dedup {
                      numHashes: Int = 32, bands: Int = 16,
                      idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = newDocs.sparkSession
-    val rows = numHashes / bands
     val rangeSize = indexRangeSize(dir)
     val oldDf = readIndexTable(spark, s"$dir/df", "shingle STRING, df BIGINT")
     val oldArrays = storedArrays(spark, dir)
@@ -485,19 +482,11 @@ object Dedup {
       .agg(sort_array(collect_list(col("shingle"))).as("sa"),
         count(lit(1)).as("n"))
 
-    def signed(arr: DataFrame): DataFrame = {
-      val sig = arr.select(col("id"),
+    def signed(arr: DataFrame): DataFrame =
+      banded(arr.select(col("id"),
         array((0 until numHashes).map(i =>
           array_min(transform(col("sa"), s => xxhash64(lit(i), s)))): _*)
-          .as("sig"))
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("bh"))
-      }
-      sig.select(col("id"), explode(array(bandCols: _*)).as("bucket"))
-        .select(col("id"), col("bucket.band").as("band"),
-          col("bucket.bh").as("bh"))
-    }
+          .as("sig")), numHashes, bands)
 
     // the id ranges this append touches: the affected docs' plus the new
     // batch's (tiny driver lists — one entry per range, not per doc)
