@@ -342,9 +342,8 @@ object Dedup {
       .write.partitionBy("pid").mode("overwrite").parquet(s"$dir/arrays")
     val dfreq = shingles(docs, k).groupBy("shingle")
       .agg(count(lit(1)).as("df"))
-    dfreq.write.mode("overwrite").parquet(s"$dir/df")
-    readIndexTable(spark, s"$dir/df", "shingle STRING, df BIGINT")
-      .filter(col("df") > maxBucketSize)
+    dfreq.write.mode("overwrite").parquet(s"$dir/df/seg-00000")
+    mergedDf(spark, dir).filter(col("df") > maxBucketSize)
       .select("shingle").write.mode("overwrite").parquet(s"$dir/stop")
   }
 
@@ -385,6 +384,31 @@ object Dedup {
                          dir: String): DataFrame =
     readIndexTable(spark, s"$dir/buckets_raw",
       "id BIGINT, band INT, bh BIGINT, pid BIGINT")
+
+  /** The merged document-frequency view: the `df` table is LSM-SHAPED —
+    * append-only delta segments (`df/seg-*`), each carrying a batch's
+    * per-shingle counts, summed at read. Appends write O(batch distinct
+    * shingles) instead of rewriting the vocabulary-scale table;
+    * [[appendLshIndex]] compacts the segments back to one base when they
+    * accumulate (the [[graft.sources.LogStore.compact]] discipline).
+    */
+  private def mergedDf(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(s"$dir/df")
+    val hasData = java.nio.file.Files.exists(root) && {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .exists(_.toString.endsWith(".parquet"))
+    }
+    if (!hasData)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "shingle STRING, df BIGINT"))
+    else spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/df")
+      .groupBy("shingle").agg(sum(col("df")).as("df"))
+  }
 
   /** The SERVED search space: uncut banded signatures minus the tiny
     * oversize-bucket complement (broadcast anti-join — no corpus-scale
@@ -439,14 +463,20 @@ object Dedup {
     */
   def appendLshIndex(newDocs: DataFrame, dir: String, k: Int = 3,
                      numHashes: Int = 32, bands: Int = 16,
-                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
+                     idCol: String = "doc_id", textCol: String = "text",
+                     compactSegmentsAt: Int = 8): Unit = {
     val spark = newDocs.sparkSession
     val rangeSize = indexRangeSize(dir)
-    val oldDf = readIndexTable(spark, s"$dir/df", "shingle STRING, df BIGINT")
+    val oldDf = mergedDf(spark, dir)
     val oldArrays = storedArrays(spark, dir)
     val oldRaw = rawBuckets(spark, dir).select("id", "band", "bh")
 
-    // merged document frequencies (outer sum), and the crossing set
+    // merged document frequencies (outer sum), and the crossing set.
+    // CROSSINGS can only involve shingles the batch touches, so the
+    // crossing set is COLLECTED once here (tiny — <= one shingle per
+    // maxBucketSize old postings) and every later consumer reads the
+    // driver-side literal: nothing merged-derived may lazily re-execute
+    // after the delta segment lands in the df directory below.
     val delta = shingles(newDocs, k, textCol, idCol)
       .groupBy("shingle").agg(count(lit(1)).as("ddf"))
     val merged = oldDf.join(delta, Seq("shingle"), "full_outer")
@@ -454,20 +484,17 @@ object Dedup {
         (coalesce(col("df"), lit(0L)) + coalesce(col("ddf"), lit(0L)))
           .as("df"),
         coalesce(col("df"), lit(0L)).as("df_old"))
-    val stopNew = merged
+    val stopNewSeq: Seq[String] = merged
       .filter(col("df_old") <= maxBucketSize && col("df") > maxBucketSize)
-      .select("shingle")
-    // the crossing set is <= one shingle per maxBucketSize old postings —
-    // tiny — so it broadcasts as one sorted array for in-row array_except
-    val stopNewArr = stopNew
-      .agg(sort_array(collect_list(col("shingle"))).as("sn"))
+      .select("shingle").collect().map(_.getString(0)).sorted.toSeq
+    val stopNewLit = typedlit(stopNewSeq)
 
     // (a) old docs holding a crossed shingle: rebuild arrays + signatures
     // in-row from the stored sorted arrays (narrow columnar scan; the
     // overlap probe never explodes postings)
-    val affected0 = oldArrays.crossJoin(broadcast(stopNewArr))
-      .filter(arrays_overlap(col("sa"), col("sn")))
-      .select(col("id"), array_except(col("sa"), col("sn")).as("sa"))
+    val affected0 = oldArrays
+      .filter(arrays_overlap(col("sa"), stopNewLit))
+      .select(col("id"), array_except(col("sa"), stopNewLit).as("sa"))
     // a doc whose kept set empties out LEAVES the index (batch semantics:
     // only docs with >=1 kept shingle are indexed) — its old rows are
     // still removed below, so the id list is taken BEFORE the size cut
@@ -552,22 +579,57 @@ object Dedup {
         .unionByName(signed(affected)).unionByName(signed(newKept)),
         "buckets_raw")
     }
-    stage(merged.select("shingle", "df"), "df")
     if (touchedLit.nonEmpty) {
       promotePartitioned("arrays")
       promotePartitioned("buckets_raw")
     }
-    promote("df")
-    // wave 2: the two derived complements, re-read from the PROMOTED
-    // state (metadata-scale aggregations; tiny outputs)
+    // df delta: ONE new LSM segment carrying only the batch's shingle
+    // counts (no vocabulary-scale rewrite; mergedDf sums segments at
+    // read). Written only now — after every merged-derived plan above
+    // has executed against the OLD segments.
+    val segRoot = java.nio.file.Paths.get(s"$dir/df")
+    def segDirs(): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      if (!java.nio.file.Files.exists(segRoot)) Seq.empty
+      else java.nio.file.Files.list(segRoot).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("seg-")).toSeq
+    }
+    val nextSeg = segDirs().size
+    delta.select(col("shingle"), col("ddf").as("df"))
+      .write.mode("overwrite").parquet(f"$dir/df/seg-$nextSeg%05d")
+    // wave 2: oversize re-derives from the promoted raw (metadata-scale
+    // aggregation, tiny output); stop GROWS monotonically, so the
+    // crossing set file-appends — no rewrite of either corpus- or
+    // vocabulary-scale state remains anywhere in the append path
     val raw = rawBuckets(spark, dir)
     stage(raw.groupBy("band", "bh")
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
       .select("band", "bh"), "oversize")
-    stage(readIndexTable(spark, s"$dir/df", "shingle STRING, df BIGINT")
-      .filter(col("df") > maxBucketSize).select("shingle"), "stop")
     promote("oversize")
-    promote("stop")
+    if (stopNewSeq.nonEmpty) {
+      val sstage = java.nio.file.Files.createTempDirectory("graft-stop-app")
+      import spark.implicits._
+      stopNewSeq.toDF("shingle")
+        .write.mode("overwrite").parquet(sstage.toString)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(sstage).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f,
+          java.nio.file.Paths.get(s"$dir/stop", f.getFileName.toString)))
+      java.nio.file.Files.walk(sstage).iterator().asScala.toSeq
+        .reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    // compaction: past the segment budget, fold the LSM back to one base
+    // (the LogStore.compact discipline — amortized O(delta) writes, and
+    // reads never sum more than compactSegmentsAt segments)
+    if (segDirs().size > compactSegmentsAt) {
+      val base = mergedDf(spark, dir)
+      base.write.mode("overwrite").parquet(s"$dir/.df-compact-stage")
+      segDirs().foreach(seg => deleteTree(seg))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/.df-compact-stage"),
+        java.nio.file.Paths.get(s"$dir/df/seg-00000"))
+    }
   }
 
   /** Batch near-dup pair search served ENTIRELY from a stored index

@@ -33,6 +33,11 @@ class IndexMaintenanceSpec extends SparkSpec {
   /** Sorted canonical rows of one index table (arrays' sa joined flat;
     * partition column dropped — layout is compared separately).
     */
+  /** The merged df view (the stored table is LSM segments since r11). */
+  private def mergedDf(dir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/df")
+      .groupBy("shingle").agg(sum(col("df")).as("df"))
+
   private def canon(dir: String, table: String): Seq[String] = {
     val flat = table match {
       case "arrays" => spark.read.parquet(s"$dir/$table")
@@ -40,6 +45,7 @@ class IndexMaintenanceSpec extends SparkSpec {
       case "buckets_raw" => spark.read.parquet(s"$dir/$table")
         .select("id", "band", "bh")
       case "served" => served(dir)
+      case "df" => mergedDf(dir)
       case _ => spark.read.parquet(s"$dir/$table")
     }
     flat.collect().map(_.mkString("|")).sorted.toSeq
@@ -81,6 +87,20 @@ class IndexMaintenanceSpec extends SparkSpec {
     Dedup.appendLshIndex(docs.filter(col("doc_id") % 3 === 2), incr)
     Dedup.writeLshIndex(docs, full)
     assertSameIndex(incr, full)
+    // the same chain under an aggressive segment budget: every append
+    // compacts the df LSM back to one base — equality must survive
+    val compacted = tmp()
+    Dedup.writeLshIndex(docs.filter(col("doc_id") % 3 === 0), compacted)
+    Dedup.appendLshIndex(docs.filter(col("doc_id") % 3 === 1), compacted,
+      compactSegmentsAt = 1)
+    Dedup.appendLshIndex(docs.filter(col("doc_id") % 3 === 2), compacted,
+      compactSegmentsAt = 1)
+    assertSameIndex(compacted, full)
+    import scala.jdk.CollectionConverters._
+    val segs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$compacted/df")).iterator().asScala
+      .count(_.getFileName.toString.startsWith("seg-"))
+    assert(segs == 1, s"compaction must fold the LSM to one base, got $segs")
   }
 
   test("an empty append batch is an identity") {
@@ -112,8 +132,21 @@ class IndexMaintenanceSpec extends SparkSpec {
             java.nio.file.Files.getLastModifiedTime(p).toMillis)))
         .toMap
     }
+    def flatStamps(table: String): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$incr/$table"))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          ((java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)))
+        .toMap
+    }
     val arraysBefore = fileStamps("arrays")
     val rawBefore = fileStamps("buckets_raw")
+    val dfBefore = flatStamps("df")
+    val stopBefore = flatStamps("stop")
     assert(arraysBefore.keys.map(_.split("pid=")(1).takeWhile(_ != '/'))
       .toSet.size > 1, "fixture must span multiple id ranges")
     val fresh = docs.filter(col("doc_id") % 5 === 0)
@@ -131,6 +164,15 @@ class IndexMaintenanceSpec extends SparkSpec {
       assert(rawAfter.get(path).contains(stamp),
         s"unaffected buckets_raw file rewritten: $path")
     }
+    // df is LSM: the append ADDS one segment and rewrites none
+    val dfAfter = flatStamps("df")
+    dfBefore.foreach { case (path, stamp) =>
+      assert(dfAfter.get(path).contains(stamp),
+        s"existing df segment rewritten: $path")
+    }
+    assert(dfAfter.size > dfBefore.size, "append must add a df segment")
+    // no crossing -> the stop list is untouched, file for file
+    assert(flatStamps("stop") == stopBefore)
     // and the grown index still equals a rebuild at the same range size
     Dedup.writeLshIndex(docs.unionByName(fresh), full, idRangeSize = 128L)
     assertSameIndex(incr, full)
@@ -152,7 +194,7 @@ class IndexMaintenanceSpec extends SparkSpec {
     val incr = tmp(); val full = tmp()
     Dedup.writeLshIndex(a, incr)
     // before the append, "p q r" is under the cut and indexed
-    assert(spark.read.parquet(s"$incr/df")
+    assert(mergedDf(incr)
       .filter(col("shingle") === "p q r").head().getLong(1) == 600L)
     assert(spark.read.parquet(s"$incr/arrays")
       .filter(array_contains(col("sa"), "p q r")).count() == 600L)
@@ -161,7 +203,7 @@ class IndexMaintenanceSpec extends SparkSpec {
     assertSameIndex(incr, full)
     // the crossed shingle is now stop, carried at its merged df, and
     // scrubbed from every stored array
-    assert(spark.read.parquet(s"$incr/df")
+    assert(mergedDf(incr)
       .filter(col("shingle") === "p q r").head().getLong(1) == 1200L)
     assert(spark.read.parquet(s"$incr/stop")
       .filter(col("shingle") === "p q r").count() == 1L)
