@@ -65,10 +65,17 @@ object Bpe {
     * byte-level does NOT (GPT-2 shape — the marker's own chars are valid
     * base-alphabet bytes, so a marker would make decoding ambiguous; word
     * boundaries live at the whitespace splitter instead).
+    *
+    * Char-level iterates CODE POINTS, not UTF-16 chars: `toCharArray`
+    * would split an astral-plane character's surrogate pair into two
+    * lone-surrogate units, which both breaks round-tripping and
+    * desynchronizes from the DuckDB oracle's codepoint-indexed `w[i:i]`
+    * state encoding (queries.BpeOracle).
     */
   private def baseUnits(word: String, byteLevel: Boolean): Array[String] =
     if (byteLevel) byteUnits(word)
-    else word.toCharArray.map(_.toString) :+ EndOfWord
+    else word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))) :+ EndOfWord
 
   /** One learned merge: rank-ordered pair of adjacent units. */
   case class Merge(rank: Int, left: String, right: String, pairCount: Long)

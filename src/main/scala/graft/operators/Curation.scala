@@ -239,7 +239,8 @@ object Curation {
                          textCol: String = "text"): DataFrame = {
     import graft.functions.gcolumns.word_shingles
     val spark = arrivals.sparkSession
-    val stopArr = spark.read.parquet(s"$indexDir/stop")
+    val stopArr = Dedup.readIndexTable(spark, s"$indexDir/stop",
+        "shingle STRING")
       .agg(sort_array(collect_list(col("shingle"))).as("stopa"))
     val bArrays = bench.select(col("bench_id"),
         sort_array(word_shingles(col("text"), k)).as("ba"))
@@ -669,20 +670,27 @@ object Curation {
 
   /** Persist the curation pipeline's decision state for [[curateRoute]]:
     * `hashes` (content_hash -> min-id keeper — the exact-dedup verdict
-    * table) and an LSH index ([[Dedup.writeLshIndex]] layout under
-    * `dir/lsh`) over the exact-deduped curated frame — the same frame the
-    * batch screens run over, so streaming admission reproduces batch
-    * decisions bit for bit.
+    * table) and an LSH+prefix index ([[Dedup.writeLshIndex]] layout
+    * under `dir/lsh`) over the exact-deduped curated frame — the same
+    * frame the batch screens run over, so streaming admission reproduces
+    * batch decisions bit for bit. BOTH tables publish under ONE
+    * [[graft.sources.IndexCommit]] manifest at `dir` (the lsh subtree
+    * carries no manifest of its own), so the decide+learn loop's state
+    * always flips hash-table-and-index together.
     */
   def writeCurateIndex(docs: DataFrame, dir: String, minTokens: Int = 20,
-                       k: Int = 3): Unit = {
+                       k: Int = 3, nearThreshold: Double = 0.6): Unit = {
+    graft.sources.IndexCommit.deleteTree(java.nio.file.Paths.get(dir))
     val normed = normalizeDocs(docs).select(col("doc_id"),
       col("norm").as("text"))
     val floored = normed.filter(tokenCount(col("text")) >= minTokens)
     floored.select(md5(col("text")).as("content_hash"), col("doc_id"))
       .groupBy("content_hash").agg(min(col("doc_id")).as("keeper"))
       .write.mode("overwrite").parquet(s"$dir/hashes")
-    Dedup.writeLshIndex(curatedFrame(docs, minTokens), s"$dir/lsh", k)
+    Dedup.writeLshIndex(curatedFrame(docs, minTokens), s"$dir/lsh", k,
+      prefixThreshold = nearThreshold, commit = false)
+    graft.sources.IndexCommit.commitFiles(dir,
+      graft.sources.IndexCommit.walkDataFiles(dir))
   }
 
   /** The LEARN half of the online ingest loop: grow the
@@ -702,15 +710,25 @@ object Curation {
     * pins precisely this chain.
     *
     * Mechanics: normalize + floor the batch in-row, pick batch keepers
-    * (min id per hash) not already in the stored hash table, APPEND
-    * their (content_hash, keeper) rows (pure file-append — staged part
-    * files move in, nothing rewrites), and [[Dedup.appendLshIndex]] the
-    * kept normalized texts (touched-range-only restaging). Single-writer
-    * contract, like every maintenance path here.
+    * (min id per hash) not already in the stored hash table, stage their
+    * (content_hash, keeper) rows as a pure file-append, and
+    * [[Dedup.appendLshIndex]] the kept normalized texts (touched-range-
+    * only restaging) into the SAME [[graft.sources.IndexTxn]] — ONE
+    * manifest commit at `dir` publishes the hash rows and every lsh
+    * table change together. The cross-table atomicity is load-bearing:
+    * a hash table ahead of the lsh index would make a crash re-run
+    * compute an empty keeper batch and permanently skip indexing the
+    * texts, while the joint commit means a crash anywhere rolls BOTH
+    * back and the re-run (after [[graft.sources.IndexCommit.vacuum]])
+    * recomputes the identical batch. Single-writer contract, like every
+    * maintenance path here.
     */
   def appendCurateIndex(newDocs: DataFrame, dir: String,
                         minTokens: Int = 20, k: Int = 3): Unit = {
+    import graft.sources.IndexCommit
     val spark = newDocs.sparkSession
+    IndexCommit.vacuum(dir)
+    val txn = new graft.sources.IndexTxn(dir)
     val normed = normalizeDocs(newDocs).select(col("doc_id"),
       col("norm").as("text"))
     val floored = normed.filter(tokenCount(col("text")) >= minTokens)
@@ -723,21 +741,30 @@ object Curation {
       .filter(col("doc_id") === col("keeper"))
       .join(stored.select("content_hash"), Seq("content_hash"), "left_anti")
       .select(col("content_hash"), col("doc_id"), col("text"))
-    // stage the new hash rows, then move the part files in: parquet
-    // append is file-level, so the stored table is never rewritten (and
-    // never read-while-overwritten)
-    val stage = java.nio.file.Files.createTempDirectory("graft-hash-append")
+    // stage the new hash rows, move the part files in (fresh UUID names,
+    // file-level append — the stored table is never rewritten), record
+    // the adds; the commit below publishes them
     batchKeep.select(col("content_hash"), col("doc_id").as("keeper"))
-      .write.mode("overwrite").parquet(stage.toString)
+      .write.mode("overwrite").parquet(s"$dir/.hashes-stage")
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(stage).iterator().asScala
-      .filter(_.toString.endsWith(".parquet"))
-      .foreach(p => java.nio.file.Files.move(p,
-        java.nio.file.Paths.get(s"$dir/hashes", p.getFileName.toString)))
-    java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverseIterator
-      .foreach(java.nio.file.Files.deleteIfExists(_))
+    val stage = java.nio.file.Paths.get(s"$dir/.hashes-stage")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/hashes"))
+    locally {
+      val s = java.nio.file.Files.list(stage)
+      val fs = try s.iterator().asScala.toSeq finally s.close()
+      fs.filter(_.toString.endsWith(".parquet")).foreach { p =>
+        val dst = java.nio.file.Paths.get(s"$dir/hashes",
+          p.getFileName.toString)
+        java.nio.file.Files.move(p, dst)
+        txn.add(txn.rel(dst))
+      }
+    }
     Dedup.appendLshIndex(batchKeep.select(col("doc_id"), col("text")),
-      s"$dir/lsh", k)
+      s"$dir/lsh", k, txn = Some(txn))
+    IndexCommit.hit("curate-before-commit")
+    txn.commit()
+    txn.cleanup()
   }
 
   /** STREAMING admission control — the whole [[curatePipeline]] as a
@@ -745,24 +772,40 @@ object Curation {
     * composing the route tier end to end: normalize (in-row) -> quality
     * floor (in-row) -> exact-dup verdict (one stream-static lookup in
     * `hashes`: drop iff a SMALLER id holds the same content hash) ->
-    * near-dup verdict ([[Dedup.minhashRouteRaw]] against the curated
-    * LSH index, oriented: drop iff a smaller-id kept doc matches — the
-    * batch smaller-id-wins rule) -> contamination verdict (overlap vs
-    * the index's own `% benchMod` bench arrays, broadcast) -> held-out
+    * near-dup verdict ([[Dedup.jaccardRouteOnKept]] against the curated
+    * index's prefix-filter postings — EXACT, zero LSH false negatives,
+    * oriented: drop iff a smaller-id kept doc matches, the batch
+    * smaller-id-wins rule) -> contamination verdict (overlap vs the
+    * index's own `% benchMod` bench arrays, broadcast) -> held-out
     * exclusion. Emits one row per arrival: (doc_id, accepted, reason)
     * with reason the FIRST failing stage in pipeline order.
     *
-    * Replaying the corpus through the route admits EXACTLY the batch
-    * [[curateKeep]] set (CurationSpec proves it) — the property that
-    * lets one engine serve both the nightly batch curation and the
-    * online ingest gate without the two drifting apart.
+    * INTRA-BATCH self-screening (r12): every verdict also screens
+    * against the batch's OWN keepers — the floor-passing min-id holder
+    * of each content hash not already stored — so two duplicates
+    * arriving in the SAME micro-batch no longer both slip through an
+    * index that contains neither: the second exact copy rejects against
+    * the first (batch hash window), a near-dup rejects against any
+    * smaller-id batch keeper (the same prefix-filter candidate rule,
+    * batch-locally via [[Dedup.jaccardPairsOnKept]]), and a batch's own
+    * bench-slice keepers screen its other members for contamination.
+    * With a COMPLETE index (every arrival already indexed) the batch
+    * keeper set is empty and the stages reduce to the stored lookups —
+    * the oracle-replayed shape. Replaying the corpus as ONE batch from
+    * an EMPTY index admits exactly the batch [[curateKeep]] set, and so
+    * does any split into sequential decide+learn batches (CurationSpec
+    * proves both), with one documented caveat: the arrival kept-shingle
+    * sets cut against the STORED stop list, so a df-cut crossing caused
+    * by the batch itself is only visible after its [[appendCurateIndex]]
+    * — between-batch semantics, the same contract the LSH index's df
+    * monotonicity gives the near-dup tier.
     *
-    * Scale shape: narrow normalize/floor/shingle work per arrival, one
-    * broadcast hash... no — the `hashes` lookup is a stream-static
-    * equi-join on a 16-byte key (pruned/pushed like any static side),
-    * the LSH probe is [[Dedup.minhashRoute]]'s bounded bucket join, and
-    * the bench arrays are benchmark-sized broadcasts. No state store, no
-    * stream-stream join; run under `foreachBatch`.
+    * Scale shape: narrow normalize/floor/shingle work per arrival; the
+    * `hashes` lookup is a stream-static equi-join on a 16-byte key, the
+    * near-dup probe is a stream-static equi-join against the df-cut
+    * prefix postings, the bench arrays are benchmark-sized broadcasts,
+    * and every intra-batch structure is micro-batch-sized. No state
+    * store, no stream-stream join; run under `foreachBatch`.
     */
   def curateRoute(arrivals: DataFrame, dir: String, minTokens: Int = 20,
                   k: Int = 3, nearThreshold: Double = 0.6,
@@ -775,38 +818,69 @@ object Curation {
       .withColumn("ch", md5(col("text")))
     val hashes = Dedup.readIndexTable(spark, s"$dir/hashes",
       "content_hash STRING, keeper BIGINT")
+    // the batch's own keeper candidates: floor-passing min-id holder per
+    // content hash (micro-batch-sized frames throughout)
+    val floorPass = staged.filter(col("n_tokens") >= minTokens)
+      .select(col("doc_id"), col("text"), col("ch"))
+    val batchMin = floorPass.groupBy(col("ch"))
+      .agg(min(col("doc_id")).as("bkeep"))
     val withExact = staged
       .join(hashes, staged("ch") === hashes("content_hash"), "left")
+      .join(batchMin, Seq("ch"), "left")
       .withColumn("exact_dup",
-        coalesce(col("keeper") < col("doc_id"), lit(false)))
+        coalesce(col("keeper") < col("doc_id"), lit(false)) ||
+          coalesce(col("bkeep") < col("doc_id"), lit(false)))
       .select(col("doc_id"), col("text"), col("n_tokens"), col("exact_dup"))
-    // near-dup: a SMALLER-id kept doc matches (the batch db-drops rule)
-    val nearHit = Dedup.minhashRouteRaw(normed, s"$dir/lsh", k,
-        threshold = nearThreshold)
-      .filter(col("id") < col("sid"))
-      .select(col("sid").as("doc_id")).distinct()
-      .withColumn("near_dup", lit(true))
-    // contamination: the bench side is the curated frame's own held-out
-    // slice, read from the index arrays (kept shingles — the batch
-    // contamination() cut on BOTH sides)
+    // batch keepers = what appendCurateIndex would learn from this batch
+    // (exactly the not-yet-stored first hash holders — including ones the
+    // screens below reject, the keeper-not-accepted rule)
+    val batchKeepers = floorPass.join(batchMin, Seq("ch"))
+      .filter(col("doc_id") === col("bkeep"))
+      .join(hashes.select(col("content_hash").as("ch")), Seq("ch"),
+        "left_anti")
+      .select(col("doc_id"), col("text"))
+    // kept-shingle arrays, built once and shared by all three screens
     val stopArr = Dedup.readIndexTable(spark, s"$dir/lsh/stop",
         "shingle STRING")
       .agg(sort_array(collect_list(col("shingle"))).as("stopa"))
+    def keptOf(df: DataFrame, idAs: String, keptAs: String): DataFrame = df
+      .crossJoin(broadcast(stopArr))
+      .select(col("doc_id").as(idAs),
+        array_except(graft.functions.gcolumns.word_shingles(col("text"), k),
+          col("stopa")).as(keptAs))
+    val arrivalKept = keptOf(normed, "sid", "kept")
+    val keeperKept = keptOf(batchKeepers, "kid", "ksa")
+    // near-dup: a SMALLER-id kept doc matches (the batch db-drops rule) —
+    // stored docs via the exact prefix-filter route, same-batch keepers
+    // via the batch-local pair rule
+    val nearHit = Dedup.jaccardRouteOnKept(arrivalKept, s"$dir/lsh",
+        nearThreshold)
+      .filter(col("id") < col("sid"))
+      .select(col("sid").as("doc_id"))
+      .unionByName(Dedup.jaccardPairsOnKept(arrivalKept, keeperKept,
+          nearThreshold)
+        .select(col("sid").as("doc_id")))
+      .distinct()
+      .withColumn("near_dup", lit(true))
+    // contamination: the bench side is the curated frame's own held-out
+    // slice — stored keepers from the index arrays plus this batch's own
+    // bench keepers (kept shingles — the batch contamination() cut on
+    // BOTH sides; bidirectional like the batch screen, so a bench doc
+    // screens batch-mates regardless of id order)
     val benchArrays = Dedup.readIndexTable(spark, s"$dir/lsh/arrays",
         "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT")
       .filter(col("id") % benchMod === 0)
       .select(col("id").as("bench_id"), col("sa").as("ba"))
-    val contHit = normed
-      .crossJoin(broadcast(stopArr))
-      .select(col("doc_id"),
-        array_except(graft.functions.gcolumns.word_shingles(col("text"), k),
-          col("stopa")).as("kept"))
+      .unionByName(keeperKept
+        .filter(col("kid") % benchMod === 0 && size(col("ksa")) > 0)
+        .select(col("kid").as("bench_id"), sort_array(col("ksa")).as("ba")))
+    val contHit = arrivalKept
       .crossJoin(broadcast(benchArrays))
       // bench members are never "corpus" docs in the batch screen — they
       // leave via held_out, not contamination
-      .filter(col("doc_id") % benchMod =!= 0 &&
+      .filter(col("sid") % benchMod =!= 0 &&
         size(array_intersect(col("ba"), col("kept"))) >= minOverlap)
-      .select(col("doc_id")).distinct()
+      .select(col("sid").as("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
     withExact
       .join(nearHit, Seq("doc_id"), "left")

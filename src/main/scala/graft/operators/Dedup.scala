@@ -292,7 +292,8 @@ object Dedup {
   // -------------------------------------------------------------------------
 
   /** Persist the corpus-side LSH index for [[minhashRoute]] /
-    * [[appendLshIndex]] / [[pairsFromIndex]]: under `dir` —
+    * [[jaccardRoute]] / [[appendLshIndex]] / [[pairsFromIndex]]: under
+    * `dir` —
     *  - `arrays`: per-doc sorted kept-shingle arrays (id, sa, n) for
     *    in-row exact verification AND for the append path's affected-doc
     *    rebuild — PARTITIONED by id range (`pid = id div idRangeSize`),
@@ -303,123 +304,218 @@ object Dedup {
     *    id-range partitioning — the maintenance-side source of truth
     *    (bucket sizes are not monotone, so a filtered view alone could
     *    not be maintained);
-    *  - `oversize`: the bucket-size-cut COMPLEMENT — (band, bh) of
-    *    buckets holding > [[maxBucketSize]] members. Tiny by the same
-    *    argument as `stop`, so the SERVED search space is
+    *  - `bcounts`: the per-(band, bh) bucket-occupancy counts as an LSM
+    *    (append-only `seg-*` delta segments summed at read, like `df`) —
+    *    the statistic behind the bucket-size cut. The cut COMPLEMENT
+    *    ([[servedOversize]]: buckets with merged count >
+    *    [[maxBucketSize]]) derives from the merged view and is cached
+    *    per committed index version; the SERVED search space is
     *    raw ANTI-JOIN broadcast(oversize) ([[servedBuckets]]) and no
     *    materialized filtered copy of the corpus-scale table exists to
-    *    rewrite;
-    *  - `df`: every shingle's global document frequency — the statistic
-    *    incremental maintenance must carry forward;
+    *    rewrite. An append writes one O(touched buckets) delta segment —
+    *    never re-aggregating `buckets_raw` (the r11 shape, whose
+    *    oversize re-derive was the append path's one whole-table pass);
+    *  - `df`: every shingle's global document frequency, same LSM shape;
+    *  - `prefixes`: each doc's PROBING PREFIX under a static global
+    *    shingle order — the first floor((1-t)*n)+1 kept shingles by
+    *    (xxhash64(shingle), shingle) — as (id, n, shingle) posting rows,
+    *    id-range partitioned like `arrays`. The prefix-filter theorem
+    *    (Chaudhuri et al. 2006 / Bayardo et al. 2007): two sets at
+    *    Jaccard >= t share an element of their probe prefixes under ANY
+    *    common total order, so [[jaccardRouteRaw]]'s candidate join over
+    *    this table is EXACT-complete. The order is a pure hash — append-
+    *    invariant, unlike the batch path's df-order heuristic, so
+    *    incremental maintenance never reorders untouched docs' prefixes;
     *  - `stop`: the df-cut stop shingles (df > [[maxBucketSize]]) so an
     *    arriving doc can reproduce the batch kept-set without the corpus;
-    *  - `meta.json`: the partition range size, carried so appends
-    *    partition identically.
+    *  - `meta.json`: the partition range size + prefix threshold, carried
+    *    so appends partition and prefix identically;
+    *  - `_manifests/manifest-N`: the committed file list
+    *    ([[graft.sources.IndexCommit]]). Readers resolve exactly one
+    *    committed version; [[appendLshIndex]] publishes all its table
+    *    changes in one atomic manifest rename, so a crash mid-append
+    *    leaves this bootstrap (or the previous append) intact.
     *
-    * A production rebuild would publish these through the
-    * [[graft.sources.LogStore]] manifest commit for snapshot isolation
-    * (proven by the sketch-store tier); the index layout itself is the
-    * deliverable here.
+    * This writer is the BOOTSTRAP, not an in-place migration: it clears
+    * `dir` and rebuilds from scratch (readers of a live index keep
+    * serving only across [[appendLshIndex]], which is the in-place path).
     */
   def writeLshIndex(docs: DataFrame, dir: String, k: Int = 3,
                     numHashes: Int = 32, bands: Int = 16,
-                    idRangeSize: Long = 1L << 20): Unit = {
+                    idRangeSize: Long = 1L << 20,
+                    prefixThreshold: Double = 0.6,
+                    commit: Boolean = true): Unit = {
     val spark = docs.sparkSession
+    graft.sources.IndexCommit.deleteTree(java.nio.file.Paths.get(dir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "meta.json"),
-      s"""{"idRangeSize":$idRangeSize}""".getBytes("UTF-8"))
+      s"""{"idRangeSize":$idRangeSize,"prefixThreshold":$prefixThreshold}"""
+        .getBytes("UTF-8"))
     val raw0 = banded(minhashSignatures(docs, k, numHashes), numHashes, bands)
     raw0.withColumn("pid", expr(s"id div $idRangeSize"))
       .write.partitionBy("pid").mode("overwrite")
       .parquet(s"$dir/buckets_raw")
-    val raw = rawBuckets(spark, dir)
-    raw.groupBy("band", "bh")
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
-      .select("band", "bh")
-      .write.mode("overwrite").parquet(s"$dir/oversize")
+    // bootstrap readbacks are DIRECT directory reads (no manifest exists
+    // yet — or a stale one from a cleared rebuild, which must not pin)
+    val raw = readDirTable(spark, s"$dir/buckets_raw",
+      "id BIGINT, band INT, bh BIGINT, pid BIGINT")
+    raw.groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/bcounts/seg-00000")
     docShingleArrays(docs, k)
       .withColumn("pid", expr(s"id div $idRangeSize"))
       .write.partitionBy("pid").mode("overwrite").parquet(s"$dir/arrays")
+    prefixRows(readDirTable(spark, s"$dir/arrays",
+        "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT")
+        .select("id", "sa", "n"), prefixThreshold)
+      .withColumn("pid", expr(s"id div $idRangeSize"))
+      .write.partitionBy("pid").mode("overwrite").parquet(s"$dir/prefixes")
     val dfreq = shingles(docs, k).groupBy("shingle")
       .agg(count(lit(1)).as("df"))
     dfreq.write.mode("overwrite").parquet(s"$dir/df/seg-00000")
-    mergedDf(spark, dir).filter(col("df") > maxBucketSize)
+    dfreq.filter(col("df") > maxBucketSize)
       .select("shingle").write.mode("overwrite").parquet(s"$dir/stop")
+    if (commit)
+      graft.sources.IndexCommit.commitFiles(dir,
+        graft.sources.IndexCommit.walkDataFiles(dir))
   }
 
-  /** The id-range size an index was written with. */
-  private def indexRangeSize(dir: String): Long = {
+  /** The (idRangeSize, prefixThreshold) an index was written with. */
+  private def readMeta(dir: String): (Long, Double) = {
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "meta.json")), "UTF-8")
-    """"idRangeSize":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    val range =
+      """"idRangeSize":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    val t = """"prefixThreshold":([0-9.]+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toDouble).getOrElse(0.6)
+    (range, t)
   }
 
-  /** Read an index table, tolerating the EMPTY-BOOTSTRAP case: a write of
-    * zero rows can emit no data files at all (a partitionBy write always,
-    * a plain write when the frame has zero partitions) — exactly the
-    * state of a curation index initialized over an empty corpus before
-    * its first append. Schema inference has nothing to read then, and in
-    * Spark 4 the failure surfaces lazily at ANALYSIS of the consuming
-    * query, so the empty case is detected eagerly by listing for data
-    * files (index dirs are local-path by the same contract as the
-    * stage-and-swap promotion) and served as a zero-row frame with the
-    * layout's declared schema.
+  private def emptyFrame(spark: org.apache.spark.sql.SparkSession,
+                         ddl: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  /** DIRECT directory read of an index table with a declared schema,
+    * tolerating the EMPTY-BOOTSTRAP case: a write of zero rows can emit
+    * no data files at all (a partitionBy write always, a plain write when
+    * the frame has zero partitions) — exactly the state of a curation
+    * index initialized over an empty corpus before its first append.
+    * Schema inference has nothing to read then, and in Spark 4 the
+    * failure surfaces lazily at ANALYSIS of the consuming query, so the
+    * empty case is detected eagerly by listing for data files (index dirs
+    * are local-path by the maintenance contract) and served as a zero-row
+    * frame with the layout's declared schema. Used by bootstrap readbacks
+    * and as the legacy (never-committed-dir) fallback.
     */
-  private[operators] def readIndexTable(
+  private[operators] def readDirTable(
       spark: org.apache.spark.sql.SparkSession,
       path: String, ddl: String): DataFrame = {
     val root = java.nio.file.Paths.get(path)
     val hasData = java.nio.file.Files.exists(root) && {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala
-        .exists(_.toString.endsWith(".parquet"))
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+      finally s.close()
     }
-    if (hasData) spark.read.parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    if (hasData) spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .parquet(path)
+    else emptyFrame(spark, ddl)
   }
+
+  /** SNAPSHOT-ISOLATED index-table read: resolve the governing committed
+    * manifest ([[graft.sources.IndexCommit.pinnedUnder]] — the table's
+    * own root or an enclosing composite root) and scan exactly its file
+    * list, so files an in-flight or crashed append moved in are invisible
+    * and retired-but-undeleted files never double-count. Falls back to
+    * the direct directory read for never-committed dirs.
+    */
+  private[operators] def readIndexTable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, ddl: String): DataFrame =
+    graft.sources.IndexCommit.pinnedUnder(path) match {
+      case Some(files) if files.isEmpty => emptyFrame(spark, ddl)
+      case Some(files) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .option("basePath", path)
+        .parquet(files: _*)
+      case None => readDirTable(spark, path, ddl)
+    }
 
   private def rawBuckets(spark: org.apache.spark.sql.SparkSession,
                          dir: String): DataFrame =
     readIndexTable(spark, s"$dir/buckets_raw",
       "id BIGINT, band INT, bh BIGINT, pid BIGINT")
 
-  /** The merged document-frequency view: the `df` table is LSM-SHAPED —
-    * append-only delta segments (`df/seg-*`), each carrying a batch's
-    * per-shingle counts, summed at read. Appends write O(batch distinct
-    * shingles) instead of rewriting the vocabulary-scale table;
-    * [[appendLshIndex]] compacts the segments back to one base when they
-    * accumulate (the [[graft.sources.LogStore.compact]] discipline).
+  /** The merged view of an LSM-shaped index statistic: append-only delta
+    * segments (`<table>/seg-*`) carrying per-key count deltas, summed at
+    * read. Appends write O(batch keys) instead of rewriting the
+    * table-scale statistic; [[appendLshIndex]] compacts the segments back
+    * to one base past the segment budget (the
+    * [[graft.sources.LogStore.compact]] discipline).
     */
-  private def mergedDf(spark: org.apache.spark.sql.SparkSession,
-                       dir: String): DataFrame = {
-    val root = java.nio.file.Paths.get(s"$dir/df")
-    val hasData = java.nio.file.Files.exists(root) && {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala
-        .exists(_.toString.endsWith(".parquet"))
+  private def mergedLsm(spark: org.apache.spark.sql.SparkSession,
+                        path: String, ddl: String,
+                        keys: Seq[String], cnt: String): DataFrame = {
+    val segs = graft.sources.IndexCommit.pinnedUnder(path) match {
+      case Some(files) if files.isEmpty => emptyFrame(spark, ddl)
+      case Some(files) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(files: _*)
+      case None =>
+        val root = java.nio.file.Paths.get(path)
+        val hasData = java.nio.file.Files.exists(root) && {
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.walk(root)
+          try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+          finally s.close()
+        }
+        if (!hasData) emptyFrame(spark, ddl)
+        else spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .option("recursiveFileLookup", "true").parquet(path)
     }
-    if (!hasData)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "shingle STRING, df BIGINT"))
-    else spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$dir/df")
-      .groupBy("shingle").agg(sum(col("df")).as("df"))
+    segs.groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+  }
+
+  private def mergedDf(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame =
+    mergedLsm(spark, s"$dir/df", "shingle STRING, df BIGINT",
+      Seq("shingle"), "df")
+
+  private def mergedBcounts(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame =
+    mergedLsm(spark, s"$dir/bcounts", "band INT, bh BIGINT, n BIGINT",
+      Seq("band", "bh"), "n")
+
+  /** The bucket-size-cut complement — (band, bh) of buckets whose merged
+    * occupancy exceeds [[maxBucketSize]] — derived from the `bcounts` LSM
+    * and CACHED per committed index version (route consumers probe it
+    * every micro-batch; the tiny result is version-stable between
+    * appends, so the merge aggregation runs once per version, not once
+    * per batch).
+    */
+  private[operators] def servedOversize(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ver = graft.sources.IndexCommit.resolveRoot(s"$dir/bcounts")
+      .map(_._2).getOrElse(-1)
+    graft.Caches.cached("lsh-oversize", s"$dir|v$ver") {
+      mergedBcounts(spark, dir).filter(col("n") > maxBucketSize)
+        .select("band", "bh")
+    }
   }
 
   /** The SERVED search space: uncut banded signatures minus the tiny
     * oversize-bucket complement (broadcast anti-join — no corpus-scale
-    * filtered copy is ever materialized). Identical rows to the old
-    * materialized `buckets` table / [[lshInBuckets]]'s cut.
+    * filtered copy is ever materialized). Identical rows to
+    * [[lshInBuckets]]'s cut.
     */
   private[operators] def servedBuckets(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val raw = rawBuckets(spark, dir).select("id", "band", "bh")
-    val over = readIndexTable(spark, s"$dir/oversize", "band INT, bh BIGINT")
-    raw.join(broadcast(over), Seq("band", "bh"), "left_anti")
+    raw.join(broadcast(servedOversize(spark, dir)),
+      Seq("band", "bh"), "left_anti")
   }
 
   /** Stored per-doc arrays without the partition column. */
@@ -458,15 +554,41 @@ object Dedup {
     * whole-table work, but both are metadata-scale (16-24-byte rows),
     * never text-scale — and both outputs (`oversize`, `stop`) stay tiny.
     *
+    * Durability (r12): the whole append is ONE [[graft.sources.IndexTxn]]
+    * — staged files move into the live table dirs under fresh part names
+    * (nothing pre-existing is deleted or overwritten), every add/retire
+    * is bookkept, and a single atomic manifest rename publishes all
+    * tables together. A crash at ANY point (mid-stage, between table
+    * moves, before the commit) leaves the previous committed version
+    * byte-intact for readers — moved-in orphans are invisible to pinned
+    * reads — and a re-run first [[graft.sources.IndexCommit.vacuum]]s the
+    * orphans and converges to exactly the state a never-crashed append
+    * produces (IndexMaintenanceSpec injects aborts at each failpoint and
+    * proves both properties). Physical deletion of retired files happens
+    * strictly after the commit.
+    *
     * Precondition: `newDocs` ids are fresh (append-only corpus — an id
     * rewrite is a delete+append, which df monotonicity does not cover).
     */
   def appendLshIndex(newDocs: DataFrame, dir: String, k: Int = 3,
                      numHashes: Int = 32, bands: Int = 16,
                      idCol: String = "doc_id", textCol: String = "text",
-                     compactSegmentsAt: Int = 8): Unit = {
+                     compactSegmentsAt: Int = 8,
+                     txn: Option[graft.sources.IndexTxn] = None): Unit = {
+    import graft.sources.IndexCommit
     val spark = newDocs.sparkSession
-    val rangeSize = indexRangeSize(dir)
+    val standalone = txn.isEmpty
+    // single-writer GC first: any file a crashed earlier append moved in
+    // but never committed is garbage and must not survive into this
+    // transaction's walk of the live dirs (nested case: the composite
+    // root's owner vacuumed already)
+    if (standalone) IndexCommit.vacuum(dir)
+    val t = txn.getOrElse(new graft.sources.IndexTxn(dir))
+    val dirRel = {
+      val r = t.rel(java.nio.file.Paths.get(dir))
+      if (r.isEmpty) "" else r + "/"
+    }
+    val (rangeSize, prefixThreshold) = readMeta(dir)
     val oldDf = mergedDf(spark, dir)
     val oldArrays = storedArrays(spark, dir)
     val oldRaw = rawBuckets(spark, dir).select("id", "band", "bh")
@@ -524,45 +646,17 @@ object Dedup {
       .collect().map(_.getLong(0)).toSet
     val touchedLit = touched.toSeq.sorted
 
-    def deleteTree(p: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-
-    // stage-and-swap, in two waves: every staged plan LAZILY re-reads the
-    // OLD on-disk tables, so all plans over old state must execute before
-    // any promote replaces their inputs. For the partitioned tables only
-    // the TOUCHED ranges stage; promote then swaps exactly those pid
-    // directories and leaves every other range's files untouched.
+    // ---- STAGE: every write below lands in dot-prefixed stage dirs,
+    // and every plan executes against the PINNED old tables. Nothing
+    // live is touched before the move-in, and nothing old is deleted
+    // before the commit — the two-wave execution-ordering dance the
+    // delete-then-move promote needed is gone because reads are pinned
+    // by file list, not by directory.
     def stagePartitioned(content: DataFrame, table: String): Unit =
       content.withColumn("pid", expr(s"id div $rangeSize"))
         .filter(col("pid").isin(touchedLit: _*))
         .write.partitionBy("pid").mode("overwrite")
         .parquet(s"$dir/.$table-stage")
-    def promotePartitioned(table: String): Unit = {
-      touchedLit.foreach { pid =>
-        val live = java.nio.file.Paths.get(s"$dir/$table/pid=$pid")
-        deleteTree(live)
-        val staged = java.nio.file.Paths.get(s"$dir/.$table-stage/pid=$pid")
-        if (java.nio.file.Files.exists(staged))
-          java.nio.file.Files.move(staged, live)
-      }
-      deleteTree(java.nio.file.Paths.get(s"$dir/.$table-stage"))
-    }
-    def stage(df: DataFrame, table: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dir/.$table-stage")
-    def promote(table: String): Unit = {
-      deleteTree(java.nio.file.Paths.get(dir, table))
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(s"$dir/.$table-stage"),
-        java.nio.file.Paths.get(dir, table))
-    }
-
-    // wave 1: the three base tables, computed over old state. The
-    // partitioned stages carry only touched-range rows (old rows of those
-    // ranges minus affected, plus rebuilt, plus new).
     if (touchedLit.nonEmpty) {
       // pruned re-reads: filtering on the PARTITION column means the scan
       // of carried-forward rows touches only the affected ranges' files
@@ -578,57 +672,128 @@ object Dedup {
         .join(affectedIds, Seq("id"), "left_anti")
         .unionByName(signed(affected)).unionByName(signed(newKept)),
         "buckets_raw")
+      // prefixes re-derive in-row from the STAGED arrays readback (the
+      // post-append truth for touched ranges); the static hash order
+      // never reorders untouched docs' prefixes, so untouched ranges
+      // stay byte-identical like the other partitioned tables
+      stagePartitioned(prefixRows(readDirTable(spark, s"$dir/.arrays-stage",
+          "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT")
+          .select("id", "sa", "n"), prefixThreshold), "prefixes")
+      // bcounts delta: staged-minus-old occupancy per bucket over the
+      // TOUCHED ranges only — O(touched buckets) rows; no buckets_raw
+      // re-aggregation remains anywhere in the append path (the r11
+      // whole-table oversize re-derive this LSM replaces)
+      readDirTable(spark, s"$dir/.buckets_raw-stage",
+          "id BIGINT, band INT, bh BIGINT, pid BIGINT")
+        .select(col("band"), col("bh")).withColumn("n", lit(1L))
+        .unionByName(oldRawTouched.select("band", "bh")
+          .withColumn("n", lit(-1L)))
+        .groupBy("band", "bh").agg(sum(col("n")).as("n"))
+        .filter(col("n") =!= 0L)
+        .write.mode("overwrite").parquet(s"$dir/.bcounts-stage")
     }
-    if (touchedLit.nonEmpty) {
-      promotePartitioned("arrays")
-      promotePartitioned("buckets_raw")
-    }
-    // df delta: ONE new LSM segment carrying only the batch's shingle
-    // counts (no vocabulary-scale rewrite; mergedDf sums segments at
-    // read). Written only now — after every merged-derived plan above
-    // has executed against the OLD segments.
-    val segRoot = java.nio.file.Paths.get(s"$dir/df")
-    def segDirs(): Seq[java.nio.file.Path] = {
-      import scala.jdk.CollectionConverters._
-      if (!java.nio.file.Files.exists(segRoot)) Seq.empty
-      else java.nio.file.Files.list(segRoot).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("seg-")).toSeq
-    }
-    val nextSeg = segDirs().size
-    delta.select(col("shingle"), col("ddf").as("df"))
-      .write.mode("overwrite").parquet(f"$dir/df/seg-$nextSeg%05d")
-    // wave 2: oversize re-derives from the promoted raw (metadata-scale
-    // aggregation, tiny output); stop GROWS monotonically, so the
-    // crossing set file-appends — no rewrite of either corpus- or
-    // vocabulary-scale state remains anywhere in the append path
-    val raw = rawBuckets(spark, dir)
-    stage(raw.groupBy("band", "bh")
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
-      .select("band", "bh"), "oversize")
-    promote("oversize")
+    // committed LSM segments per statistic table (for the compaction
+    // decision — counted from the PINNED base, so crash leftovers never
+    // skew the budget)
+    def pinnedSegs(table: String): Seq[String] =
+      t.baseUnder(s"$dirRel$table")
+        .map(_.stripPrefix(s"$dirRel$table/").split('/').head)
+        .distinct.filter(_.startsWith("seg-"))
+    // df: one delta segment, or — past the segment budget — the compacted
+    // base (old pinned segments ∪ this delta, i.e. `merged`), which
+    // retires every old segment in the same commit (the LogStore.compact
+    // discipline: amortized O(delta) writes, reads never sum more than
+    // compactSegmentsAt segments)
+    val dfCompact = pinnedSegs("df").size + 1 > compactSegmentsAt
+    (if (dfCompact) merged.select(col("shingle"), col("df"))
+     else delta.select(col("shingle"), col("ddf").as("df")))
+      .write.mode("overwrite").parquet(s"$dir/.df-seg-stage")
+    val bcCompact = touchedLit.nonEmpty &&
+      pinnedSegs("bcounts").size + 1 > compactSegmentsAt
+    if (bcCompact)
+      mergedBcounts(spark, dir)
+        .unionByName(readDirTable(spark, s"$dir/.bcounts-stage",
+          "band INT, bh BIGINT, n BIGINT"))
+        .groupBy("band", "bh").agg(sum(col("n")).as("n"))
+        .filter(col("n") =!= 0L)
+        .write.mode("overwrite").parquet(s"$dir/.bcounts-compact-stage")
     if (stopNewSeq.nonEmpty) {
-      val sstage = java.nio.file.Files.createTempDirectory("graft-stop-app")
       import spark.implicits._
       stopNewSeq.toDF("shingle")
-        .write.mode("overwrite").parquet(sstage.toString)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(sstage).iterator().asScala
-        .filter(_.toString.endsWith(".parquet"))
-        .foreach(f => java.nio.file.Files.move(f,
-          java.nio.file.Paths.get(s"$dir/stop", f.getFileName.toString)))
-      java.nio.file.Files.walk(sstage).iterator().asScala.toSeq
-        .reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+        .write.mode("overwrite").parquet(s"$dir/.stop-stage")
     }
-    // compaction: past the segment budget, fold the LSM back to one base
-    // (the LogStore.compact discipline — amortized O(delta) writes, and
-    // reads never sum more than compactSegmentsAt segments)
-    if (segDirs().size > compactSegmentsAt) {
-      val base = mergedDf(spark, dir)
-      base.write.mode("overwrite").parquet(s"$dir/.df-compact-stage")
-      segDirs().foreach(seg => deleteTree(seg))
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(s"$dir/.df-compact-stage"),
-        java.nio.file.Paths.get(s"$dir/df/seg-00000"))
+    IndexCommit.hit("staged")
+
+    // ---- MOVE IN: staged part files carry fresh UUID names, so they
+    // move into the live dirs with no possible collision; replaced files
+    // are RETIRED in the transaction's bookkeeping, not deleted.
+    def moveFiles(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(from)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.createDirectories(to)
+        val s = java.nio.file.Files.list(from)
+        val fs = try s.iterator().asScala.toSeq finally s.close()
+        fs.filter(_.toString.endsWith(".parquet")).foreach { f =>
+          val dst = to.resolve(f.getFileName.toString)
+          java.nio.file.Files.move(f, dst)
+          t.add(t.rel(dst))
+        }
+      }
+    def moveInPartitioned(table: String): Unit = {
+      touchedLit.foreach { pid =>
+        t.retireUnder(s"$dirRel$table/pid=$pid")
+        moveFiles(java.nio.file.Paths.get(s"$dir/.$table-stage/pid=$pid"),
+          java.nio.file.Paths.get(s"$dir/$table/pid=$pid"))
+      }
+      IndexCommit.hit(s"moved:$table")
+    }
+    // next segment id = max(existing)+1, never a count: non-contiguous
+    // leftovers (a crashed compaction's survivors) must not alias — and
+    // silently overwrite — an existing segment
+    def nextSegDir(table: String): java.nio.file.Path = {
+      val segRoot = java.nio.file.Paths.get(dir, table)
+      import scala.jdk.CollectionConverters._
+      val existing =
+        if (!java.nio.file.Files.exists(segRoot)) Seq.empty[String]
+        else {
+          val s = java.nio.file.Files.list(segRoot)
+          try s.iterator().asScala.toSeq.map(_.getFileName.toString)
+          finally s.close()
+        }
+      val next = existing.filter(_.startsWith("seg-"))
+        .map(_.stripPrefix("seg-").toInt).maxOption.getOrElse(-1) + 1
+      segRoot.resolve(f"seg-$next%05d")
+    }
+    if (touchedLit.nonEmpty) {
+      moveInPartitioned("arrays")
+      moveInPartitioned("buckets_raw")
+      moveInPartitioned("prefixes")
+      if (bcCompact) {
+        t.retireUnder(s"${dirRel}bcounts")
+        moveFiles(java.nio.file.Paths.get(s"$dir/.bcounts-compact-stage"),
+          nextSegDir("bcounts"))
+      } else
+        moveFiles(java.nio.file.Paths.get(s"$dir/.bcounts-stage"),
+          nextSegDir("bcounts"))
+      IndexCommit.hit("moved:bcounts")
+    }
+    if (dfCompact) t.retireUnder(s"${dirRel}df")
+    moveFiles(java.nio.file.Paths.get(s"$dir/.df-seg-stage"),
+      nextSegDir("df"))
+    IndexCommit.hit("moved:df")
+    // stop GROWS monotonically, so the crossing set file-appends
+    if (stopNewSeq.nonEmpty)
+      moveFiles(java.nio.file.Paths.get(s"$dir/.stop-stage"),
+        java.nio.file.Paths.get(s"$dir/stop"))
+
+    // ---- COMMIT (one atomic manifest rename publishes every table),
+    // then physical cleanup of retired files + stage dirs. A composite
+    // owner (appendCurateIndex) commits the shared transaction itself.
+    if (standalone) {
+      IndexCommit.hit("before-commit")
+      t.commit()
+      IndexCommit.hit("before-cleanup")
+      t.cleanup()
     }
   }
 
@@ -740,6 +905,148 @@ object Dedup {
         col("inter") / (size(col("kept")) + col("n") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("sid"), col("id"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Exact near-dup routing (stored prefix-filter index)
+  // -------------------------------------------------------------------------
+
+  /** A shingle array re-ordered by the STATIC global order
+    * (xxhash64(shingle), shingle) — the common total order the stored
+    * `prefixes` table and every probe must share for the prefix-filter
+    * completeness theorem to apply. A pure hash order is append-invariant
+    * (unlike the batch path's df-order heuristic), which is what lets
+    * [[appendLshIndex]] leave untouched docs' prefix rows byte-identical.
+    */
+  private def hashOrdered(c: Column): Column =
+    transform(
+      array_sort(transform(c, s => struct(xxhash64(s).as("h"), s.as("s")))),
+      x => x.getField("s"))
+
+  /** The probe prefix of a kept-shingle array: its first
+    * floor((1-t)*n)+1 elements under the static hash order. Two sets at
+    * Jaccard >= t must share a probe-prefix element (|x∩y| >=
+    * ceil(t/(1+t)(nx+ny)) >= t*nx, so x's first nx-t*nx+1 ordered
+    * elements cannot all miss y's prefix — the symmetric form of the
+    * prefix filter, valid under any common total order). The epsilon
+    * lengthens the prefix by at most one element on exact boundaries, so
+    * double rounding can only ADD candidates.
+    */
+  private def probePrefix(c: Column, n: Column, threshold: Double): Column =
+    slice(hashOrdered(c), lit(1),
+      (floor(lit(1.0 - threshold) * n + lit(1e-9)) + 1).cast("int"))
+
+  /** Stored-side prefix posting rows (id, n, shingle) of per-doc kept
+    * arrays (id, sa, n) — derived IN-ROW, so maintenance recomputes it
+    * only for restaged docs.
+    */
+  private def prefixRows(arr: DataFrame, threshold: Double): DataFrame =
+    arr.select(col("id"), col("n"),
+      explode(probePrefix(col("sa"), col("n"), threshold)).as("shingle"))
+
+  /** EXACT streaming near-dup screen — [[minhashRoute]]'s contract with
+    * deterministic completeness instead of LSH recall: every stored doc
+    * at Jaccard >= threshold with the arrival is returned, with zero
+    * banding false negatives (the property [[Curation.curateRoute]]'s
+    * batch-equality claim needs to be corpus-independent). Candidates
+    * come from ONE stream-static equi-join of the arrival's in-row probe
+    * prefix against the stored `prefixes` postings (plus the standard
+    * length filter t*max <= min — a safe bound, never a recall cut);
+    * verification is the usual in-row `array_intersect` against the
+    * stored arrays. Per-arrival cost is O(prefix length) join probes —
+    * ~(1-t) of [[minhashRoute]]'s shingle volume — against posting lists
+    * the df cut already bounds.
+    *
+    * `threshold` must equal the index's stored `prefixThreshold` (prefix
+    * lengths are precomputed at write time).
+    */
+  def jaccardRoute(arrivals: DataFrame, indexDir: String, k: Int = 3,
+                   threshold: Double = 0.6, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    jaccardRouteRaw(arrivals, indexDir, k, threshold, idCol, textCol)
+      .select(least(col("sid"), col("id")).as("da"),
+        greatest(col("sid"), col("id")).as("db"), col("jaccard"))
+
+  /** [[jaccardRoute]] with the orientation kept: (sid = arriving doc,
+    * id = indexed candidate, jaccard).
+    */
+  private[operators] def jaccardRouteRaw(arrivals: DataFrame,
+                    indexDir: String, k: Int = 3, threshold: Double = 0.6,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val spark = arrivals.sparkSession
+    val stopArr = readIndexTable(spark, s"$indexDir/stop", "shingle STRING")
+      .agg(sort_array(collect_list(col("shingle"))).as("stopa"))
+    val kept = arrivals
+      .select(col(idCol).cast("long").as("sid"), col(textCol).as("text"))
+      .crossJoin(broadcast(stopArr))
+      .select(col("sid"),
+        array_except(graft.functions.gcolumns.word_shingles(col("text"), k),
+          col("stopa")).as("kept"))
+    jaccardRouteOnKept(kept, indexDir, threshold)
+  }
+
+  /** The exact route over a precomputed kept frame (sid, kept) — shared
+    * with [[Curation.curateRoute]], which builds the kept arrays once for
+    * all three screening stages.
+    */
+  private[operators] def jaccardRouteOnKept(kept: DataFrame,
+                    indexDir: String, threshold: Double): DataFrame = {
+    val spark = kept.sparkSession
+    val (_, storedT) = readMeta(indexDir)
+    require(math.abs(storedT - threshold) < 1e-9,
+      s"index prefixes were written at threshold $storedT, not $threshold")
+    val prefixes = readIndexTable(spark, s"$indexDir/prefixes",
+        "id BIGINT, n BIGINT, shingle STRING, pid BIGINT")
+      .select("id", "n", "shingle")
+    val arrays = storedArrays(spark, indexDir)
+      .select(col("id"), col("sa"), col("n").as("nb"))
+    val probe = kept
+      .withColumn("na", size(col("kept")).cast("long"))
+      .filter(col("na") > 0)
+      .select(col("sid"), col("kept"), col("na"),
+        explode(probePrefix(col("kept"), col("na"), threshold)).as("shingle"))
+    val cand = probe.join(prefixes, Seq("shingle"))
+      .filter(col("id") =!= col("sid") &&
+        col("na") >= lit(threshold) * col("n") - lit(1e-9) &&
+        col("n") >= lit(threshold) * col("na") - lit(1e-9))
+      .select(col("sid"), col("kept"), col("na"), col("id"))
+      .dropDuplicates("sid", "id")
+    cand.join(arrays, "id")
+      .withColumn("inter", size(array_intersect(col("kept"), col("sa"))))
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("sid"), col("id"), col("jaccard"))
+  }
+
+  /** Intra-batch exact near-dup pairs over two kept frames (probe side
+    * (sid, kept) x index side (kid, ksa)) with kid < sid — the same
+    * symmetric prefix-filter candidate rule and in-row verification as
+    * the stored route, applied batch-locally so a decide+learn loop can
+    * self-screen arrivals that land in the SAME micro-batch (see
+    * [[Curation.curateRoute]]).
+    */
+  private[operators] def jaccardPairsOnKept(probe: DataFrame,
+                    index: DataFrame, threshold: Double): DataFrame = {
+    val p = probe.withColumn("na", size(col("kept")).cast("long"))
+      .filter(col("na") > 0)
+      .select(col("sid"), col("kept"), col("na"),
+        explode(probePrefix(col("kept"), col("na"), threshold)).as("shingle"))
+    val ix = index.withColumn("nb", size(col("ksa")).cast("long"))
+      .filter(col("nb") > 0)
+      .select(col("kid"), col("ksa"), col("nb"),
+        explode(probePrefix(col("ksa"), col("nb"), threshold)).as("shingle"))
+    p.join(ix, Seq("shingle"))
+      .filter(col("kid") < col("sid") &&
+        col("na") >= lit(threshold) * col("nb") - lit(1e-9) &&
+        col("nb") >= lit(threshold) * col("na") - lit(1e-9))
+      .dropDuplicates("sid", "kid")
+      .withColumn("inter", size(array_intersect(col("kept"), col("ksa"))))
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("sid"), col("kid"), col("jaccard"))
   }
 
   // -------------------------------------------------------------------------

@@ -206,10 +206,12 @@ object Similarity {
     * columns + a when-chain (the transform/array_sort HOF form evaluates
     * every dot interpreted — fine for the handful of probes, wasteful over
     * the whole corpus). First index wins score ties, matching
-    * [[bestCells]]' array_position. (cell, nid, nv, nn) rows.
+    * [[bestCells]]' array_position. (cell, nid, nv, nn, qerr) rows, with
+    * qerr = 1 - cos(v, assigned centroid) — the per-vector quantization
+    * error the drift statistics aggregate ([[ivfDriftStats]]).
     */
-  private def corpusCells(e: DataFrame,
-                          cents: Seq[Seq[Double]]): DataFrame = {
+  private def corpusCellsScored(e: DataFrame,
+                                cents: Seq[Seq[Double]]): DataFrame = {
     val scoreCols = cents.indices.map { c =>
       val cn = math.sqrt(cents(c).foldLeft(0.0)((a, x) => a + x * x))
       (dotp(col("v"), typedlit(cents(c))) / lit(cn)).as(s"s$c")
@@ -220,17 +222,21 @@ object Similarity {
     // long-typed to match the probe side's array_position-derived cells;
     // greatest() needs >= 2 args, so the degenerate one-cell index is a
     // constant assignment
+    val mx =
+      if (cents.size == 1) col("s0")
+      else greatest(cents.indices.map(c => col(s"s$c")): _*)
     val cell =
       if (cents.size == 1) lit(0L)
-      else {
-        val mx = greatest(cents.indices.map(c => col(s"s$c")): _*)
-        cents.indices.tail.foldLeft(
-            when(col("s0") === mx, lit(0L))) { (w, c) =>
-          w.when(col(s"s$c") === mx, lit(c.toLong))
-        }
+      else cents.indices.tail.foldLeft(
+          when(col("s0") === mx, lit(0L))) { (w, c) =>
+        w.when(col(s"s$c") === mx, lit(c.toLong))
       }
-    scored.select(cell.as("cell"), col("nid"), col("nv"), col("nn"))
+    scored.select(cell.as("cell"), col("nid"), col("nv"), col("nn"),
+      (lit(1.0) - mx / col("nn")).as("qerr"))
   }
+
+  private def corpusCells(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    corpusCellsScored(e, cents).drop("qerr")
 
   /** IVF ANN top-k: corpus vectors index into their argmax cell (one narrow
     * pass, cached), probes search their `nprobe` best cells. Recall is the
@@ -256,47 +262,168 @@ object Similarity {
   }
 
   /** Persist the IVF search state for [[annRoute]]: `centroids` (cell ->
-    * centroid vector — k x dim, driver-sized) and `postings` (the
-    * [[corpusCells]] cell-keyed corpus). Parquet DOUBLE round-trips are
-    * lossless, so a route against the stored index reproduces the batch
-    * assignment bit for bit. At 100 TB, postings write partitioned by
-    * `cell` so a probe's `nprobe` cells prune to their own files.
+    * centroid vector — k x dim, driver-sized), `postings` (the
+    * [[corpusCells]] cell-keyed corpus, PARTITIONED BY `cell` so a
+    * probe's `nprobe` cells prune to their own files — at 100 TB the
+    * postings scan per probe batch is O(probed cells), never a full-index
+    * pass; SimilaritySpec asserts the route plan carries the partition
+    * filters), and `stats/gen-00000` (per-cell occupancy + mean
+    * quantization error at build time — the drift baseline
+    * [[ivfDriftStats]] compares appends against). Parquet DOUBLE
+    * round-trips are lossless, so a route against the stored index
+    * reproduces the batch assignment bit for bit. Tables publish through
+    * an [[graft.sources.IndexCommit]] manifest like the LSH index.
     */
   def ivfWriteIndex(emb: DataFrame, dir: String, nCells: Int = 8,
                     iters: Int = 3): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    graft.sources.IndexCommit.deleteTree(java.nio.file.Paths.get(dir))
     val embKey = emb.queryExecution.analyzed.semanticHash().toString
     val e = graft.Caches.cached("emb-vectors", embKey)(asDouble(emb))
     val cents = kmeansCentroids(e, nCells, iters)
     cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
       .toDF("cell", "cv")
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    corpusCells(e, cents).write.mode("overwrite").parquet(s"$dir/postings")
+    // two narrow passes over the CACHED vector frame: the lean postings
+    // (qerr dropped) and the gen-0 stats baseline
+    val scored = corpusCellsScored(e, cents)
+    scored.drop("qerr")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/postings")
+    genStats(scored, gen = 0)
+      .write.mode("overwrite").parquet(s"$dir/stats/gen-00000")
+    graft.sources.IndexCommit.commitFiles(dir,
+      graft.sources.IndexCommit.walkDataFiles(dir))
   }
+
+  /** Per-cell occupancy + mean quantization error of one assignment
+    * batch (`gen` 0 = the build, 1.. = appends).
+    */
+  private def genStats(scored: DataFrame, gen: Int): DataFrame =
+    scored.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), avg(col("qerr")).as("mean_qerr"))
+      .select(lit(gen).as("gen"), col("cell"), col("n_vecs"),
+        col("mean_qerr"))
+
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Seq[Seq[Double]] =
+    graft.operators.Dedup.readIndexTable(spark, s"$dir/centroids",
+        "cell BIGINT, cv ARRAY<DOUBLE>")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+
+  private def readPostings(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame =
+    graft.operators.Dedup.readIndexTable(spark, s"$dir/postings",
+      "nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT")
 
   /** INCREMENTAL IVF maintenance — the [[graft.operators.Dedup.appendLshIndex]]
     * analog for vectors, and structurally much simpler: an IVF index's
     * only global artifact is the TRAINED centroid set, which appends do
-    * not touch (the standard IVF maintenance model — postings grow,
-    * retraining is a periodic rebuild decision driven by drift
-    * statistics, not correctness; nothing like the LSH df cut shifts
-    * under growth). The new batch assigns through the SAME
-    * [[corpusCells]] argmax against the STORED centroids and appends to
-    * the cell-keyed postings — so an append-grown index is
-    * BIT-IDENTICAL to a rebuild over the union with those centroids
-    * (SimilaritySpec proves it), and [[annRoute]] serves the grown
-    * corpus unchanged. Compute per append: O(batch x cells) dots, one
-    * parquet append, no rewrite of existing rows at all.
+    * not touch (the standard IVF maintenance model — postings grow;
+    * retraining is a periodic rebuild decision driven by the stored
+    * drift statistics, see [[ivfDriftStats]]; nothing like the LSH df
+    * cut shifts under growth). The new batch assigns through the SAME
+    * [[corpusCells]] argmax against the STORED centroids and its part
+    * files move into the cell-partitioned postings — so an append-grown
+    * index is BIT-IDENTICAL to a rebuild over the union with those
+    * centroids (SimilaritySpec proves it), and [[annRoute]] serves the
+    * grown corpus unchanged. Compute per append: O(batch x cells) dots;
+    * no rewrite of existing rows, and the whole append (postings + its
+    * stats generation) publishes in one atomic manifest commit — a crash
+    * leaves the previous version intact, a re-run vacuums the orphans
+    * and converges.
     *
     * Precondition: `newEmb` ids are fresh (append-only corpus).
     */
   def appendIvfIndex(newEmb: DataFrame, dir: String): Unit = {
+    import graft.sources.IndexCommit
     val spark = newEmb.sparkSession
-    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
-    corpusCells(asDouble(newEmb), cents)
-      .write.mode("append").parquet(s"$dir/postings")
+    IndexCommit.vacuum(dir)
+    val t = new graft.sources.IndexTxn(dir)
+    val cents = readCentroids(spark, dir)
+    val scored = corpusCellsScored(asDouble(newEmb), cents)
+    scored.drop("qerr")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/.postings-stage")
+    val gen = t.baseUnder("stats")
+      .map(_.stripPrefix("stats/").split('/').head)
+      .filter(_.startsWith("gen-"))
+      .map(_.stripPrefix("gen-").toInt).maxOption.getOrElse(-1) + 1
+    genStats(scored, gen)
+      .write.mode("overwrite").parquet(s"$dir/.stats-stage")
+    IndexCommit.hit("ivf-staged")
+    // move staged part files (fresh UUID names) into their live cell
+    // dirs; nothing pre-existing moves or deletes
+    def moveAll(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(from)) {
+        java.nio.file.Files.createDirectories(to)
+        val s = java.nio.file.Files.list(from)
+        val entries = try s.iterator().asScala.toSeq finally s.close()
+        entries.foreach { p =>
+          val name = p.getFileName.toString
+          if (java.nio.file.Files.isDirectory(p) && name.contains("="))
+            moveAll(p, to.resolve(name))
+          else if (name.endsWith(".parquet")) {
+            val dst = to.resolve(name)
+            java.nio.file.Files.move(p, dst)
+            t.add(t.rel(dst))
+          }
+        }
+      }
+    }
+    moveAll(java.nio.file.Paths.get(s"$dir/.postings-stage"),
+      java.nio.file.Paths.get(s"$dir/postings"))
+    moveAll(java.nio.file.Paths.get(s"$dir/.stats-stage"),
+      java.nio.file.Paths.get(f"$dir/stats/gen-$gen%05d"))
+    IndexCommit.hit("ivf-before-commit")
+    t.commit()
+    t.cleanup()
+  }
+
+  /** Stored drift statistics vs the gen-0 training baseline — the
+    * "retrain or keep appending?" signal [[appendIvfIndex]]'s maintenance
+    * model calls for: per generation, the total-variation distance
+    * between that append's cell-occupancy distribution and the build's
+    * (0 = same mix, 1 = disjoint cells), its batch-mean quantization
+    * error, and the ratio of that error to the build's. Driver-side math
+    * over the k x gens stats rows (tiny by construction).
+    *
+    * Rebuild guidance (documented threshold, asserted in SimilaritySpec):
+    * retrain when `tv_vs_base >= 0.25` or `qerr_ratio >= 1.3` — a batch
+    * whose assignments concentrate that differently (or fit the trained
+    * centroids that much worse) is drawing from a shifted distribution,
+    * and recall for the NEW data degrades even though append-equals-
+    * rebuild correctness never does.
+    */
+  def ivfDriftStats(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.operators.Dedup.readIndexTable(spark, s"$dir/stats",
+        "gen INT, cell BIGINT, n_vecs BIGINT, mean_qerr DOUBLE")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val byGen = rows.groupBy(_._1)
+    def dist(gen: Int): Map[Long, Double] = {
+      val g = byGen.getOrElse(gen, Array.empty[(Int, Long, Long, Double)])
+      val tot = g.map(_._3).sum.toDouble
+      g.map(r => r._2 -> r._3 / tot).toMap
+    }
+    def meanQerr(gen: Int): Double = {
+      val g = byGen.getOrElse(gen, Array.empty[(Int, Long, Long, Double)])
+      val tot = g.map(_._3).sum.toDouble
+      g.map(r => r._4 * r._3).sum / tot
+    }
+    val base = dist(0)
+    val baseQ = meanQerr(0)
+    byGen.keys.toSeq.sorted.map { gen =>
+      val d = dist(gen)
+      val cells = (base.keySet ++ d.keySet).toSeq
+      val tv = 0.5 * cells.map(c =>
+        math.abs(d.getOrElse(c, 0.0) - base.getOrElse(c, 0.0))).sum
+      val q = meanQerr(gen)
+      (gen, byGen(gen).map(_._3).sum, tv, q, q / baseQ)
+    }.toDF("gen", "n_vecs", "tv_vs_base", "mean_qerr", "qerr_ratio")
   }
 
   /** Streaming ANN — the [[graft.operators.Dedup.minhashRoute]] analog for
@@ -305,8 +432,13 @@ object Similarity {
     * is read once and folded into the plan as literals (exactly the batch
     * [[bestCells]] expression — cell choice is bit-identical), so the
     * per-arrival work is in-row dots + ONE stream-static equi-join against
-    * the cell-keyed postings + the bounded-heap top-k. No state store, no
-    * stream-stream join, no corpus scan per batch; run under
+    * the cell-partitioned postings + the bounded-heap top-k. The batch's
+    * probed cells (at most nCells distinct values — one bounded driver
+    * collect per micro-batch) push onto the postings scan as PARTITION
+    * FILTERS, so the scan reads only the probed cells' files — the
+    * pruning that turns a 100 TB postings table into an O(probed cells)
+    * read (SimilaritySpec asserts the filters are in the plan). No state
+    * store, no stream-stream join, no corpus scan per batch; run under
     * `foreachBatch` like the other route operators. SimilaritySpec
     * replays corpus probes and proves route == batch [[ivfTopK]] exactly.
     */
@@ -314,9 +446,8 @@ object Similarity {
                nprobe: Int = 5, idCol: String = "vec_id",
                embCol: String = "embedding"): DataFrame = {
     val spark = arrivals.sparkSession
-    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$indexDir/centroids")
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
-    val corpus = spark.read.parquet(s"$indexDir/postings")
+    val cents = readCentroids(spark, indexDir)
+    val corpus = readPostings(spark, indexDir)
     val probes = arrivals
       .select(col(idCol).cast("long").as("qid"),
         transform(col(embCol), _.cast("double")).as("qv"))
@@ -324,7 +455,12 @@ object Similarity {
       .select(col("qid"), col("qv"), col("qn"),
         explode(bestCells(col("qv"), cents, nprobe)).as("cell"))
       .dropDuplicates("qid", "cell")
-    rankTopK(probes.join(corpus, "cell")
+    // the probed-cell set: bounded by nCells regardless of batch size,
+    // collected once per batch and pushed as a partition filter
+    val wanted = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    rankTopK(probes
+      .join(corpus.filter(col("cell").isin(wanted: _*)), "cell")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos")), k)

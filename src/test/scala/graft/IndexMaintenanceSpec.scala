@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
+import graft.sources.IndexCommit
 
 /** Incremental LSH-index maintenance ([[Dedup.appendLshIndex]]): growing an
   * index by a document batch must produce EXACTLY the index a full rebuild
@@ -11,13 +12,32 @@ import graft.operators.Dedup
   * pushes a shingle across the df cut (the case where old docs must be
   * rewritten). The id-range partitioning additionally makes rewrite IO
   * proportional to TOUCHED ranges: an append must leave unaffected ranges'
-  * files byte-identical on disk. Plus the served-pairs equivalence the
-  * production consumer cares about.
+  * files byte-identical on disk, and the df/bcounts LSMs must only ADD
+  * segments. Plus (r12) crash atomicity: an append killed at any failpoint
+  * leaves the committed index version intact for readers, and a re-run
+  * converges to append-equals-rebuild.
   */
 class IndexMaintenanceSpec extends SparkSpec {
 
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+
+  /** Merged views of the LSM statistic tables (df / bcounts — the stored
+    * tables are delta segments since r11/r12).
+    */
+  private def mergedDf(dir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/df")
+      .groupBy("shingle").agg(sum(col("df")).as("df"))
+
+  private def mergedBcounts(dir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/bcounts")
+      .groupBy("band", "bh").agg(sum(col("n")).as("n"))
+
+  /** The bucket-size-cut complement, derived from the bcounts LSM —
+    * independent of the operator's own servedOversize/cache.
+    */
+  private def oversize(dir: String): DataFrame =
+    mergedBcounts(dir).filter(col("n") > 1000).select("band", "bh")
 
   /** The consumer-facing search space: uncut rows minus oversize buckets
     * (recomputed here from public reads, independent of the operator's
@@ -26,34 +46,32 @@ class IndexMaintenanceSpec extends SparkSpec {
   private def served(dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/buckets_raw")
       .select("id", "band", "bh")
-    val over = spark.read.parquet(s"$dir/oversize")
-    raw.join(over, Seq("band", "bh"), "left_anti")
+    raw.join(oversize(dir), Seq("band", "bh"), "left_anti")
   }
 
   /** Sorted canonical rows of one index table (arrays' sa joined flat;
     * partition column dropped — layout is compared separately).
     */
-  /** The merged df view (the stored table is LSM segments since r11). */
-  private def mergedDf(dir: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/df")
-      .groupBy("shingle").agg(sum(col("df")).as("df"))
-
   private def canon(dir: String, table: String): Seq[String] = {
     val flat = table match {
       case "arrays" => spark.read.parquet(s"$dir/$table")
         .select(col("id"), array_join(col("sa"), ""), col("n"))
       case "buckets_raw" => spark.read.parquet(s"$dir/$table")
         .select("id", "band", "bh")
+      case "prefixes" => spark.read.parquet(s"$dir/$table")
+        .select("id", "n", "shingle")
       case "served" => served(dir)
       case "df" => mergedDf(dir)
+      case "bcounts" => mergedBcounts(dir).filter(col("n") =!= 0L)
+      case "oversize" => oversize(dir)
       case _ => spark.read.parquet(s"$dir/$table")
     }
     flat.collect().map(_.mkString("|")).sorted.toSeq
   }
 
   private def assertSameIndex(incr: String, full: String): Unit =
-    for (t <- Seq("df", "stop", "oversize", "arrays", "buckets_raw",
-        "served")) {
+    for (t <- Seq("df", "stop", "bcounts", "oversize", "arrays",
+        "buckets_raw", "prefixes", "served")) {
       val (a, b) = (canon(incr, t), canon(full, t))
       assert(a == b, s"table $t diverges: incremental ${a.size} rows vs " +
         s"rebuild ${b.size} rows\n${a.diff(b).take(3)}\n${b.diff(a).take(3)}")
@@ -74,6 +92,17 @@ class IndexMaintenanceSpec extends SparkSpec {
     val batch = Dedup.minhashLshPairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(servedPairs == batch && servedPairs.nonEmpty)
+    // and the exact prefix-filter route over the same stored index
+    // reproduces the exact-Jaccard pair set (deterministic completeness —
+    // no LSH recall caveat anywhere in the route tier)
+    val routed = Dedup.jaccardRoute(docs, incr)
+      .select(col("da"), col("db")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed == exact && routed.nonEmpty,
+      s"route-only: ${(routed -- exact).take(3)}; " +
+        s"exact-only: ${(exact -- routed).take(3)}")
   }
 
   test("chained appends carry state correctly (A, +B, +C == rebuild)") {
@@ -88,7 +117,7 @@ class IndexMaintenanceSpec extends SparkSpec {
     Dedup.writeLshIndex(docs, full)
     assertSameIndex(incr, full)
     // the same chain under an aggressive segment budget: every append
-    // compacts the df LSM back to one base — equality must survive
+    // compacts both LSMs back to one base — equality must survive
     val compacted = tmp()
     Dedup.writeLshIndex(docs.filter(col("doc_id") % 3 === 0), compacted)
     Dedup.appendLshIndex(docs.filter(col("doc_id") % 3 === 1), compacted,
@@ -97,10 +126,13 @@ class IndexMaintenanceSpec extends SparkSpec {
       compactSegmentsAt = 1)
     assertSameIndex(compacted, full)
     import scala.jdk.CollectionConverters._
-    val segs = java.nio.file.Files.list(
-        java.nio.file.Paths.get(s"$compacted/df")).iterator().asScala
-      .count(_.getFileName.toString.startsWith("seg-"))
-    assert(segs == 1, s"compaction must fold the LSM to one base, got $segs")
+    for (table <- Seq("df", "bcounts")) {
+      val segs = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$compacted/$table")).iterator().asScala
+        .count(_.getFileName.toString.startsWith("seg-"))
+      assert(segs == 1,
+        s"compaction must fold the $table LSM to one base, got $segs")
+    }
   }
 
   test("an empty append batch is an identity") {
@@ -145,7 +177,9 @@ class IndexMaintenanceSpec extends SparkSpec {
     }
     val arraysBefore = fileStamps("arrays")
     val rawBefore = fileStamps("buckets_raw")
+    val prefixesBefore = fileStamps("prefixes")
     val dfBefore = flatStamps("df")
+    val bcountsBefore = flatStamps("bcounts")
     val stopBefore = flatStamps("stop")
     assert(arraysBefore.keys.map(_.split("pid=")(1).takeWhile(_ != '/'))
       .toSet.size > 1, "fixture must span multiple id ranges")
@@ -153,24 +187,26 @@ class IndexMaintenanceSpec extends SparkSpec {
       .select((col("doc_id") + 100000L).as("doc_id"),
         concat(col("text"), lit(" zq unique tail")).as("text"))
     Dedup.appendLshIndex(fresh, incr)
-    val arraysAfter = fileStamps("arrays")
-    val rawAfter = fileStamps("buckets_raw")
     // every pre-append file survives with identical size + mtime
-    arraysBefore.foreach { case (path, stamp) =>
-      assert(arraysAfter.get(path).contains(stamp),
-        s"unaffected arrays file rewritten: $path")
+    for ((table, before) <- Seq("arrays" -> arraysBefore,
+        "buckets_raw" -> rawBefore, "prefixes" -> prefixesBefore)) {
+      val after = fileStamps(table)
+      before.foreach { case (path, stamp) =>
+        assert(after.get(path).contains(stamp),
+          s"unaffected $table file rewritten: $path")
+      }
     }
-    rawBefore.foreach { case (path, stamp) =>
-      assert(rawAfter.get(path).contains(stamp),
-        s"unaffected buckets_raw file rewritten: $path")
+    // df and bcounts are LSMs: the append ADDS one segment each and
+    // rewrites none — append IO is O(batch) regardless of index size
+    for ((table, before) <- Seq("df" -> dfBefore,
+        "bcounts" -> bcountsBefore)) {
+      val after = flatStamps(table)
+      before.foreach { case (path, stamp) =>
+        assert(after.get(path).contains(stamp),
+          s"existing $table segment rewritten: $path")
+      }
+      assert(after.size > before.size, s"append must add a $table segment")
     }
-    // df is LSM: the append ADDS one segment and rewrites none
-    val dfAfter = flatStamps("df")
-    dfBefore.foreach { case (path, stamp) =>
-      assert(dfAfter.get(path).contains(stamp),
-        s"existing df segment rewritten: $path")
-    }
-    assert(dfAfter.size > dfBefore.size, "append must add a df segment")
     // no crossing -> the stop list is untouched, file for file
     assert(flatStamps("stop") == stopBefore)
     // and the grown index still equals a rebuild at the same range size
@@ -214,5 +250,68 @@ class IndexMaintenanceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(servedPairs.contains((598L, 599L)),
       s"crossing rewrite must preserve unaffected shingles: $servedPairs")
+  }
+
+  test("a killed append leaves the committed version intact; a re-run converges") {
+    val docs = Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).limit(120)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val full = tmp()
+    Dedup.writeLshIndex(docs.filter(col("doc_id") < 120), full)
+    // abort at each failpoint: stage-complete, between table moves, and
+    // right before the commit (everything moved in, nothing published)
+    for (point <- Seq("staged", "moved:arrays", "moved:bcounts",
+        "moved:df", "before-commit")) {
+      val incr = tmp()
+      Dedup.writeLshIndex(even.filter(col("doc_id") < 120), incr)
+      val pinnedBefore = IndexCommit.pinnedFiles(incr).get.toSet
+      val pairsBefore = Dedup.pairsFromIndex(spark, incr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      IndexCommit.failpoint =
+        p => if (p == point) throw new RuntimeException(s"boom:$p")
+      val thrown = try {
+        Dedup.appendLshIndex(odd.filter(col("doc_id") < 120), incr); false
+      } catch {
+        case e: RuntimeException if e.getMessage == s"boom:$point" => true
+      } finally IndexCommit.failpoint = _ => ()
+      assert(thrown, s"failpoint $point must have fired")
+      // (a) the committed version is untouched: the manifest resolves the
+      // exact pre-append file list, and the consumer serves it bit-exactly
+      assert(IndexCommit.pinnedFiles(incr).get.toSet == pinnedBefore,
+        s"$point: crash must not move the committed manifest")
+      val pairsAfterCrash = Dedup.pairsFromIndex(spark, incr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairsAfterCrash == pairsBefore,
+        s"$point: readers must serve the pre-append index after a crash")
+      // (b) a re-run append (which vacuums the crash orphans first)
+      // converges to append-equals-rebuild, table for table
+      Dedup.appendLshIndex(odd.filter(col("doc_id") < 120), incr)
+      assertSameIndex(incr, full)
+    }
+  }
+
+  test("appendIvfIndex crash-atomicity: killed append invisible, re-run converges") {
+    val emb = Tables.t(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val dir = tmp()
+    graft.operators.Similarity.ivfWriteIndex(half1, dir)
+    val pinnedBefore = IndexCommit.pinnedFiles(dir).get.toSet
+    IndexCommit.failpoint =
+      p => if (p == "ivf-before-commit") throw new RuntimeException("boom")
+    val thrown = try {
+      graft.operators.Similarity.appendIvfIndex(half2, dir); false
+    } catch { case e: RuntimeException if e.getMessage == "boom" => true
+    } finally IndexCommit.failpoint = _ => ()
+    assert(thrown)
+    assert(IndexCommit.pinnedFiles(dir).get.toSet == pinnedBefore)
+    // re-run converges; grown postings = every vector exactly once
+    graft.operators.Similarity.appendIvfIndex(half2, dir)
+    val grown = spark.read.parquet(s"$dir/postings")
+      .select(col("nid")).collect().map(_.getLong(0)).toSet
+    assert(grown.size == emb.count(),
+      "re-run append must post each vector exactly once (no crash dup)")
   }
 }

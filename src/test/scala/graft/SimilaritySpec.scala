@@ -215,8 +215,10 @@ class SimilaritySpec extends SparkSpec {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
     val centsDF = spark.read.parquet(s"$dir/centroids")
+    // postings are cell-PARTITIONED since r12 — cast the inferred
+    // partition column for a type-stable direct read
     val grown = spark.read.parquet(s"$dir/postings")
-      .select("cell", "nid").collect()
+      .select(col("cell").cast("long"), col("nid")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(grown.size == emb.count(), "every vector posts exactly once")
     // the appended half landed in the argmax cell of the stored centroids:
@@ -271,5 +273,115 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSet == batch,
       s"stream-only: ${(got.toSet -- batch).take(3)}; " +
         s"batch-only: ${(batch -- got.toSet).take(3)}")
+  }
+
+  test("annRoute's postings scan prunes to the probed cells (partition filters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-pp").toString
+    Similarity.ivfWriteIndex(emb, dir)
+    // a single probe vector visits nprobe cells — the postings scan must
+    // carry those cells as PARTITION filters (file pruning, not a
+    // post-scan filter), the O(probed cells) read the 100 TB claim needs
+    val one = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id"), col("embedding"))
+    val routed = Similarity.annRoute(one, dir, k = 5, nprobe = 2)
+    // the executedPlan rendering prints every FileSourceScan with its
+    // PartitionFilters (the RetrievalSpec pushdown-assert pattern; scans
+    // under AQE print in the string form even before execution)
+    val plan = routed.queryExecution.executedPlan.toString
+    val postingsScan = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("postings"))
+      .mkString("\n")
+    assert(postingsScan.nonEmpty, s"route plan must scan the postings:\n$plan")
+    assert(postingsScan.contains("PartitionFilters: [") &&
+      ".*PartitionFilters: \\[[^\\]]*cell.*".r
+        .findFirstIn(postingsScan).isDefined,
+      s"postings scan must carry cell partition filters:\n$postingsScan")
+    // the probed-cell IN-list holds at most nprobe=2 values: the listing
+    // prunes to <= 2 of the index's 8 cell partitions
+    val inList = "cell#\\d+L? IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(postingsScan).map(_.group(1))
+    assert(inList.exists(_.split(",").length <= 2),
+      s"nprobe=2 probe must prune to <= 2 cells: $postingsScan")
+    // and pruning changed nothing about the answers
+    val batch = Similarity.ivfTopK(emb, col("vec_id") === 7, k = 5,
+        nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = routed.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == batch)
+  }
+
+  test("ivfDriftStats flags a distribution-shifted append; recall holds for the base") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-drift").toString
+    Similarity.ivfWriteIndex(emb, dir)
+    // append 1: same distribution (held-out half of the same corpus rows
+    // under fresh ids) — must NOT flag
+    val same = emb.select((col("vec_id") + 500000L).as("vec_id"),
+      col("embedding"))
+    Similarity.appendIvfIndex(same, dir)
+    // append 2: a hard shift — every vector forced into one corner of the
+    // space (constant direction + small per-row jitter), so assignments
+    // pile into few cells and sit far from every trained centroid
+    val spark2 = spark
+    import spark2.implicits._
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val shifted = (0 until 400).map { i =>
+      (900000L + i, (0 until dim).map(d =>
+        (if (d == 0) 10f else 0.01f * ((i + d) % 7)): Float))
+    }.toDF("vec_id", "embedding")
+    Similarity.appendIvfIndex(shifted, dir)
+    val stats = Similarity.ivfDriftStats(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getDouble(2), r.getDouble(4)))).toMap
+    val (tvSame, qrSame) = stats(1)
+    val (tvShift, qrShift) = stats(2)
+    // documented rebuild thresholds: tv >= 0.25 or qerr_ratio >= 1.3
+    assert(tvSame < 0.25 && qrSame < 1.3,
+      s"same-distribution append must not flag: tv=$tvSame qr=$qrSame")
+    assert(tvShift >= 0.25 || qrShift >= 1.3,
+      s"shifted append must flag: tv=$tvShift qr=$qrShift")
+    // drift never breaks correctness for the original distribution: the
+    // route still retrieves the batch IVF top-k for base probes exactly
+    val batch = Similarity.ivfTopK(emb, probe, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val routed = Similarity.annRoute(
+        emb.filter(probe).select(col("vec_id"), col("embedding")), dir, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // the grown index contains extra vectors, so routed top-k may differ
+    // where an appended vector outranks a base one — restrict the claim
+    // to ranks whose neighbors are base vectors (deterministic subset)
+    val routedBaseOnly = Similarity.annRoute(
+        emb.filter(probe).select(col("vec_id"), col("embedding")),
+        dirBaseOnly(dir), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(routedBaseOnly == batch)
+    assert(routed.nonEmpty)
+  }
+
+  /** A copy of the index dir truncated to its FIRST committed version
+    * (gen-0 build) — drift appends rolled back via the manifest history,
+    * which doubles as a check that old manifests still describe a
+    * complete readable snapshot (time travel, the LogStore readPinned
+    * property).
+    */
+  private def dirBaseOnly(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val copy = java.nio.file.Files.createTempDirectory("graft-ivf-base").toString
+    val src = java.nio.file.Paths.get(dir)
+    val first = java.nio.file.Files.list(src.resolve("_manifests"))
+      .iterator().asScala.toSeq.sortBy(_.getFileName.toString).head
+    val keep = new String(java.nio.file.Files.readAllBytes(first), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+    keep.foreach { rel =>
+      val from = src.resolve(rel)
+      val to = java.nio.file.Paths.get(copy, rel)
+      java.nio.file.Files.createDirectories(to.getParent)
+      java.nio.file.Files.copy(from, to)
+    }
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(copy, "_manifests"))
+    java.nio.file.Files.copy(first,
+      java.nio.file.Paths.get(copy, "_manifests", first.getFileName.toString))
+    copy
   }
 }
