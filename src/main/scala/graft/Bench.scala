@@ -280,10 +280,16 @@ object Bench {
     println(full)
     // The driver keeps only a bounded tail of stdout, which drops the
     // per-query detail cross-round attribution needs (VERDICT r8 "What's
-    // missing" #1) — so ALSO write the full record to a repo file that gets
-    // committed each round as BENCH_FULL_r{N}.json.
+    // missing" #1) — so ALSO write the full record to a scratch file that
+    // gets stamped + committed each round as BENCH_FULL_r{N}.json. The
+    // scratch path is UNTRACKED (.bench/, gitignored) so per-run records
+    // stop leaving the working tree dirty between stamps (VERDICT r11
+    // "What's wrong" #3, three rounds running).
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "/root/repo/BENCH_FULL_latest.json")
+      "/root/repo/.bench/BENCH_FULL_latest.json")
+    try java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(fullPath).getParent)
+    catch { case _: Exception => () }
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>

@@ -126,17 +126,38 @@ object DedupQueries {
     * IndexMaintenanceSpec additionally proves append-equals-rebuild table
     * for table, including a forced df-crossing.
     */
-  def dedupLshIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val base = graft.Caches.stagedPath("lsh-incr", dir) { base =>
+  /** The staged even-then-odd append-grown LSH index shared by
+    * `dedup_lsh_incremental` and `dedup_route_exact`.
+    */
+  private def incrIndex(spark: SparkSession, dir: String): String =
+    graft.Caches.stagedPath("lsh-incr", dir) { base =>
       val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
       Dedup.writeLshIndex(docs.filter(col("doc_id") % 2 === 0), base)
       Dedup.appendLshIndex(docs.filter(col("doc_id") % 2 === 1), base)
     }
-    Dedup.pairsFromIndex(spark, base).orderBy("da", "db")
-  }
+
+  def dedupLshIncremental(spark: SparkSession, dir: String): DataFrame =
+    Dedup.pairsFromIndex(spark, incrIndex(spark, dir)).orderBy("da", "db")
+
+  /** The EXACT streaming near-dup route ([[Dedup.jaccardRoute]] — stored
+    * prefix-filter postings + in-row verification, zero LSH recall
+    * caveat) replayed over the corpus against the append-grown stored
+    * index: every doc arrives once, each verified pair surfaces from
+    * both endpoints and dedupes, and the result hash-checks against the
+    * SAME exact-Jaccard oracle as the batch scan queries — the
+    * deterministic-completeness proof of the prefix-filter candidate
+    * rule (the symmetric form over a static hash order, the
+    * append-invariant property the stored table needs).
+    */
+  def dedupRouteExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardRoute(t(spark, dir, "documents")
+        .select(col("doc_id"), col("text")), incrIndex(spark, dir))
+      .dropDuplicates("da", "db")
+      .orderBy("da", "db")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_lsh_incremental" -> dedupLshIncremental,
+    "dedup_route_exact" -> dedupRouteExact,
     "dedup_fuzzy" -> dedupFuzzy,
     "dedup_corpus" -> dedupCorpus,
     "dedup_exact" -> dedupExact,
@@ -273,6 +294,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> jaccardSql,
     // the append-grown stored index must serve the same pair set
     "dedup_lsh_incremental" -> jaccardSql,
+    "dedup_route_exact" -> jaccardSql,
     "dedup_embed_cosine" -> cosineSql,
     "dedup_clusters" -> clustersSql,
     // same reachability oracle: both component algorithms must agree with it

@@ -3,31 +3,46 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Throughput record for the r11 streaming ADMISSION GATE
-  * ([[graft.operators.Curation.curateRoute]]): arriving documents are
-  * screened against the full curation index built from the sf0.1 corpus
-  * (hash keeper table + LSH index over the curated frame), exactly the
-  * deployment shape CurationSpec proves batch-equal. Reports sustained
-  * admitted+rejected decisions/s per input rate.
+/** Throughput record for the streaming ROUTE TIER — all three standing-
+  * index route operators, each screened against full sf0.1 state:
   *
-  * Arrival synthesis: rate-source rows pick a text from a broadcast
-  * 500-doc literal pool (sf0.001 texts) under fresh ids — so every
-  * arrival pays real shingle/minhash/verify work against the standing
-  * sf0.1 index, and a stable fraction collides with indexed content.
+  *  - `curate` — the admission gate ([[graft.operators.Curation
+  *    .curateRoute]]): normalize -> floor -> exact-dup -> EXACT prefix-
+  *    filter near-dup -> contamination -> held-out, per arrival, against
+  *    the curation index (hash keeper table + LSH/prefix index) that
+  *    CurationSpec proves batch-equal;
+  *  - `minhash` — the probabilistic near-dup screen ([[graft.operators
+  *    .Dedup.minhashRoute]]) against the same standing LSH index;
+  *  - `ann` — per-arrival IVF top-k ([[graft.operators.Similarity
+  *    .annRoute]], k=5) against stored cell-partitioned postings, with
+  *    the probed-cells partition pruning in the plan.
+  *
+  * Reports sustained decisions/s per (tier, input rate) with kept-up
+  * flags.
+  *
+  * Arrival synthesis: rate-source rows pick a text (or embedding) from a
+  * broadcast 500-row literal pool (sf0.001 rows) under fresh ids — so
+  * every arrival pays real shingle/prefix/dot-product work against the
+  * standing sf0.1 index, and a stable fraction collides with indexed
+  * content.
   *
   * The per-batch cost structure is the stream-static one: the static
-  * index tables re-scan per micro-batch (hashes ~ corpus rows of
-  * 16-byte keys; LSH buckets ~ bands x docs) — at 100 TB those scans
-  * prune by partition (hash-prefix / band), which is the documented
-  * stored-index layout; this record measures the unpartitioned worst
-  * case on local[32].
+  * index tables re-scan per micro-batch (hashes ~ corpus rows of 16-byte
+  * keys; LSH buckets ~ bands x docs; prefix postings ~ 40% of kept
+  * shingles) — at 100 TB those scans prune by partition (hash-prefix /
+  * band / cell — the ANN tier's cell pruning is already in the measured
+  * plan); this record measures the mostly-unpartitioned worst case on
+  * local[32].
   *
-  * Prints ONE JSON line {"metric":"route_docs_per_sec", ...}.
+  * Prints ONE JSON line {"metric":"route_docs_per_sec", ...} with a
+  * per-tier breakdown.
   */
 object RouteBench {
   def main(args: Array[String]): Unit = {
     val rates = sys.env.getOrElse("SPARK_GRAFT_ROUTE_RATES", "2000,5000,10000")
       .split(",").map(_.trim.toInt)
+    val tiers = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TIERS", "curate,minhash,ann")
+      .split(",").map(_.trim).toSeq
     val secs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_SECS", "40").toInt
     val triggerMs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TRIGGER_MS", "5000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,49 +61,62 @@ object RouteBench {
     graft.operators.Curation.writeCurateIndex(
       graft.Tables.t(spark, sfDir, "documents").select(col("doc_id"), col("text")),
       dir)
+    val ivfDir = s"$dir-ivf"
+    if (tiers.contains("ann"))
+      graft.operators.Similarity.ivfWriteIndex(
+        graft.Tables.t(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding")), ivfDir)
     val buildSec = (System.nanoTime() - t0) / 1e9
     System.err.println(s"[route-bench] index build ${r1(buildSec)}s from $sfDir")
 
     val pool = graft.Tables.t(spark, poolDir, "documents")
       .select("text").limit(500).collect().map(_.getString(0)).toSeq
     val poolLit = typedlit(pool)
+    val embPool: Seq[Seq[Float]] = graft.Tables.t(spark, poolDir, "embeddings")
+      .select("embedding").limit(500).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val embPoolLit = typedlit(embPool)
 
-    def arrivals(rate: Int): DataFrame =
+    def docArrivals(rate: Int): DataFrame =
       spark.readStream.format("rate")
         .option("rowsPerSecond", rate.toString).load()
         .select((col("value") + 1000000000L).as("doc_id"),
           element_at(poolLit, (pmod(col("value"), lit(pool.size)) + 1)
             .cast("int")).as("text"))
 
-    // discarded warmup: JIT + codegen + footer caches
-    locally {
-      val accepted = spark.sparkContext.longAccumulator("warm")
-      val q = arrivals(2000).writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          accepted.add(graft.operators.Curation.curateRoute(b, dir).count()); ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
-        .option("checkpointLocation", s"$dir/ckpt-warm").start()
-      Thread.sleep(25000L)
-      q.stop()
-    }
+    def embArrivals(rate: Int): DataFrame =
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rate.toString).load()
+        .select((col("value") + 1000000000L).as("vec_id"),
+          element_at(embPoolLit, (pmod(col("value"), lit(embPool.size)) + 1)
+            .cast("int")).as("embedding"))
 
-    val results = rates.map { rate =>
-      val decided = spark.sparkContext.longAccumulator(s"decided-$rate")
-      val acc = spark.sparkContext.longAccumulator(s"accepted-$rate")
-      val q = arrivals(rate).writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          val rows = graft.operators.Curation.curateRoute(b, dir)
-            .groupBy("accepted").count().collect()
-          rows.foreach { r =>
-            decided.add(r.getLong(1))
-            if (r.getBoolean(0)) acc.add(r.getLong(1))
-          }
-          ()
-        }
+    // each tier's per-batch decision function, returning the decided count
+    val tierDefs: Map[String, (Int => DataFrame, DataFrame => Long)] = Map(
+      "curate" -> ((docArrivals _,
+        (b: DataFrame) => graft.operators.Curation.curateRoute(b, dir).count())),
+      "minhash" -> ((docArrivals _,
+        // decisions = arrivals screened; count() forces the full probe
+        (b: DataFrame) => {
+          graft.operators.Dedup.minhashRoute(b, s"$dir/lsh").count()
+          b.count()
+        })),
+      "ann" -> ((embArrivals _,
+        (b: DataFrame) => {
+          graft.operators.Similarity.annRoute(b, ivfDir, k = 5).count()
+          b.count()
+        })))
+
+    def measure(tier: String, rate: Int,
+                warmup: Boolean): (Double, Long, Boolean, Int) = {
+      val (mkArrivals, decide) = tierDefs(tier)
+      val q = mkArrivals(rate).writeStream
+        .foreachBatch { (b: DataFrame, _: Long) => decide(b); () }
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
-        .option("checkpointLocation", s"$dir/ckpt-$rate").start()
-      Thread.sleep(secs * 1000L)
+        .option("checkpointLocation",
+          s"$dir/ckpt-$tier-$rate-${if (warmup) "w" else "m"}")
+        .start()
+      Thread.sleep(if (warmup) 25000L else secs * 1000L)
       val progress = q.recentProgress.toSeq
       q.stop()
       val settled = progress.drop(math.max(1, progress.size / 5))
@@ -98,20 +126,34 @@ object RouteBench {
       val pps = if (durMs == 0) 0.0 else rows * 1000.0 / durMs
       val meanBatchMs = if (settled.isEmpty) Long.MaxValue else durMs / settled.size
       val keptUp = settled.nonEmpty && meanBatchMs <= triggerMs * 1.5
-      System.err.println(s"[route-bench] rate=$rate decisions/s=${r1(pps)} " +
-        s"meanBatchMs=$meanBatchMs keptUp=$keptUp batches=${settled.size} " +
-        s"accepted=${acc.value}/${decided.value}")
-      (rate, pps, meanBatchMs, keptUp, settled.size, acc.value, decided.value)
+      (pps, meanBatchMs, keptUp, settled.size)
     }
-    val sustained = results.filter(_._4).map(_._2).maxOption.getOrElse(0.0)
-    val per = results.map { case (rate, pps, mb, ok, n, a, d) =>
-      s""""$rate":{"decisions_per_sec":${r1(pps)},"mean_batch_ms":$mb,""" +
-        s""""kept_up":$ok,"batches":$n,"accepted":$a,"decided":$d}"""
-    }.mkString("{", ",", "}")
+
+    val tierJson = tiers.map { tier =>
+      measure(tier, rates.head, warmup = true) // discarded: JIT + footer caches
+      val results = rates.map { rate =>
+        val (pps, mb, ok, n) = measure(tier, rate, warmup = false)
+        System.err.println(s"[route-bench] tier=$tier rate=$rate " +
+          s"decisions/s=${r1(pps)} meanBatchMs=$mb keptUp=$ok batches=$n")
+        (rate, pps, mb, ok, n)
+      }
+      val sustained = results.filter(_._4).map(_._2).maxOption.getOrElse(0.0)
+      val per = results.map { case (rate, pps, mb, ok, n) =>
+        s""""$rate":{"decisions_per_sec":${r1(pps)},"mean_batch_ms":$mb,""" +
+          s""""kept_up":$ok,"batches":$n}"""
+      }.mkString("{", ",", "}")
+      tier -> s"""{"sustained":${r1(sustained)},"rates":$per}"""
+    }
+    val curateSustained = tierJson.toMap.get("curate")
+      .flatMap("\"sustained\":([0-9.]+)".r.findFirstMatchIn(_))
+      .map(_.group(1)).getOrElse("0.0")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ivfDir))
     spark.stop()
-    println(s"""{"metric":"route_docs_per_sec","value":${r1(sustained)},""" +
+    val tiersBody = tierJson.map { case (t, j) => s""""$t":$j""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"route_docs_per_sec","value":$curateSustained,""" +
       s""""unit":"docs/sec","index_sf":"$sfDir","index_build_sec":${r1(buildSec)},""" +
-      s""""trigger_ms":$triggerMs,"secs":$secs,"rates":$per}""")
+      s""""trigger_ms":$triggerMs,"secs":$secs,"tiers":$tiersBody}""")
   }
 }

@@ -48,7 +48,13 @@ object ScalingProbe {
       .toSeq.groupMapReduce(_._1)(_._2)(math.min)
   }
 
-  def main(args: Array[String]): Unit = {
+  def main(args0: Array[String]): Unit = {
+    // --route adds the ROUTE-TIER index-size axis (VERDICT r11 #7): the
+    // standing-index claim is "route cost independent of index size" —
+    // measure decisions/s for a FIXED arrival batch against indexes
+    // built at both scale factors and report the growth exponent.
+    val withRoute = args0.contains("--route")
+    val args = args0.filterNot(_ == "--route")
     val out = args.headOption.getOrElse("SCALING_r09.json")
     val names =
       if (args.length > 2 && args(1) == "--from-bench") {
@@ -61,6 +67,7 @@ object ScalingProbe {
         picked
       }
       else if (args.length > 1) args.drop(1).toSeq
+      else if (withRoute) Seq.empty
       else defaultSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "3").toInt
@@ -94,11 +101,84 @@ object ScalingProbe {
     }
     val flagged = names.filter(n =>
       math.log(big(n) / small(n)) / math.log(rowRatio) > 1.1)
+
+    /** Route-tier axis: warm-min seconds to decide a FIXED synthetic
+      * arrival batch (fresh ids drawn from a 500-row sf0.001 pool)
+      * against a standing index built at `sfDir` — curateRoute (the full
+      * admission gate) and annRoute (stored IVF top-k). Exponent near 0
+      * = decision cost independent of index scale, the standing-index
+      * claim; the honest number is whatever the probe records.
+      */
+    def routeAxis(): String = {
+      import org.apache.spark.sql.functions._
+      val poolDir = sys.env.getOrElse("SPARK_GRAFT_ROUTE_POOL",
+        "/root/testdata/sf0.001")
+      val batchN = sys.env.getOrElse("SPARK_GRAFT_ROUTE_BATCH", "20000").toInt
+      val pool = graft.Tables.t(spark, poolDir, "documents")
+        .select("text").limit(500).collect().map(_.getString(0)).toSeq
+      val poolLit = typedlit(pool)
+      val embPool: Seq[Seq[Float]] = graft.Tables
+        .t(spark, poolDir, "embeddings")
+        .select("embedding").limit(500).collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      val embPoolLit = typedlit(embPool)
+      val docBatch = spark.range(batchN.toLong)
+        .select((col("id") + 1000000000L).as("doc_id"),
+          element_at(poolLit, (pmod(col("id"), lit(pool.size)) + 1)
+            .cast("int")).as("text"))
+        .persist()
+      val embBatch = spark.range(batchN.toLong)
+        .select((col("id") + 1000000000L).as("vec_id"),
+          element_at(embPoolLit, (pmod(col("id"), lit(embPool.size)) + 1)
+            .cast("int")).as("embedding"))
+        .persist()
+      docBatch.count(); embBatch.count()
+      def bench(sfDir: String): Map[String, Double] = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-route-scale").toString
+        graft.operators.Curation.writeCurateIndex(
+          graft.Tables.t(spark, sfDir, "documents")
+            .select(col("doc_id"), col("text")), dir)
+        graft.operators.Similarity.ivfWriteIndex(
+          graft.Tables.t(spark, sfDir, "embeddings")
+            .select(col("vec_id"), col("embedding")), s"$dir-ivf")
+        def wm(run: () => Unit): Double = {
+          run()
+          (1 to passes).map { _ =>
+            val t0 = System.nanoTime(); run()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+        val res = Map(
+          "curate_route" -> wm(() =>
+            { graft.operators.Curation.curateRoute(docBatch, dir).count(); () }),
+          "ann_route" -> wm(() =>
+            { graft.operators.Similarity.annRoute(embBatch, s"$dir-ivf",
+              k = 5).count(); () }))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivf"))
+        res
+      }
+      val smallR = bench(sfSmall)
+      val bigR = bench(sfBig)
+      docBatch.unpersist(); embBatch.unpersist()
+      smallR.keys.toSeq.sorted.map { n =>
+        val e = math.log(bigR(n) / smallR(n)) / math.log(rowRatio)
+        System.err.println(s"[scaling] route $n: " +
+          s"${r3(batchN / smallR(n))} -> ${r3(batchN / bigR(n))} decisions/s " +
+          s"(exponent ${r3(e)})")
+        s""""$n":{"batch":$batchN,"t_small":${r3(smallR(n))},""" +
+          s""""t_big":${r3(bigR(n))},""" +
+          s""""dps_small":${r3(batchN / smallR(n))},""" +
+          s""""dps_big":${r3(batchN / bigR(n))},"exponent":${r3(e)}}"""
+      }.mkString(",\"route\":{", ",", "}")
+    }
+    val routeJson = if (withRoute) routeAxis() else ""
     val json =
       s"""{"sf_small":"$sfSmall","sf_big":"$sfBig","row_ratio":$rowRatio,"passes":$passes,
-         |"note":"exponent=log(t_big/t_small)/log(row_ratio); warm-min per (query,sf); <=0 means the fixed driver/planning floor dominates; >1.1 flags super-linear",
+         |"note":"exponent=log(t_big/t_small)/log(row_ratio); warm-min per (query,sf); <=0 means the fixed driver/planning floor dominates; >1.1 flags super-linear; route axis: fixed arrival batch vs index scale",
          |"super_linear":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},
-         |"queries":{${entries.mkString(",")}}}""".stripMargin.replace("\n", "")
+         |"queries":{${entries.mkString(",")}}$routeJson}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes("UTF-8"))
     println(json)

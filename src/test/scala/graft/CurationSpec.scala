@@ -504,4 +504,112 @@ class CurationSpec extends SparkSpec {
     assert(got(200L) == ((false, "contaminated")),
       "the learned bench member must screen later arrivals")
   }
+
+  test("intra-batch self-screening: same-batch duplicates decide like the batch pipeline") {
+    val spark2 = spark
+    import spark2.implicits._
+    def words(p: String, lo: Int, hi: Int) =
+      (lo to hi).map(i => s"$p$i").mkString(" ")
+    val a = words("t", 1, 24)
+    val aNear = words("q", 1, 5) + " " + words("t", 6, 24) // J=17/27>=0.6
+    val g = words("g", 1, 24)                              // bench (97%97=0)
+    val h = words("x", 1, 18) + " " + words("g", 7, 11)    // 3 shared shingles
+    // EVERY colliding pair arrives in the SAME batch, against an index
+    // that contains NONE of them — the decide+learn gap ADVICE r11
+    // flagged: with stored-only lookups both members of each pair would
+    // be admitted
+    val batch = Seq(10L -> a, 40L -> a,        // exact pair, same batch
+      20L -> aNear,                            // near-dup of keeper 10
+      97L -> g, 200L -> h,                     // bench + contaminated
+      60L -> "too short")
+    val all = batch.toDF("doc_id", "text")
+    val batchKeep = Curation.curateKeep(all)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKeep == Set(10L), s"fixture regression: $batchKeep")
+    val dir = java.nio.file.Files.createTempDirectory("graft-intra").toString
+    Curation.writeCurateIndex(all.filter(lit(false)), dir)
+    val got = Curation.curateRoute(all, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) "" else r.getString(2)))).toMap
+    assert(got(10L) == ((true, "")))
+    assert(got(40L) == ((false, "exact_dup")),
+      "same-batch exact copy must reject against the batch keeper")
+    assert(got(20L) == ((false, "near_dup")),
+      "same-batch near-dup must reject against the batch keeper")
+    assert(got(97L) == ((false, "held_out")))
+    assert(got(200L) == ((false, "contaminated")),
+      "a same-batch bench keeper must screen its batch-mates")
+    assert(got(60L) == ((false, "quality")))
+  }
+
+  test("the whole corpus as ONE batch from an EMPTY index equals curateKeep") {
+    // the strongest intra-batch property: a single micro-batch holding
+    // the entire planted corpus (every duplicate pair batch-internal,
+    // nothing stored) must admit exactly the batch pipeline's keep set —
+    // valid because no shingle crosses the df cut at this corpus size
+    // (the route's one documented between-batch caveat)
+    val raw = Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val messy = raw.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit(" "), col("text"), lit("   "))
+          .as("text"))
+    val planted = raw.unionByName(messy)
+    val batchKeep = Curation.curateKeep(planted)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKeep.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-onebatch").toString
+    Curation.writeCurateIndex(planted.filter(lit(false)), dir)
+    val decisions = Curation.curateRoute(planted, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(decisions.size == planted.count())
+    val admitted = decisions.collect { case (id, true) => id }.toSet
+    assert(admitted == batchKeep,
+      s"route-only: ${(admitted -- batchKeep).take(5)}; " +
+        s"batch-only: ${(batchKeep -- admitted).take(5)}")
+  }
+
+  test("a crash inside the decide+learn loop rolls back atomically; the re-run converges") {
+    val spark2 = spark
+    import spark2.implicits._
+    def words(p: String, lo: Int, hi: Int) =
+      (lo to hi).map(i => s"$p$i").mkString(" ")
+    val a = words("t", 1, 24)
+    val b = words("q", 1, 5) + " " + words("t", 6, 24)
+    val all = Seq(10L -> a, 20L -> b, 40L -> a).toDF("doc_id", "text")
+    val batchKeep = Curation.curateKeep(all)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-crashloop").toString
+    Curation.writeCurateIndex(all.filter(lit(false)), dir)
+    val got = scala.collection.mutable.Map[Long, Boolean]()
+    val batches = Seq(Seq(10L -> a), Seq(20L -> b, 40L -> a))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val bdf = rows.toDF("doc_id", "text")
+      got ++= Curation.curateRoute(bdf, dir).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1))
+      if (i == 0) {
+        // kill the FIRST learn step twice — once mid-stage inside the
+        // nested lsh append, once after the hash files moved in but
+        // before the composite commit (the window where a non-atomic
+        // design leaves `hashes` ahead of `lsh` and the re-run computes
+        // an empty keeper batch, permanently skipping the index)
+        for (point <- Seq("staged", "curate-before-commit")) {
+          graft.sources.IndexCommit.failpoint =
+            p => if (p == point) throw new RuntimeException(s"boom:$p")
+          val thrown = try { Curation.appendCurateIndex(bdf, dir); false }
+            catch { case e: RuntimeException
+              if e.getMessage == s"boom:$point" => true }
+            finally graft.sources.IndexCommit.failpoint = _ => ()
+          assert(thrown, s"failpoint $point must fire")
+        }
+      }
+      Curation.appendCurateIndex(bdf, dir) // the (re-)run that lands
+    }
+    val admitted = got.collect { case (id, true) => id }.toSet
+    assert(admitted == batchKeep,
+      s"crashed-and-rerun loop admitted $admitted, batch says $batchKeep")
+    // the learned state is whole: doc 20 (near-dup) and 40 (exact dup)
+    // must have rejected against state the crashed appends built
+    assert(got(20L) == false && got(40L) == false)
+  }
 }
