@@ -241,6 +241,11 @@ object gcolumns {
   def dotp(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Intersection size of two sorted string-array columns (codegen'd
+    * linear merge — the route tier's verification kernel). */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+
   /** Z-order (Morton) value of two int columns' low 16 bits. */
   def zorder2(x: Column, y: Column): Column =
     Bridge.column(ZOrder2(Bridge.expression(x), Bridge.expression(y)))

@@ -59,6 +59,25 @@ object VectorTextImpl {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+
+  /** Intersection SIZE of two ascending-sorted string arrays by linear
+    * merge: no per-pair hash set, no materialized intersection array —
+    * the count `size(array_intersect(...))` computes at several times
+    * the cost. Inputs must be distinct-element arrays sorted by
+    * UTF8String binary order (exactly `sort_array`'s string order), which
+    * the dedup family's per-doc shingle arrays are by construction.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    var i = 0; var j = 0; var c = 0
+    val na = a.numElements(); val nb = b.numElements()
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
 }
 
 /** Distinct k-word shingles: `string -> array<string>`. Native Catalyst
@@ -97,5 +116,31 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sorted-merge intersection count:
+  * `(array<string> sorted, array<string> sorted) -> int`. The candidate
+  * VERIFICATION kernel of the exact route tier ([[graft.operators.Dedup
+  * .jaccardRouteOnKept]]): verification cost there is per-candidate, so
+  * the hash-set build + result-array allocation inside
+  * `size(array_intersect(...))` was the route's dominant term.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorTextImpl.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorTextImpl.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
 }

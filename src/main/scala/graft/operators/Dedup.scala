@@ -936,13 +936,17 @@ object Dedup {
     slice(hashOrdered(c), lit(1),
       (floor(lit(1.0 - threshold) * n + lit(1e-9)) + 1).cast("int"))
 
-  /** Stored-side prefix posting rows (id, n, shingle) of per-doc kept
-    * arrays (id, sa, n) — derived IN-ROW, so maintenance recomputes it
-    * only for restaged docs.
+  /** Stored-side prefix posting rows (id, n, rn, shingle) of per-doc
+    * kept arrays (id, sa, n) — derived IN-ROW, so maintenance recomputes
+    * it only for restaged docs. `rn` is the shingle's 1-based position
+    * in the hash order: the PPJoin positional filter and the asymmetric
+    * index-prefix cut both need it ([[jaccardRouteOnKept]]).
     */
   private def prefixRows(arr: DataFrame, threshold: Double): DataFrame =
     arr.select(col("id"), col("n"),
-      explode(probePrefix(col("sa"), col("n"), threshold)).as("shingle"))
+        posexplode(probePrefix(col("sa"), col("n"), threshold))
+          .as(Seq("pos", "shingle")))
+      .select(col("id"), col("n"), (col("pos") + 1).as("rn"), col("shingle"))
 
   /** EXACT streaming near-dup screen — [[minhashRoute]]'s contract with
     * deterministic completeness instead of LSH recall: every stored doc
@@ -973,47 +977,99 @@ object Dedup {
   private[operators] def jaccardRouteRaw(arrivals: DataFrame,
                     indexDir: String, k: Int = 3, threshold: Double = 0.6,
                     idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    jaccardRouteOnKept(keptForRoute(arrivals, indexDir, k, idCol, textCol),
+      indexDir, threshold)
+
+  /** An arrival frame's kept-shingle arrays (sid, kept) against a stored
+    * index's stop list — the in-row probe-side prep every route screen
+    * shares (batch consumers may cache the result; the streaming path
+    * recomputes it per micro-batch, which is one narrow pass).
+    */
+  private[graft] def keptForRoute(arrivals: DataFrame, indexDir: String,
+                    k: Int = 3, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val spark = arrivals.sparkSession
     val stopArr = readIndexTable(spark, s"$indexDir/stop", "shingle STRING")
       .agg(sort_array(collect_list(col("shingle"))).as("stopa"))
-    val kept = arrivals
+    arrivals
       .select(col(idCol).cast("long").as("sid"), col(textCol).as("text"))
       .crossJoin(broadcast(stopArr))
       .select(col("sid"),
         array_except(graft.functions.gcolumns.word_shingles(col("text"), k),
           col("stopa")).as("kept"))
-    jaccardRouteOnKept(kept, indexDir, threshold)
   }
 
   /** The exact route over a precomputed kept frame (sid, kept) — shared
     * with [[Curation.curateRoute]], which builds the kept arrays once for
     * all three screening stages.
+    *
+    * Candidate economics match the batch [[ngramJaccardPairsUncached]]:
+    * besides the length filter, the join applies the ASYMMETRIC prefix
+    * cut (the (n, id)-smaller side of a pair only needs its first
+    * floor(((1-t)/(1+t))n)+1 ordered shingles — both sides' `rn`
+    * positions make the cut checkable per posting) and the PPJoin
+    * positional filter (match positions cap the achievable overlap).
+    * Both are completeness-preserving under any common total order, so
+    * the route stays EXACT while candidates stay near the true result
+    * size. The pair dedupe moves bare (sid, id) — kept arrays re-attach
+    * from the input frame afterwards, so no text-scale row ever crosses
+    * the dedupe exchange.
     */
-  private[operators] def jaccardRouteOnKept(kept: DataFrame,
-                    indexDir: String, threshold: Double): DataFrame = {
+  private[graft] def jaccardRouteOnKept(kept: DataFrame,
+                    indexDir: String, threshold: Double,
+                    cacheKey: Option[String] = None): DataFrame = {
     val spark = kept.sparkSession
     val (_, storedT) = readMeta(indexDir)
     require(math.abs(storedT - threshold) < 1e-9,
       s"index prefixes were written at threshold $storedT, not $threshold")
     val prefixes = readIndexTable(spark, s"$indexDir/prefixes",
-        "id BIGINT, n BIGINT, shingle STRING, pid BIGINT")
-      .select("id", "n", "shingle")
+        "id BIGINT, n BIGINT, rn INT, shingle STRING, pid BIGINT")
+      .select("id", "n", "rn", "shingle")
     val arrays = storedArrays(spark, indexDir)
       .select(col("id"), col("sa"), col("n").as("nb"))
-    val probe = kept
+    // batch consumers (whole-corpus replays) pass a cacheKey so the
+    // in-row probe prep — the hash-order sort per arrival is the route's
+    // scan-dominant cost — runs once, not once per consumer/pass; the
+    // streaming path leaves it None (per-micro-batch frames must not
+    // churn the persisted-frame registry)
+    def maybeCached(tag: String)(df: => DataFrame): DataFrame =
+      cacheKey.fold(df)(k => graft.Caches.cached(tag, k)(df))
+    val keptSized = maybeCached("route-kept-sized")(kept
       .withColumn("na", size(col("kept")).cast("long"))
       .filter(col("na") > 0)
-      .select(col("sid"), col("kept"), col("na"),
-        explode(probePrefix(col("kept"), col("na"), threshold)).as("shingle"))
+      // pre-sorted copy for the merge-verify kernel (one in-row sort per
+      // arrival, vs a hash set per CANDIDATE in array_intersect)
+      .withColumn("skept", sort_array(col("kept"))))
+    val probe = maybeCached("route-probe")(keptSized
+      .select(col("sid"), col("na"),
+        posexplode(probePrefix(col("kept"), col("na"), threshold))
+          .as(Seq("pos", "shingle")))
+      .select(col("sid"), col("na"), (col("pos") + 1).as("ra"),
+        col("shingle")))
+    def idxBound(n: Column): Column =
+      floor(lit((1.0 - threshold) / (1.0 + threshold)) * n + lit(1e-9)) + 1
+    val needed =
+      lit(threshold / (1.0 + threshold)) * (col("na") + col("n")) - lit(1e-9)
+    val storedSmaller = col("n") < col("na") ||
+      (col("n") === col("na") && col("id") < col("sid"))
     val cand = probe.join(prefixes, Seq("shingle"))
       .filter(col("id") =!= col("sid") &&
         col("na") >= lit(threshold) * col("n") - lit(1e-9) &&
-        col("n") >= lit(threshold) * col("na") - lit(1e-9))
-      .select(col("sid"), col("kept"), col("na"), col("id"))
+        col("n") >= lit(threshold) * col("na") - lit(1e-9) &&
+        when(storedSmaller, col("rn") <= idxBound(col("n")))
+          .otherwise(col("ra") <= idxBound(col("na"))) &&
+        lit(1) + least(col("na") - col("ra"), col("n") - col("rn"))
+          >= needed)
+      .select(col("sid"), col("id"))
       .dropDuplicates("sid", "id")
-    cand.join(arrays, "id")
-      .withColumn("inter", size(array_intersect(col("kept"), col("sa"))))
+    cand
+      .join(keptSized.select(col("sid"), col("skept"), col("na")), "sid")
+      .join(arrays, "id")
+      // stored `sa` is sort_array'd at index build; linear merge count
+      .withColumn("inter",
+        graft.functions.gcolumns.sorted_intersect_count(
+          col("skept"), col("sa")))
       .withColumn("jaccard",
         col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -1042,7 +1098,9 @@ object Dedup {
         col("na") >= lit(threshold) * col("nb") - lit(1e-9) &&
         col("nb") >= lit(threshold) * col("na") - lit(1e-9))
       .dropDuplicates("sid", "kid")
-      .withColumn("inter", size(array_intersect(col("kept"), col("ksa"))))
+      .withColumn("inter",
+        graft.functions.gcolumns.sorted_intersect_count(
+          sort_array(col("kept")), sort_array(col("ksa"))))
       .withColumn("jaccard",
         col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)

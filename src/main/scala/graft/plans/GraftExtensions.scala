@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
-import graft.functions.{DotProduct, Gunzip, Gzip, RollingHash, SimHash64}
+import graft.functions.{DotProduct, Gunzip, Gzip, RollingHash, SimHash64, SortedIntersectCount}
 
 /** Opt-in query-acceleration rewrite: `count(DISTINCT x)` → the
   * HyperLogLog++ sketch (`approx_count_distinct`), enabled per session by
@@ -134,6 +134,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("dot_product", 2,
       "dot_product(a, b) - sequential-accumulation double dot product") {
       es => DotProduct(es(0), es(1)) })
+    ext.injectFunction(fn("sorted_intersect_count", 2,
+      "sorted_intersect_count(a, b) - intersection size of two sorted string arrays (linear merge)") {
+      es => SortedIntersectCount(es(0), es(1)) })
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => ApproxPercentileRewrite)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)

@@ -59,7 +59,7 @@ class IndexMaintenanceSpec extends SparkSpec {
       case "buckets_raw" => spark.read.parquet(s"$dir/$table")
         .select("id", "band", "bh")
       case "prefixes" => spark.read.parquet(s"$dir/$table")
-        .select("id", "n", "shingle")
+        .select("id", "n", "rn", "shingle")
       case "served" => served(dir)
       case "df" => mergedDf(dir)
       case "bcounts" => mergedBcounts(dir).filter(col("n") =!= 0L)

@@ -49,6 +49,27 @@ class TextHashSpec extends SparkSpec {
     assert(out == Map("a b" -> 3, "b a" -> 1, "b c" -> 1))
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      val a = (1 to rnd.nextInt(40)).map(_ => s"w${rnd.nextInt(60)}").distinct.sorted
+      val b = (1 to rnd.nextInt(40)).map(_ => s"w${rnd.nextInt(60)}").distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[String], Seq("x"))) :+ ((Seq("x"), Seq.empty[String]))
+    val df = rows.toDF("a", "b")
+      .select(
+        graft.functions.gcolumns.sorted_intersect_count(col("a"), col("b"))
+          .as("merge"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+    assert(df.filter(col("merge") =!= col("ref")).count() == 0)
+    // SQL registry
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array('a','b','c'), array('b','c','d'))")
+      .head().getInt(0) == 2)
+  }
+
   test("simhash: near-identical token sets land within small hamming distance") {
     import spark.implicits._
     val base = (1 to 100).map(i => s"tok$i").mkString(" ")
