@@ -548,11 +548,15 @@ object Dedup {
     * `array_min(transform(..,xxhash64))` kernel [[minhashRoute]] uses —
     * bit-identical to the batch aggregation); new docs shingle once and
     * cut against the MERGED df (full-rebuild semantics by construction).
-    * The oversize-bucket complement is re-derived from `buckets_raw`
-    * (bucket sizes are NOT monotone — an affected doc's signature change
-    * can shrink a bucket); that pass and the `df` merge are the remaining
-    * whole-table work, but both are metadata-scale (16-24-byte rows),
-    * never text-scale — and both outputs (`oversize`, `stop`) stay tiny.
+    * The bucket-occupancy statistic is an LSM (`bcounts`, r12): the
+    * append writes one delta segment of staged-minus-old counts over the
+    * touched ranges — bucket sizes are NOT monotone (an affected doc's
+    * signature change can shrink a bucket), so deltas carry NEGATIVE
+    * counts for removed rows — and the oversize complement derives from
+    * the merged view at read ([[servedOversize]], cached per committed
+    * version). NO whole-table pass remains anywhere in the append: every
+    * read and write is O(touched ranges + batch), and the df/bcounts
+    * merges are amortized into compaction.
     *
     * Durability (r12): the whole append is ONE [[graft.sources.IndexTxn]]
     * — staged files move into the live table dirs under fresh part names
@@ -954,12 +958,27 @@ object Dedup {
     * banding false negatives (the property [[Curation.curateRoute]]'s
     * batch-equality claim needs to be corpus-independent). Candidates
     * come from ONE stream-static equi-join of the arrival's in-row probe
-    * prefix against the stored `prefixes` postings (plus the standard
-    * length filter t*max <= min — a safe bound, never a recall cut);
-    * verification is the usual in-row `array_intersect` against the
-    * stored arrays. Per-arrival cost is O(prefix length) join probes —
-    * ~(1-t) of [[minhashRoute]]'s shingle volume — against posting lists
-    * the df cut already bounds.
+    * prefix against the stored `prefixes` postings (plus the length,
+    * asymmetric-index-prefix, and PPJoin positional filters — all safe
+    * bounds, never recall cuts); verification is the in-row sorted-merge
+    * intersect against the stored arrays. Per-arrival cost is O(prefix
+    * length) join probes — ~(1-t) of [[minhashRoute]]'s shingle volume —
+    * against posting lists the df cut already bounds.
+    *
+    * Honest trade vs the batch path: the STATIC hash order gives up the
+    * df-order thin-postings heuristic (rare shingles first), so prefix
+    * postings are uniformly dense and the candidate set runs larger than
+    * [[ngramJaccardPairs]]' for the same corpus — the price of an
+    * append-invariant stored table (a df-ordered prefix table would
+    * reorder under every append and force corpus-wide prefix rewrites,
+    * exactly what the touched-range maintenance story forbids). The
+    * volume stays bounded — prefix posting lists inherit the df cut, and
+    * the three candidate filters hold the verify set polynomial in true
+    * density — and verification is the codegen'd merge kernel, so a
+    * whole-corpus replay costs seconds, not the candidate blow-up of a
+    * naive shared-shingle join. A rebuild-heavy deployment that never
+    * appends can trade back: write prefixes in df order and keep this
+    * exact route with batch-grade candidates.
     *
     * `threshold` must equal the index's stored `prefixThreshold` (prefix
     * lengths are precomputed at write time).

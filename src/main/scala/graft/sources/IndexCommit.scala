@@ -40,7 +40,11 @@ import scala.jdk.CollectionConverters._
   * Index dirs are local paths by the existing maintenance contract
   * (stage-and-move promotion); at cluster scale the same protocol runs
   * over any FileSystem with atomic rename (HDFS) — object stores swap the
-  * rename for a conditional put of the manifest object.
+  * rename for a conditional put of the manifest object. Manifest size is
+  * one line per data file — at 100 TB / 128 MB files that is ~10^6 lines
+  * (tens of MB), read once per committed version per session; past that,
+  * the standard evolution is the Delta-log shape (parquet checkpoint +
+  * JSON deltas), which changes the manifest ENCODING, not this protocol.
   */
 object IndexCommit {
 
