@@ -70,6 +70,19 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "random corpus should contain similar pairs")
     assert(got == expected,
       s"missing=${expected -- got} extra=${got -- expected}")
+    // the EXACT stored-prefix route must recover the same brute-force set
+    // when the corpus replays as arrivals — independent validation of the
+    // static-hash-order symmetric/asymmetric prefix bounds and the PPJoin
+    // positional filter at a non-default threshold
+    val dir = java.nio.file.Files.createTempDirectory("graft-routeprop").toString
+    Dedup.writeLshIndex(corpus.toDF("doc_id", "text"), dir, k = 2,
+      prefixThreshold = 0.5)
+    val routed = Dedup.jaccardRoute(corpus.toDF("doc_id", "text"), dir,
+        k = 2, threshold = 0.5)
+      .select("da", "db").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed == expected,
+      s"route missing=${expected -- routed} extra=${routed -- expected}")
   }
 
   test("document-frequency cut drops stop-word shingles (hot-key bound)") {
