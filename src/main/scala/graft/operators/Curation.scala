@@ -767,6 +767,50 @@ object Curation {
     txn.cleanup()
   }
 
+  /** SMALL-FILES compaction for the curation state — the maintenance
+    * sweep a long-running decide+learn loop schedules between appends:
+    * squashes the file-append `hashes` table past `maxFilesPerTable`
+    * fragments and runs [[Dedup.compactLshIndex]] over the nested lsh
+    * tree, all inside ONE composite-root transaction (the
+    * [[appendCurateIndex]] atomicity argument applies unchanged: both
+    * halves flip together or not at all). Idempotent; crash-safe;
+    * single-writer. Returns (table, rewritten) pairs.
+    */
+  def compactCurateIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, maxFilesPerTable: Int = 4)
+      : Seq[(String, Int)] = {
+    import graft.sources.IndexCommit
+    IndexCommit.vacuum(dir)
+    val txn = new graft.sources.IndexTxn(dir)
+    val out = Seq.newBuilder[(String, Int)]
+    val hashFiles = txn.baseUnder("hashes")
+    if (hashFiles.size > maxFilesPerTable) {
+      spark.read.schema("content_hash STRING, keeper BIGINT")
+        .parquet(hashFiles.map(f => s"$dir/$f"): _*)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/.hashes-fold")
+      hashFiles.foreach(txn.retire)
+      import scala.jdk.CollectionConverters._
+      val from = java.nio.file.Paths.get(s"$dir/.hashes-fold")
+      val to = java.nio.file.Paths.get(s"$dir/hashes")
+      java.nio.file.Files.createDirectories(to)
+      val s = java.nio.file.Files.list(from)
+      val fs = try s.iterator().asScala.toSeq finally s.close()
+      fs.filter(_.toString.endsWith(".parquet")).foreach { f =>
+        val dst = to.resolve(f.getFileName.toString)
+        java.nio.file.Files.move(f, dst)
+        txn.add(txn.rel(dst))
+      }
+      out += (("hashes", 1))
+    }
+    out ++= Dedup.compactLshIndex(spark, s"$dir/lsh",
+      maxFilesPerRange = maxFilesPerTable, txn = Some(txn))
+    val result = out.result()
+    IndexCommit.hit("curate-compact-before-commit")
+    if (result.nonEmpty) txn.commit()
+    txn.cleanup()
+    result
+  }
+
   /** STREAMING admission control — the whole [[curatePipeline]] as a
     * per-arrival decision against the stored [[writeCurateIndex]] state,
     * composing the route tier end to end: normalize (in-row) -> quality

@@ -801,6 +801,132 @@ object Dedup {
     }
   }
 
+  /** SMALL-FILES compaction for an append-grown index — the
+    * [[graft.sources.LogStore.compact]] analog for the maintenance tier:
+    * every [[appendLshIndex]] adds part files to its touched id ranges
+    * (and one LSM segment per statistic), so a long-running decide+learn
+    * loop accumulates per-range file counts whose footer reads would
+    * eventually dominate every stored-index scan. This sweep rewrites
+    * each partitioned table's `pid=` dirs holding more than
+    * `maxFilesPerRange` data files down to one file, folds the
+    * df/bcounts LSMs to a single base segment, squashes a fragmented
+    * `stop` list, and publishes everything as ONE
+    * [[graft.sources.IndexCommit]] transaction — the same stage,
+    * move-in-under-fresh-names, atomic-manifest-commit, then-delete
+    * protocol as the appends, so a crash at any point leaves the
+    * pre-compaction version serving and a re-run converges. Idempotent:
+    * a second sweep finds nothing over threshold and commits nothing.
+    * Contents are provably unchanged (IndexMaintenanceSpec canon
+    * equality after a many-append chain). Single-writer contract.
+    *
+    * Returns (table, rangesRewritten) for the audit log (LSM folds count
+    * as one "range").
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      maxFilesPerRange: Int = 4,
+                      txn: Option[graft.sources.IndexTxn] = None)
+      : Seq[(String, Int)] = {
+    import graft.sources.IndexCommit
+    val standalone = txn.isEmpty
+    if (standalone) IndexCommit.vacuum(dir)
+    val t = txn.getOrElse(new graft.sources.IndexTxn(dir))
+    val dirRel = {
+      val r = t.rel(java.nio.file.Paths.get(dir))
+      if (r.isEmpty) "" else r + "/"
+    }
+    val out = Seq.newBuilder[(String, Int)]
+    def moveFiles(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(from)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.createDirectories(to)
+        val s = java.nio.file.Files.list(from)
+        val fs = try s.iterator().asScala.toSeq finally s.close()
+        fs.filter(_.toString.endsWith(".parquet")).foreach { f =>
+          val dst = to.resolve(f.getFileName.toString)
+          java.nio.file.Files.move(f, dst)
+          t.add(t.rel(dst))
+        }
+      }
+    val tableDdl = Map(
+      "arrays" -> "id BIGINT, sa ARRAY<STRING>, n BIGINT",
+      "buckets_raw" -> "id BIGINT, band INT, bh BIGINT",
+      "prefixes" -> "id BIGINT, n BIGINT, rn INT, shingle STRING")
+    for ((table, ddl) <- tableDdl) {
+      val prefix = s"$dirRel$table/"
+      val fat = t.baseUnder(s"$dirRel$table")
+        .groupBy(_.stripPrefix(prefix).split('/').head)
+        .filter { case (part, files) =>
+          part.startsWith("pid=") && files.size > maxFilesPerRange }
+      fat.foreach { case (part, files) =>
+        val abs = files.map(f => s"${t.root}/$f")
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .parquet(abs: _*)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/.$table-compact/$part")
+        files.foreach(t.retire)
+        moveFiles(java.nio.file.Paths.get(s"$dir/.$table-compact/$part"),
+          java.nio.file.Paths.get(s"$dir/$table/$part"))
+      }
+      if (fat.nonEmpty) out += ((table, fat.size))
+      IndexCommit.hit(s"compacted:$table")
+    }
+    // LSM folds: more than one committed segment -> one base
+    def foldLsm(table: String, ddl: String, keys: Seq[String],
+                cnt: String): Unit = {
+      val files = t.baseUnder(s"$dirRel$table")
+      val segs = files.map(_.stripPrefix(s"$dirRel$table/").split('/').head)
+        .distinct.filter(_.startsWith("seg-"))
+      if (segs.size > 1) {
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .parquet(files.map(f => s"${t.root}/$f"): _*)
+          .groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+          .filter(col(cnt) =!= 0L)
+          .write.mode("overwrite").parquet(s"$dir/.$table-fold")
+        files.foreach(t.retire)
+        // a fresh seg id past every existing dir (crash leftovers incl.)
+        val segRoot = java.nio.file.Paths.get(dir, table)
+        import scala.jdk.CollectionConverters._
+        val existing =
+          if (!java.nio.file.Files.exists(segRoot)) Seq.empty[String]
+          else {
+            val s = java.nio.file.Files.list(segRoot)
+            try s.iterator().asScala.toSeq.map(_.getFileName.toString)
+            finally s.close()
+          }
+        val next = existing.filter(_.startsWith("seg-"))
+          .map(_.stripPrefix("seg-").toInt).maxOption.getOrElse(-1) + 1
+        moveFiles(java.nio.file.Paths.get(s"$dir/.$table-fold"),
+          segRoot.resolve(f"seg-$next%05d"))
+        out += ((table, 1))
+      }
+    }
+    foldLsm("df", "shingle STRING, df BIGINT", Seq("shingle"), "df")
+    foldLsm("bcounts", "band INT, bh BIGINT, n BIGINT", Seq("band", "bh"), "n")
+    // stop: monotone file-appends squash to one file past the threshold
+    locally {
+      val files = t.baseUnder(s"${dirRel}stop")
+      if (files.size > maxFilesPerRange) {
+        spark.read.schema("shingle STRING")
+          .parquet(files.map(f => s"${t.root}/$f"): _*)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stop-fold")
+        files.foreach(t.retire)
+        moveFiles(java.nio.file.Paths.get(s"$dir/.stop-fold"),
+          java.nio.file.Paths.get(s"$dir/stop"))
+        out += (("stop", 1))
+      }
+    }
+    val result = out.result()
+    if (standalone) {
+      IndexCommit.hit("before-commit")
+      if (result.nonEmpty) t.commit()
+      IndexCommit.hit("before-cleanup")
+      t.cleanup()
+    }
+    result
+  }
+
   /** Batch near-dup pair search served ENTIRELY from a stored index
     * ([[writeLshIndex]] layout, however it was built — one shot or
     * [[appendLshIndex]]-grown): candidates from the stored small-bucket

@@ -381,6 +381,50 @@ object Similarity {
     t.cleanup()
   }
 
+  /** SMALL-FILES compaction for an append-grown IVF index — every
+    * [[appendIvfIndex]] adds part files to its batch's cells, so a
+    * long-running ingest accumulates per-cell file counts. Rewrites each
+    * `cell=` dir holding more than `maxFilesPerCell` data files down to
+    * one file under the same stage / move-in / atomic-manifest-commit /
+    * then-delete protocol as the appends (crash at any point leaves the
+    * pre-compaction version serving; idempotent when nothing exceeds the
+    * threshold). The `stats` generations are semantic (one row set per
+    * append — the drift history) and are left alone. Returns the number
+    * of rewritten cells.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      maxFilesPerCell: Int = 4): Int = {
+    import graft.sources.IndexCommit
+    IndexCommit.vacuum(dir)
+    val t = new graft.sources.IndexTxn(dir)
+    val fat = t.baseUnder("postings")
+      .groupBy(_.stripPrefix("postings/").split('/').head)
+      .filter { case (part, files) =>
+        part.startsWith("cell=") && files.size > maxFilesPerCell }
+    fat.foreach { case (part, files) =>
+      spark.read.schema("nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE")
+        .parquet(files.map(f => s"$dir/$f"): _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/.postings-compact/$part")
+      files.foreach(t.retire)
+      import scala.jdk.CollectionConverters._
+      val from = java.nio.file.Paths.get(s"$dir/.postings-compact/$part")
+      val to = java.nio.file.Paths.get(s"$dir/postings/$part")
+      java.nio.file.Files.createDirectories(to)
+      val s = java.nio.file.Files.list(from)
+      val fs = try s.iterator().asScala.toSeq finally s.close()
+      fs.filter(_.toString.endsWith(".parquet")).foreach { f =>
+        val dst = to.resolve(f.getFileName.toString)
+        java.nio.file.Files.move(f, dst)
+        t.add(t.rel(dst))
+      }
+    }
+    IndexCommit.hit("ivf-compact-before-commit")
+    if (fat.nonEmpty) t.commit()
+    t.cleanup()
+    fat.size
+  }
+
   /** Stored drift statistics vs the gen-0 training baseline — the
     * "retrain or keep appending?" signal [[appendIvfIndex]]'s maintenance
     * model calls for: per generation, the total-variation distance

@@ -115,10 +115,11 @@ object IndexCommit {
   }
 
   /** The manifest root governing `path`: `path` itself or an ancestor (at
-    * most `maxUp` levels — table dir -> index root -> enclosing composite
-    * root) holding `_manifests`. None for legacy uncommitted dirs.
+    * most `maxUp` levels — partition dir -> table dir -> index root ->
+    * enclosing composite root) holding `_manifests`. None for legacy
+    * uncommitted dirs.
     */
-  def resolveRoot(path: String, maxUp: Int = 2): Option[(String, Int)] = {
+  def resolveRoot(path: String, maxUp: Int = 3): Option[(String, Int)] = {
     var root = Paths.get(path).toAbsolutePath.normalize()
     var up = 0
     while (root != null && up <= maxUp) {

@@ -569,6 +569,36 @@ class CurationSpec extends SparkSpec {
         s"batch-only: ${(batchKeep -- admitted).take(5)}")
   }
 
+  test("compactCurateIndex squashes loop state; decisions unchanged, idempotent") {
+    val spark2 = spark
+    import spark2.implicits._
+    def words(p: String, lo: Int, hi: Int) =
+      (lo to hi).map(i => s"$p$i").mkString(" ")
+    val rows = (0 until 10).map(i => (i * 10 + 1).toLong -> words(s"v$i", 1, 24))
+    val all = rows.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccompact").toString
+    Curation.writeCurateIndex(all.filter(lit(false)), dir)
+    // ten single-doc learn steps — the worst-case fragmentation shape
+    rows.foreach { case (id, tx) =>
+      Curation.appendCurateIndex(Seq(id -> tx).toDF("doc_id", "text"), dir)
+    }
+    // probes: one exact dup, one near dup, one fresh
+    val probes = Seq(5000L -> rows(3)._2,
+      5001L -> (words("v7", 1, 20) + " " + words("z", 1, 4)),
+      5002L -> words("fresh", 1, 24)).toDF("doc_id", "text")
+    def decide = Curation.curateRoute(probes, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) "" else r.getString(2)))).toMap
+    val before = decide
+    assert(before(5000L) == ((false, "exact_dup")) &&
+      before(5001L) == ((false, "near_dup")) && before(5002L)._1)
+    val swept = Curation.compactCurateIndex(spark, dir, maxFilesPerTable = 2)
+    assert(swept.nonEmpty, "ten appends must leave compactable state")
+    assert(decide == before, "compaction must not change any decision")
+    assert(Curation.compactCurateIndex(spark, dir, maxFilesPerTable = 2).isEmpty,
+      "idempotent second sweep")
+  }
+
   test("a crash inside the decide+learn loop rolls back atomically; the re-run converges") {
     val spark2 = spark
     import spark2.implicits._

@@ -291,6 +291,60 @@ class IndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("compactLshIndex squashes append fragments: contents, crash-safety, idempotence") {
+    val docs = Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 210)
+    val incr = tmp(); val full = tmp()
+    // default idRangeSize => every doc lands in pid=0, so each append
+    // fragments the SAME range — the long-running-loop shape
+    Dedup.writeLshIndex(docs.filter(col("doc_id") < 50), incr)
+    for (lo <- Seq(50, 90, 130, 170))
+      Dedup.appendLshIndex(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 40), incr)
+    Dedup.writeLshIndex(docs, full)
+    import scala.jdk.CollectionConverters._
+    def dataFiles(sub: String): Int = {
+      val p = java.nio.file.Paths.get(s"$incr/$sub")
+      if (!java.nio.file.Files.exists(p)) 0
+      else {
+        val s = java.nio.file.Files.walk(p)
+        try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+    }
+    // partitioned tables restage touched ranges wholesale per append, so
+    // their per-range file count tracks write parallelism (not append
+    // count); the LSMs DO grow one segment per append
+    assert(dataFiles("arrays/pid=0") > 1, "fixture must be fragmented")
+    assert(dataFiles("df") > 4, "df LSM must hold several segments")
+    // a compaction killed right before its commit leaves the fragmented
+    // version serving, bit for bit
+    val pinnedBefore = IndexCommit.pinnedFiles(incr).get.toSet
+    val pairsBefore = Dedup.pairsFromIndex(spark, incr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    IndexCommit.failpoint =
+      p => if (p == "before-commit") throw new RuntimeException("boom")
+    val thrown = try {
+      Dedup.compactLshIndex(spark, incr, maxFilesPerRange = 1); false }
+      catch { case e: RuntimeException if e.getMessage == "boom" => true }
+      finally IndexCommit.failpoint = _ => ()
+    assert(thrown)
+    assert(IndexCommit.pinnedFiles(incr).get.toSet == pinnedBefore)
+    assert(Dedup.pairsFromIndex(spark, incr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == pairsBefore)
+    // the real sweep: ranges rewritten, LSMs folded, contents unchanged
+    val swept = Dedup.compactLshIndex(spark, incr, maxFilesPerRange = 1)
+    assert(swept.nonEmpty, "fragmented index must compact")
+    assert(dataFiles("arrays/pid=0") == 1 && dataFiles("buckets_raw/pid=0") == 1
+      && dataFiles("prefixes/pid=0") == 1,
+      "each fat range folds to one file")
+    assert(dataFiles("df") == 1 && dataFiles("bcounts") == 1,
+      "LSMs fold to one base segment")
+    assertSameIndex(incr, full)
+    // idempotent: nothing left over the threshold
+    assert(Dedup.compactLshIndex(spark, incr, maxFilesPerRange = 1).isEmpty)
+  }
+
   test("appendIvfIndex crash-atomicity: killed append invisible, re-run converges") {
     val emb = Tables.t(spark, sf001, "embeddings")
       .select(col("vec_id"), col("embedding"))

@@ -358,6 +358,32 @@ class SimilaritySpec extends SparkSpec {
     assert(routed.nonEmpty)
   }
 
+  test("compactIvfIndex merges per-cell fragments; postings content unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cmp").toString
+    Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 4 === 0), dir)
+    for (m <- 1 to 3)
+      Similarity.appendIvfIndex(emb.filter(col("vec_id") % 4 === m), dir)
+    def posted: Set[(Long, Long)] = spark.read.parquet(s"$dir/postings")
+      .select(col("cell").cast("long"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = posted
+    val swept = Similarity.compactIvfIndex(spark, dir, maxFilesPerCell = 1)
+    assert(swept > 0, "three appends must leave fragmented cells")
+    assert(posted == before, "compaction must not change the postings")
+    import scala.jdk.CollectionConverters._
+    val cellDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/postings")).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.startsWith("cell="))
+    cellDirs.foreach { c =>
+      val s = java.nio.file.Files.list(c)
+      val n = try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        finally s.close()
+      assert(n <= 1, s"cell ${c.getFileName} still fragmented: $n files")
+    }
+    assert(Similarity.compactIvfIndex(spark, dir, maxFilesPerCell = 1) == 0,
+      "idempotent second sweep")
+  }
+
   /** A copy of the index dir truncated to its FIRST committed version
     * (gen-0 build) — drift appends rolled back via the manifest history,
     * which doubles as a check that old manifests still describe a
