@@ -970,7 +970,8 @@ object Dedup {
     * a Bloom filter when even that bound is too wide), the `numHashes`
     * seeded-xxhash64 minima via `array_min(transform(...))` — bit-identical
     * to the batch [[minhashSignatures]] aggregation — and the band keys.
-    * Then ONE stream-static equi-join against the stored `buckets` table
+    * Then ONE stream-static equi-join against the served bucket view
+    * (`buckets_raw` ANTI the cached oversize complement)
     * finds candidates, and verification is again in-row: exact Jaccard
     * from `array_intersect` against the stored per-doc arrays. No state
     * store, no stream-stream join, no corpus scan per batch.

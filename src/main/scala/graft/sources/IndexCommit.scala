@@ -152,31 +152,37 @@ object IndexCommit {
 
   /** Single-writer GC: delete every data file under `root` absent from
     * the latest manifest (crash orphans from an uncommitted append, or
-    * retired files a crash left undeleted), plus leftover stage dirs, and
-    * prune emptied directories. No-op on never-committed dirs. Returns
-    * the dropped relative paths.
+    * retired files a crash left undeleted), plus leftover stage dirs,
+    * prune emptied directories, and expire manifest HISTORY beyond the
+    * newest `keepManifests` versions (history grows one tiny file per
+    * append; old versions stop resolving anyway once cleanup deletes
+    * their retired files, so deep history buys nothing). No-op on
+    * never-committed dirs. Returns the dropped relative paths.
     */
-  def vacuum(root: String): Seq[String] = pinnedFiles(root) match {
-    case None => Seq.empty
-    case Some(keepRel) =>
-      val keep = keepRel.toSet
-      val dropped = walkDataFiles(root).filterNot(keep)
-      dropped.foreach { rel =>
-        val p = Paths.get(root, rel)
-        Files.deleteIfExists(p)
-        // Hadoop local-FS checksum sibling, when present
-        Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".crc"))
-      }
-      val r = Paths.get(root)
-      val s = Files.walk(r)
-      val stages = try s.iterator().asScala.toSeq
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith("."))
-        finally s.close()
-      stages.foreach(deleteTree)
-      pruneEmptyDirs(r)
-      dropped
-  }
+  def vacuum(root: String, keepManifests: Int = 10): Seq[String] =
+    pinnedFiles(root) match {
+      case None => Seq.empty
+      case Some(keepRel) =>
+        val keep = keepRel.toSet
+        val dropped = walkDataFiles(root).filterNot(keep)
+        dropped.foreach { rel =>
+          val p = Paths.get(root, rel)
+          Files.deleteIfExists(p)
+          // Hadoop local-FS checksum sibling, when present
+          Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".crc"))
+        }
+        val r = Paths.get(root)
+        val s = Files.walk(r)
+        val stages = try s.iterator().asScala.toSeq
+            .filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith("."))
+          finally s.close()
+        stages.foreach(deleteTree)
+        pruneEmptyDirs(r)
+        versions(root).dropRight(math.max(1, keepManifests))
+          .foreach { case (_, p) => Files.deleteIfExists(p) }
+        dropped
+    }
 
   /** Remove data-free directories below `root` (bottom-up; `_manifests`
     * and the root itself stay). "Data-free" means holding no `.parquet`

@@ -343,6 +343,16 @@ class IndexMaintenanceSpec extends SparkSpec {
     assertSameIndex(incr, full)
     // idempotent: nothing left over the threshold
     assert(Dedup.compactLshIndex(spark, incr, maxFilesPerRange = 1).isEmpty)
+    // manifest-history retention: vacuum expires old versions (one tiny
+    // file per append otherwise accumulates forever) and the survivor
+    // still serves the index
+    IndexCommit.vacuum(incr, keepManifests = 1)
+    val manifests = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$incr/_manifests")).iterator().asScala
+      .count(_.getFileName.toString.startsWith("manifest-"))
+    assert(manifests == 1, s"retention must keep exactly 1, got $manifests")
+    assert(Dedup.pairsFromIndex(spark, incr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == pairsBefore)
   }
 
   test("appendIvfIndex crash-atomicity: killed append invisible, re-run converges") {
