@@ -164,7 +164,8 @@ object Curation {
         col("n").as("bench_n")), "bench_doc")
       .join(arrays.select(col("id").as("corpus_doc"), col("sa").as("xb")),
         "corpus_doc")
-      .withColumn("overlap", size(array_intersect(col("xa"), col("xb"))))
+      .withColumn("overlap", graft.functions.gcolumns
+        .sorted_intersect_count(col("xa"), col("xb")))
       .filter(col("overlap") >= minOverlap)
       .select(col("bench_doc"), col("corpus_doc"), col("overlap"),
         (col("overlap").cast("double") / col("bench_n")).as("bench_frac"))
@@ -205,7 +206,9 @@ object Curation {
       .select(col("id").as("corpus_doc"), col("sa").as("ca"))
     cand.join(cArrays, "corpus_doc")
       .join(broadcast(bArrays), "bench_id")
-      .withColumn("overlap", size(array_intersect(col("ba"), col("ca"))))
+      // ba is sort_array'd at build, ca is the stored sorted array
+      .withColumn("overlap", graft.functions.gcolumns
+        .sorted_intersect_count(col("ba"), col("ca")))
       .filter(col("overlap") >= minOverlap)
       .select(col("bench_id"), col("corpus_doc"), col("overlap"),
         (col("overlap").cast("double") / col("bench_n")).as("bench_frac"))

@@ -125,7 +125,9 @@ object Dedup {
         col("n").as("na")), "da")
       .join(arrays.select(col("id").as("db"), col("sa").as("xb"),
         col("n").as("nb")), "db")
-      .withColumn("inter", size(array_intersect(col("xa"), col("xb"))))
+      // both sides are sort_array'd per-doc arrays -> linear merge count
+      .withColumn("inter", graft.functions.gcolumns
+        .sorted_intersect_count(col("xa"), col("xb")))
       .withColumn("jaccard",
         col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -950,7 +952,8 @@ object Dedup {
         col("n").as("na")), "da")
       .join(arrays.select(col("id").as("db"), col("sa").as("xb"),
         col("n").as("nb")), "db")
-      .withColumn("inter", size(array_intersect(col("xa"), col("xb"))))
+      .withColumn("inter", graft.functions.gcolumns
+        .sorted_intersect_count(col("xa"), col("xb")))
       .withColumn("jaccard",
         col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
