@@ -569,6 +569,65 @@ class CurationSpec extends SparkSpec {
         s"batch-only: ${(batchKeep -- admitted).take(5)}")
   }
 
+  test("randomized corpora: per-doc sequential ingest == one-batch route == batch keep") {
+    val spark2 = spark
+    import spark2.implicits._
+    // seeded random corpora with planted exact dups, near-dups, shorts,
+    // and one early bench doc; EVERY route mode must reproduce the batch
+    // pipeline's keep set exactly — the route tier has no probabilistic
+    // stage left, so equality is a hard property, not an expectation.
+    // (Bench docs carry the lowest id: sequential ingest can only screen
+    // against already-learned bench members, the loop's documented
+    // ordering contract; coincidental near-dup pairs among the random
+    // docs are fine — both sides compute them identically.)
+    for (seed <- Seq(11, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 40).map(i => s"w$i")
+      def randDoc() =
+        Vector.fill(22 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+      val bench = (97L, randDoc().mkString(" "))        // 97 % 97 == 0
+      val bases = (0 until 6).map(i => (100L + i, randDoc()))
+      // near-dup of a base: mutate 2-3 positions
+      val near = {
+        val (srcId, toks) = bases(rnd.nextInt(bases.size))
+        val out = (1 to 2 + rnd.nextInt(2)).foldLeft(toks)((t, _) =>
+          t.updated(rnd.nextInt(t.size), vocab(rnd.nextInt(vocab.size))))
+        (200L, out.mkString(" "))
+      }
+      // contaminated: splice a 6-token run of the bench doc into noise
+      val cont = (210L, (randDoc().take(12) ++
+        bench._2.split(" ").slice(3, 9) ++ randDoc().take(8)).mkString(" "))
+      val exact = (220L, bases(1)._2.mkString(" "))     // exact dup
+      val short = (230L, "just five words right here")
+      val all = (Seq(bench) ++ bases.map { case (i, t) => (i, t.mkString(" ")) }
+        ++ Seq(near, cont, exact, short)).toDF("doc_id", "text")
+      val batchKeep = Curation.curateKeep(all)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!batchKeep(220L) && !batchKeep(230L) && !batchKeep(97L),
+        s"seed $seed fixture: planted drops must drop, got $batchKeep")
+      // (i) whole corpus as ONE batch from an empty index
+      val d1 = java.nio.file.Files.createTempDirectory("graft-prop1").toString
+      Curation.writeCurateIndex(all.filter(lit(false)), d1)
+      val oneBatch = Curation.curateRoute(all, d1).collect()
+        .collect { case r if r.getBoolean(1) => r.getLong(0) }.toSet
+      assert(oneBatch == batchKeep,
+        s"seed $seed one-batch: ${oneBatch} != $batchKeep")
+      // (ii) strict one-at-a-time decide+learn in id order
+      val d2 = java.nio.file.Files.createTempDirectory("graft-prop2").toString
+      Curation.writeCurateIndex(all.filter(lit(false)), d2)
+      val rows = all.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val seq = scala.collection.mutable.Set.empty[Long]
+      rows.foreach { case (id, tx) =>
+        val one = Seq(id -> tx).toDF("doc_id", "text")
+        if (Curation.curateRoute(one, d2).head().getBoolean(1)) seq += id
+        Curation.appendCurateIndex(one, d2)
+      }
+      assert(seq.toSet == batchKeep,
+        s"seed $seed sequential: ${seq.toSet} != $batchKeep")
+    }
+  }
+
   test("compactCurateIndex squashes loop state; decisions unchanged, idempotent") {
     val spark2 = spark
     import spark2.implicits._
