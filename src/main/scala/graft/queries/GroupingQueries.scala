@@ -65,6 +65,45 @@ object GroupingQueries {
           .as("approx_median_price"))
       .orderBy("l_returnflag")
 
+  /** KMV (k-minimum-values) distinct sketch (Bar-Yossef et al. 2002 —
+    * the Theta-sketch family's base estimator): per group, keep the k
+    * SMALLEST md5(value) digests; with u_k = the k-th minimum mapped to
+    * (0,1], E[distinct] = (k-1)/u_k. The HASH-EXACT member of the
+    * sketch tier: unlike the HLL/KLL rows (whose sketch internals are
+    * engine-specific by design, hence rows-only), every piece here is
+    * engine-replicable — md5 hex strings order identically under both
+    * engines' binary collation, the k-th digest's first 13 hex chars
+    * parse to a < 2^52 integer (exactly representable in a double), and
+    * the estimate is ONE IEEE division of exact integers — so the full
+    * estimator value hash-verifies against the DuckDB replay.
+    *
+    * Production shape: the k-min set is MERGEABLE (union, re-take k —
+    * StatsSpec proves half-merge == whole-corpus sketch), the per-group
+    * state is O(k), and the plan is a distinct (group, digest)
+    * projection into the bounded-heap [[graft.plans.TopKPerGroupExec]]
+    * (no per-group sort) + a k-row-per-group aggregation. Groups with
+    * fewer than k distinct values report the EXACT count (the sketch is
+    * lossless below k — the standard KMV contract).
+    */
+  def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val hashed = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        md5(col("l_partkey").cast("string")).as("h"))
+      .distinct()
+    val topk = graft.plans.TopKPerGroup(hashed, Seq("flag"),
+      Seq("h" -> true), k)
+    topk.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_min"), max(col("h")).as("kth"))
+      .select(col("flag"), col("n_min"),
+        when(col("n_min") < k, col("n_min").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (conv(substring(col("kth"), 1, 13), 16, 10).cast("double") /
+              lit(4503599627370496.0)))
+          .as("est_distinct"))
+      .orderBy("flag")
+  }
+
   /** The approximate-percentile tier beside the exact one — rows-only (a
     * GK-sketch value is engine-specific, so no SQL oracle). The sketch's
     * rank-error contract (|rank(approx) − p·n| ≤ n/accuracy) is asserted
@@ -411,6 +450,7 @@ object GroupingQueries {
     "q_grouping_sets" -> qGroupingSets,
     "q_distinct_agg" -> qDistinctAgg,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_kmv_distinct" -> qKmvDistinct,
     "q_percentiles" -> qPercentiles,
     "q_percentiles_approx" -> qPercentilesApprox,
     "q_hll_partials" -> qHllPartials,
@@ -426,6 +466,23 @@ object GroupingQueries {
     "q_setops" -> qSetops)
 
   val oracles: Map[String, String] = Map(
+    // the KMV replay: identical k-min selection over md5 hex order, the
+    // k-th digest's first 13 hex chars parsed as an exact < 2^52 integer,
+    // one IEEE division — the whole sketch estimator hash-compares
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag AS flag,
+        |            md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+        |r AS (SELECT flag, h,
+        |        row_number() OVER (PARTITION BY flag ORDER BY h) AS rn
+        |      FROM h),
+        |s AS (SELECT flag, COUNT(*) AS n_min, MAX(h) AS kth
+        |      FROM r WHERE rn <= 64 GROUP BY flag)
+        |SELECT flag, n_min,
+        |  CASE WHEN n_min < 64 THEN CAST(n_min AS DOUBLE)
+        |       ELSE 63.0 / (CAST(CAST('0x' || substr(kth, 1, 13) AS BIGINT)
+        |                      AS DOUBLE) / 4503599627370496.0)
+        |  END AS est_distinct
+        |FROM s ORDER BY flag""".stripMargin,
     "q_ohlc" ->
       """WITH ev AS (SELECT event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, value

@@ -140,4 +140,66 @@ class StatsSpec extends SparkSpec {
       assert(est.contains(w), s"guaranteed heavy hitter $w missing")
     }
   }
+
+  test("KMV distinct sketch: exact below k, bounded error above, merge == whole") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 5000 distinct values across 3 groups; group c has < k distinct
+    val rows = (1 to 5000).map(i => ("a", s"v$i")) ++
+      (1 to 2500).map(i => ("b", s"w$i")) ++
+      (1 to 40).map(i => ("c", s"x$i")) ++
+      (1 to 2500).map(i => ("b", s"w$i")) // duplicates must collapse
+    val df = rows.toDF("flag", "v").repartition(8)
+    val k = 64
+    def sketch(in: org.apache.spark.sql.DataFrame) = {
+      val hashed = in.select(col("flag"), md5(col("v")).as("h")).distinct()
+      graft.plans.TopKPerGroup(hashed, Seq("flag"), Seq("h" -> true), k)
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_min"), max(col("h")).as("kth"))
+        .select(col("flag"), col("n_min"),
+          when(col("n_min") < k, col("n_min").cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (conv(substring(col("kth"), 1, 13), 16, 10).cast("double") /
+                lit(4503599627370496.0)))
+            .as("est"))
+    }
+    val est = sketch(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(est("c") == ((40L, 40.0)), "below k the sketch is EXACT")
+    // KMV relative error ~ 1/sqrt(k-2); assert 4 sigma
+    val tol = 4.0 / math.sqrt(k - 2.0)
+    assert(math.abs(est("a")._2 / 5000.0 - 1) < tol, s"a: ${est("a")}")
+    assert(math.abs(est("b")._2 / 2500.0 - 1) < tol, s"b: ${est("b")}")
+    // MERGEABILITY: per-half k-min sets union + re-take-k == whole-corpus
+    // sketch, row for row (k-min of a union of k-min supersets)
+    val h1 = sketch(df.filter(md5(col("v")) < "8"))
+    val h2 = sketch(df.filter(md5(col("v")) >= "8"))
+    // merge at the digest level: recompute from the halves' kept digests
+    val halves = Seq(df.filter(md5(col("v")) < "8"),
+      df.filter(md5(col("v")) >= "8"))
+    val keptDigests = halves.map { half =>
+      val hashed = half.select(col("flag"), md5(col("v")).as("h")).distinct()
+      graft.plans.TopKPerGroup(hashed, Seq("flag"), Seq("h" -> true), k)
+    }.reduce(_ unionByName _)
+    val merged = keptDigests
+      .groupBy(col("flag"), col("h")).agg(count(lit(1)).as("cnt")) // dedupe
+      .select(col("flag"), col("h"))
+    val mergedSketch = graft.plans.TopKPerGroup(merged, Seq("flag"),
+        Seq("h" -> true), k)
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_min"), max(col("h")).as("kth"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    val whole = {
+      val hashed = df.select(col("flag"), md5(col("v")).as("h")).distinct()
+      graft.plans.TopKPerGroup(hashed, Seq("flag"), Seq("h" -> true), k)
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_min"), max(col("h")).as("kth"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2))))
+        .toMap
+    }
+    assert(mergedSketch == whole,
+      "union-of-halves k-min state must equal the whole-corpus sketch")
+    assert(h1.count() + h2.count() >= 3)
+  }
 }
