@@ -104,6 +104,31 @@ object GroupingQueries {
       .orderBy("flag")
   }
 
+  /** Deterministic bottom-k-sample percentile — the quantile analog of
+    * [[qKmvDistinct]], completing the HASH-EXACT approximate tier: per
+    * group, the sample is the k rows with the SMALLEST md5(row identity)
+    * (a uniform draw that is reproducible, engine-independent, and
+    * MERGEABLE — union per-shard samples, re-take k), and the estimate
+    * is the EXACT percentile over those <= k values. Unlike
+    * `percentile_approx` (GK sketch — engine-specific internals,
+    * rows-only), every step replays in DuckDB: same md5 order, same
+    * sample, and the interpolation parity `q_percentiles` already
+    * establishes. Bounded O(k) per-group state via the bounded-heap
+    * [[graft.plans.TopKPerGroupExec]]; error ~ O(1/sqrt(k)) in rank.
+    */
+  def qSamplePercentile(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_quantity").as("q"),
+        md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))).as("h"))
+    graft.plans.TopKPerGroup(li, Seq("flag"), Seq("h" -> true), k)
+      .groupBy(col("flag"))
+      .agg(percentile(col("q"), lit(0.5)).as("samp_median"),
+        percentile(col("q"), lit(0.9)).as("samp_p90"),
+        count(lit(1)).as("n_sample"))
+      .orderBy("flag")
+  }
+
   /** The approximate-percentile tier beside the exact one — rows-only (a
     * GK-sketch value is engine-specific, so no SQL oracle). The sketch's
     * rank-error contract (|rank(approx) − p·n| ≤ n/accuracy) is asserted
@@ -451,6 +476,7 @@ object GroupingQueries {
     "q_distinct_agg" -> qDistinctAgg,
     "q_approx_distinct" -> qApproxDistinct,
     "q_kmv_distinct" -> qKmvDistinct,
+    "q_sample_percentile" -> qSamplePercentile,
     "q_percentiles" -> qPercentiles,
     "q_percentiles_approx" -> qPercentilesApprox,
     "q_hll_partials" -> qHllPartials,
@@ -483,6 +509,17 @@ object GroupingQueries {
         |                      AS DOUBLE) / 4503599627370496.0)
         |  END AS est_distinct
         |FROM s ORDER BY flag""".stripMargin,
+    "q_sample_percentile" ->
+      """WITH h AS (SELECT l_returnflag AS flag, l_quantity AS q,
+        |            md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+        |                CAST(l_linenumber AS VARCHAR)) AS h
+        |          FROM lineitem),
+        |r AS (SELECT flag, q,
+        |        row_number() OVER (PARTITION BY flag ORDER BY h) AS rn
+        |      FROM h)
+        |SELECT flag, quantile_cont(q, 0.5) AS samp_median,
+        |  quantile_cont(q, 0.9) AS samp_p90, COUNT(*) AS n_sample
+        |FROM r WHERE rn <= 256 GROUP BY flag ORDER BY flag""".stripMargin,
     "q_ohlc" ->
       """WITH ev AS (SELECT event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, value

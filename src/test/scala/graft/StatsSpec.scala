@@ -202,4 +202,27 @@ class StatsSpec extends SparkSpec {
       "union-of-halves k-min state must equal the whole-corpus sketch")
     assert(h1.count() + h2.count() >= 3)
   }
+
+  test("bottom-k-sample percentile: rank error within the sampling envelope") {
+    val spark2 = spark
+    import spark2.implicits._
+    // skewed values so a bad sampler would miss the tail
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 20000).map(i => ("g", math.pow(rnd.nextDouble(), 3) * 100))
+    val df = rows.toDF("flag", "q").withColumn("h",
+      md5(concat_ws("|", monotonically_increasing_id()))).repartition(8)
+    val k = 256
+    val samp = graft.plans.TopKPerGroup(df, Seq("flag"), Seq("h" -> true), k)
+      .groupBy(col("flag"))
+      .agg(percentile(col("q"), lit(0.5)).as("p50"),
+        percentile(col("q"), lit(0.9)).as("p90"))
+      .head()
+    val sorted = rows.map(_._2).sorted
+    def rankOf(v: Double) = sorted.count(_ <= v).toDouble / sorted.size
+    // binomial rank error ~ sqrt(p(1-p)/k); assert 5 sigma
+    assert(math.abs(rankOf(samp.getDouble(1)) - 0.5) <
+      5 * math.sqrt(0.25 / k), s"p50 rank ${rankOf(samp.getDouble(1))}")
+    assert(math.abs(rankOf(samp.getDouble(2)) - 0.9) <
+      5 * math.sqrt(0.09 / k), s"p90 rank ${rankOf(samp.getDouble(2))}")
+  }
 }
