@@ -511,21 +511,67 @@ object Dedup {
   /** The SERVED search space: uncut banded signatures minus the tiny
     * oversize-bucket complement (broadcast anti-join — no corpus-scale
     * filtered copy is ever materialized). Identical rows to
-    * [[lshInBuckets]]'s cut.
+    * [[lshInBuckets]]'s cut. Tombstoned docs ([[deleteFromLshIndex]])
+    * are excluded.
     */
   private[operators] def servedBuckets(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val raw = rawBuckets(spark, dir).select("id", "band", "bh")
-    raw.join(broadcast(servedOversize(spark, dir)),
-      Seq("band", "bh"), "left_anti")
+    antiTombstoned(spark, dir,
+      raw.join(broadcast(servedOversize(spark, dir)),
+        Seq("band", "bh"), "left_anti"))
   }
 
-  /** Stored per-doc arrays without the partition column. */
+  /** Stored per-doc arrays without the partition column; tombstoned docs
+    * excluded.
+    */
   private def storedArrays(spark: org.apache.spark.sql.SparkSession,
                            dir: String): DataFrame =
-    readIndexTable(spark, s"$dir/arrays",
-      "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT")
+    antiTombstoned(spark, dir,
+      readIndexTable(spark, s"$dir/arrays",
+        "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT"))
       .select("id", "sa", "n")
+
+  /** Whether an index carries any live tombstones — a driver-side
+    * metadata check (pinned file list or directory walk), so the no-delete
+    * common case keeps every served plan EXACTLY as before (no empty
+    * anti-join is ever planned).
+    */
+  private[operators] def tombstonesNonEmpty(dir: String): Boolean =
+    graft.sources.IndexCommit.pinnedUnder(s"$dir/tombstones") match {
+      case Some(files) => files.nonEmpty
+      case None =>
+        val root = java.nio.file.Paths.get(s"$dir/tombstones")
+        java.nio.file.Files.exists(root) && {
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.walk(root)
+          try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+          finally s.close()
+        }
+    }
+
+  /** The live tombstone set (deleted doc ids) — GDPR/takedown-sized by
+    * contract, cached per committed index version like the oversize
+    * complement (route consumers probe every micro-batch).
+    */
+  private[operators] def tombstoneIds(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ver = graft.sources.IndexCommit.resolveRoot(s"$dir/tombstones")
+      .map(_._2).getOrElse(-1)
+    graft.Caches.cached("lsh-tombstones", s"$dir|v$ver") {
+      readIndexTable(spark, s"$dir/tombstones", "id BIGINT")
+    }
+  }
+
+  /** Exclude tombstoned ids from a served view (broadcast anti-join on
+    * the tiny delete set); the no-tombstones case returns the plan
+    * untouched.
+    */
+  private[operators] def antiTombstoned(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      df: DataFrame): DataFrame =
+    if (!tombstonesNonEmpty(dir)) df
+    else df.join(broadcast(tombstoneIds(spark, dir)), Seq("id"), "left_anti")
 
   /** INCREMENTAL index maintenance — grow a [[writeLshIndex]] index by a
     * new document batch without re-shingling or re-signing the corpus:
@@ -803,6 +849,123 @@ object Dedup {
     }
   }
 
+  /** Move every staged `.parquet` under `from` into `to` under its fresh
+    * part name, recording each add in the transaction (the shared
+    * stage-dir move-in every maintenance path uses).
+    */
+  private def txnMove(t: graft.sources.IndexTxn,
+                      from: java.nio.file.Path,
+                      to: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(from)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.createDirectories(to)
+      val s = java.nio.file.Files.list(from)
+      val fs = try s.iterator().asScala.toSeq finally s.close()
+      fs.filter(_.toString.endsWith(".parquet")).foreach { f =>
+        val dst = to.resolve(f.getFileName.toString)
+        java.nio.file.Files.move(f, dst)
+        t.add(t.rel(dst))
+      }
+    }
+
+  /** Next LSM segment dir for `table`: max(existing seg numbers)+1 —
+    * never a count, so non-contiguous crash leftovers cannot alias an
+    * existing segment.
+    */
+  private def nextSegDirIn(dir: String, table: String): java.nio.file.Path = {
+    val segRoot = java.nio.file.Paths.get(dir, table)
+    import scala.jdk.CollectionConverters._
+    val existing =
+      if (!java.nio.file.Files.exists(segRoot)) Seq.empty[String]
+      else {
+        val s = java.nio.file.Files.list(segRoot)
+        try s.iterator().asScala.toSeq.map(_.getFileName.toString)
+        finally s.close()
+      }
+    val next = existing.filter(_.startsWith("seg-"))
+      .map(_.stripPrefix("seg-").toInt).maxOption.getOrElse(-1) + 1
+    segRoot.resolve(f"seg-$next%05d")
+  }
+
+  /** TOMBSTONE-DELETE documents from a stored LSH index — the FORGET half
+    * of the maintenance tier (takedowns / GDPR erasure / quality recalls
+    * in a standing 100 TB corpus, where a rebuild-to-remove re-shingles
+    * petabytes to drop megabytes). The delete itself is O(delete set):
+    *
+    *  - `tombstones` gains the newly dead ids by pure file-append (the
+    *    `stop` discipline); every SERVED view — [[servedBuckets]],
+    *    [[storedArrays]], the prefix postings — excludes tombstoned ids
+    *    via one broadcast anti-join, planned ONLY while tombstones exist,
+    *    so pair search and all three route tiers stop seeing the docs at
+    *    the next committed version;
+    *  - `bcounts` gains a NEGATIVE delta segment for the dead docs'
+    *    bucket rows (a partition-pruned read of their id ranges) — the
+    *    bucket-occupancy statistic must be exact for the LIVE set,
+    *    because a bucket oversize only through deleted members has to
+    *    serve again (the spec plants exactly that);
+    *  - `df` and `stop` are deliberately NOT adjusted: a dead doc's
+    *    kept-shingle array cannot reconstruct its pre-cut shingle set
+    *    (stop shingles were never stored), so document frequencies remain
+    *    monotone HISTORICAL upper bounds and a once-stopped shingle stays
+    *    stopped. This is conservative for future appends (a kept set can
+    *    only shrink vs a from-scratch rebuild of the live corpus) and is
+    *    the price of never storing uncut arrays; deployments needing
+    *    exact df under churn store the uncut arrays instead (4-8x the
+    *    footprint) — documented trade, same protocol.
+    *
+    * The physical rows of dead docs stay in place (invisible to every
+    * reader) until [[compactLshIndex]] folds the tombstones — the
+    * DELETE-then-COMPACT storage-reclaim split every LSM store uses.
+    * Crash-atomic like the appends: one [[graft.sources.IndexTxn]], one
+    * manifest rename, vacuum + re-run converges. Idempotent: already-
+    * tombstoned ids are filtered out, so a re-delete never re-subtracts
+    * occupancy. Ids are never reused (the append contract), so a
+    * tombstone can outlive compaction safely.
+    *
+    * Returns the number of NEWLY tombstoned ids.
+    */
+  def deleteFromLshIndex(ids: DataFrame, dir: String,
+                         idCol: String = "doc_id",
+                         txn: Option[graft.sources.IndexTxn] = None): Long = {
+    import graft.sources.IndexCommit
+    val spark = ids.sparkSession
+    val standalone = txn.isEmpty
+    if (standalone) IndexCommit.vacuum(dir)
+    val t = txn.getOrElse(new graft.sources.IndexTxn(dir))
+    val (rangeSize, _) = readMeta(dir)
+    // only ids not already tombstoned act: a re-delete must not
+    // re-subtract bucket occupancy
+    val dead = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .join(readIndexTable(spark, s"$dir/tombstones", "id BIGINT"),
+        Seq("id"), "left_anti")
+    dead.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/.tombstones-stage")
+    val staged = readDirTable(spark, s"$dir/.tombstones-stage", "id BIGINT")
+    val nDead = staged.count()
+    if (nDead > 0) {
+      val deadPids = staged.select(expr(s"id div $rangeSize").as("pid"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      // the dead docs' bucket rows leave the occupancy statistic NOW
+      // (partition-pruned read of their ranges, O(delete set) rows out)
+      rawBuckets(spark, dir).filter(col("pid").isin(deadPids: _*))
+        .join(broadcast(staged), Seq("id"))
+        .groupBy("band", "bh").agg((-count(lit(1))).as("n"))
+        .write.mode("overwrite").parquet(s"$dir/.bcounts-del-stage")
+      IndexCommit.hit("del-staged")
+      txnMove(t, java.nio.file.Paths.get(s"$dir/.tombstones-stage"),
+        java.nio.file.Paths.get(s"$dir/tombstones"))
+      txnMove(t, java.nio.file.Paths.get(s"$dir/.bcounts-del-stage"),
+        nextSegDirIn(dir, "bcounts"))
+      IndexCommit.hit("del-moved")
+      if (standalone) {
+        IndexCommit.hit("del-before-commit")
+        t.commit()
+        t.cleanup()
+      }
+    } else if (standalone) t.cleanup()
+    nDead
+  }
+
   /** SMALL-FILES compaction for an append-grown index — the
     * [[graft.sources.LogStore.compact]] analog for the maintenance tier:
     * every [[appendLshIndex]] adds part files to its touched id ranges
@@ -853,9 +1016,48 @@ object Dedup {
       "arrays" -> "id BIGINT, sa ARRAY<STRING>, n BIGINT",
       "buckets_raw" -> "id BIGINT, band INT, bh BIGINT",
       "prefixes" -> "id BIGINT, n BIGINT, rn INT, shingle STRING")
+    // ---- tombstone fold FIRST: physically drop deleted docs' rows from
+    // every partitioned table (serving already excludes them — this is
+    // the storage-reclaim half of deleteFromLshIndex) and retire the
+    // tombstones themselves, so this commit's served plans lose the
+    // anti-join entirely. Only the dead ids' ranges rewrite (partition-
+    // pruned, O(delete set) IO). bcounts was corrected at delete time
+    // and df stays a documented historical upper bound — neither folds.
+    val tombFiles = t.liveUnder(s"${dirRel}tombstones")
+    if (tombFiles.nonEmpty) {
+      val dead = spark.read.schema("id BIGINT")
+        .parquet(tombFiles.map(f => s"${t.root}/$f"): _*)
+      val (rangeSize, _) = readMeta(dir)
+      val deadPids = dead.select(expr(s"id div $rangeSize").as("pid"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      var touched = 0
+      for ((table, ddl) <- tableDdl) {
+        val prefix = s"$dirRel$table/"
+        val hit = t.liveUnder(s"$dirRel$table")
+          .groupBy(_.stripPrefix(prefix).split('/').head)
+          .filter { case (part, _) =>
+            part.startsWith("pid=") &&
+              deadPids.contains(part.stripPrefix("pid=").toLong) }
+        hit.foreach { case (part, files) =>
+          spark.read
+            .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+            .parquet(files.map(f => s"${t.root}/$f"): _*)
+            .join(broadcast(dead), Seq("id"), "left_anti")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$dir/.$table-tfold/$part")
+          files.foreach(t.retire)
+          txnMove(t, java.nio.file.Paths.get(s"$dir/.$table-tfold/$part"),
+            java.nio.file.Paths.get(s"$dir/$table/$part"))
+          touched += 1
+        }
+        IndexCommit.hit(s"tfold:$table")
+      }
+      tombFiles.foreach(t.retire)
+      out += (("tombstones", touched))
+    }
     for ((table, ddl) <- tableDdl) {
       val prefix = s"$dirRel$table/"
-      val fat = t.baseUnder(s"$dirRel$table")
+      val fat = t.liveUnder(s"$dirRel$table")
         .groupBy(_.stripPrefix(prefix).split('/').head)
         .filter { case (part, files) =>
           part.startsWith("pid=") && files.size > maxFilesPerRange }
@@ -876,7 +1078,7 @@ object Dedup {
     // LSM folds: more than one committed segment -> one base
     def foldLsm(table: String, ddl: String, keys: Seq[String],
                 cnt: String): Unit = {
-      val files = t.baseUnder(s"$dirRel$table")
+      val files = t.liveUnder(s"$dirRel$table")
       val segs = files.map(_.stripPrefix(s"$dirRel$table/").split('/').head)
         .distinct.filter(_.startsWith("seg-"))
       if (segs.size > 1) {
@@ -908,7 +1110,7 @@ object Dedup {
     foldLsm("bcounts", "band INT, bh BIGINT, n BIGINT", Seq("band", "bh"), "n")
     // stop: monotone file-appends squash to one file past the threshold
     locally {
-      val files = t.baseUnder(s"${dirRel}stop")
+      val files = t.liveUnder(s"${dirRel}stop")
       if (files.size > maxFilesPerRange) {
         spark.read.schema("shingle STRING")
           .parquet(files.map(f => s"${t.root}/$f"): _*)
@@ -1172,8 +1374,9 @@ object Dedup {
     val (_, storedT) = readMeta(indexDir)
     require(math.abs(storedT - threshold) < 1e-9,
       s"index prefixes were written at threshold $storedT, not $threshold")
-    val prefixes = readIndexTable(spark, s"$indexDir/prefixes",
-        "id BIGINT, n BIGINT, rn INT, shingle STRING, pid BIGINT")
+    val prefixes = antiTombstoned(spark, indexDir,
+        readIndexTable(spark, s"$indexDir/prefixes",
+          "id BIGINT, n BIGINT, rn INT, shingle STRING, pid BIGINT"))
       .select("id", "n", "rn", "shingle")
     val arrays = storedArrays(spark, indexDir)
       .select(col("id"), col("sa"), col("n").as("nb"))

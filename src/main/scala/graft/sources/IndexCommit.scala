@@ -228,6 +228,13 @@ final class IndexTxn(val root: String) {
   /** Base files under a root-relative directory prefix. */
   def baseUnder(relDir: String): Seq[String] =
     base.filter(_.startsWith(relDir + "/"))
+  /** Base files under a prefix NOT retired so far in this transaction —
+    * what a later step inside the same transaction may still read (a
+    * retired file's rows were rewritten by an earlier step; re-reading it
+    * would resurrect them).
+    */
+  def liveUnder(relDir: String): Seq[String] =
+    baseUnder(relDir).filterNot(retired)
   def retireUnder(relDir: String): Unit = baseUnder(relDir).foreach(retired += _)
 
   /** Atomic publish: base − retired + added becomes the next version. */

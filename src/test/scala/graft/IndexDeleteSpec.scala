@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.IndexCommit
+
+/** Tombstone deletes on the stored LSH index ([[Dedup.deleteFromLshIndex]])
+  * — the FORGET half of the maintenance tier. Contract under test:
+  *
+  *  - a delete hides the docs from EVERY served consumer (stored-pair
+  *    search, the exact prefix-filter route, the minhash route) at the
+  *    next committed version, while remaining docs' results are exactly
+  *    the pre-delete results restricted to live ids;
+  *  - the bucket-occupancy statistic (`bcounts`) stays EXACT for the live
+  *    set (the negative delta segment), and a re-delete of the same ids
+  *    never re-subtracts;
+  *  - the delete is crash-atomic (one IndexTxn, one manifest rename):
+  *    killed at any failpoint, readers serve the pre-delete version and a
+  *    re-run converges to the clean-delete state;
+  *  - [[Dedup.compactLshIndex]] folds tombstones: dead rows physically
+  *    leave every partitioned table, the tombstone table itself retires,
+  *    and the served view is unchanged;
+  *  - appends after a delete keep serving correctly (df stays a monotone
+  *    historical upper bound by documented design, so kept sets equal the
+  *    full-corpus build's and pair results are the full-corpus results
+  *    restricted to live ids).
+  */
+class IndexDeleteSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-lshdel").toString
+
+  private def docs: DataFrame = Tables.t(spark, sf001, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private val deadPred = col("doc_id") % 7 === 3
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("da"), col("db")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def mergedBcounts(dir: String): Seq[String] =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/bcounts")
+      .groupBy("band", "bh").agg(sum(col("n")).as("n"))
+      .filter(col("n") =!= 0L)
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  test("delete hides docs from pairs + routes; occupancy stays exact; re-delete idempotent") {
+    val dir = tmp()
+    Dedup.writeLshIndex(docs, dir)
+    val pairsBefore = pairsOf(Dedup.pairsFromIndex(spark, dir))
+    val deadIds = docs.filter(deadPred).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(deadIds.nonEmpty)
+
+    val n = Dedup.deleteFromLshIndex(docs.filter(deadPred), dir)
+    assert(n == deadIds.size, s"returned $n, expected ${deadIds.size}")
+
+    // (a) stored-pair search: exactly the pre-delete pairs restricted to
+    // live ids — remaining docs' rows and statistics are untouched, dead
+    // docs are gone
+    val live = (p: (Long, Long)) => !deadIds(p._1) && !deadIds(p._2)
+    val pairsAfter = pairsOf(Dedup.pairsFromIndex(spark, dir))
+    assert(pairsAfter == pairsBefore.filter(live))
+    assert(pairsAfter.nonEmpty && pairsAfter != pairsBefore,
+      "fixture must drop at least one pair and keep at least one")
+
+    // (b) the exact route over live arrivals = the full-corpus exact
+    // pair set restricted to live (the index df IS the full-corpus df —
+    // deletes leave it a documented historical upper bound)
+    val routed = pairsOf(Dedup.jaccardRoute(docs.filter(!deadPred), dir))
+    val exactFull = pairsOf(Dedup.ngramJaccardPairs(docs))
+    assert(routed == exactFull.filter(live) && routed.nonEmpty)
+
+    // (c) the minhash route never surfaces a dead stored doc
+    val mh = Dedup.minhashRoute(docs, dir)
+      .select(col("da"), col("db")).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    // arrivals include dead ids (they may appear as the probe side);
+    // every pair partner that came from the INDEX must be live — strip
+    // probe ids by checking pairs among stored docs only
+    val mhStoredHits = Dedup.minhashRoute(docs.filter(!deadPred), dir)
+      .select(col("da"), col("db")).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(mhStoredHits.intersect(deadIds).isEmpty,
+      s"dead ids served by the minhash route: ${mhStoredHits.intersect(deadIds).take(3)}")
+    assert(mh.nonEmpty) // the unfiltered replay still routes
+
+    // (d) occupancy exactness: merged bcounts == live rows recomputed
+    // from the physical buckets (dead rows still on disk, statistic must
+    // already exclude them)
+    val tombs = spark.read.parquet(s"$dir/tombstones")
+    val liveCounts = spark.read.parquet(s"$dir/buckets_raw")
+      .join(tombs, Seq("id"), "left_anti")
+      .groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(mergedBcounts(dir) == liveCounts)
+
+    // (e) re-delete of the same ids: a no-op (no double subtraction, no
+    // new tombstones)
+    val bcBefore = mergedBcounts(dir)
+    val n2 = Dedup.deleteFromLshIndex(docs.filter(deadPred), dir)
+    assert(n2 == 0L)
+    assert(mergedBcounts(dir) == bcBefore)
+  }
+
+  test("a delete killed at any failpoint leaves the pinned version; re-run converges") {
+    // clean-delete reference
+    val ref = tmp()
+    Dedup.writeLshIndex(docs, ref)
+    Dedup.deleteFromLshIndex(docs.filter(deadPred), ref)
+    val refPairs = pairsOf(Dedup.pairsFromIndex(spark, ref))
+    val refBc = mergedBcounts(ref)
+
+    for (point <- Seq("del-staged", "del-moved", "del-before-commit")) {
+      val dir = tmp()
+      Dedup.writeLshIndex(docs, dir)
+      val pinnedBefore = IndexCommit.pinnedFiles(dir).get.toSet
+      val pairsBefore = pairsOf(Dedup.pairsFromIndex(spark, dir))
+      IndexCommit.failpoint =
+        p => if (p == point) throw new RuntimeException(s"boom:$p")
+      val thrown = try {
+        Dedup.deleteFromLshIndex(docs.filter(deadPred), dir); false
+      } catch {
+        case e: RuntimeException if e.getMessage == s"boom:$point" => true
+      } finally IndexCommit.failpoint = _ => ()
+      assert(thrown, s"failpoint $point must have fired")
+      assert(IndexCommit.pinnedFiles(dir).get.toSet == pinnedBefore,
+        s"$point: crash must not move the committed manifest")
+      assert(pairsOf(Dedup.pairsFromIndex(spark, dir)) == pairsBefore,
+        s"$point: readers must serve the pre-delete index after a crash")
+      // re-run (vacuums the orphans) converges to the clean delete
+      Dedup.deleteFromLshIndex(docs.filter(deadPred), dir)
+      assert(pairsOf(Dedup.pairsFromIndex(spark, dir)) == refPairs)
+      assert(mergedBcounts(dir) == refBc, s"$point: bcounts diverged")
+      val tombIds = spark.read.parquet(s"$dir/tombstones")
+        .collect().map(_.getLong(0)).toSet
+      val refTombIds = spark.read.parquet(s"$ref/tombstones")
+        .collect().map(_.getLong(0)).toSet
+      assert(tombIds == refTombIds, s"$point: tombstones diverged")
+    }
+  }
+
+  test("compaction folds tombstones: physical reclaim, served view unchanged") {
+    val dir = tmp()
+    Dedup.writeLshIndex(docs, dir, idRangeSize = 128L)
+    Dedup.deleteFromLshIndex(docs.filter(deadPred), dir)
+    val deadIds = docs.filter(deadPred).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val pairsBefore = pairsOf(Dedup.pairsFromIndex(spark, dir))
+    val bcBefore = mergedBcounts(dir)
+
+    val result = Dedup.compactLshIndex(spark, dir)
+    assert(result.exists(_._1 == "tombstones"),
+      s"compaction must report the tombstone fold, got $result")
+    // tombstone table retired and pruned away
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/tombstones")))
+    // dead rows physically gone from every partitioned table
+    for (table <- Seq("arrays", "buckets_raw", "prefixes")) {
+      val idsOnDisk = spark.read.parquet(s"$dir/$table")
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+      assert(idsOnDisk.intersect(deadIds).isEmpty,
+        s"$table still holds dead rows after the fold")
+    }
+    // served view and the occupancy statistic are unchanged
+    assert(pairsOf(Dedup.pairsFromIndex(spark, dir)) == pairsBefore)
+    assert(mergedBcounts(dir) == bcBefore)
+    // a second sweep finds no tombstones to fold
+    val again = Dedup.compactLshIndex(spark, dir)
+    assert(!again.exists(_._1 == "tombstones"), s"second sweep: $again")
+  }
+
+  test("append after delete serves the union's live pairs") {
+    val dir = tmp()
+    val older = docs.filter(col("doc_id") % 2 === 0)
+    val newer = docs.filter(col("doc_id") % 2 === 1)
+    Dedup.writeLshIndex(older, dir)
+    Dedup.deleteFromLshIndex(older.filter(deadPred), dir)
+    Dedup.appendLshIndex(newer, dir)
+    val deadIds = older.filter(deadPred).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val live = (p: (Long, Long)) => !deadIds(p._1) && !deadIds(p._2)
+    // the full-corpus batch pairs restricted to live ids: df never
+    // un-counts dead docs (documented), so kept sets equal the
+    // full-corpus build's and the restriction is exact
+    val expected = pairsOf(Dedup.minhashLshPairs(docs)).filter(live)
+    assert(pairsOf(Dedup.pairsFromIndex(spark, dir)) == expected)
+    assert(expected.nonEmpty)
+  }
+}
