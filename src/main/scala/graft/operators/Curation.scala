@@ -735,8 +735,7 @@ object Curation {
     val normed = normalizeDocs(newDocs).select(col("doc_id"),
       col("norm").as("text"))
     val floored = normed.filter(tokenCount(col("text")) >= minTokens)
-    val stored = Dedup.readIndexTable(spark, s"$dir/hashes",
-      "content_hash STRING, keeper BIGINT")
+    val stored = servedHashes(spark, dir)
     val w = Window.partitionBy(col("content_hash"))
     val batchKeep = floored
       .withColumn("content_hash", md5(col("text")))
@@ -770,6 +769,76 @@ object Curation {
     txn.cleanup()
   }
 
+  /** The `hashes` table with tombstoned keepers excluded — the served
+    * exact-dup verdict view. A deleted keeper stops blocking its content
+    * hash, so a later identical arrival is ADMITTED again (and
+    * [[appendCurateIndex]] learns it as the hash's new keeper) — the
+    * GDPR re-ingest semantics. The no-tombstones case returns the stored
+    * table untouched (no extra join in the plan).
+    */
+  private def servedHashes(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
+    val hashes = Dedup.readIndexTable(spark, s"$dir/hashes",
+      "content_hash STRING, keeper BIGINT")
+    if (!Dedup.tombstonesNonEmpty(dir)) hashes
+    else hashes.join(
+      broadcast(Dedup.tombstoneIds(spark, dir)
+        .select(col("id").as("keeper"))),
+      Seq("keeper"), "left_anti")
+  }
+
+  /** TOMBSTONE-DELETE documents from the curation state — the FORGET half
+    * of the decide+learn loop (takedown / erasure requests against an
+    * admitted corpus). One composite transaction over both halves:
+    *
+    *  - `dir/tombstones` gains the dead ids (pure file-append); the
+    *    served `hashes` view ([[servedHashes]]) excludes rows whose
+    *    KEEPER is dead, so the content hash unblocks;
+    *  - the nested lsh tree forgets the same ids via
+    *    [[Dedup.deleteFromLshIndex]] (shared txn) — near-dup and
+    *    contamination screening stop seeing the docs.
+    *
+    * After the single manifest commit, [[curateRoute]] decides as if the
+    * docs had never been admitted (modulo the documented df upper-bound
+    * caveat of the LSH delete); a re-arrival of the same content is
+    * accepted and re-learned. Crash anywhere rolls BOTH halves back —
+    * a hash table that forgot while the lsh index still blocks (or vice
+    * versa) cannot be observed. Idempotent; single-writer; ids are never
+    * reused. Physical reclaim happens in [[compactCurateIndex]].
+    *
+    * Returns the number of NEWLY tombstoned ids.
+    */
+  def deleteFromCurateIndex(ids: DataFrame, dir: String,
+                            idCol: String = "doc_id"): Long = {
+    import graft.sources.IndexCommit
+    val spark = ids.sparkSession
+    IndexCommit.vacuum(dir)
+    val txn = new graft.sources.IndexTxn(dir)
+    val dead = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .join(Dedup.readIndexTable(spark, s"$dir/tombstones", "id BIGINT"),
+        Seq("id"), "left_anti")
+    dead.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/.tombstones-stage")
+    val staged = Dedup.readDirTable(spark, s"$dir/.tombstones-stage",
+      "id BIGINT")
+    val nDead = staged.count()
+    if (nDead > 0) {
+      IndexCommit.hit("curate-del-staged")
+      // nested delete FIRST: it executes plans over the lazily-read
+      // `staged` frame, whose files must still sit in the stage dir —
+      // the move below would pull them out from under those plans
+      Dedup.deleteFromLshIndex(staged, s"$dir/lsh", idCol = "id",
+        txn = Some(txn))
+      Dedup.txnMove(txn,
+        java.nio.file.Paths.get(s"$dir/.tombstones-stage"),
+        java.nio.file.Paths.get(s"$dir/tombstones"))
+      IndexCommit.hit("curate-del-before-commit")
+      txn.commit()
+      txn.cleanup()
+    } else txn.cleanup()
+    nDead
+  }
+
   /** SMALL-FILES compaction for the curation state — the maintenance
     * sweep a long-running decide+learn loop schedules between appends:
     * squashes the file-append `hashes` table past `maxFilesPerTable`
@@ -786,24 +855,34 @@ object Curation {
     IndexCommit.vacuum(dir)
     val txn = new graft.sources.IndexTxn(dir)
     val out = Seq.newBuilder[(String, Int)]
-    val hashFiles = txn.baseUnder("hashes")
-    if (hashFiles.size > maxFilesPerTable) {
-      spark.read.schema("content_hash STRING, keeper BIGINT")
+    // hashes fold: past the fragment budget, OR whenever tombstones exist
+    // (the physical-reclaim half of deleteFromCurateIndex — dead keepers'
+    // rows leave the table and the tombstones themselves retire; the
+    // served view is unchanged because servedHashes already excluded them)
+    val tombFiles = txn.liveUnder("tombstones")
+    val hashFiles = txn.liveUnder("hashes")
+    if (hashFiles.nonEmpty &&
+        (tombFiles.nonEmpty || hashFiles.size > maxFilesPerTable)) {
+      val base = spark.read.schema("content_hash STRING, keeper BIGINT")
         .parquet(hashFiles.map(f => s"$dir/$f"): _*)
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/.hashes-fold")
+      val folded =
+        if (tombFiles.isEmpty) base
+        else base.join(
+          broadcast(spark.read.schema("id BIGINT")
+            .parquet(tombFiles.map(f => s"$dir/$f"): _*)
+            .select(col("id").as("keeper"))),
+          Seq("keeper"), "left_anti")
+      folded.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/.hashes-fold")
       hashFiles.foreach(txn.retire)
-      import scala.jdk.CollectionConverters._
-      val from = java.nio.file.Paths.get(s"$dir/.hashes-fold")
-      val to = java.nio.file.Paths.get(s"$dir/hashes")
-      java.nio.file.Files.createDirectories(to)
-      val s = java.nio.file.Files.list(from)
-      val fs = try s.iterator().asScala.toSeq finally s.close()
-      fs.filter(_.toString.endsWith(".parquet")).foreach { f =>
-        val dst = to.resolve(f.getFileName.toString)
-        java.nio.file.Files.move(f, dst)
-        txn.add(txn.rel(dst))
-      }
+      tombFiles.foreach(txn.retire)
+      Dedup.txnMove(txn, java.nio.file.Paths.get(s"$dir/.hashes-fold"),
+        java.nio.file.Paths.get(s"$dir/hashes"))
       out += (("hashes", 1))
+    } else if (tombFiles.nonEmpty) {
+      // tombstones against an empty hash table: nothing to drop, retire
+      tombFiles.foreach(txn.retire)
+      out += (("tombstones", 0))
     }
     out ++= Dedup.compactLshIndex(spark, s"$dir/lsh",
       maxFilesPerRange = maxFilesPerTable, txn = Some(txn))
@@ -863,8 +942,7 @@ object Curation {
     val staged = normed
       .withColumn("n_tokens", tokenCount(col("text")))
       .withColumn("ch", md5(col("text")))
-    val hashes = Dedup.readIndexTable(spark, s"$dir/hashes",
-      "content_hash STRING, keeper BIGINT")
+    val hashes = servedHashes(spark, dir)
     // the batch's own keeper candidates: floor-passing min-id holder per
     // content hash (micro-batch-sized frames throughout)
     val floorPass = staged.filter(col("n_tokens") >= minTokens)
@@ -914,8 +992,9 @@ object Curation {
     // bench keepers (kept shingles — the batch contamination() cut on
     // BOTH sides; bidirectional like the batch screen, so a bench doc
     // screens batch-mates regardless of id order)
-    val benchArrays = Dedup.readIndexTable(spark, s"$dir/lsh/arrays",
-        "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT")
+    val benchArrays = Dedup.antiTombstoned(spark, s"$dir/lsh",
+        Dedup.readIndexTable(spark, s"$dir/lsh/arrays",
+          "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT"))
       .filter(col("id") % benchMod === 0)
       .select(col("id").as("bench_id"), col("sa").as("ba"))
       .unionByName(keeperKept

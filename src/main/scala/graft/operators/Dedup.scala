@@ -853,7 +853,7 @@ object Dedup {
     * part name, recording each add in the transaction (the shared
     * stage-dir move-in every maintenance path uses).
     */
-  private def txnMove(t: graft.sources.IndexTxn,
+  private[operators] def txnMove(t: graft.sources.IndexTxn,
                       from: java.nio.file.Path,
                       to: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(from)) {

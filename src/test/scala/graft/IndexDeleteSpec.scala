@@ -173,6 +173,101 @@ class IndexDeleteSpec extends SparkSpec {
     assert(!again.exists(_._1 == "tombstones"), s"second sweep: $again")
   }
 
+  // ---- curation state: the GDPR forget loop --------------------------
+
+  test("curate forget loop: delete unblocks exact + near dups, relearns, composite-atomic") {
+    import graft.operators.Curation
+    val dir = tmp()
+    Curation.writeCurateIndex(docs, dir)
+    val accepted = Curation.curateKeep(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a forgettable admitted doc: accepted, long enough to build a robust
+    // near-dup, and in no near-dup relation of its own (so after the
+    // delete nothing else blocks its content)
+    val paired = Dedup.ngramJaccardPairs(docs).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val dRow = docs.filter(col("doc_id").isin(accepted.toSeq: _*) &&
+        !col("doc_id").isin(paired.toSeq: _*) &&
+        graft.operators.Curation.tokenCount(col("text")) >= 40)
+      .orderBy("doc_id").limit(1).collect().head
+    val (dId, dText) = (dRow.getLong(0), dRow.getString(1))
+
+    val spark2 = spark
+    import spark2.implicits._
+    // fresh ids, none on the held-out slice
+    val xId = 97L * 300000 + 1; val yId = 97L * 300000 + 2
+    val zId = 97L * 300001 + 1
+    def route(rows: (Long, String)*) =
+      Curation.curateRoute(rows.toSeq.toDF("doc_id", "text"), dir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), if (r.isNullAt(2)) "" else r.getString(2))))
+        .toMap
+    val nearText = dText + " graftforgetmarker"
+
+    // before the delete: an exact copy and a near-dup both reject
+    val before = route(xId -> dText, yId -> nearText)
+    assert(before(xId) == ((false, "exact_dup")))
+    assert(before(yId) == ((false, "near_dup")))
+
+    // composite crash-atomicity: kill between the curate tombstone move
+    // and the lsh delete ("del-staged" fires inside the nested delete),
+    // and right before the joint commit — both halves must roll back
+    for (point <- Seq("curate-del-staged", "del-staged",
+        "curate-del-before-commit")) {
+      IndexCommit.failpoint =
+        p => if (p == point) throw new RuntimeException(s"boom:$p")
+      val thrown = try {
+        Curation.deleteFromCurateIndex(Seq(dId).toDF("doc_id"), dir); false
+      } catch {
+        case e: RuntimeException if e.getMessage == s"boom:$point" => true
+      } finally IndexCommit.failpoint = _ => ()
+      assert(thrown, s"failpoint $point must have fired")
+      val after = route(xId -> dText, yId -> nearText)
+      assert(after(xId) == ((false, "exact_dup")) &&
+        after(yId) == ((false, "near_dup")),
+        s"$point: a crashed delete must leave both verdict halves serving")
+    }
+
+    // the clean delete: both arrivals now admit (the GDPR re-ingest).
+    // Routed as SEPARATE batches: in one batch the copy X becomes a
+    // batch keeper and correctly self-screens its near-dup Y — the
+    // intra-batch rule, not a forget failure
+    val n = Curation.deleteFromCurateIndex(Seq(dId).toDF("doc_id"), dir)
+    assert(n == 1L)
+    val afterX = route(xId -> dText)
+    val afterY = route(yId -> nearText)
+    assert(afterX(xId) == ((true, "")), s"exact re-ingest: ${afterX(xId)}")
+    assert(afterY(yId) == ((true, "")), s"near re-ingest: ${afterY(yId)}")
+    // and the same-batch pair decides like the batch pipeline would:
+    // keeper X admits, near-dup Y drops against it
+    val sameBatch = route(xId -> dText, yId -> nearText)
+    assert(sameBatch(xId) == ((true, "")) &&
+      sameBatch(yId) == ((false, "near_dup")))
+    // idempotent re-delete
+    assert(Curation.deleteFromCurateIndex(Seq(dId).toDF("doc_id"), dir) == 0L)
+
+    // LEARN the re-ingested copy; a later copy rejects against ITS id
+    Curation.appendCurateIndex(Seq(xId -> dText).toDF("doc_id", "text"), dir)
+    assert(route(zId -> dText)(zId) == ((false, "exact_dup")))
+
+    // compaction reclaims: tombstone dirs retire, dead keeper leaves the
+    // physical hash table, decisions are unchanged
+    val replayBefore = route(docs.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq: _*)
+    val result = Curation.compactCurateIndex(spark, dir)
+    assert(result.nonEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/tombstones")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/lsh/tombstones")))
+    val keepersOnDisk = spark.read.parquet(s"$dir/hashes")
+      .select("keeper").collect().map(_.getLong(0)).toSet
+    assert(!keepersOnDisk(dId) && keepersOnDisk(xId))
+    val replayAfter = route(docs.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq: _*)
+    assert(replayAfter == replayBefore)
+  }
+
   test("append after delete serves the union's live pairs") {
     val dir = tmp()
     val older = docs.filter(col("doc_id") % 2 === 0)
