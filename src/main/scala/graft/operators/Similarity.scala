@@ -316,6 +316,71 @@ object Similarity {
     graft.operators.Dedup.readIndexTable(spark, s"$dir/postings",
       "nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT")
 
+  /** The postings table with tombstoned vectors excluded — the served
+    * corpus view ([[deleteFromIvfIndex]]). One broadcast anti-join on the
+    * tiny delete set, planned ONLY while tombstones exist; the clean
+    * index serves the raw scan unchanged.
+    */
+  private def servedPostings(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame = {
+    val raw = readPostings(spark, dir)
+    if (!graft.operators.Dedup.tombstonesNonEmpty(dir)) raw
+    else raw.join(
+      broadcast(graft.operators.Dedup.tombstoneIds(spark, dir)
+        .select(col("id").as("nid"))),
+      Seq("nid"), "left_anti")
+  }
+
+  /** TOMBSTONE-DELETE vectors from a stored IVF index — the FORGET half
+    * of the vector maintenance tier ([[graft.operators.Dedup.deleteFromLshIndex]]
+    * analog; takedowns / GDPR erasure against a standing 100 TB corpus
+    * where a rebuild-to-remove re-embeds petabytes to drop megabytes).
+    * O(delete set) work: `tombstones` gains `(id, cell)` rows by pure
+    * file-append — the cell is looked up with ONE column-pruned (nid,
+    * cell) postings read so compaction can partition-prune its physical
+    * reclaim to the dead cells — and every served read
+    * ([[servedPostings]], hence [[annRoute]]) excludes the dead ids via
+    * one broadcast anti-join from the next committed version. The trained
+    * centroids and the `stats` generations are deliberately NOT adjusted:
+    * centroids are the frozen quantizer (the standard IVF model — see
+    * [[appendIvfIndex]]), and stats are the ASSIGNMENT history the drift
+    * signal compares against, not a live-occupancy view. Ids absent from
+    * the index are no-ops; already-tombstoned ids are filtered out
+    * (idempotent). Crash-atomic: one manifest rename publishes the
+    * delete, vacuum + re-run converges. Physical rows leave in
+    * [[compactIvfIndex]] (DELETE-then-COMPACT, the LSM split).
+    *
+    * Returns the number of NEWLY tombstoned ids.
+    */
+  def deleteFromIvfIndex(ids: DataFrame, dir: String,
+                         idCol: String = "vec_id"): Long = {
+    import graft.sources.IndexCommit
+    val spark = ids.sparkSession
+    IndexCommit.vacuum(dir)
+    val t = new graft.sources.IndexTxn(dir)
+    val dead = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .join(graft.operators.Dedup.readIndexTable(spark, s"$dir/tombstones",
+          "id BIGINT"),
+        Seq("id"), "left_anti")
+      .join(readPostings(spark, dir)
+        .select(col("nid").as("id"), col("cell")), Seq("id"))
+    dead.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/.tombstones-stage")
+    val staged = graft.operators.Dedup.readDirTable(spark,
+      s"$dir/.tombstones-stage", "id BIGINT, cell BIGINT")
+    val nDead = staged.count()
+    if (nDead > 0) {
+      IndexCommit.hit("ivf-del-staged")
+      graft.operators.Dedup.txnMove(t,
+        java.nio.file.Paths.get(s"$dir/.tombstones-stage"),
+        java.nio.file.Paths.get(s"$dir/tombstones"))
+      IndexCommit.hit("ivf-del-before-commit")
+      t.commit()
+      t.cleanup()
+    } else t.cleanup()
+    nDead
+  }
+
   /** INCREMENTAL IVF maintenance — the [[graft.operators.Dedup.appendLshIndex]]
     * analog for vectors, and structurally much simpler: an IVF index's
     * only global artifact is the TRAINED centroid set, which appends do
@@ -354,31 +419,38 @@ object Similarity {
     IndexCommit.hit("ivf-staged")
     // move staged part files (fresh UUID names) into their live cell
     // dirs; nothing pre-existing moves or deletes
-    def moveAll(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(from)) {
-        java.nio.file.Files.createDirectories(to)
-        val s = java.nio.file.Files.list(from)
-        val entries = try s.iterator().asScala.toSeq finally s.close()
-        entries.foreach { p =>
-          val name = p.getFileName.toString
-          if (java.nio.file.Files.isDirectory(p) && name.contains("="))
-            moveAll(p, to.resolve(name))
-          else if (name.endsWith(".parquet")) {
-            val dst = to.resolve(name)
-            java.nio.file.Files.move(p, dst)
-            t.add(t.rel(dst))
-          }
-        }
-      }
-    }
-    moveAll(java.nio.file.Paths.get(s"$dir/.postings-stage"),
+    moveTree(t, java.nio.file.Paths.get(s"$dir/.postings-stage"),
       java.nio.file.Paths.get(s"$dir/postings"))
-    moveAll(java.nio.file.Paths.get(s"$dir/.stats-stage"),
+    moveTree(t, java.nio.file.Paths.get(s"$dir/.stats-stage"),
       java.nio.file.Paths.get(f"$dir/stats/gen-$gen%05d"))
     IndexCommit.hit("ivf-before-commit")
     t.commit()
     t.cleanup()
+  }
+
+  /** Stage-dir move-in recording each add in the transaction, recursing
+    * into `cell=` partition dirs (the [[graft.operators.Dedup.txnMove]]
+    * analog for partitioned tables).
+    */
+  private def moveTree(t: graft.sources.IndexTxn,
+                       from: java.nio.file.Path,
+                       to: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(from)) {
+      java.nio.file.Files.createDirectories(to)
+      val s = java.nio.file.Files.list(from)
+      val entries = try s.iterator().asScala.toSeq finally s.close()
+      entries.foreach { p =>
+        val name = p.getFileName.toString
+        if (java.nio.file.Files.isDirectory(p) && name.contains("="))
+          moveTree(t, p, to.resolve(name))
+        else if (name.endsWith(".parquet")) {
+          val dst = to.resolve(name)
+          java.nio.file.Files.move(p, dst)
+          t.add(t.rel(dst))
+        }
+      }
+    }
   }
 
   /** SMALL-FILES compaction for an append-grown IVF index — every
@@ -388,16 +460,47 @@ object Similarity {
     * one file under the same stage / move-in / atomic-manifest-commit /
     * then-delete protocol as the appends (crash at any point leaves the
     * pre-compaction version serving; idempotent when nothing exceeds the
-    * threshold). The `stats` generations are semantic (one row set per
-    * append — the drift history) and are left alone. Returns the number
-    * of rewritten cells.
+    * threshold). Tombstones fold FIRST — dead vectors' rows physically
+    * leave their cells (partition-pruned to the dead `(id, cell)` rows'
+    * cells, O(delete set) IO) and the tombstones retire, so this commit's
+    * served plans lose the anti-join entirely; the storage-reclaim half
+    * of [[deleteFromIvfIndex]]. The `stats` generations are semantic (one
+    * row set per append — the drift history) and are left alone. Returns
+    * the number of rewritten cells.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                       maxFilesPerCell: Int = 4): Int = {
     import graft.sources.IndexCommit
     IndexCommit.vacuum(dir)
     val t = new graft.sources.IndexTxn(dir)
-    val fat = t.baseUnder("postings")
+    var touched = 0
+    val tombFiles = t.liveUnder("tombstones")
+    if (tombFiles.nonEmpty) {
+      val dead = spark.read.schema("id BIGINT, cell BIGINT")
+        .parquet(tombFiles.map(f => s"$dir/$f"): _*)
+      val deadCells = dead.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val hit = t.liveUnder("postings")
+        .groupBy(_.stripPrefix("postings/").split('/').head)
+        .filter { case (part, _) =>
+          part.startsWith("cell=") &&
+            deadCells.contains(part.stripPrefix("cell=").toLong) }
+      hit.foreach { case (part, files) =>
+        spark.read.schema("nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE")
+          .parquet(files.map(f => s"$dir/$f"): _*)
+          .join(broadcast(dead.select(col("id").as("nid"))),
+            Seq("nid"), "left_anti")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/.postings-tfold/$part")
+        files.foreach(t.retire)
+        moveTree(t, java.nio.file.Paths.get(s"$dir/.postings-tfold/$part"),
+          java.nio.file.Paths.get(s"$dir/postings/$part"))
+        touched += 1
+      }
+      tombFiles.foreach(t.retire)
+      IndexCommit.hit("ivf-tfold")
+    }
+    val fat = t.liveUnder("postings")
       .groupBy(_.stripPrefix("postings/").split('/').head)
       .filter { case (part, files) =>
         part.startsWith("cell=") && files.size > maxFilesPerCell }
@@ -407,22 +510,13 @@ object Similarity {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/.postings-compact/$part")
       files.foreach(t.retire)
-      import scala.jdk.CollectionConverters._
-      val from = java.nio.file.Paths.get(s"$dir/.postings-compact/$part")
-      val to = java.nio.file.Paths.get(s"$dir/postings/$part")
-      java.nio.file.Files.createDirectories(to)
-      val s = java.nio.file.Files.list(from)
-      val fs = try s.iterator().asScala.toSeq finally s.close()
-      fs.filter(_.toString.endsWith(".parquet")).foreach { f =>
-        val dst = to.resolve(f.getFileName.toString)
-        java.nio.file.Files.move(f, dst)
-        t.add(t.rel(dst))
-      }
+      moveTree(t, java.nio.file.Paths.get(s"$dir/.postings-compact/$part"),
+        java.nio.file.Paths.get(s"$dir/postings/$part"))
     }
     IndexCommit.hit("ivf-compact-before-commit")
-    if (fat.nonEmpty) t.commit()
+    if (fat.nonEmpty || tombFiles.nonEmpty) t.commit()
     t.cleanup()
-    fat.size
+    fat.size + touched
   }
 
   /** Stored drift statistics vs the gen-0 training baseline — the
@@ -470,6 +564,67 @@ object Similarity {
     }.toDF("gen", "n_vecs", "tv_vs_base", "mean_qerr", "qerr_ratio")
   }
 
+  /** RETRAIN a stored IVF index in place — the ACTION the
+    * [[ivfDriftStats]] signal calls for (tv_vs_base >= 0.25 or
+    * qerr_ratio >= 1.3): when appends have drifted the arrival
+    * distribution away from the centroids' training mix, recall on the
+    * new data degrades and the fix is new centroids, not more appends.
+    * The live corpus is reconstructed from the index's OWN payload (the
+    * served postings — parquet doubles round-trip losslessly, so this
+    * equals retraining from the original embeddings; no second copy of a
+    * 100 TB corpus is needed), k-means retrains on the same bounded
+    * deterministic sample as a fresh build, every vector re-assigns
+    * through the new argmax (the one unavoidable corpus-scale pass — the
+    * point of a rebuild), and `centroids` + `postings` + a fresh `gen-0`
+    * stats baseline REPLACE the old tables in ONE manifest commit:
+    * readers serve the old index until the commit point, a crash at any
+    * earlier point leaves it intact, vacuum + re-run converges. Pending
+    * tombstones fold for free (the rebuild reads the served view), and
+    * the drift history resets — the new baseline is the new training
+    * mix. The result equals [[ivfWriteIndex]] over the live corpus with
+    * the same parameters: centroids and postings BIT-identical, the
+    * stats baseline exact in counts and equal to float reassociation in
+    * `mean_qerr` (a distributed avg whose accumulation follows the
+    * physical row order). IndexDeleteSpec proves all of it.
+    */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      nCells: Int = 8, iters: Int = 3): Unit = {
+    import graft.sources.IndexCommit
+    import spark.implicits._
+    IndexCommit.vacuum(dir)
+    val t = new graft.sources.IndexTxn(dir)
+    val eRaw = servedPostings(spark, dir)
+      .select(col("nid").as("vec_id"), col("nv").as("v"), col("nn").as("vn"))
+    val e = graft.Caches.cached("emb-vectors",
+      eRaw.queryExecution.analyzed.semanticHash().toString)(eRaw)
+    val cents = kmeansCentroids(e, nCells, iters)
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("cell", "cv")
+      .write.mode("overwrite").parquet(s"$dir/.centroids-stage")
+    val scored = corpusCellsScored(e, cents)
+    scored.drop("qerr")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/.postings-stage")
+    genStats(scored, gen = 0)
+      .write.mode("overwrite").parquet(s"$dir/.stats-stage")
+    IndexCommit.hit("ivf-rebuild-staged")
+    // every old table retires; the staged build moves in; one commit
+    // flips the whole index version
+    t.retireUnder("centroids")
+    t.retireUnder("postings")
+    t.retireUnder("stats")
+    t.retireUnder("tombstones")
+    moveTree(t, java.nio.file.Paths.get(s"$dir/.centroids-stage"),
+      java.nio.file.Paths.get(s"$dir/centroids"))
+    moveTree(t, java.nio.file.Paths.get(s"$dir/.postings-stage"),
+      java.nio.file.Paths.get(s"$dir/postings"))
+    moveTree(t, java.nio.file.Paths.get(s"$dir/.stats-stage"),
+      java.nio.file.Paths.get(s"$dir/stats/gen-00000"))
+    IndexCommit.hit("ivf-rebuild-before-commit")
+    t.commit()
+    t.cleanup()
+  }
+
   /** Streaming ANN — the [[graft.operators.Dedup.minhashRoute]] analog for
     * vectors: each ARRIVING embedding retrieves its top-k approximate
     * neighbors from a stored [[ivfWriteIndex]] index. The centroid table
@@ -491,7 +646,7 @@ object Similarity {
                embCol: String = "embedding"): DataFrame = {
     val spark = arrivals.sparkSession
     val cents = readCentroids(spark, indexDir)
-    val corpus = readPostings(spark, indexDir)
+    val corpus = servedPostings(spark, indexDir)
     val probes = arrivals
       .select(col(idCol).cast("long").as("qid"),
         transform(col(embCol), _.cast("double")).as("qv"))

@@ -285,4 +285,131 @@ class IndexDeleteSpec extends SparkSpec {
     assert(pairsOf(Dedup.pairsFromIndex(spark, dir)) == expected)
     assert(expected.nonEmpty)
   }
+
+  // ---- IVF index: the vector forget + retrain loop -------------------
+
+  test("ivf forget: delete hides vectors from the route, crash-atomic, compaction reclaims") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfdel").toString
+    Similarity.ivfWriteIndex(emb, dir)
+    val probes = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    def served(): Set[(Long, Long)] = Similarity.annRoute(probes, dir, k = 5)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = served()
+    // delete actually-served neighbors, so the route's answer must change
+    val deadIds = before.map(_._2).toSeq.sorted.take(30)
+    val spark2 = spark
+    import spark2.implicits._
+    def deadDF = deadIds.toDF("vec_id")
+
+    // crash-atomicity: killed at either failpoint, readers serve the
+    // pre-delete version and nothing is lost
+    for (point <- Seq("ivf-del-staged", "ivf-del-before-commit")) {
+      IndexCommit.failpoint =
+        p => if (p == point) throw new RuntimeException(s"boom:$p")
+      val thrown = try {
+        Similarity.deleteFromIvfIndex(deadDF, dir); false
+      } catch {
+        case e: RuntimeException if e.getMessage == s"boom:$point" => true
+      } finally IndexCommit.failpoint = _ => ()
+      assert(thrown, s"failpoint $point must have fired")
+      assert(served() == before,
+        s"$point: a crashed delete must leave the pre-delete index serving")
+    }
+
+    val n = Similarity.deleteFromIvfIndex(deadDF, dir)
+    assert(n == deadIds.size.toLong)
+    val dead = deadIds.toSet
+    val after = served()
+    assert(after.nonEmpty && after != before)
+    assert(after.forall(p => !dead(p._2)),
+      s"dead neighbors still served: ${after.filter(p => dead(p._2)).take(3)}")
+    // idempotent re-delete; absent ids are no-ops
+    assert(Similarity.deleteFromIvfIndex(deadDF, dir) == 0L)
+    assert(Similarity.deleteFromIvfIndex(
+      Seq(987654321L).toDF("vec_id"), dir) == 0L)
+
+    // compaction reclaims: dead rows physically leave their cells, the
+    // tombstone table retires, the served answers are unchanged
+    val swept = Similarity.compactIvfIndex(spark, dir)
+    assert(swept > 0, "tombstone fold must rewrite the dead cells")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/tombstones")))
+    val onDisk = spark.read.parquet(s"$dir/postings")
+      .select(col("nid")).collect().map(_.getLong(0)).toSet
+    assert(onDisk.intersect(dead).isEmpty, "dead rows must leave the disk")
+    assert(served() == after, "compaction must not change the served answers")
+  }
+
+  test("rebuildIvfIndex: retrain == fresh build over the live corpus, resets drift, crash-atomic") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfrb").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivfrb2").toString
+    // an append-grown index with pending tombstones — the state a
+    // drift-flagged production index is actually in
+    Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 2 === 0), dir)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") % 2 === 1), dir)
+    Similarity.deleteFromIvfIndex(emb.filter(col("vec_id") % 9 === 1)
+      .select(col("vec_id")), dir)
+    val probes = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    def served(): Set[(Long, Int, Long)] = Similarity.annRoute(probes, dir, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val before = served()
+
+    for (point <- Seq("ivf-rebuild-staged", "ivf-rebuild-before-commit")) {
+      IndexCommit.failpoint =
+        p => if (p == point) throw new RuntimeException(s"boom:$p")
+      val thrown = try {
+        Similarity.rebuildIvfIndex(spark, dir); false
+      } catch {
+        case e: RuntimeException if e.getMessage == s"boom:$point" => true
+      } finally IndexCommit.failpoint = _ => ()
+      assert(thrown, s"failpoint $point must have fired")
+      assert(served() == before,
+        s"$point: a crashed rebuild must leave the old version serving")
+    }
+
+    Similarity.rebuildIvfIndex(spark, dir)
+    // content-identical to a from-scratch build over the live corpus:
+    // the index's own postings ARE the corpus (lossless double round-trip)
+    Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 9 =!= 1), dir2)
+    def canon(d: String, table: String): Seq[String] = table match {
+      case "postings" => spark.read.parquet(s"$d/postings")
+        .select(col("cell").cast("long"), col("nid"), col("nv"), col("nn"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+      case tb => spark.read.parquet(s"$d/$tb")
+        .collect().map(_.mkString("|")).sorted.toSeq
+    }
+    for (tb <- Seq("centroids", "postings"))
+      assert(canon(dir, tb) == canon(dir2, tb),
+        s"$tb differs from the fresh build")
+    // the stats baseline: counts exact; mean_qerr is a distributed avg()
+    // whose accumulation order follows the physical row order (postings
+    // files vs the raw embeddings scan), so it matches to reassociation
+    def stats(d: String): Map[Long, (Long, Double)] =
+      spark.read.parquet(s"$d/stats/gen-00000")
+        .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+    val (sA, sB) = (stats(dir), stats(dir2))
+    assert(sA.keySet == sB.keySet)
+    sA.foreach { case (cell, (nv, q)) =>
+      assert(nv == sB(cell)._1, s"cell $cell occupancy differs")
+      assert(math.abs(q - sB(cell)._2) <= 1e-12 * math.max(1.0, math.abs(q)),
+        s"cell $cell mean_qerr beyond reassociation: $q vs ${sB(cell)._2}")
+    }
+    // tombstones folded for free; drift history reset to the new gen-0
+    // baseline (tv 0, qerr_ratio 1 against itself)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/tombstones")))
+    val drift = Similarity.ivfDriftStats(spark, dir).collect()
+    assert(drift.map(_.getInt(0)).toSeq == Seq(0))
+    assert(math.abs(drift.head.getDouble(2)) < 1e-12 &&
+      math.abs(drift.head.getDouble(4) - 1.0) < 1e-12)
+    assert(served().nonEmpty)
+  }
 }
