@@ -139,6 +139,28 @@ object DedupQueries {
   def dedupLshIncremental(spark: SparkSession, dir: String): DataFrame =
     Dedup.pairsFromIndex(spark, incrIndex(spark, dir)).orderBy("da", "db")
 
+  /** Near-dup pairs served AFTER a tombstone delete against the stored
+    * index ([[Dedup.deleteFromLshIndex]] — the FORGET half of the
+    * maintenance tier): the index is built over the full corpus, the
+    * `doc_id % 7 = 3` slice is forgotten, and the pair search runs from
+    * the served views. The result is exactly the full-corpus
+    * exact-Jaccard pairs restricted to live endpoints, because deletes
+    * keep `df` a HISTORICAL upper bound by documented design — the
+    * oracle mirrors that semantics precisely (document frequencies over
+    * the FULL corpus, kept shingles and pairs over the LIVE docs), so
+    * the forget path carries the same hash-exact verification as the
+    * scan and append paths.
+    */
+  private def forgetIndex(spark: SparkSession, dir: String): String =
+    graft.Caches.stagedPath("lsh-forget", dir) { base =>
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.writeLshIndex(docs, base)
+      Dedup.deleteFromLshIndex(docs.filter(col("doc_id") % 7 === 3), base)
+    }
+
+  def dedupLshForget(spark: SparkSession, dir: String): DataFrame =
+    Dedup.pairsFromIndex(spark, forgetIndex(spark, dir)).orderBy("da", "db")
+
   /** The EXACT streaming near-dup route ([[Dedup.jaccardRoute]] — stored
     * prefix-filter postings + in-row verification, zero LSH recall
     * caveat) replayed over the corpus against the append-grown stored
@@ -168,6 +190,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_lsh_incremental" -> dedupLshIncremental,
+    "dedup_lsh_forget" -> dedupLshForget,
     "dedup_route_exact" -> dedupRouteExact,
     "dedup_fuzzy" -> dedupFuzzy,
     "dedup_corpus" -> dedupCorpus,
@@ -200,6 +223,21 @@ object DedupQueries {
 
   private val jaccardSql: String =
     s"WITH $jaccardCtes\nSELECT da, db, jaccard FROM pairs ORDER BY da, db"
+
+  /** The forget-path replay: identical chain, except kept shingles (and
+    * hence sizes/pairs) restrict to LIVE docs while `df` still counts
+    * the FULL corpus — the engine's documented historical-upper-bound
+    * delete semantics, encoded in the oracle.
+    */
+  private val forgetSql: String = {
+    val liveSh = "sh AS (SELECT sh0.id, sh0.shingle FROM sh0 " +
+      "JOIN df USING (shingle) WHERE sh0.id % 7 <> 3)"
+    val ctes = jaccardCtes.replace(
+      "sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN df USING (shingle))",
+      liveSh)
+    require(ctes.contains(liveSh), "jaccardCtes shape drifted")
+    s"WITH $ctes\nSELECT da, db, jaccard FROM pairs ORDER BY da, db"
+  }
 
   /** Connected components via recursive-CTE reachability: comp(id) =
     * min id reachable over the (symmetric) pair edges — the independent
@@ -305,6 +343,9 @@ object DedupQueries {
     "dedup_minhash_lsh" -> jaccardSql,
     // the append-grown stored index must serve the same pair set
     "dedup_lsh_incremental" -> jaccardSql,
+    // post-delete serving: df stays the full corpus's (historical upper
+    // bound by design), kept shingles and pairs restrict to live docs
+    "dedup_lsh_forget" -> forgetSql,
     "dedup_route_exact" -> jaccardSql,
     "dedup_embed_cosine" -> cosineSql,
     "dedup_clusters" -> clustersSql,
