@@ -54,7 +54,13 @@ object ScalingProbe {
     // measure decisions/s for a FIXED arrival batch against indexes
     // built at both scale factors and report the growth exponent.
     val withRoute = args0.contains("--route")
-    val args = args0.filterNot(_ == "--route")
+    // --forget adds the FORGET-TIER axis: fixed-size tombstone deletes
+    // against standing indexes built at both scale factors (the
+    // O(delete set) claim — exponent near 0 across the 10x index step)
+    // plus the served-path overhead tombstones add (pair search and ANN
+    // route timed clean vs tombstoned on the same index).
+    val withForget = args0.contains("--forget")
+    val args = args0.filterNot(a => a == "--route" || a == "--forget")
     val out = args.headOption.getOrElse("SCALING_r09.json")
     val names =
       if (args.length > 2 && args(1) == "--from-bench") {
@@ -67,7 +73,7 @@ object ScalingProbe {
         picked
       }
       else if (args.length > 1) args.drop(1).toSeq
-      else if (withRoute) Seq.empty
+      else if (withRoute || withForget) Seq.empty
       else defaultSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_SCALING_PASSES", "3").toInt
@@ -173,12 +179,128 @@ object ScalingProbe {
           s""""dps_big":${r3(batchN / bigR(n))},"exponent":${r3(e)}}"""
       }.mkString(",\"route\":{", ",", "}")
     }
+    /** Forget-tier axis: on a standing LSH + IVF index pair built at
+      * `sfDir`, time (a) a FIXED-size tombstone delete — disjoint id
+      * slices per pass, so every pass does identical work against a
+      * monotonically (slightly) more tombstoned index — and (b) the
+      * served paths (stored-pair search, ANN route over a fixed probe
+      * batch) before and after the deletes, isolating the broadcast
+      * anti-join overhead the tombstones add. The scale claim: delete
+      * cost tracks the DELETE SET (exponent near 0 across the 10x index
+      * step, modulo the LSH delete's partition-pruned occupancy
+      * correction), and the serving overhead is a bounded ratio, not a
+      * function of index size.
+      */
+    def forgetAxis(): String = {
+      import org.apache.spark.sql.functions._
+      val nDead = sys.env.getOrElse("SPARK_GRAFT_FORGET_N", "10").toInt
+      def wm(run: () => Unit): Double = {
+        run()
+        (1 to passes).map { _ =>
+          val t0 = System.nanoTime(); run()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      def bench(sfDir: String): Map[String, Double] = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-forget-scale").toString
+        val docs = graft.Tables.t(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+        val emb = graft.Tables.t(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        graft.operators.Dedup.writeLshIndex(docs, dir)
+        graft.operators.Similarity.ivfWriteIndex(emb, s"$dir-ivf")
+        val probes = emb.limit(200).persist(); probes.count()
+        val pairsClean = wm(() =>
+          { graft.operators.Dedup.pairsFromIndex(spark, dir).count(); () })
+        val annClean = wm(() =>
+          { graft.operators.Similarity.annRoute(probes, s"$dir-ivf",
+            k = 5).count(); () })
+        // wm runs once untimed + `passes` timed -> passes+1 slices each
+        val docIds = docs.select("doc_id").orderBy("doc_id")
+          .limit(nDead * (passes + 1)).collect().map(_.getLong(0))
+        val vecIds = emb.select("vec_id").orderBy("vec_id")
+          .limit(nDead * (passes + 1)).collect().map(_.getLong(0))
+        val spark2 = spark
+        import spark2.implicits._
+        var dSlice = 0
+        def delDoc(): Unit = {
+          val s = docIds.slice(dSlice * nDead, (dSlice + 1) * nDead)
+          dSlice += 1
+          graft.operators.Dedup.deleteFromLshIndex(
+            s.toSeq.toDF("doc_id"), dir); ()
+        }
+        var vSlice = 0
+        def delVec(): Unit = {
+          val s = vecIds.slice(vSlice * nDead, (vSlice + 1) * nDead)
+          vSlice += 1
+          graft.operators.Similarity.deleteFromIvfIndex(
+            s.toSeq.toDF("vec_id"), s"$dir-ivf"); ()
+        }
+        val tDelLsh = wm(() => delDoc())
+        val tDelIvf = wm(() => delVec())
+        val pairsTomb = wm(() =>
+          { graft.operators.Dedup.pairsFromIndex(spark, dir).count(); () })
+        val annTomb = wm(() =>
+          { graft.operators.Similarity.annRoute(probes, s"$dir-ivf",
+            k = 5).count(); () })
+        // compaction folds the tombstones + delta segments: serving
+        // returns to the clean-index shape (the anti-join leaves the plan)
+        graft.operators.Dedup.compactLshIndex(spark, dir,
+          maxFilesPerRange = 1)
+        graft.operators.Similarity.compactIvfIndex(spark, s"$dir-ivf",
+          maxFilesPerCell = 1)
+        val pairsComp = wm(() =>
+          { graft.operators.Dedup.pairsFromIndex(spark, dir).count(); () })
+        val annComp = wm(() =>
+          { graft.operators.Similarity.annRoute(probes, s"$dir-ivf",
+            k = 5).count(); () })
+        probes.unpersist()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$dir-ivf"))
+        Map("lsh_delete" -> tDelLsh, "ivf_delete" -> tDelIvf,
+          "lsh_pairs_clean" -> pairsClean,
+          "lsh_pairs_tombstoned" -> pairsTomb,
+          "lsh_pairs_compacted" -> pairsComp,
+          "ann_clean" -> annClean, "ann_tombstoned" -> annTomb,
+          "ann_compacted" -> annComp)
+      }
+      val s = bench(sfSmall)
+      val b = bench(sfBig)
+      def ex(k: String) = math.log(b(k) / s(k)) / math.log(rowRatio)
+      val ops = Seq("lsh_delete", "ivf_delete")
+      val paths = Seq("lsh_pairs" -> "lsh_pairs", "ann" -> "ann")
+      val opJson = ops.map { k =>
+        System.err.println(s"[scaling] forget $k: ${r3(s(k))} -> " +
+          s"${r3(b(k))} s (exponent ${r3(ex(k))})")
+        s""""$k":{"n_dead":$nDead,"t_small":${r3(s(k))},""" +
+          s""""t_big":${r3(b(k))},"exponent":${r3(ex(k))}}"""
+      }
+      val pathJson = paths.map { case (name, k) =>
+        val ovS = s(s"${k}_tombstoned") / s(s"${k}_clean")
+        val ovB = b(s"${k}_tombstoned") / b(s"${k}_clean")
+        val cpB = b(s"${k}_compacted") / b(s"${k}_clean")
+        System.err.println(s"[scaling] forget $name serving overhead: " +
+          s"${r3(ovS)}x small, ${r3(ovB)}x big, " +
+          s"${r3(cpB)}x big after compaction")
+        s""""${name}_serving":{"t_clean_small":${r3(s(s"${k}_clean"))},""" +
+          s""""t_tombstoned_small":${r3(s(s"${k}_tombstoned"))},""" +
+          s""""t_clean_big":${r3(b(s"${k}_clean"))},""" +
+          s""""t_tombstoned_big":${r3(b(s"${k}_tombstoned"))},""" +
+          s""""t_compacted_big":${r3(b(s"${k}_compacted"))},""" +
+          s""""overhead_small":${r3(ovS)},"overhead_big":${r3(ovB)},""" +
+          s""""overhead_big_compacted":${r3(cpB)}}"""
+      }
+      (opJson ++ pathJson).mkString(",\"forget\":{", ",", "}")
+    }
     val routeJson = if (withRoute) routeAxis() else ""
+    val forgetJson = if (withForget) forgetAxis() else ""
     val json =
       s"""{"sf_small":"$sfSmall","sf_big":"$sfBig","row_ratio":$rowRatio,"passes":$passes,
-         |"note":"exponent=log(t_big/t_small)/log(row_ratio); warm-min per (query,sf); <=0 means the fixed driver/planning floor dominates; >1.1 flags super-linear; route axis: fixed arrival batch vs index scale",
+         |"note":"exponent=log(t_big/t_small)/log(row_ratio); warm-min per (query,sf); <=0 means the fixed driver/planning floor dominates; >1.1 flags super-linear; route axis: fixed arrival batch vs index scale; forget axis: fixed-size tombstone deletes + serving overhead vs index scale",
          |"super_linear":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},
-         |"queries":{${entries.mkString(",")}}$routeJson}""".stripMargin.replace("\n", "")
+         |"queries":{${entries.mkString(",")}}$routeJson$forgetJson}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes("UTF-8"))
     println(json)
