@@ -153,8 +153,26 @@ object DedupQueries {
     */
   private def forgetIndex(spark: SparkSession, dir: String): String =
     graft.Caches.stagedPath("lsh-forget", dir) { base =>
+      // derive from the shared append-grown index by FILE COPY instead of
+      // a second re-shingle build: append-equals-rebuild is spec-proven
+      // table for table (IndexMaintenanceSpec), so the copy serves
+      // exactly what a fresh full-corpus build would — the delete is the
+      // only work this fixture adds
+      val src = java.nio.file.Paths.get(incrIndex(spark, dir))
+      val dst = java.nio.file.Paths.get(base)
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(src)
+      try w.iterator().asScala.foreach { p =>
+        val target = dst.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(target)
+        else {
+          java.nio.file.Files.createDirectories(target.getParent)
+          java.nio.file.Files.copy(p, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally w.close()
       val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-      Dedup.writeLshIndex(docs, base)
       Dedup.deleteFromLshIndex(docs.filter(col("doc_id") % 7 === 3), base)
     }
 
