@@ -146,15 +146,47 @@ class IndexDeleteSpec extends SparkSpec {
   test("compaction folds tombstones: physical reclaim, served view unchanged") {
     val dir = tmp()
     Dedup.writeLshIndex(docs, dir, idRangeSize = 128L)
-    Dedup.deleteFromLshIndex(docs.filter(deadPred), dir)
-    val deadIds = docs.filter(deadPred).select(col("doc_id"))
+    // a range-localized delete slice, so the byte-identity claim below
+    // has dead-free ranges to witness
+    val foldPred = deadPred && col("doc_id") < 128
+    Dedup.deleteFromLshIndex(docs.filter(foldPred), dir)
+    val deadIds = docs.filter(foldPred).select(col("doc_id"))
       .collect().map(_.getLong(0)).toSet
+    assert(deadIds.nonEmpty)
     val pairsBefore = pairsOf(Dedup.pairsFromIndex(spark, dir))
     val bcBefore = mergedBcounts(dir)
+    // the fold must be partition-pruned: stamp every file in a range
+    // holding NO dead id — those must survive byte-identical (size+mtime)
+    val deadPids = deadIds.map(_ / 128L)
+    def untouchedStamps(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      Seq("arrays", "buckets_raw", "prefixes").flatMap { table =>
+        java.nio.file.Files.walk(
+            java.nio.file.Paths.get(s"$dir/$table"))
+          .iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.toString.contains("pid="))
+          .filter { p =>
+            val pid = p.toString.split("pid=")(1).takeWhile(_ != '/').toLong
+            !deadPids.contains(pid)
+          }
+          .map(p => p.toString ->
+            ((java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)))
+          .toSeq
+      }.toMap
+    }
+    val stampsBefore = untouchedStamps()
+    assert(stampsBefore.nonEmpty, "fixture must have dead-free ranges")
 
     val result = Dedup.compactLshIndex(spark, dir)
     assert(result.exists(_._1 == "tombstones"),
       s"compaction must report the tombstone fold, got $result")
+    val stampsAfter = untouchedStamps()
+    stampsBefore.foreach { case (path, stamp) =>
+      assert(stampsAfter.get(path).contains(stamp),
+        s"dead-free range file rewritten by the fold: $path")
+    }
     // tombstone table retired and pruned away
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/tombstones")))
@@ -333,9 +365,36 @@ class IndexDeleteSpec extends SparkSpec {
       Seq(987654321L).toDF("vec_id"), dir) == 0L)
 
     // compaction reclaims: dead rows physically leave their cells, the
-    // tombstone table retires, the served answers are unchanged
+    // tombstone table retires, the served answers are unchanged — and
+    // the fold prunes to the DEAD cells (dead-free cells byte-identical)
+    val deadCells = spark.read.parquet(s"$dir/tombstones")
+      .select(col("cell")).collect().map(_.getLong(0)).toSet
+    def cellStamps(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$dir/postings"))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.contains("cell="))
+        .filter { p =>
+          val c = p.toString.split("cell=")(1).takeWhile(_ != '/').toLong
+          !deadCells.contains(c)
+        }
+        .map(p => p.toString ->
+          ((java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)))
+        .toMap
+    }
+    val cellsBefore = cellStamps()
     val swept = Similarity.compactIvfIndex(spark, dir)
     assert(swept > 0, "tombstone fold must rewrite the dead cells")
+    if (cellsBefore.nonEmpty) {
+      val cellsAfter = cellStamps()
+      cellsBefore.foreach { case (path, stamp) =>
+        assert(cellsAfter.get(path).contains(stamp),
+          s"dead-free cell file rewritten by the fold: $path")
+      }
+    }
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/tombstones")))
     val onDisk = spark.read.parquet(s"$dir/postings")
