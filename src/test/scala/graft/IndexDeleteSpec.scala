@@ -318,6 +318,40 @@ class IndexDeleteSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("randomized delete waves serve exactly the live-restricted pairs, compose with compaction") {
+    val exactFull = pairsOf(Dedup.ngramJaccardPairs(docs))
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val spark2 = spark
+    import spark2.implicits._
+    for (seed <- Seq(7, 23)) {
+      val dir = tmp()
+      Dedup.writeLshIndex(docs, dir)
+      val rnd = new scala.util.Random(seed)
+      // wave 1: a random ~15% slice
+      val dead1 = ids.filter(_ => rnd.nextDouble() < 0.15).toSet
+      Dedup.deleteFromLshIndex(dead1.toSeq.toDF("doc_id"), dir)
+      def live(dead: Set[Long]) =
+        (p: (Long, Long)) => !dead(p._1) && !dead(p._2)
+      assert(pairsOf(Dedup.pairsFromIndex(spark, dir)) ==
+        exactFull.filter(live(dead1)), s"seed $seed wave 1")
+      // wave 2 composes on the same index (overlapping re-deletes are
+      // no-ops by idempotence)
+      val dead2 = dead1 ++ ids.filter(_ => rnd.nextDouble() < 0.10)
+      Dedup.deleteFromLshIndex(dead2.toSeq.toDF("doc_id"), dir)
+      assert(pairsOf(Dedup.pairsFromIndex(spark, dir)) ==
+        exactFull.filter(live(dead2)), s"seed $seed wave 2")
+      // physical reclaim changes nothing served
+      Dedup.compactLshIndex(spark, dir)
+      assert(pairsOf(Dedup.pairsFromIndex(spark, dir)) ==
+        exactFull.filter(live(dead2)), s"seed $seed post-compaction")
+      // and a delete AFTER compaction still composes
+      val dead3 = dead2 ++ ids.filter(_ => rnd.nextDouble() < 0.05)
+      Dedup.deleteFromLshIndex(dead3.toSeq.toDF("doc_id"), dir)
+      assert(pairsOf(Dedup.pairsFromIndex(spark, dir)) ==
+        exactFull.filter(live(dead3)), s"seed $seed wave 3")
+    }
+  }
+
   // ---- IVF index: the vector forget + retrain loop -------------------
 
   test("ivf forget: delete hides vectors from the route, crash-atomic, compaction reclaims") {
