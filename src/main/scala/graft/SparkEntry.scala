@@ -50,9 +50,13 @@ object SparkEntry {
     // incremental query stages — pin it after dedup_lsh_incremental so
     // the one-time index build stays on the family's recorded baseline
     // instead of shifting to the (alphabetically earlier) forget query.
+    // text_bm25_forget likewise COPIES the maintained BM25 index that
+    // text_bm25_maintained stages — pin it after so the one-time
+    // build+append cost lands on the family's baseline query.
     val pinnedFirst = Map("dedup_ngram_jaccard" -> "a00_dedup",
       "sim_topk" -> "sim_a0", "text_fingerprint" -> "text_a0_fingerprint",
-      "dedup_lsh_forget" -> "dedup_lsh_incremental_z_forget")
+      "dedup_lsh_forget" -> "dedup_lsh_incremental_z_forget",
+      "text_bm25_forget" -> "text_bm25_maintained_z_forget")
     scala.collection.immutable.SeqMap.from(
       all.toSeq.sortBy { case (n, _) => pinnedFirst.getOrElse(n, n) })
   }

@@ -432,7 +432,7 @@ object Similarity {
     * into `cell=` partition dirs (the [[graft.operators.Dedup.txnMove]]
     * analog for partitioned tables).
     */
-  private def moveTree(t: graft.sources.IndexTxn,
+  private[operators] def moveTree(t: graft.sources.IndexTxn,
                        from: java.nio.file.Path,
                        to: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._

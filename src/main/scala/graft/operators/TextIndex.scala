@@ -1,0 +1,499 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MAINTAINED BM25 inverted index — the retrieval family joins the
+  * stored-index maintenance tier (LSH: [[Dedup.appendLshIndex]], IVF:
+  * [[Similarity.appendIvfIndex]], curation: `Curation.appendCurateIndex`):
+  * a manifest-committed index root that grows by pure append, forgets by
+  * tombstone delete, reclaims by compaction, and serves the SAME ranking
+  * as a from-scratch build at every committed version.
+  *
+  * Layout under the index root (all tables published through one
+  * [[graft.sources.IndexCommit]] manifest; readers resolve exactly one
+  * committed version):
+  *
+  *  - `meta` — one row (nbuckets, dlrange): the physical-layout constants
+  *    every reader and writer derives partition keys from.
+  *  - `postings` — (term, doc_id, tf), PARTITIONED BY `tb` =
+  *    pmod(xxhash64(term), nbuckets). A query's terms map to known
+  *    buckets, so the serving scan prunes to ≤ |query terms| of the
+  *    nbuckets partitions (plan-asserted in TextIndexSpec) — at 100 TB
+  *    the per-query read is O(postings of the probed buckets), never a
+  *    full-index pass, and within a bucket the `term IN (...)` predicate
+  *    pushes to parquet row groups. Appends only ADD part files (fresh
+  *    names — untouched files are byte-identical across appends).
+  *  - `termdf` — LSM-shaped per-term document frequencies: append-only
+  *    `seg=N` delta segments (each partitioned by `tb`), summed at read.
+  *    An append writes O(batch vocabulary); a delete writes a NEGATIVE
+  *    delta over the dead docs' terms, so the merged view is the exact
+  *    LIVE df at every version (the [[Dedup]] `bcounts` algebra). Unlike
+  *    the LSH index — whose `df` stays a documented historical upper
+  *    bound after deletes — BM25 forgetting is FULLY exact: df, N and
+  *    total length all serve live values, so post-delete rankings equal a
+  *    fresh build over the live corpus (TextIndexSpec proves it; the
+  *    `text_bm25_forget` oracle hash-checks it against DuckDB).
+  *  - `doclens` — (doc_id, dl), PARTITIONED BY `dr` = doc_id div dlrange
+  *    (id-range partitioning, the LSH `arrays` discipline): appends with
+  *    fresh increasing ids touch only the newest range(s), and delete
+  *    compaction rewrites only the dead ids' ranges.
+  *  - `stats` — LSM `seg=N` one-row (n, tl) deltas; deletes append the
+  *    negative row. Merged at read: exact live corpus size / total length.
+  *  - `tombstones` — (id, tb) rows, file-append, takedown-sized by
+  *    contract. Serving anti-joins the broadcast dead-id set (planned
+  *    only while tombstones exist); the stored `tb` list partition-prunes
+  *    compaction's physical reclaim to the dead docs' buckets.
+  *
+  * Scoring is the reference-free scaled-integer BM25 of
+  * `queries.TextQueries.textBm25` (k1=1.2, b=0.75 cleared to integer
+  * arithmetic — see the derivation there), so every serving path
+  * hash-checks against the same recompute-from-raw-docs DuckDB oracle.
+  *
+  * Maintenance contract: single writer per index root; doc ids are
+  * non-negative and fresh on append (append-only corpus). All writers
+  * run vacuum-then-[[graft.sources.IndexTxn]]: stage under dot-dirs,
+  * move in under fresh names, ONE atomic manifest rename publishes every
+  * table of the change together; a crash at any failpoint leaves the
+  * previous version serving bit-exactly and a re-run converges
+  * (TextIndexSpec kills at injected failpoints).
+  */
+object TextIndex {
+
+  import graft.sources.IndexCommit
+
+  /** Segment budget before [[compactBm25Index]] folds an LSM table's
+    * `seg=N` deltas back to a single base (the LogStore.compact budget).
+    */
+  val segBudget = 8
+
+  /** Data-file budget per postings bucket / doclens range before
+    * compaction rewrites the partition to one file.
+    */
+  val maxFilesPerPartition = 4
+
+  // -------------------------------------------------------------------------
+  // Layout helpers
+  // -------------------------------------------------------------------------
+
+  /** Whether the index currently carries live tombstones (metadata-only
+    * check — specs assert compaction retires them).
+    */
+  def hasTombstones(dir: String): Boolean = Dedup.tombstonesNonEmpty(dir)
+
+  /** Driver-side term -> bucket, bit-identical to the column expression
+    * `pmod(xxhash64(term), nbuckets)` the writers use (same XxHash64
+    * expression, same default seed 42) — lets the fixed-term serving
+    * query push literal bucket values as partition filters without
+    * running a job. TextIndexSpec pins driver==column parity.
+    */
+  private[graft] def termBucket(term: String, nBuckets: Int): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    ((h % nBuckets) + nBuckets) % nBuckets
+  }
+
+  private def tbCol(nBuckets: Int): Column =
+    pmod(xxhash64(col("term")), lit(nBuckets.toLong))
+
+  private def meta(spark: SparkSession, dir: String): (Int, Long) = {
+    val r = Dedup.readIndexTable(spark, s"$dir/meta",
+      "nbuckets INT, dlrange BIGINT").collect()
+    require(r.nonEmpty, s"no bm25 index meta under $dir")
+    (r.head.getInt(0), r.head.getLong(1))
+  }
+
+  private def rawPostings(spark: SparkSession, dir: String): DataFrame =
+    Dedup.readIndexTable(spark, s"$dir/postings",
+      "term STRING, doc_id BIGINT, tf BIGINT, tb BIGINT")
+
+  private def rawDoclens(spark: SparkSession, dir: String): DataFrame =
+    Dedup.readIndexTable(spark, s"$dir/doclens",
+      "doc_id BIGINT, dl BIGINT, dr BIGINT")
+
+  /** Merged LIVE document frequencies for the terms matching `pred` —
+    * the filter applies BELOW the merge aggregation, so a `tb IN (...)`
+    * predicate prunes every segment's scan to the probed buckets.
+    */
+  private def mergedTermdf(spark: SparkSession, dir: String,
+                           pred: Column): DataFrame =
+    Dedup.readIndexTable(spark, s"$dir/termdf",
+        "term STRING, df BIGINT, seg INT, tb BIGINT")
+      .filter(pred)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+
+  /** Merged live corpus stats (one row: n docs, total length). */
+  private def mergedStats(spark: SparkSession, dir: String): DataFrame =
+    Dedup.readIndexTable(spark, s"$dir/stats", "n BIGINT, tl BIGINT, seg INT")
+      .agg(sum(col("n")).as("n"), sum(col("tl")).as("tl"))
+
+  /** Live tombstoned doc ids, cached per committed version (route
+    * consumers probe every micro-batch; the set is takedown-sized).
+    */
+  private def deadIds(spark: SparkSession, dir: String): DataFrame = {
+    val ver = IndexCommit.resolveRoot(s"$dir/tombstones").map(_._2).getOrElse(-1)
+    graft.Caches.cached("bm25-tombstones", s"$dir|v$ver") {
+      Dedup.readIndexTable(spark, s"$dir/tombstones", "id BIGINT").distinct()
+    }
+  }
+
+  /** Anti-join `idCol` against the tombstone set; the no-tombstones
+    * common case returns the plan untouched (no empty anti-join planned).
+    */
+  private def antiDead(spark: SparkSession, dir: String,
+                       df: DataFrame, idCol: String): DataFrame =
+    if (!Dedup.tombstonesNonEmpty(dir)) df
+    else df.join(broadcast(deadIds(spark, dir).select(col("id").as(idCol))),
+      Seq(idCol), "left_anti")
+
+  /** Next LSM segment number for `table` (`seg=N` partition-style dirs):
+    * max(existing)+1, never a count — crash leftovers cannot alias.
+    */
+  private def nextSeg(dir: String, table: String): Int = {
+    val root = java.nio.file.Paths.get(dir, table)
+    if (!java.nio.file.Files.exists(root)) 0
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(root)
+      val names = try s.iterator().asScala.map(_.getFileName.toString).toSeq
+        finally s.close()
+      names.filter(_.startsWith("seg=")).map(_.stripPrefix("seg=").toInt)
+        .maxOption.getOrElse(-1) + 1
+    }
+  }
+
+  /** Tokenized batch: (doc_id, toks). One shared shape for every writer. */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      split(col("text"), " ").as("toks"))
+
+  private def postingsOf(tok: DataFrame, nBuckets: Int): DataFrame =
+    tok.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", tbCol(nBuckets))
+
+  private def doclensOf(tok: DataFrame, dlRange: Long): DataFrame =
+    tok.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .withColumn("dr", expr(s"doc_id div ${dlRange}L"))
+
+  // -------------------------------------------------------------------------
+  // Build / append / delete / compact
+  // -------------------------------------------------------------------------
+
+  /** Build the index from scratch over `docs` (doc_id, text) and publish
+    * manifest version 0.
+    */
+  def writeBm25Index(docs: DataFrame, dir: String, nBuckets: Int = 16,
+                     dlRange: Long = 256L): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    IndexCommit.deleteTree(java.nio.file.Paths.get(dir))
+    Seq((nBuckets, dlRange)).toDF("nbuckets", "dlrange")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val tok = tokenized(docs)
+    val post = postingsOf(tok, nBuckets)
+    post.write.partitionBy("tb").mode("overwrite").parquet(s"$dir/postings")
+    post.groupBy("term", "tb").agg(count(lit(1)).as("df"))
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(s"$dir/termdf/seg=0")
+    val dls = doclensOf(tok, dlRange)
+    dls.write.partitionBy("dr").mode("overwrite").parquet(s"$dir/doclens")
+    dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/seg=0")
+    IndexCommit.commitFiles(dir, IndexCommit.walkDataFiles(dir))
+  }
+
+  /** INCREMENTAL growth: index a new batch and append — no existing row
+    * rewrites anywhere (postings/doclens gain part files, the LSMs gain
+    * one delta segment each), so an append-grown index is CONTENT-equal
+    * to a rebuild over the union and untouched files are byte-identical
+    * (TextIndexSpec). Per-append compute: O(batch tokens). The whole
+    * append (postings + termdf delta + doclens + stats delta) publishes
+    * in ONE manifest commit.
+    *
+    * Precondition: `newDocs` ids are fresh (append-only corpus).
+    */
+  def appendBm25Index(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    IndexCommit.vacuum(dir)
+    val t = new graft.sources.IndexTxn(dir)
+    val (nb, dlr) = meta(spark, dir)
+    val tok = tokenized(newDocs)
+    val post = postingsOf(tok, nb)
+    post.write.partitionBy("tb").mode("overwrite")
+      .parquet(s"$dir/.postings-stage")
+    post.groupBy("term", "tb").agg(count(lit(1)).as("df"))
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(s"$dir/.termdf-stage")
+    val dls = doclensOf(tok, dlr)
+    dls.write.partitionBy("dr").mode("overwrite")
+      .parquet(s"$dir/.doclens-stage")
+    dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stats-stage")
+    IndexCommit.hit("bm25-staged")
+    def p(s: String) = java.nio.file.Paths.get(s)
+    Similarity.moveTree(t, p(s"$dir/.postings-stage"), p(s"$dir/postings"))
+    Similarity.moveTree(t, p(s"$dir/.termdf-stage"),
+      p(s"$dir/termdf/seg=${nextSeg(dir, "termdf")}"))
+    Similarity.moveTree(t, p(s"$dir/.doclens-stage"), p(s"$dir/doclens"))
+    Similarity.moveTree(t, p(s"$dir/.stats-stage"),
+      p(s"$dir/stats/seg=${nextSeg(dir, "stats")}"))
+    IndexCommit.hit("bm25-before-commit")
+    t.commit()
+    t.cleanup()
+  }
+
+  /** TOMBSTONE-DELETE docs — the FORGET half, and for BM25 an EXACT one:
+    * alongside the (id, tb) tombstones (serving hides the dead ids; the
+    * stored bucket list partition-prunes compaction), the SAME commit
+    * appends a negative `termdf` delta over the dead docs' terms and a
+    * negative `stats` row — so the merged df/n/tl are the LIVE corpus
+    * values and post-delete rankings equal a fresh build over the live
+    * docs (no historical-upper-bound caveat). O(delete set) new data;
+    * the dead docs' (term, tb) lookup is one column-pruned postings read.
+    * Idempotent (already-dead and absent ids are no-ops); crash-atomic.
+    * Physical rows leave in [[compactBm25Index]] (DELETE-then-COMPACT).
+    *
+    * Returns the number of NEWLY tombstoned docs.
+    */
+  def deleteFromBm25Index(ids: DataFrame, dir: String,
+                          idCol: String = "doc_id"): Long = {
+    val spark = ids.sparkSession
+    IndexCommit.vacuum(dir)
+    val t = new graft.sources.IndexTxn(dir)
+    // newly dead = requested ∩ indexed (doclens is the membership table:
+    // every ingested doc has exactly one row) − already tombstoned
+    val dead = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .join(Dedup.readIndexTable(spark, s"$dir/tombstones", "id BIGINT"),
+        Seq("id"), "left_anti")
+      .join(rawDoclens(spark, dir).select(col("doc_id").as("id"), col("dl")),
+        Seq("id"))
+    val deadPost = rawPostings(spark, dir)
+      .join(dead.select(col("id").as("doc_id")), Seq("doc_id"))
+    // (id, tb) rows — tb null for a doc with no postings (empty text)
+    dead.select("id")
+      .join(deadPost.select(col("doc_id").as("id"), col("tb")).distinct(),
+        Seq("id"), "left")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/.tombstones-stage")
+    val nDead = Dedup.readDirTable(spark, s"$dir/.tombstones-stage",
+      "id BIGINT, tb BIGINT").select("id").distinct().count()
+    if (nDead > 0) {
+      deadPost.groupBy("term", "tb").agg((-count(lit(1))).as("df"))
+        .write.partitionBy("tb").mode("overwrite")
+        .parquet(s"$dir/.termdf-stage")
+      dead.agg((-count(lit(1))).as("n"), (-sum(col("dl"))).as("tl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stats-stage")
+      IndexCommit.hit("bm25-del-staged")
+      def p(s: String) = java.nio.file.Paths.get(s)
+      Similarity.moveTree(t, p(s"$dir/.tombstones-stage"),
+        p(s"$dir/tombstones"))
+      Similarity.moveTree(t, p(s"$dir/.termdf-stage"),
+        p(s"$dir/termdf/seg=${nextSeg(dir, "termdf")}"))
+      Similarity.moveTree(t, p(s"$dir/.stats-stage"),
+        p(s"$dir/stats/seg=${nextSeg(dir, "stats")}"))
+      IndexCommit.hit("bm25-del-before-commit")
+      t.commit()
+      t.cleanup()
+    } else t.cleanup()
+    nDead
+  }
+
+  /** Physical maintenance: fold tombstones (rewrite ONLY the dead docs'
+    * postings buckets and doclens ranges — partition-pruned via the
+    * stored tombstone `tb` list and the id-range arithmetic — then retire
+    * the tombstones, so served plans lose the anti-join), fold LSM tables
+    * past [[segBudget]] segments to one base, and rewrite any partition
+    * holding more than [[maxFilesPerPartition]] data files to one file.
+    * Same stage / move-in / one-commit / then-delete protocol as the
+    * appends: crash-safe at every failpoint, idempotent when nothing is
+    * over budget. Returns the number of rewritten partitions.
+    */
+  def compactBm25Index(spark: SparkSession, dir: String,
+                       maxFiles: Int = maxFilesPerPartition): Int = {
+    IndexCommit.vacuum(dir)
+    val t = new graft.sources.IndexTxn(dir)
+    val (_, dlr) = meta(spark, dir)
+    val hasDead = Dedup.tombstonesNonEmpty(dir)
+    def p(s: String) = java.nio.file.Paths.get(s)
+    var rewritten = 0
+
+    // partitions (key=value dir name) of `table` holding > maxFiles files
+    def overfull(table: String): Seq[String] = t.baseUnder(table)
+      .flatMap(_.stripPrefix(table + "/").split('/').headOption)
+      .filter(_.contains("="))
+      .groupBy(identity).filter(_._2.size > maxFiles).keys.toSeq
+
+    // dead bucket / range keys, driver-bounded by the takedown-sized
+    // tombstone set
+    val (deadTbs, deadDrs) =
+      if (!hasDead) (Seq.empty[Long], Seq.empty[Long])
+      else {
+        val ts = Dedup.readIndexTable(spark, s"$dir/tombstones",
+          "id BIGINT, tb BIGINT")
+        (ts.filter(col("tb").isNotNull).select("tb").distinct()
+            .collect().map(_.getLong(0)).toSeq,
+          ts.select(expr(s"id div ${dlr}L").as("dr")).distinct()
+            .collect().map(_.getLong(0)).toSeq)
+      }
+
+    val postKeys = (deadTbs.map(v => s"tb=$v") ++ overfull("postings")).distinct
+    if (postKeys.nonEmpty) {
+      val keep = antiDead(spark, dir,
+        rawPostings(spark, dir)
+          .filter(col("tb").isin(postKeys.map(_.stripPrefix("tb=").toLong): _*)),
+        "doc_id")
+      keep.write.partitionBy("tb").mode("overwrite")
+        .parquet(s"$dir/.postings-compact")
+      postKeys.foreach(k => t.retireUnder(s"postings/$k"))
+      Similarity.moveTree(t, p(s"$dir/.postings-compact"), p(s"$dir/postings"))
+      rewritten += postKeys.size
+    }
+    val dlKeys = (deadDrs.map(v => s"dr=$v") ++ overfull("doclens")).distinct
+    if (dlKeys.nonEmpty) {
+      val keep = antiDead(spark, dir,
+        rawDoclens(spark, dir)
+          .filter(col("dr").isin(dlKeys.map(_.stripPrefix("dr=").toLong): _*)),
+        "doc_id")
+      keep.write.partitionBy("dr").mode("overwrite")
+        .parquet(s"$dir/.doclens-compact")
+      dlKeys.foreach(k => t.retireUnder(s"doclens/$k"))
+      Similarity.moveTree(t, p(s"$dir/.doclens-compact"), p(s"$dir/doclens"))
+      rewritten += dlKeys.size
+    }
+    // LSM folds: segment count over budget -> one merged base segment.
+    // The vocabulary-sized termdf fold is metadata-scale next to postings.
+    def segCount(table: String): Int = t.baseUnder(table)
+      .flatMap(_.stripPrefix(table + "/").split('/').headOption)
+      .filter(_.startsWith("seg=")).distinct.size
+    if (segCount("termdf") > segBudget) {
+      mergedTermdf(spark, dir, lit(true))
+        .withColumn("tb", tbCol(meta(spark, dir)._1))
+        .write.partitionBy("tb").mode("overwrite")
+        .parquet(s"$dir/.termdf-compact")
+      t.retireUnder("termdf")
+      Similarity.moveTree(t, p(s"$dir/.termdf-compact"), p(s"$dir/termdf/seg=0"))
+      rewritten += 1
+    }
+    if (segCount("stats") > segBudget) {
+      mergedStats(spark, dir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stats-compact")
+      t.retireUnder("stats")
+      Similarity.moveTree(t, p(s"$dir/.stats-compact"), p(s"$dir/stats/seg=0"))
+      rewritten += 1
+    }
+    if (hasDead) t.retireUnder("tombstones")
+    if (rewritten > 0 || hasDead) {
+      IndexCommit.hit("bm25-compact-staged")
+      IndexCommit.hit("bm25-compact-before-commit")
+      t.commit()
+      t.cleanup()
+    } else t.cleanup()
+    rewritten
+  }
+
+  // -------------------------------------------------------------------------
+  // Serving
+  // -------------------------------------------------------------------------
+
+  /** Scored candidates for a (qid, term) probe frame against the served
+    * index: (qid, doc_id, term, tf, tscore). `wantedTb` is the probed
+    * bucket set, pushed as a PARTITION filter onto every postings /
+    * termdf segment scan.
+    */
+  private def scoredTerms(spark: SparkSession, dir: String,
+                          probes: DataFrame, wantedTb: Seq[Long],
+                          terms: Option[Seq[String]]): DataFrame = {
+    val post0 = rawPostings(spark, dir)
+      .filter(col("tb").isin(wantedTb: _*))
+    val post = antiDead(spark, dir,
+      terms.map(ts => post0.filter(col("term").isin(ts: _*))).getOrElse(post0),
+      "doc_id")
+    val dfPred = terms match {
+      case Some(ts) => col("tb").isin(wantedTb: _*) && col("term").isin(ts: _*)
+      case None => col("tb").isin(wantedTb: _*)
+    }
+    val dfreq = mergedTermdf(spark, dir, dfPred)
+    val stats = mergedStats(spark, dir)
+    val dl = rawDoclens(spark, dir).select("doc_id", "dl")
+    probes.join(post, Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", expr(
+        """(cast(2 * (n - df) + 1 as decimal(38,0))
+          |  * 44 * tf * tl * 1000000000)
+          | div ((2 * df + 1) * (20 * tf * tl + 6 * tl + 18 * dl * n))
+          |""".stripMargin))
+      .select("qid", "doc_id", "term", "tf", "tscore")
+  }
+
+  /** Fixed-term top-k over the served index — the batch serving query
+    * (`text_bm25_maintained` / `text_bm25_forget`): identical output
+    * shape to `TextQueries.textBm25Indexed` (doc_id, score, one
+    * `tf_<term>` column per query term), so every maintained-index state
+    * hash-checks against the same recompute-from-raw-docs oracle. The
+    * term buckets are computed driver-side ([[termBucket]]) and pushed as
+    * literal partition filters — no job runs to plan the pruning.
+    */
+  def bm25TopK(spark: SparkSession, dir: String, terms: Seq[String],
+               k: Int = 20): DataFrame = {
+    val (nb, _) = meta(spark, dir)
+    val wanted = terms.map(termBucket(_, nb)).distinct
+    val probes = spark.createDataFrame(terms.map(tm => (0L, tm)))
+      .toDF("qid", "term")
+    val aggs = sum(col("tscore")).as("score") +:
+      terms.map(tm => max(when(col("term") === tm, col("tf"))).as(s"tf_$tm"))
+    val scored = scoredTerms(spark, dir, probes, wanted, Some(terms))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // the postings path only surfaces docs holding >= 1 query term, while
+    // the shared oracle ranks ALL docs (score-0 ties by doc_id): agreement
+    // needs >= k candidates — fail loudly, not as a hash mismatch
+    val ncand = scored.agg(count(lit(1)).as("nc"))
+    scored.crossJoin(broadcast(ncand))
+      .select((col("doc_id") +:
+        when(assert_true(col("nc") >= k,
+            lit(s"bm25TopK: fewer than $k docs match any query term — " +
+              "the postings path no longer covers the all-docs oracle " +
+              "ranking")).isNull,
+          col("score")).as("score") +:
+        terms.map(tm => coalesce(col(s"tf_$tm"), lit(0L)).as(s"tf_$tm"))): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Streaming retrieval route — the [[Similarity.annRoute]] analog for
+    * text: each ARRIVING query string retrieves its top-k BM25 docs from
+    * the standing index. Per micro-batch: in-row tokenize + explode, ONE
+    * bounded driver collect of the batch's probed buckets (≤ nbuckets
+    * values regardless of batch size) pushed as partition filters, one
+    * stream-static equi-join on (term) against the pruned postings, and
+    * the bounded-heap top-k per query. No state store, no corpus scan;
+    * run under `foreachBatch` like the other route operators.
+    * Query-side term repeats are ignored (standard short-query BM25, and
+    * the batch query's semantics). Returns (qid, rank, doc_id, score).
+    */
+  def bm25Route(queries: DataFrame, indexDir: String, k: Int = 20,
+                idCol: String = "qid", textCol: String = "qtext"): DataFrame = {
+    val spark = queries.sparkSession
+    val (nb, _) = meta(spark, indexDir)
+    val probes = queries.select(col(idCol).cast("long").as("qid"),
+        explode(split(col(textCol), " ")).as("term"))
+      .dropDuplicates("qid", "term")
+    val wanted = probes
+      .select(tbCol(nb).as("tb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val scored = scoredTerms(spark, indexDir, probes, wanted, None)
+      .groupBy("qid", "doc_id").agg(sum(col("tscore")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    graft.plans.TopKPerGroup(scored, Seq("qid"),
+        Seq("score" -> false, "doc_id" -> true), k)
+      .withColumn("rank", row_number().over(w))
+      .select("qid", "rank", "doc_id", "score")
+  }
+}

@@ -158,23 +158,30 @@ object DedupQueries {
       // table for table (IndexMaintenanceSpec), so the copy serves
       // exactly what a fresh full-corpus build would — the delete is the
       // only work this fixture adds
-      val src = java.nio.file.Paths.get(incrIndex(spark, dir))
-      val dst = java.nio.file.Paths.get(base)
-      import scala.jdk.CollectionConverters._
-      val w = java.nio.file.Files.walk(src)
-      try w.iterator().asScala.foreach { p =>
-        val target = dst.resolve(src.relativize(p).toString)
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.createDirectories(target)
-        else {
-          java.nio.file.Files.createDirectories(target.getParent)
-          java.nio.file.Files.copy(p, target,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-      } finally w.close()
+      copyTree(incrIndex(spark, dir), base)
       val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
       Dedup.deleteFromLshIndex(docs.filter(col("doc_id") % 7 === 3), base)
     }
+
+  /** Recursive file copy — the forget fixtures' derive-by-copy step
+    * (shared with the BM25 forget fixture in [[TextQueries]]).
+    */
+  private[queries] def copyTree(srcDir: String, dstDir: String): Unit = {
+    val src = java.nio.file.Paths.get(srcDir)
+    val dst = java.nio.file.Paths.get(dstDir)
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Files.walk(src)
+    try w.iterator().asScala.foreach { p =>
+      val target = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(target)
+      else {
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.copy(p, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally w.close()
+  }
 
   def dedupLshForget(spark: SparkSession, dir: String): DataFrame =
     Dedup.pairsFromIndex(spark, forgetIndex(spark, dir)).orderBy("da", "db")

@@ -151,6 +151,61 @@ object TextQueries {
       .limit(20)
   }
 
+  /** The staged MAINTAINED BM25 index ([[graft.operators.TextIndex]]):
+    * built over the even-id half of the corpus, grown by appending the
+    * odd half — the lifecycle fixture `text_bm25_maintained` and (by
+    * file-copy derivation) `text_bm25_forget` serve from.
+    */
+  private def bm25MaintIndex(spark: SparkSession, dir: String): String =
+    graft.Caches.stagedPath("bm25-maint", dir) { base =>
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.TextIndex.writeBm25Index(
+        docs.filter(col("doc_id") % 2 === 0), base)
+      graft.operators.TextIndex.appendBm25Index(
+        docs.filter(col("doc_id") % 2 === 1), base)
+    }
+
+  /** BM25 served from the MAINTAINED index — the retrieval family's
+    * entry in the stored-index maintenance tier (crash-atomic manifest
+    * commits, append growth, tombstone forget, compaction — see
+    * [[graft.operators.TextIndex]]): the index is built from the even-id
+    * half and grown by appending the odd half, and the serving query
+    * hash-checks against the SAME recompute-from-raw-docs oracle as the
+    * scan (`text_bm25`) and staged-index (`text_bm25_indexed`) paths —
+    * append-equals-rebuild proven through an independent engine. The
+    * serving scan prunes to the query terms' bucket partitions
+    * (TextIndexSpec plan-asserts it): at 100 TB a query reads O(probed
+    * buckets), never the full postings table.
+    */
+  def textBm25Maintained(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.bm25TopK(spark, bm25MaintIndex(spark, dir),
+      Seq("spark", "merge", "vector"))
+
+  /** BM25 served AFTER a tombstone delete ([[graft.operators.TextIndex
+    * .deleteFromBm25Index]] — the FORGET half of the retrieval tier):
+    * the `doc_id % 7 = 3` slice is forgotten from a copy of the
+    * maintained index, and the serving query hash-checks against the
+    * oracle recomputed over the LIVE corpus only. Unlike the LSH forget
+    * tier (where `df` stays a documented historical upper bound), BM25
+    * forgetting is FULLY exact — the delete's same-commit negative
+    * `termdf`/`stats` deltas make served df/N/avgdl the live values — so
+    * the post-delete ranking equals a fresh build over the live docs,
+    * and the oracle needs no delete-semantics caveat, just a WHERE.
+    */
+  def textBm25Forget(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Caches.stagedPath("bm25-forget", dir) { base =>
+      // derive by file copy (the dedup_lsh_forget discipline): the copy
+      // serves exactly what the maintained index serves — the delete is
+      // the only work this fixture adds
+      DedupQueries.copyTree(bm25MaintIndex(spark, dir), base)
+      graft.operators.TextIndex.deleteFromBm25Index(
+        t(spark, dir, "documents").filter(col("doc_id") % 7 === 3)
+          .select("doc_id"), base)
+    }
+    graft.operators.TextIndex.bm25TopK(spark, base,
+      Seq("spark", "merge", "vector"))
+  }
+
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val tok = docs.select(col("doc_id"),
@@ -389,16 +444,22 @@ object TextQueries {
     "text_tfidf" -> textTfidf,
     "text_bm25" -> textBm25,
     "text_bm25_indexed" -> textBm25Indexed,
+    "text_bm25_maintained" -> textBm25Maintained,
+    "text_bm25_forget" -> textBm25Forget,
     "text_vocab_encode" -> textVocabEncode,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_frame_sample" -> mmFrameSample)
 
-  /** Shared by `text_bm25` (scan path) and `text_bm25_indexed` (stored
-    * index path): both must hash-match this one recompute-from-raw-docs
-    * SQL, which is what proves the two paths result-identical. */
-  private val bm25OracleSql =
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |           FROM documents),
+  /** Shared by `text_bm25` (scan path), `text_bm25_indexed` (staged
+    * index), and `text_bm25_maintained` (append-grown maintained index):
+    * all must hash-match this one recompute-from-raw-docs SQL, which is
+    * what proves the paths result-identical. `text_bm25_forget` uses the
+    * same SQL over the live (post-delete) corpus slice — BM25 forgetting
+    * is exact, so the delete semantics are just a WHERE on the source.
+    */
+  private def bm25OracleSqlOver(where: String): String =
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents$where),
         |t AS (SELECT doc_id, len(toks) AS dl,
         |        len(list_filter(toks, x -> x = 'spark')) AS tf0,
         |        len(list_filter(toks, x -> x = 'merge')) AS tf1,
@@ -424,10 +485,14 @@ object TextQueries {
         |FROM t, s
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  private val bm25OracleSql = bm25OracleSqlOver("")
+
   val oracles: Map[String, String] = Map(
     "text_bpe" -> BpeOracle.mergesSql,
     "text_bm25" -> bm25OracleSql,
     "text_bm25_indexed" -> bm25OracleSql,
+    "text_bm25_maintained" -> bm25OracleSql,
+    "text_bm25_forget" -> bm25OracleSqlOver(" WHERE doc_id % 7 <> 3"),
     "mm_pixel_dedup" ->
       """WITH v AS (
         |  SELECT doc_id, (n_chars % 16) + 8 AS w, (doc_id % 8) + 8 AS h,

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Throughput record for the streaming ROUTE TIER — all three standing-
+/** Throughput record for the streaming ROUTE TIER — the standing-
   * index route operators, each screened against full sf0.1 state:
   *
   *  - `curate` — the admission gate ([[graft.operators.Curation
@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   *    .Dedup.minhashRoute]]) against the same standing LSH index;
   *  - `ann` — per-arrival IVF top-k ([[graft.operators.Similarity
   *    .annRoute]], k=5) against stored cell-partitioned postings, with
-  *    the probed-cells partition pruning in the plan.
+  *    the probed-cells partition pruning in the plan;
+  *  - `bm25` — per-arrival retrieval ([[graft.operators.TextIndex
+  *    .bm25Route]], k=10): 4-term queries against the maintained BM25
+  *    index, the batch's probed term buckets pushed as partition
+  *    filters onto the postings scan.
   *
   * Reports sustained decisions/s per (tier, input rate) with kept-up
   * flags.
@@ -41,7 +45,8 @@ object RouteBench {
   def main(args: Array[String]): Unit = {
     val rates = sys.env.getOrElse("SPARK_GRAFT_ROUTE_RATES", "2000,5000,10000")
       .split(",").map(_.trim.toInt)
-    val tiers = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TIERS", "curate,minhash,ann")
+    val tiers = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TIERS",
+        "curate,minhash,ann,bm25")
       .split(",").map(_.trim).toSeq
     val secs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_SECS", "40").toInt
     val triggerMs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TRIGGER_MS", "5000").toLong
@@ -66,6 +71,11 @@ object RouteBench {
       graft.operators.Similarity.ivfWriteIndex(
         graft.Tables.t(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding")), ivfDir)
+    val bm25Dir = s"$dir-bm25"
+    if (tiers.contains("bm25"))
+      graft.operators.TextIndex.writeBm25Index(
+        graft.Tables.t(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text")), bm25Dir)
     val buildSec = (System.nanoTime() - t0) / 1e9
     System.err.println(s"[route-bench] index build ${r1(buildSec)}s from $sfDir")
 
@@ -104,6 +114,18 @@ object RouteBench {
       "ann" -> ((embArrivals _,
         (b: DataFrame) => {
           graft.operators.Similarity.annRoute(b, ivfDir, k = 5).count()
+          b.count()
+        })),
+      "bm25" -> ((
+        // arriving retrieval queries: the pool text's first 4 tokens
+        (rate: Int) => spark.readStream.format("rate")
+          .option("rowsPerSecond", rate.toString).load()
+          .select((col("value") + 1000000000L).as("qid"),
+            array_join(slice(split(element_at(poolLit,
+              (pmod(col("value"), lit(pool.size)) + 1).cast("int")), " "),
+              1, 4), " ").as("qtext")),
+        (b: DataFrame) => {
+          graft.operators.TextIndex.bm25Route(b, bm25Dir, k = 10).count()
           b.count()
         })))
 
@@ -149,6 +171,7 @@ object RouteBench {
       .map(_.group(1)).getOrElse("0.0")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ivfDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bm25Dir))
     spark.stop()
     val tiersBody = tierJson.map { case (t, j) => s""""$t":$j""" }
       .mkString("{", ",", "}")

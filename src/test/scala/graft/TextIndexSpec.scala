@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextIndex
+import graft.queries.TextQueries
+import graft.sources.IndexCommit
+
+/** The maintained BM25 inverted index — the retrieval family's entry in
+  * the stored-index maintenance tier. Proves: build+append serves the
+  * scan-path ranking with untouched files byte-identical; a crash at any
+  * append failpoint leaves the committed version serving and a re-run
+  * converges; tombstone deletes serve EXACTLY the fresh-build-over-live
+  * ranking (df/n/tl all live — no historical-upper-bound caveat) and are
+  * idempotent; compaction physically reclaims and retires the tombstones
+  * without changing the served ranking; the fixed-term serving scan
+  * prunes to the query terms' bucket partitions; and the streaming route
+  * replays equal to the batch serving query.
+  */
+class TextIndexSpec extends SparkSpec {
+
+  private val terms = Seq("spark", "merge", "vector")
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
+
+  private def serve(dir: String): Seq[org.apache.spark.sql.Row] =
+    TextIndex.bm25TopK(spark, dir, terms).collect().toSeq
+
+  /** name -> bytes of every committed data file under a table dir. */
+  private def fileBytes(dir: String, table: String): Map[String, Seq[Byte]] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir, table)
+    val s = java.nio.file.Files.walk(root)
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString ->
+        java.nio.file.Files.readAllBytes(p).toSeq)
+      .toMap
+    finally s.close()
+  }
+
+  test("driver-side termBucket equals the column expression") {
+    val nb = 16
+    val got = spark.createDataFrame(terms.map(Tuple1(_))).toDF("term")
+      .select(col("term"), pmod(xxhash64(col("term")), lit(nb.toLong)).as("tb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.foreach { t =>
+      assert(TextIndex.termBucket(t, nb) == got(t),
+        s"driver bucket for '$t' must match the write-path column")
+    }
+  }
+
+  test("append-grown index serves the scan-path ranking; untouched " +
+      "postings files byte-identical across the append") {
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs.filter(col("doc_id") % 2 === 0), dir)
+    val before = fileBytes(dir, "postings")
+    TextIndex.appendBm25Index(docs.filter(col("doc_id") % 2 === 1), dir)
+    val after = fileBytes(dir, "postings")
+    before.foreach { case (name, bytes) =>
+      assert(after.get(name).contains(bytes),
+        s"pre-append postings file $name must survive byte-identical")
+    }
+    assert(after.size > before.size, "append must add postings part files")
+    // the served ranking equals the all-at-once scan path
+    assert(serve(dir) == TextQueries.textBm25(spark, sf001).collect().toSeq)
+  }
+
+  test("a killed append leaves the committed version serving; vacuum + " +
+      "re-run converges") {
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs.filter(col("doc_id") % 2 === 0), dir)
+    val v0 = IndexCommit.latestVersion(dir).get
+    val served0 = serve(dir)
+    for (point <- Seq("bm25-staged", "bm25-before-commit")) {
+      var thrown = false
+      IndexCommit.failpoint =
+        name => if (name == point) { thrown = true; sys.error(s"kill@$name") }
+      try intercept[Exception] {
+        TextIndex.appendBm25Index(docs.filter(col("doc_id") % 2 === 1), dir)
+      } finally IndexCommit.failpoint = _ => ()
+      assert(thrown, s"failpoint $point must have fired")
+      assert(IndexCommit.latestVersion(dir).contains(v0),
+        s"a kill at $point must not publish a new version")
+      assert(serve(dir) == served0,
+        s"after a kill at $point the committed version must serve unchanged")
+    }
+    // re-run (vacuums the orphans first) converges to the clean append
+    TextIndex.appendBm25Index(docs.filter(col("doc_id") % 2 === 1), dir)
+    assert(serve(dir) == TextQueries.textBm25(spark, sf001).collect().toSeq)
+  }
+
+  test("delete serves exactly the fresh-build-over-live ranking and is " +
+      "idempotent; absent ids are no-ops") {
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs, dir)
+    val deadPred = col("doc_id") % 7 === 3
+    val n = TextIndex.deleteFromBm25Index(
+      docs.filter(deadPred).select("doc_id"), dir)
+    assert(n > 0)
+    // BM25 forgetting is FULLY exact: served df/n/tl are live values, so
+    // the tombstoned index ranks identically to an index never holding
+    // the dead docs at all
+    val fresh = tmp()
+    TextIndex.writeBm25Index(docs.filter(!deadPred), fresh)
+    assert(serve(dir) == serve(fresh))
+    // idempotent; absent ids no-op
+    assert(TextIndex.deleteFromBm25Index(
+      docs.filter(deadPred).select("doc_id"), dir) == 0L)
+    assert(TextIndex.deleteFromBm25Index(
+      spark.range(1).select((col("id") + 1000000000L).as("doc_id")), dir) == 0L)
+    // compaction physically reclaims: tombstones retire, the served
+    // ranking is unchanged, and no dead id survives in the raw postings
+    assert(TextIndex.hasTombstones(dir))
+    val servedTombstoned = serve(dir)
+    assert(TextIndex.compactBm25Index(spark, dir) > 0)
+    assert(!TextIndex.hasTombstones(dir))
+    assert(serve(dir) == servedTombstoned)
+    val survivors = spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id") % 7 === 3).count()
+    assert(survivors == 0, "compaction must fold dead ids out of postings")
+    assert(spark.read.parquet(s"$dir/doclens")
+      .filter(col("doc_id") % 7 === 3).count() == 0)
+  }
+
+  test("the fixed-term serving scan prunes to the query terms' bucket " +
+      "partitions") {
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs, dir)
+    val plan = TextIndex.bm25TopK(spark, dir, terms)
+      .queryExecution.executedPlan.toString
+    val postingsScan = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("postings"))
+      .mkString("\n")
+    assert(postingsScan.nonEmpty, s"serving plan must scan the postings:\n$plan")
+    assert(postingsScan.contains("PartitionFilters: [") &&
+      ".*PartitionFilters: \\[[^\\]]*tb.*".r.findFirstIn(postingsScan).isDefined,
+      s"postings scan must carry tb partition filters:\n$postingsScan")
+    // three terms prune to <= 3 of the 16 bucket partitions
+    val inList = "tb#\\d+L? IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(postingsScan).map(_.group(1))
+    assert(inList.exists(_.split(",").length <= terms.length),
+      s"3-term query must prune to <= 3 buckets: $postingsScan")
+  }
+
+  test("bm25Route replays equal to the batch serving query") {
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs, dir)
+    // one arriving query carrying the fixed terms (with a repeat — query
+    // term frequency is ignored by both paths)
+    val arrivals = spark.createDataFrame(
+        Seq((7L, "spark merge vector spark")))
+      .toDF("qid", "qtext")
+    val routed = TextIndex.bm25Route(arrivals, dir, k = 20)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    val batch = serve(dir).map(r => (r.getLong(0), r.getLong(1)))
+    assert(routed.toSeq == batch,
+      "per-arrival route must rank exactly like the batch serving query")
+  }
+}
