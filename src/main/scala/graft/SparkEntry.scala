@@ -56,7 +56,8 @@ object SparkEntry {
     val pinnedFirst = Map("dedup_ngram_jaccard" -> "a00_dedup",
       "sim_topk" -> "sim_a0", "text_fingerprint" -> "text_a0_fingerprint",
       "dedup_lsh_forget" -> "dedup_lsh_incremental_z_forget",
-      "text_bm25_forget" -> "text_bm25_maintained_z_forget")
+      "text_bm25_forget" -> "text_bm25_maintained_z_forget",
+      "text_bm25_asof" -> "text_bm25_maintained_z_asof")
     scala.collection.immutable.SeqMap.from(
       all.toSeq.sortBy { case (n, _) => pinnedFirst.getOrElse(n, n) })
   }

@@ -392,7 +392,7 @@ object Dedup {
     (range, t)
   }
 
-  private def emptyFrame(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def emptyFrame(spark: org.apache.spark.sql.SparkSession,
                          ddl: String): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -107,38 +107,82 @@ object TextIndex {
     (r.head.getInt(0), r.head.getLong(1))
   }
 
-  private def rawPostings(spark: SparkSession, dir: String): DataFrame =
-    Dedup.readIndexTable(spark, s"$dir/postings",
-      "term STRING, doc_id BIGINT, tf BIGINT, tb BIGINT")
+  /** Table read pinned to the LATEST committed version (`asOf` None) or
+    * a SPECIFIC historical version — the manifest history IS the
+    * time-travel surface ([[graft.sources.IndexCommit.pinnedFilesAt]]):
+    * appends and deletes retire nothing, so every pre-compaction version
+    * of the index stays fully resolvable, and an `asOf` serve reproduces
+    * the exact state readers saw at that commit (TextIndexSpec + the
+    * `text_bm25_asof` oracle prove it). Unlike the latest-version path,
+    * `asOf` never falls back to a directory walk — snapshot reads
+    * require a governing manifest.
+    */
+  private def readTableAt(spark: SparkSession, path: String, ddl: String,
+                          asOf: Option[Int]): DataFrame = asOf match {
+    case None => Dedup.readIndexTable(spark, path, ddl)
+    case Some(v) =>
+      require(IndexCommit.resolveRoot(path).nonEmpty,
+        s"as-of read needs a committed manifest governing $path")
+      IndexCommit.pinnedUnder(path, asOf) match {
+        case None => sys.error(
+          s"index version $v is not in the manifest history of $path")
+        case Some(files) if files.isEmpty => Dedup.emptyFrame(spark, ddl)
+        case Some(files) => spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .option("basePath", path)
+          .parquet(files: _*)
+      }
+  }
 
-  private def rawDoclens(spark: SparkSession, dir: String): DataFrame =
-    Dedup.readIndexTable(spark, s"$dir/doclens",
-      "doc_id BIGINT, dl BIGINT, dr BIGINT")
+  private def rawPostings(spark: SparkSession, dir: String,
+                          asOf: Option[Int] = None): DataFrame =
+    readTableAt(spark, s"$dir/postings",
+      "term STRING, doc_id BIGINT, tf BIGINT, tb BIGINT", asOf)
+
+  private def rawDoclens(spark: SparkSession, dir: String,
+                         asOf: Option[Int] = None): DataFrame =
+    readTableAt(spark, s"$dir/doclens",
+      "doc_id BIGINT, dl BIGINT, dr BIGINT", asOf)
 
   /** Merged LIVE document frequencies for the terms matching `pred` —
     * the filter applies BELOW the merge aggregation, so a `tb IN (...)`
     * predicate prunes every segment's scan to the probed buckets.
     */
   private def mergedTermdf(spark: SparkSession, dir: String,
-                           pred: Column): DataFrame =
-    Dedup.readIndexTable(spark, s"$dir/termdf",
-        "term STRING, df BIGINT, seg INT, tb BIGINT")
+                           pred: Column,
+                           asOf: Option[Int] = None): DataFrame =
+    readTableAt(spark, s"$dir/termdf",
+        "term STRING, df BIGINT, seg INT, tb BIGINT", asOf)
       .filter(pred)
       .groupBy("term").agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)
 
   /** Merged live corpus stats (one row: n docs, total length). */
-  private def mergedStats(spark: SparkSession, dir: String): DataFrame =
-    Dedup.readIndexTable(spark, s"$dir/stats", "n BIGINT, tl BIGINT, seg INT")
+  private def mergedStats(spark: SparkSession, dir: String,
+                          asOf: Option[Int] = None): DataFrame =
+    readTableAt(spark, s"$dir/stats", "n BIGINT, tl BIGINT, seg INT", asOf)
       .agg(sum(col("n")).as("n"), sum(col("tl")).as("tl"))
 
-  /** Live tombstoned doc ids, cached per committed version (route
-    * consumers probe every micro-batch; the set is takedown-sized).
+  /** Whether the version being served carries tombstones (metadata-only,
+    * so the no-delete case never plans an empty anti-join).
     */
-  private def deadIds(spark: SparkSession, dir: String): DataFrame = {
-    val ver = IndexCommit.resolveRoot(s"$dir/tombstones").map(_._2).getOrElse(-1)
+  private def tombstonedAt(dir: String, asOf: Option[Int]): Boolean =
+    asOf match {
+      case None => Dedup.tombstonesNonEmpty(dir)
+      case Some(_) =>
+        IndexCommit.pinnedUnder(s"$dir/tombstones", asOf).exists(_.nonEmpty)
+    }
+
+  /** Tombstoned doc ids of the served version, cached per committed
+    * version (route consumers probe every micro-batch; the set is
+    * takedown-sized).
+    */
+  private def deadIds(spark: SparkSession, dir: String,
+                      asOf: Option[Int]): DataFrame = {
+    val ver = asOf.orElse(
+      IndexCommit.resolveRoot(s"$dir/tombstones").map(_._2)).getOrElse(-1)
     graft.Caches.cached("bm25-tombstones", s"$dir|v$ver") {
-      Dedup.readIndexTable(spark, s"$dir/tombstones", "id BIGINT").distinct()
+      readTableAt(spark, s"$dir/tombstones", "id BIGINT", asOf).distinct()
     }
   }
 
@@ -146,9 +190,11 @@ object TextIndex {
     * common case returns the plan untouched (no empty anti-join planned).
     */
   private def antiDead(spark: SparkSession, dir: String,
-                       df: DataFrame, idCol: String): DataFrame =
-    if (!Dedup.tombstonesNonEmpty(dir)) df
-    else df.join(broadcast(deadIds(spark, dir).select(col("id").as(idCol))),
+                       df: DataFrame, idCol: String,
+                       asOf: Option[Int] = None): DataFrame =
+    if (!tombstonedAt(dir, asOf)) df
+    else df.join(
+      broadcast(deadIds(spark, dir, asOf).select(col("id").as(idCol))),
       Seq(idCol), "left_anti")
 
   /** Next LSM segment number for `table` (`seg=N` partition-style dirs):
@@ -407,19 +453,20 @@ object TextIndex {
     */
   private def scoredTerms(spark: SparkSession, dir: String,
                           probes: DataFrame, wantedTb: Seq[Long],
-                          terms: Option[Seq[String]]): DataFrame = {
-    val post0 = rawPostings(spark, dir)
+                          terms: Option[Seq[String]],
+                          asOf: Option[Int] = None): DataFrame = {
+    val post0 = rawPostings(spark, dir, asOf)
       .filter(col("tb").isin(wantedTb: _*))
     val post = antiDead(spark, dir,
       terms.map(ts => post0.filter(col("term").isin(ts: _*))).getOrElse(post0),
-      "doc_id")
+      "doc_id", asOf)
     val dfPred = terms match {
       case Some(ts) => col("tb").isin(wantedTb: _*) && col("term").isin(ts: _*)
       case None => col("tb").isin(wantedTb: _*)
     }
-    val dfreq = mergedTermdf(spark, dir, dfPred)
-    val stats = mergedStats(spark, dir)
-    val dl = rawDoclens(spark, dir).select("doc_id", "dl")
+    val dfreq = mergedTermdf(spark, dir, dfPred, asOf)
+    val stats = mergedStats(spark, dir, asOf)
+    val dl = rawDoclens(spark, dir, asOf).select("doc_id", "dl")
     probes.join(post, Seq("term"))
       .join(dfreq, Seq("term"))
       .join(dl, Seq("doc_id"))
@@ -439,16 +486,20 @@ object TextIndex {
     * hash-checks against the same recompute-from-raw-docs oracle. The
     * term buckets are computed driver-side ([[termBucket]]) and pushed as
     * literal partition filters — no job runs to plan the pruning.
+    * `asOf` serves a HISTORICAL committed version instead of the latest
+    * ([[readTableAt]] — audits and reproducible reruns over the
+    * manifest history; `text_bm25_asof` hash-checks version 0 of the
+    * append chain against the oracle over the base corpus slice).
     */
   def bm25TopK(spark: SparkSession, dir: String, terms: Seq[String],
-               k: Int = 20): DataFrame = {
+               k: Int = 20, asOf: Option[Int] = None): DataFrame = {
     val (nb, _) = meta(spark, dir)
     val wanted = terms.map(termBucket(_, nb)).distinct
     val probes = spark.createDataFrame(terms.map(tm => (0L, tm)))
       .toDF("qid", "term")
     val aggs = sum(col("tscore")).as("score") +:
       terms.map(tm => max(when(col("term") === tm, col("tf"))).as(s"tf_$tm"))
-    val scored = scoredTerms(spark, dir, probes, wanted, Some(terms))
+    val scored = scoredTerms(spark, dir, probes, wanted, Some(terms), asOf)
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     // the postings path only surfaces docs holding >= 1 query term, while
     // the shared oracle ranks ALL docs (score-0 ties by doc_id): agreement

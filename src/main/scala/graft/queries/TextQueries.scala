@@ -206,6 +206,19 @@ object TextQueries {
       Seq("spark", "merge", "vector"))
   }
 
+  /** BM25 served AS OF a historical committed version of the maintained
+    * index — TIME TRAVEL over the [[graft.sources.IndexCommit]] manifest
+    * history (audits, reproducible reruns): version 0 of the staged
+    * append chain is the even-id base build, so serving `asOf = 0`
+    * must rank exactly the even-id corpus — the oracle recomputes from
+    * raw docs over that slice. Appends and deletes retire no files, so
+    * every pre-compaction version stays fully resolvable; the first
+    * compaction invalidates rewritten versions loudly (TextIndexSpec).
+    */
+  def textBm25Asof(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.bm25TopK(spark, bm25MaintIndex(spark, dir),
+      Seq("spark", "merge", "vector"), asOf = Some(0))
+
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val tok = docs.select(col("doc_id"),
@@ -446,6 +459,7 @@ object TextQueries {
     "text_bm25_indexed" -> textBm25Indexed,
     "text_bm25_maintained" -> textBm25Maintained,
     "text_bm25_forget" -> textBm25Forget,
+    "text_bm25_asof" -> textBm25Asof,
     "text_vocab_encode" -> textVocabEncode,
     "mm_decode_stats" -> mmDecodeStats,
     "mm_frame_sample" -> mmFrameSample)
@@ -493,6 +507,7 @@ object TextQueries {
     "text_bm25_indexed" -> bm25OracleSql,
     "text_bm25_maintained" -> bm25OracleSql,
     "text_bm25_forget" -> bm25OracleSqlOver(" WHERE doc_id % 7 <> 3"),
+    "text_bm25_asof" -> bm25OracleSqlOver(" WHERE doc_id % 2 = 0"),
     "mm_pixel_dedup" ->
       """WITH v AS (
         |  SELECT doc_id, (n_chars % 16) + 8 AS w, (doc_id % 8) + 8 AS h,

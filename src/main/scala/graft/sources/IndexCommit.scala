@@ -72,11 +72,38 @@ object IndexCommit {
   def latestVersion(root: String): Option[Int] =
     versions(root).lastOption.map(_._1)
 
+  /** Committed manifest versions still on disk (oldest first) — the
+    * TIME-TRAVEL surface: each version is readable while its file set
+    * survives (see [[pinnedFilesAt]]).
+    */
+  def versionsOf(root: String): Seq[Int] = versions(root).map(_._1)
+
+  private def readManifest(p: Path): Seq[String] =
+    new String(Files.readAllBytes(p), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+
   /** Root-relative file list of the latest committed manifest. */
   def pinnedFiles(root: String): Option[Seq[String]] =
-    versions(root).lastOption.map { case (_, p) =>
-      new String(Files.readAllBytes(p), "UTF-8")
-        .split("\n").filter(_.nonEmpty).toSeq
+    versions(root).lastOption.map { case (_, p) => readManifest(p) }
+
+  /** Root-relative file list of a SPECIFIC committed version — snapshot
+    * reads / time travel over the manifest history. A version resolves
+    * while (a) its manifest survives retention ([[vacuum]] keeps the
+    * newest `keepManifests`) and (b) its files survive — guaranteed
+    * along pure-append chains (appends and deletes retire nothing), and
+    * broken by the first compaction that rewrites a file the version
+    * pinned (the Delta-lake vacuum semantics). Fails FAST with a clear
+    * error when files are gone, instead of a mystifying scan failure.
+    */
+  def pinnedFilesAt(root: String, version: Int): Option[Seq[String]] =
+    versions(root).find(_._1 == version).map { case (_, p) =>
+      val files = readManifest(p)
+      val missing = files.filterNot(f => Files.exists(Paths.get(root, f)))
+      require(missing.isEmpty,
+        s"index version $version of $root is no longer fully resolvable " +
+          s"(${missing.size} of ${files.size} files compacted/vacuumed " +
+          s"away, e.g. ${missing.head})")
+      files
     }
 
   /** Every data file physically under `root` (root-relative `.parquet`
@@ -132,14 +159,20 @@ object IndexCommit {
 
   /** Pinned ABSOLUTE file paths under `path` per its governing manifest;
     * None when no manifest governs the path (legacy directory reads).
+    * `asOf` pins a specific committed version instead of the latest
+    * ([[pinnedFilesAt]] semantics).
     */
-  def pinnedUnder(path: String): Option[Seq[String]] =
+  def pinnedUnder(path: String, asOf: Option[Int] = None): Option[Seq[String]] =
     resolveRoot(path).flatMap { case (root, _) =>
       val rootP = Paths.get(root).toAbsolutePath.normalize()
       val p = Paths.get(path).toAbsolutePath.normalize()
       val rel = rootP.relativize(p).toString
       val prefix = if (rel.isEmpty) "" else rel + "/"
-      pinnedFiles(root).map(_.filter(f => prefix.isEmpty || f.startsWith(prefix))
+      val pinned = asOf match {
+        case Some(v) => pinnedFilesAt(root, v)
+        case None => pinnedFiles(root)
+      }
+      pinned.map(_.filter(f => prefix.isEmpty || f.startsWith(prefix))
         .map(f => rootP.resolve(f).toString))
     }
 

@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   *    .annRoute]], k=5) against stored cell-partitioned postings, with
   *    the probed-cells partition pruning in the plan;
   *  - `bm25` — per-arrival retrieval ([[graft.operators.TextIndex
-  *    .bm25Route]], k=10): 4-term queries against the maintained BM25
-  *    index, the batch's probed term buckets pushed as partition
-  *    filters onto the postings scan.
+  *    .bm25Route]], k=10): 3-keyword queries against the maintained
+  *    BM25 index, the batch's probed term buckets pushed as partition
+  *    filters onto the postings scan; runs a 50x-lower rate ladder —
+  *    a retrieval decision scores every candidate doc, and the fixture
+  *    corpus's 31-word vocabulary makes every posting list ~77% of the
+  *    corpus, so each query is a near-full-corpus disjunction (the
+  *    degenerate worst case a Zipfian natural-language vocabulary
+  *    never hits).
   *
   * Reports sustained decisions/s per (tier, input rate) with kept-up
   * flags.
@@ -117,17 +122,30 @@ object RouteBench {
           b.count()
         })),
       "bm25" -> ((
-        // arriving retrieval queries: the pool text's first 4 tokens
+        // arriving retrieval queries: 3 KEYWORD-like tokens (length > 5
+        // — Zipf makes longer words rarer) from the pool text. First-N
+        // tokens would be mostly stopwords, turning every query into the
+        // worst-case full-disjunction scan no real search workload runs.
         (rate: Int) => spark.readStream.format("rate")
           .option("rowsPerSecond", rate.toString).load()
           .select((col("value") + 1000000000L).as("qid"),
-            array_join(slice(split(element_at(poolLit,
+            array_join(slice(filter(split(element_at(poolLit,
               (pmod(col("value"), lit(pool.size)) + 1).cast("int")), " "),
-              1, 4), " ").as("qtext")),
+              x => length(x) > 5), 1, 3), " ").as("qtext")),
         (b: DataFrame) => {
           graft.operators.TextIndex.bm25Route(b, bm25Dir, k = 10).count()
           b.count()
         })))
+    // a retrieval query scores every candidate holding >= 1 query term —
+    // an inherently heavier decision unit than a doc admission — and the
+    // fixture corpus has a 31-word vocabulary, so EVERY term's posting
+    // list is ~77% of the corpus (a natural-language corpus would Zipf-
+    // prune most terms to tiny lists). The bm25 tier therefore runs a
+    // 50x-lower rate ladder; its decisions/s is a LOWER bound paid at
+    // ~3 x 0.77 x |corpus| scored candidates per query.
+    val tierRates: Map[String, Array[Int]] =
+      Map("bm25" -> rates.map(r => math.max(1, r / 50)))
+        .withDefaultValue(rates)
 
     def measure(tier: String, rate: Int,
                 warmup: Boolean): (Double, Long, Boolean, Int) = {
@@ -152,8 +170,9 @@ object RouteBench {
     }
 
     val tierJson = tiers.map { tier =>
-      measure(tier, rates.head, warmup = true) // discarded: JIT + footer caches
-      val results = rates.map { rate =>
+      val rs = tierRates(tier)
+      measure(tier, rs.head, warmup = true) // discarded: JIT + footer caches
+      val results = rs.map { rate =>
         val (pps, mb, ok, n) = measure(tier, rate, warmup = false)
         System.err.println(s"[route-bench] tier=$tier rate=$rate " +
           s"decisions/s=${r1(pps)} meanBatchMs=$mb keptUp=$ok batches=$n")

@@ -111,7 +111,8 @@ object ScalingProbe {
     /** Route-tier axis: warm-min seconds to decide a FIXED synthetic
       * arrival batch (fresh ids drawn from a 500-row sf0.001 pool)
       * against a standing index built at `sfDir` — curateRoute (the full
-      * admission gate) and annRoute (stored IVF top-k). Exponent near 0
+      * admission gate), annRoute (stored IVF top-k), and bm25Route (stored
+      * inverted-index retrieval). Exponent near 0
       * = decision cost independent of index scale, the standing-index
       * claim; the honest number is whatever the probe records.
       */
@@ -138,7 +139,22 @@ object ScalingProbe {
           element_at(embPoolLit, (pmod(col("id"), lit(embPool.size)) + 1)
             .cast("int")).as("embedding"))
         .persist()
-      docBatch.count(); embBatch.count()
+      // arriving retrieval queries: 3 tokens from the pool texts. The
+      // fixture vocabulary is 31 words, so every query is a near-full-
+      // corpus disjunction (candidates ∝ corpus regardless of term
+      // choice) — a 10x-smaller fixed query batch keeps the probe
+      // tractable, and the honest exponent REFLECTS candidate growth:
+      // for disjunctive retrieval the per-query cost is O(query-term
+      // postings), which this degenerate vocabulary makes
+      // corpus-proportional (a Zipfian vocabulary would not).
+      val qBatchN = math.max(1, batchN / 10)
+      val qBatch = spark.range(qBatchN.toLong)
+        .select((col("id") + 1000000000L).as("qid"),
+          array_join(slice(filter(split(element_at(poolLit,
+            (pmod(col("id"), lit(pool.size)) + 1).cast("int")), " "),
+            x => length(x) > 5), 1, 3), " ").as("qtext"))
+        .persist()
+      docBatch.count(); embBatch.count(); qBatch.count()
       def bench(sfDir: String): Map[String, Double] = {
         val dir = java.nio.file.Files
           .createTempDirectory("graft-route-scale").toString
@@ -148,6 +164,9 @@ object ScalingProbe {
         graft.operators.Similarity.ivfWriteIndex(
           graft.Tables.t(spark, sfDir, "embeddings")
             .select(col("vec_id"), col("embedding")), s"$dir-ivf")
+        graft.operators.TextIndex.writeBm25Index(
+          graft.Tables.t(spark, sfDir, "documents")
+            .select(col("doc_id"), col("text")), s"$dir-bm25")
         def wm(run: () => Unit): Double = {
           run()
           (1 to passes).map { _ =>
@@ -160,26 +179,31 @@ object ScalingProbe {
             { graft.operators.Curation.curateRoute(docBatch, dir).count(); () }),
           "ann_route" -> wm(() =>
             { graft.operators.Similarity.annRoute(embBatch, s"$dir-ivf",
-              k = 5).count(); () }))
+              k = 5).count(); () }),
+          "bm25_route" -> wm(() =>
+            { graft.operators.TextIndex.bm25Route(qBatch, s"$dir-bm25",
+              k = 10).count(); () }))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivf"))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-bm25"))
         res
       }
       val smallR = bench(sfSmall)
       val bigR = bench(sfBig)
-      docBatch.unpersist(); embBatch.unpersist()
+      docBatch.unpersist(); embBatch.unpersist(); qBatch.unpersist()
       smallR.keys.toSeq.sorted.map { n =>
+        val bn = if (n == "bm25_route") qBatchN else batchN
         val e = math.log(bigR(n) / smallR(n)) / math.log(rowRatio)
         System.err.println(s"[scaling] route $n: " +
-          s"${r3(batchN / smallR(n))} -> ${r3(batchN / bigR(n))} decisions/s " +
+          s"${r3(bn / smallR(n))} -> ${r3(bn / bigR(n))} decisions/s " +
           s"(exponent ${r3(e)})")
-        s""""$n":{"batch":$batchN,"t_small":${r3(smallR(n))},""" +
+        s""""$n":{"batch":$bn,"t_small":${r3(smallR(n))},""" +
           s""""t_big":${r3(bigR(n))},""" +
-          s""""dps_small":${r3(batchN / smallR(n))},""" +
-          s""""dps_big":${r3(batchN / bigR(n))},"exponent":${r3(e)}}"""
+          s""""dps_small":${r3(bn / smallR(n))},""" +
+          s""""dps_big":${r3(bn / bigR(n))},"exponent":${r3(e)}}"""
       }.mkString(",\"route\":{", ",", "}")
     }
-    /** Forget-tier axis: on a standing LSH + IVF index pair built at
+    /** Forget-tier axis: on standing LSH + IVF + BM25 indexes built at
       * `sfDir`, time (a) a FIXED-size tombstone delete — disjoint id
       * slices per pass, so every pass does identical work against a
       * monotonically (slightly) more tombstoned index — and (b) the
@@ -210,12 +234,18 @@ object ScalingProbe {
           .select(col("vec_id"), col("embedding"))
         graft.operators.Dedup.writeLshIndex(docs, dir)
         graft.operators.Similarity.ivfWriteIndex(emb, s"$dir-ivf")
+        graft.operators.TextIndex.writeBm25Index(docs, s"$dir-bm25")
         val probes = emb.limit(200).persist(); probes.count()
+        def bm25Serve(): Unit = {
+          graft.operators.TextIndex.bm25TopK(spark, s"$dir-bm25",
+            Seq("spark", "merge", "vector")).count(); ()
+        }
         val pairsClean = wm(() =>
           { graft.operators.Dedup.pairsFromIndex(spark, dir).count(); () })
         val annClean = wm(() =>
           { graft.operators.Similarity.annRoute(probes, s"$dir-ivf",
             k = 5).count(); () })
+        val bm25Clean = wm(() => bm25Serve())
         // wm runs once untimed + `passes` timed -> passes+1 slices each
         val docIds = docs.select("doc_id").orderBy("doc_id")
           .limit(nDead * (passes + 1)).collect().map(_.getLong(0))
@@ -237,40 +267,58 @@ object ScalingProbe {
           graft.operators.Similarity.deleteFromIvfIndex(
             s.toSeq.toDF("vec_id"), s"$dir-ivf"); ()
         }
+        var bSlice = 0
+        def delBm25(): Unit = {
+          val s = docIds.slice(bSlice * nDead, (bSlice + 1) * nDead)
+          bSlice += 1
+          graft.operators.TextIndex.deleteFromBm25Index(
+            s.toSeq.toDF("doc_id"), s"$dir-bm25"); ()
+        }
         val tDelLsh = wm(() => delDoc())
         val tDelIvf = wm(() => delVec())
+        val tDelBm25 = wm(() => delBm25())
         val pairsTomb = wm(() =>
           { graft.operators.Dedup.pairsFromIndex(spark, dir).count(); () })
         val annTomb = wm(() =>
           { graft.operators.Similarity.annRoute(probes, s"$dir-ivf",
             k = 5).count(); () })
+        val bm25Tomb = wm(() => bm25Serve())
         // compaction folds the tombstones + delta segments: serving
         // returns to the clean-index shape (the anti-join leaves the plan)
         graft.operators.Dedup.compactLshIndex(spark, dir,
           maxFilesPerRange = 1)
         graft.operators.Similarity.compactIvfIndex(spark, s"$dir-ivf",
           maxFilesPerCell = 1)
+        graft.operators.TextIndex.compactBm25Index(spark, s"$dir-bm25",
+          maxFiles = 1)
         val pairsComp = wm(() =>
           { graft.operators.Dedup.pairsFromIndex(spark, dir).count(); () })
         val annComp = wm(() =>
           { graft.operators.Similarity.annRoute(probes, s"$dir-ivf",
             k = 5).count(); () })
+        val bm25Comp = wm(() => bm25Serve())
         probes.unpersist()
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(s"$dir-ivf"))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$dir-bm25"))
         Map("lsh_delete" -> tDelLsh, "ivf_delete" -> tDelIvf,
+          "bm25_delete" -> tDelBm25,
           "lsh_pairs_clean" -> pairsClean,
           "lsh_pairs_tombstoned" -> pairsTomb,
           "lsh_pairs_compacted" -> pairsComp,
           "ann_clean" -> annClean, "ann_tombstoned" -> annTomb,
-          "ann_compacted" -> annComp)
+          "ann_compacted" -> annComp,
+          "bm25_clean" -> bm25Clean, "bm25_tombstoned" -> bm25Tomb,
+          "bm25_compacted" -> bm25Comp)
       }
       val s = bench(sfSmall)
       val b = bench(sfBig)
       def ex(k: String) = math.log(b(k) / s(k)) / math.log(rowRatio)
-      val ops = Seq("lsh_delete", "ivf_delete")
-      val paths = Seq("lsh_pairs" -> "lsh_pairs", "ann" -> "ann")
+      val ops = Seq("lsh_delete", "ivf_delete", "bm25_delete")
+      val paths = Seq("lsh_pairs" -> "lsh_pairs", "ann" -> "ann",
+        "bm25" -> "bm25")
       val opJson = ops.map { k =>
         System.err.println(s"[scaling] forget $k: ${r3(s(k))} -> " +
           s"${r3(b(k))} s (exponent ${r3(ex(k))})")

@@ -149,6 +149,42 @@ class TextIndexSpec extends SparkSpec {
       s"3-term query must prune to <= 3 buckets: $postingsScan")
   }
 
+  test("as-of serves historical versions along the append/delete chain; " +
+      "compaction invalidates them loudly") {
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs.filter(col("doc_id") % 2 === 0), dir) // v0
+    TextIndex.appendBm25Index(docs.filter(col("doc_id") % 2 === 1), dir) // v1
+    assert(IndexCommit.versionsOf(dir) == Seq(0, 1))
+    // v0 = exactly the base build: equal to a fresh index over that slice
+    val evenOnly = tmp()
+    TextIndex.writeBm25Index(docs.filter(col("doc_id") % 2 === 0), evenOnly)
+    assert(TextIndex.bm25TopK(spark, dir, terms, asOf = Some(0))
+        .collect().toSeq ==
+      TextIndex.bm25TopK(spark, evenOnly, terms).collect().toSeq)
+    // v1 = the latest: as-of and default serves agree
+    val servedV1 = serve(dir)
+    assert(TextIndex.bm25TopK(spark, dir, terms, asOf = Some(1))
+      .collect().toSeq == servedV1)
+    // a delete commits v2; as-of v1 still serves the pre-delete ranking
+    TextIndex.deleteFromBm25Index(
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"), dir)
+    assert(serve(dir) != servedV1, "the delete must change the ranking")
+    assert(TextIndex.bm25TopK(spark, dir, terms, asOf = Some(1))
+      .collect().toSeq == servedV1)
+    // unknown versions fail with a clear message
+    val eUnknown = intercept[RuntimeException] {
+      TextIndex.bm25TopK(spark, dir, terms, asOf = Some(99)).collect()
+    }
+    assert(eUnknown.getMessage.contains("not in the manifest history"))
+    // compaction rewrites files old versions pinned: time travel to them
+    // now fails FAST instead of a mystifying scan error
+    TextIndex.compactBm25Index(spark, dir)
+    val eGone = intercept[IllegalArgumentException] {
+      TextIndex.bm25TopK(spark, dir, terms, asOf = Some(0)).collect()
+    }
+    assert(eGone.getMessage.contains("no longer fully resolvable"))
+  }
+
   test("bm25Route replays equal to the batch serving query") {
     val dir = tmp()
     TextIndex.writeBm25Index(docs, dir)
