@@ -185,6 +185,59 @@ class TextIndexSpec extends SparkSpec {
     assert(eGone.getMessage.contains("no longer fully resolvable"))
   }
 
+  test("randomized lifecycle property: append/delete waves (with killed " +
+      "writes) always serve the fresh live-corpus ranking") {
+    val rnd = new scala.util.Random(12)
+    val dir = tmp()
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val waves = allIds.grouped(math.max(1, allIds.length / 4)).toSeq
+    def ofIds(ids: Set[Long]) = docs.filter(col("doc_id").isin(ids.toSeq: _*))
+    // small k: waves shrink the live set below the default-20 candidate
+    // floor early in the chain
+    def topk(d: String): Seq[org.apache.spark.sql.Row] =
+      TextIndex.bm25TopK(spark, d, terms, k = 5).collect().toSeq
+    def freshEquals(live: Set[Long]): Unit = {
+      val fresh = tmp()
+      TextIndex.writeBm25Index(ofIds(live), fresh)
+      assert(topk(dir) == topk(fresh),
+        s"served ranking must equal a fresh build over the ${live.size} live docs")
+    }
+    var live = waves.head.toSet
+    TextIndex.writeBm25Index(ofIds(live), dir)
+    freshEquals(live)
+    waves.zipWithIndex.drop(1).foreach { case (wave, i) =>
+      // kill one append and one delete mid-chain; re-runs must converge
+      if (i == 2) {
+        IndexCommit.failpoint =
+          n => if (n == "bm25-before-commit") sys.error("kill")
+        try intercept[Exception] { TextIndex.appendBm25Index(ofIds(wave.toSet), dir) }
+        finally IndexCommit.failpoint = _ => ()
+        freshEquals(live) // the killed append must be invisible
+      }
+      TextIndex.appendBm25Index(ofIds(wave.toSet), dir)
+      live ++= wave
+      freshEquals(live)
+      val dead = rnd.shuffle(live.toSeq).take(2).toSet
+      if (i == 1) {
+        IndexCommit.failpoint =
+          n => if (n == "bm25-del-staged") sys.error("kill")
+        try intercept[Exception] {
+          TextIndex.deleteFromBm25Index(ofIds(dead).select("doc_id"), dir)
+        } finally IndexCommit.failpoint = _ => ()
+        freshEquals(live) // the killed delete must be invisible
+      }
+      assert(TextIndex.deleteFromBm25Index(
+        ofIds(dead).select("doc_id"), dir) == dead.size)
+      live --= dead
+      freshEquals(live)
+    }
+    // a final compaction folds every wave's tombstones + segments and
+    // still serves the live ranking
+    assert(TextIndex.compactBm25Index(spark, dir, maxFiles = 1) > 0)
+    assert(!TextIndex.hasTombstones(dir))
+    freshEquals(live)
+  }
+
   test("bm25Route replays equal to the batch serving query") {
     val dir = tmp()
     TextIndex.writeBm25Index(docs, dir)
