@@ -777,15 +777,12 @@ object Curation {
     * table untouched (no extra join in the plan).
     */
   private def servedHashes(spark: org.apache.spark.sql.SparkSession,
-                           dir: String): DataFrame = {
-    val hashes = Dedup.readIndexTable(spark, s"$dir/hashes",
-      "content_hash STRING, keeper BIGINT")
-    if (!Dedup.tombstonesNonEmpty(dir)) hashes
-    else hashes.join(
-      broadcast(Dedup.tombstoneIds(spark, dir)
-        .select(col("id").as("keeper"))),
-      Seq("keeper"), "left_anti")
-  }
+                           dir: String,
+                           asOf: Option[Int] = None): DataFrame =
+    graft.sources.StoredIndex.antiTombstoned(spark, dir, "lsh-tombstones",
+      Dedup.readIndexTable(spark, s"$dir/hashes",
+        "content_hash STRING, keeper BIGINT", asOf),
+      "keeper", asOf)
 
   /** TOMBSTONE-DELETE documents from the curation state — the FORGET half
     * of the decide+learn loop (takedown / erasure requests against an
@@ -935,14 +932,15 @@ object Curation {
     */
   def curateRoute(arrivals: DataFrame, dir: String, minTokens: Int = 20,
                   k: Int = 3, nearThreshold: Double = 0.6,
-                  benchMod: Int = 97, minOverlap: Int = 3): DataFrame = {
+                  benchMod: Int = 97, minOverlap: Int = 3,
+                  asOf: Option[Int] = None): DataFrame = {
     val spark = arrivals.sparkSession
     val normed = normalizeDocs(arrivals).select(col("doc_id"),
       col("norm").as("text"))
     val staged = normed
       .withColumn("n_tokens", tokenCount(col("text")))
       .withColumn("ch", md5(col("text")))
-    val hashes = servedHashes(spark, dir)
+    val hashes = servedHashes(spark, dir, asOf)
     // the batch's own keeper candidates: floor-passing min-id holder per
     // content hash (micro-batch-sized frames throughout)
     val floorPass = staged.filter(col("n_tokens") >= minTokens)
@@ -966,7 +964,7 @@ object Curation {
       .select(col("doc_id"), col("text"))
     // kept-shingle arrays, built once and shared by all three screens
     val stopArr = Dedup.readIndexTable(spark, s"$dir/lsh/stop",
-        "shingle STRING")
+        "shingle STRING", asOf)
       .agg(sort_array(collect_list(col("shingle"))).as("stopa"))
     def keptOf(df: DataFrame, idAs: String, keptAs: String): DataFrame = df
       .crossJoin(broadcast(stopArr))
@@ -979,7 +977,7 @@ object Curation {
     // stored docs via the exact prefix-filter route, same-batch keepers
     // via the batch-local pair rule
     val nearHit = Dedup.jaccardRouteOnKept(arrivalKept, s"$dir/lsh",
-        nearThreshold)
+        nearThreshold, asOf = asOf)
       .filter(col("id") < col("sid"))
       .select(col("sid").as("doc_id"))
       .unionByName(Dedup.jaccardPairsOnKept(arrivalKept, keeperKept,
@@ -994,7 +992,7 @@ object Curation {
     // screens batch-mates regardless of id order)
     val benchArrays = Dedup.antiTombstoned(spark, s"$dir/lsh",
         Dedup.readIndexTable(spark, s"$dir/lsh/arrays",
-          "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT"))
+          "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT", asOf), asOf)
       .filter(col("id") % benchMod === 0)
       .select(col("id").as("bench_id"), col("sa").as("ba"))
       .unionByName(keeperKept

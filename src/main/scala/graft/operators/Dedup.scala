@@ -392,118 +392,57 @@ object Dedup {
     (range, t)
   }
 
+  // Shared stored-index glue lives in [[graft.sources.StoredIndex]] since
+  // r13 (VERDICT r12 #6); the thin aliases below keep this family's many
+  // internal call sites readable. Every read takes `asOf` — None serves
+  // the latest committed version, Some(v) time-travels to manifest
+  // version v (the [[graft.sources.IndexCommit.pinnedFilesAt]] surface).
+
   private[operators] def emptyFrame(spark: org.apache.spark.sql.SparkSession,
                          ddl: String): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    graft.sources.StoredIndex.emptyFrame(spark, ddl)
 
-  /** DIRECT directory read of an index table with a declared schema,
-    * tolerating the EMPTY-BOOTSTRAP case: a write of zero rows can emit
-    * no data files at all (a partitionBy write always, a plain write when
-    * the frame has zero partitions) — exactly the state of a curation
-    * index initialized over an empty corpus before its first append.
-    * Schema inference has nothing to read then, and in Spark 4 the
-    * failure surfaces lazily at ANALYSIS of the consuming query, so the
-    * empty case is detected eagerly by listing for data files (index dirs
-    * are local-path by the maintenance contract) and served as a zero-row
-    * frame with the layout's declared schema. Used by bootstrap readbacks
-    * and as the legacy (never-committed-dir) fallback.
-    */
   private[operators] def readDirTable(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, ddl: String): DataFrame = {
-    val root = java.nio.file.Paths.get(path)
-    val hasData = java.nio.file.Files.exists(root) && {
-      import scala.jdk.CollectionConverters._
-      val s = java.nio.file.Files.walk(root)
-      try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
-      finally s.close()
-    }
-    if (hasData) spark.read
-      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-      .parquet(path)
-    else emptyFrame(spark, ddl)
-  }
+      path: String, ddl: String): DataFrame =
+    graft.sources.StoredIndex.readDirTable(spark, path, ddl)
 
-  /** SNAPSHOT-ISOLATED index-table read: resolve the governing committed
-    * manifest ([[graft.sources.IndexCommit.pinnedUnder]] — the table's
-    * own root or an enclosing composite root) and scan exactly its file
-    * list, so files an in-flight or crashed append moved in are invisible
-    * and retired-but-undeleted files never double-count. Falls back to
-    * the direct directory read for never-committed dirs.
-    */
   private[operators] def readIndexTable(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, ddl: String): DataFrame =
-    graft.sources.IndexCommit.pinnedUnder(path) match {
-      case Some(files) if files.isEmpty => emptyFrame(spark, ddl)
-      case Some(files) => spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-        .option("basePath", path)
-        .parquet(files: _*)
-      case None => readDirTable(spark, path, ddl)
-    }
+      path: String, ddl: String, asOf: Option[Int] = None): DataFrame =
+    graft.sources.StoredIndex.readTable(spark, path, ddl, asOf)
 
   private def rawBuckets(spark: org.apache.spark.sql.SparkSession,
-                         dir: String): DataFrame =
+                         dir: String,
+                         asOf: Option[Int] = None): DataFrame =
     readIndexTable(spark, s"$dir/buckets_raw",
-      "id BIGINT, band INT, bh BIGINT, pid BIGINT")
-
-  /** The merged view of an LSM-shaped index statistic: append-only delta
-    * segments (`<table>/seg-*`) carrying per-key count deltas, summed at
-    * read. Appends write O(batch keys) instead of rewriting the
-    * table-scale statistic; [[appendLshIndex]] compacts the segments back
-    * to one base past the segment budget (the
-    * [[graft.sources.LogStore.compact]] discipline).
-    */
-  private def mergedLsm(spark: org.apache.spark.sql.SparkSession,
-                        path: String, ddl: String,
-                        keys: Seq[String], cnt: String): DataFrame = {
-    val segs = graft.sources.IndexCommit.pinnedUnder(path) match {
-      case Some(files) if files.isEmpty => emptyFrame(spark, ddl)
-      case Some(files) => spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-        .parquet(files: _*)
-      case None =>
-        val root = java.nio.file.Paths.get(path)
-        val hasData = java.nio.file.Files.exists(root) && {
-          import scala.jdk.CollectionConverters._
-          val s = java.nio.file.Files.walk(root)
-          try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
-          finally s.close()
-        }
-        if (!hasData) emptyFrame(spark, ddl)
-        else spark.read
-          .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-          .option("recursiveFileLookup", "true").parquet(path)
-    }
-    segs.groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
-  }
+      "id BIGINT, band INT, bh BIGINT, pid BIGINT", asOf)
 
   private def mergedDf(spark: org.apache.spark.sql.SparkSession,
                        dir: String): DataFrame =
-    mergedLsm(spark, s"$dir/df", "shingle STRING, df BIGINT",
-      Seq("shingle"), "df")
+    graft.sources.StoredIndex.mergedLsm(spark, s"$dir/df",
+      "shingle STRING, df BIGINT", Seq("shingle"), "df")
 
   private def mergedBcounts(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): DataFrame =
-    mergedLsm(spark, s"$dir/bcounts", "band INT, bh BIGINT, n BIGINT",
-      Seq("band", "bh"), "n")
+                            dir: String,
+                            asOf: Option[Int] = None): DataFrame =
+    graft.sources.StoredIndex.mergedLsm(spark, s"$dir/bcounts",
+      "band INT, bh BIGINT, n BIGINT", Seq("band", "bh"), "n", asOf)
 
   /** The bucket-size-cut complement — (band, bh) of buckets whose merged
     * occupancy exceeds [[maxBucketSize]] — derived from the `bcounts` LSM
-    * and CACHED per committed index version (route consumers probe it
+    * and CACHED per served index version (route consumers probe it
     * every micro-batch; the tiny result is version-stable between
     * appends, so the merge aggregation runs once per version, not once
     * per batch).
     */
   private[operators] def servedOversize(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val ver = graft.sources.IndexCommit.resolveRoot(s"$dir/bcounts")
-      .map(_._2).getOrElse(-1)
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val ver = asOf.orElse(graft.sources.IndexCommit
+      .resolveRoot(s"$dir/bcounts").map(_._2)).getOrElse(-1)
     graft.Caches.cached("lsh-oversize", s"$dir|v$ver") {
-      mergedBcounts(spark, dir).filter(col("n") > maxBucketSize)
+      mergedBcounts(spark, dir, asOf).filter(col("n") > maxBucketSize)
         .select("band", "bh")
     }
   }
@@ -515,63 +454,40 @@ object Dedup {
     * are excluded.
     */
   private[operators] def servedBuckets(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val raw = rawBuckets(spark, dir).select("id", "band", "bh")
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val raw = rawBuckets(spark, dir, asOf).select("id", "band", "bh")
     antiTombstoned(spark, dir,
-      raw.join(broadcast(servedOversize(spark, dir)),
-        Seq("band", "bh"), "left_anti"))
+      raw.join(broadcast(servedOversize(spark, dir, asOf)),
+        Seq("band", "bh"), "left_anti"), asOf)
   }
 
   /** Stored per-doc arrays without the partition column; tombstoned docs
     * excluded.
     */
   private def storedArrays(spark: org.apache.spark.sql.SparkSession,
-                           dir: String): DataFrame =
+                           dir: String,
+                           asOf: Option[Int] = None): DataFrame =
     antiTombstoned(spark, dir,
       readIndexTable(spark, s"$dir/arrays",
-        "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT"))
+        "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT", asOf), asOf)
       .select("id", "sa", "n")
 
-  /** Whether an index carries any live tombstones — a driver-side
-    * metadata check (pinned file list or directory walk), so the no-delete
-    * common case keeps every served plan EXACTLY as before (no empty
-    * anti-join is ever planned).
-    */
-  private[operators] def tombstonesNonEmpty(dir: String): Boolean =
-    graft.sources.IndexCommit.pinnedUnder(s"$dir/tombstones") match {
-      case Some(files) => files.nonEmpty
-      case None =>
-        val root = java.nio.file.Paths.get(s"$dir/tombstones")
-        java.nio.file.Files.exists(root) && {
-          import scala.jdk.CollectionConverters._
-          val s = java.nio.file.Files.walk(root)
-          try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
-          finally s.close()
-        }
-    }
+  private[operators] def tombstonesNonEmpty(
+      dir: String, asOf: Option[Int] = None): Boolean =
+    graft.sources.StoredIndex.hasTombstones(dir, asOf)
 
-  /** The live tombstone set (deleted doc ids) — GDPR/takedown-sized by
-    * contract, cached per committed index version like the oversize
-    * complement (route consumers probe every micro-batch).
-    */
   private[operators] def tombstoneIds(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val ver = graft.sources.IndexCommit.resolveRoot(s"$dir/tombstones")
-      .map(_._2).getOrElse(-1)
-    graft.Caches.cached("lsh-tombstones", s"$dir|v$ver") {
-      readIndexTable(spark, s"$dir/tombstones", "id BIGINT")
-    }
-  }
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      asOf: Option[Int] = None): DataFrame =
+    graft.sources.StoredIndex.tombstoneIds(spark, dir, "lsh-tombstones",
+      asOf)
 
-  /** Exclude tombstoned ids from a served view (broadcast anti-join on
-    * the tiny delete set); the no-tombstones case returns the plan
-    * untouched.
-    */
   private[operators] def antiTombstoned(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      df: DataFrame): DataFrame =
-    if (!tombstonesNonEmpty(dir)) df
-    else df.join(broadcast(tombstoneIds(spark, dir)), Seq("id"), "left_anti")
+      df: DataFrame, asOf: Option[Int] = None): DataFrame =
+    graft.sources.StoredIndex.antiTombstoned(spark, dir, "lsh-tombstones",
+      df, "id", asOf)
 
   /** INCREMENTAL index maintenance — grow a [[writeLshIndex]] index by a
     * new document batch without re-shingling or re-signing the corpus:
@@ -780,17 +696,7 @@ object Dedup {
     // move into the live dirs with no possible collision; replaced files
     // are RETIRED in the transaction's bookkeeping, not deleted.
     def moveFiles(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(from)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.createDirectories(to)
-        val s = java.nio.file.Files.list(from)
-        val fs = try s.iterator().asScala.toSeq finally s.close()
-        fs.filter(_.toString.endsWith(".parquet")).foreach { f =>
-          val dst = to.resolve(f.getFileName.toString)
-          java.nio.file.Files.move(f, dst)
-          t.add(t.rel(dst))
-        }
-      }
+      txnMove(t, from, to)
     def moveInPartitioned(table: String): Unit = {
       touchedLit.foreach { pid =>
         t.retireUnder(s"$dirRel$table/pid=$pid")
@@ -799,23 +705,8 @@ object Dedup {
       }
       IndexCommit.hit(s"moved:$table")
     }
-    // next segment id = max(existing)+1, never a count: non-contiguous
-    // leftovers (a crashed compaction's survivors) must not alias — and
-    // silently overwrite — an existing segment
-    def nextSegDir(table: String): java.nio.file.Path = {
-      val segRoot = java.nio.file.Paths.get(dir, table)
-      import scala.jdk.CollectionConverters._
-      val existing =
-        if (!java.nio.file.Files.exists(segRoot)) Seq.empty[String]
-        else {
-          val s = java.nio.file.Files.list(segRoot)
-          try s.iterator().asScala.toSeq.map(_.getFileName.toString)
-          finally s.close()
-        }
-      val next = existing.filter(_.startsWith("seg-"))
-        .map(_.stripPrefix("seg-").toInt).maxOption.getOrElse(-1) + 1
-      segRoot.resolve(f"seg-$next%05d")
-    }
+    def nextSegDir(table: String): java.nio.file.Path =
+      nextSegDirIn(dir, table)
     if (touchedLit.nonEmpty) {
       moveInPartitioned("arrays")
       moveInPartitioned("buckets_raw")
@@ -849,43 +740,21 @@ object Dedup {
     }
   }
 
-  /** Move every staged `.parquet` under `from` into `to` under its fresh
-    * part name, recording each add in the transaction (the shared
-    * stage-dir move-in every maintenance path uses).
+  /** Stage-dir move-in recording each add in the transaction (see
+    * [[graft.sources.StoredIndex.moveTree]]).
     */
   private[operators] def txnMove(t: graft.sources.IndexTxn,
                       from: java.nio.file.Path,
                       to: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(from)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.createDirectories(to)
-      val s = java.nio.file.Files.list(from)
-      val fs = try s.iterator().asScala.toSeq finally s.close()
-      fs.filter(_.toString.endsWith(".parquet")).foreach { f =>
-        val dst = to.resolve(f.getFileName.toString)
-        java.nio.file.Files.move(f, dst)
-        t.add(t.rel(dst))
-      }
-    }
+    graft.sources.StoredIndex.moveTree(t, from, to)
 
   /** Next LSM segment dir for `table`: max(existing seg numbers)+1 —
     * never a count, so non-contiguous crash leftovers cannot alias an
     * existing segment.
     */
-  private def nextSegDirIn(dir: String, table: String): java.nio.file.Path = {
-    val segRoot = java.nio.file.Paths.get(dir, table)
-    import scala.jdk.CollectionConverters._
-    val existing =
-      if (!java.nio.file.Files.exists(segRoot)) Seq.empty[String]
-      else {
-        val s = java.nio.file.Files.list(segRoot)
-        try s.iterator().asScala.toSeq.map(_.getFileName.toString)
-        finally s.close()
-      }
-    val next = existing.filter(_.startsWith("seg-"))
-      .map(_.stripPrefix("seg-").toInt).maxOption.getOrElse(-1) + 1
-    segRoot.resolve(f"seg-$next%05d")
-  }
+  private def nextSegDirIn(dir: String, table: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, table).resolve(
+      f"seg-${graft.sources.StoredIndex.nextSeg(dir, table, "seg-")}%05d")
 
   /** TOMBSTONE-DELETE documents from a stored LSH index — the FORGET half
     * of the maintenance tier (takedowns / GDPR erasure / quality recalls
@@ -1001,17 +870,7 @@ object Dedup {
     }
     val out = Seq.newBuilder[(String, Int)]
     def moveFiles(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(from)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.createDirectories(to)
-        val s = java.nio.file.Files.list(from)
-        val fs = try s.iterator().asScala.toSeq finally s.close()
-        fs.filter(_.toString.endsWith(".parquet")).foreach { f =>
-          val dst = to.resolve(f.getFileName.toString)
-          java.nio.file.Files.move(f, dst)
-          t.add(t.rel(dst))
-        }
-      }
+      txnMove(t, from, to)
     val tableDdl = Map(
       "arrays" -> "id BIGINT, sa ARRAY<STRING>, n BIGINT",
       "buckets_raw" -> "id BIGINT, band INT, bh BIGINT",
@@ -1090,19 +949,8 @@ object Dedup {
           .write.mode("overwrite").parquet(s"$dir/.$table-fold")
         files.foreach(t.retire)
         // a fresh seg id past every existing dir (crash leftovers incl.)
-        val segRoot = java.nio.file.Paths.get(dir, table)
-        import scala.jdk.CollectionConverters._
-        val existing =
-          if (!java.nio.file.Files.exists(segRoot)) Seq.empty[String]
-          else {
-            val s = java.nio.file.Files.list(segRoot)
-            try s.iterator().asScala.toSeq.map(_.getFileName.toString)
-            finally s.close()
-          }
-        val next = existing.filter(_.startsWith("seg-"))
-          .map(_.stripPrefix("seg-").toInt).maxOption.getOrElse(-1) + 1
         moveFiles(java.nio.file.Paths.get(s"$dir/.$table-fold"),
-          segRoot.resolve(f"seg-$next%05d"))
+          nextSegDirIn(dir, table))
         out += ((table, 1))
       }
     }
@@ -1140,9 +988,10 @@ object Dedup {
     * exact-Jaccard oracle as the scan-path queries.
     */
   def pairsFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     threshold: Double = 0.6): DataFrame = {
-    val buckets = servedBuckets(spark, dir)
-    val arrays = storedArrays(spark, dir)
+                     threshold: Double = 0.6,
+                     asOf: Option[Int] = None): DataFrame = {
+    val buckets = servedBuckets(spark, dir, asOf)
+    val arrays = storedArrays(spark, dir, asOf)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -1191,9 +1040,10 @@ object Dedup {
   def minhashRoute(arrivals: DataFrame, indexDir: String, k: Int = 3,
                    numHashes: Int = 32, bands: Int = 16,
                    threshold: Double = 0.6, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame =
+                   textCol: String = "text",
+                   asOf: Option[Int] = None): DataFrame =
     minhashRouteRaw(arrivals, indexDir, k, numHashes, bands, threshold,
-        idCol, textCol)
+        idCol, textCol, asOf)
       .select(least(col("sid"), col("id")).as("da"),
         greatest(col("sid"), col("id")).as("db"), col("jaccard"))
 
@@ -1205,12 +1055,14 @@ object Dedup {
                    indexDir: String, k: Int = 3,
                    numHashes: Int = 32, bands: Int = 16,
                    threshold: Double = 0.6, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text",
+                   asOf: Option[Int] = None): DataFrame = {
     val spark = arrivals.sparkSession
     val rows = numHashes / bands
-    val buckets = servedBuckets(spark, indexDir)
-    val arrays = storedArrays(spark, indexDir)
-    val stopArr = readIndexTable(spark, s"$indexDir/stop", "shingle STRING")
+    val buckets = servedBuckets(spark, indexDir, asOf)
+    val arrays = storedArrays(spark, indexDir, asOf)
+    val stopArr = readIndexTable(spark, s"$indexDir/stop", "shingle STRING",
+        asOf)
       .agg(sort_array(collect_list(col("shingle"))).as("stopa"))
     val kept = arrivals
       .select(col(idCol).cast("long").as("sid"), col(textCol).as("text"))
@@ -1317,8 +1169,9 @@ object Dedup {
     */
   def jaccardRoute(arrivals: DataFrame, indexDir: String, k: Int = 3,
                    threshold: Double = 0.6, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame =
-    jaccardRouteRaw(arrivals, indexDir, k, threshold, idCol, textCol)
+                   textCol: String = "text",
+                   asOf: Option[Int] = None): DataFrame =
+    jaccardRouteRaw(arrivals, indexDir, k, threshold, idCol, textCol, asOf)
       .select(least(col("sid"), col("id")).as("da"),
         greatest(col("sid"), col("id")).as("db"), col("jaccard"))
 
@@ -1328,9 +1181,11 @@ object Dedup {
   private[operators] def jaccardRouteRaw(arrivals: DataFrame,
                     indexDir: String, k: Int = 3, threshold: Double = 0.6,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
-    jaccardRouteOnKept(keptForRoute(arrivals, indexDir, k, idCol, textCol),
-      indexDir, threshold)
+                    textCol: String = "text",
+                    asOf: Option[Int] = None): DataFrame =
+    jaccardRouteOnKept(
+      keptForRoute(arrivals, indexDir, k, idCol, textCol, asOf),
+      indexDir, threshold, asOf = asOf)
 
   /** An arrival frame's kept-shingle arrays (sid, kept) against a stored
     * index's stop list — the in-row probe-side prep every route screen
@@ -1339,9 +1194,11 @@ object Dedup {
     */
   private[graft] def keptForRoute(arrivals: DataFrame, indexDir: String,
                     k: Int = 3, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    asOf: Option[Int] = None): DataFrame = {
     val spark = arrivals.sparkSession
-    val stopArr = readIndexTable(spark, s"$indexDir/stop", "shingle STRING")
+    val stopArr = readIndexTable(spark, s"$indexDir/stop", "shingle STRING",
+        asOf)
       .agg(sort_array(collect_list(col("shingle"))).as("stopa"))
     arrivals
       .select(col(idCol).cast("long").as("sid"), col(textCol).as("text"))
@@ -1369,16 +1226,18 @@ object Dedup {
     */
   private[graft] def jaccardRouteOnKept(kept: DataFrame,
                     indexDir: String, threshold: Double,
-                    cacheKey: Option[String] = None): DataFrame = {
+                    cacheKey: Option[String] = None,
+                    asOf: Option[Int] = None): DataFrame = {
     val spark = kept.sparkSession
     val (_, storedT) = readMeta(indexDir)
     require(math.abs(storedT - threshold) < 1e-9,
       s"index prefixes were written at threshold $storedT, not $threshold")
     val prefixes = antiTombstoned(spark, indexDir,
         readIndexTable(spark, s"$indexDir/prefixes",
-          "id BIGINT, n BIGINT, rn INT, shingle STRING, pid BIGINT"))
+          "id BIGINT, n BIGINT, rn INT, shingle STRING, pid BIGINT", asOf),
+        asOf)
       .select("id", "n", "rn", "shingle")
-    val arrays = storedArrays(spark, indexDir)
+    val arrays = storedArrays(spark, indexDir, asOf)
       .select(col("id"), col("sa"), col("n").as("nb"))
     // batch consumers (whole-corpus replays) pass a cacheKey so the
     // in-row probe prep — the hash-order sort per arrival is the route's

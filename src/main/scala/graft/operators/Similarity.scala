@@ -261,6 +261,31 @@ object Similarity {
         (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos")), k)
   }
 
+  /** Sentinel `nCells` value asking [[ivfWriteIndex]] / [[rebuildIvfIndex]]
+    * to size the cell count from the corpus ([[autoCellsFor]]).
+    */
+  val AutoCells: Int = -1
+
+  /** CELL-COUNT POLICY (VERDICT r12 item #2): nCells = max(8,
+    * min(ceil(sqrt(N)), maxSample/8)) — the standard IVF sizing rule.
+    * Per-probe serving cost is O(nprobe * N / nCells) postings scored +
+    * O(nCells) centroid dots; sqrt(N) balances the two terms, so a
+    * policy-rebuilt index keeps per-decision cost ~flat as the corpus
+    * grows 10x (a FIXED nCells makes it grow linearly — the r12
+    * `ann_route` exponent 0.306). The upper cap keeps >= 8 training
+    * points per cell in the bounded k-means sample (training would
+    * otherwise fragment into empty cells); a 100 TB deployment raises
+    * `maxSample` and this cap together — the policy is the ratio, the
+    * constants are the local test budget.
+    */
+  def autoCellsFor(n: Long, maxSample: Int = 4096): Int =
+    math.max(8L, math.min(math.ceil(math.sqrt(n.toDouble)).toLong,
+      (maxSample / 8).toLong)).toInt
+
+  private def resolveCells(e: DataFrame, nCells: Int): Int =
+    if (nCells != AutoCells) nCells
+    else autoCellsFor(e.count())
+
   /** Persist the IVF search state for [[annRoute]]: `centroids` (cell ->
     * centroid vector — k x dim, driver-sized), `postings` (the
     * [[corpusCells]] cell-keyed corpus, PARTITIONED BY `cell` so a
@@ -281,7 +306,7 @@ object Similarity {
     graft.sources.IndexCommit.deleteTree(java.nio.file.Paths.get(dir))
     val embKey = emb.queryExecution.analyzed.semanticHash().toString
     val e = graft.Caches.cached("emb-vectors", embKey)(asDouble(emb))
-    val cents = kmeansCentroids(e, nCells, iters)
+    val cents = kmeansCentroids(e, resolveCells(e, nCells), iters)
     cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
       .toDF("cell", "cv")
       .write.mode("overwrite").parquet(s"$dir/centroids")
@@ -306,30 +331,30 @@ object Similarity {
         col("mean_qerr"))
 
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): Seq[Seq[Double]] =
-    graft.operators.Dedup.readIndexTable(spark, s"$dir/centroids",
-        "cell BIGINT, cv ARRAY<DOUBLE>")
+                            dir: String,
+                            asOf: Option[Int] = None): Seq[Seq[Double]] =
+    graft.sources.StoredIndex.readTable(spark, s"$dir/centroids",
+        "cell BIGINT, cv ARRAY<DOUBLE>", asOf)
       .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
 
   private def readPostings(spark: org.apache.spark.sql.SparkSession,
-                           dir: String): DataFrame =
-    graft.operators.Dedup.readIndexTable(spark, s"$dir/postings",
-      "nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT")
+                           dir: String,
+                           asOf: Option[Int] = None): DataFrame =
+    graft.sources.StoredIndex.readTable(spark, s"$dir/postings",
+      "nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT", asOf)
 
   /** The postings table with tombstoned vectors excluded — the served
     * corpus view ([[deleteFromIvfIndex]]). One broadcast anti-join on the
     * tiny delete set, planned ONLY while tombstones exist; the clean
-    * index serves the raw scan unchanged.
+    * index serves the raw scan unchanged. `asOf` serves a historical
+    * committed version (its tombstone set included) instead of the
+    * latest.
     */
   private def servedPostings(spark: org.apache.spark.sql.SparkSession,
-                             dir: String): DataFrame = {
-    val raw = readPostings(spark, dir)
-    if (!graft.operators.Dedup.tombstonesNonEmpty(dir)) raw
-    else raw.join(
-      broadcast(graft.operators.Dedup.tombstoneIds(spark, dir)
-        .select(col("id").as("nid"))),
-      Seq("nid"), "left_anti")
-  }
+                             dir: String,
+                             asOf: Option[Int] = None): DataFrame =
+    graft.sources.StoredIndex.antiTombstoned(spark, dir, "lsh-tombstones",
+      readPostings(spark, dir, asOf), "nid", asOf)
 
   /** TOMBSTONE-DELETE vectors from a stored IVF index — the FORGET half
     * of the vector maintenance tier ([[graft.operators.Dedup.deleteFromLshIndex]]
@@ -359,19 +384,19 @@ object Similarity {
     IndexCommit.vacuum(dir)
     val t = new graft.sources.IndexTxn(dir)
     val dead = ids.select(col(idCol).cast("long").as("id")).distinct()
-      .join(graft.operators.Dedup.readIndexTable(spark, s"$dir/tombstones",
+      .join(graft.sources.StoredIndex.readTable(spark, s"$dir/tombstones",
           "id BIGINT"),
         Seq("id"), "left_anti")
       .join(readPostings(spark, dir)
         .select(col("nid").as("id"), col("cell")), Seq("id"))
     dead.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/.tombstones-stage")
-    val staged = graft.operators.Dedup.readDirTable(spark,
+    val staged = graft.sources.StoredIndex.readDirTable(spark,
       s"$dir/.tombstones-stage", "id BIGINT, cell BIGINT")
     val nDead = staged.count()
     if (nDead > 0) {
       IndexCommit.hit("ivf-del-staged")
-      graft.operators.Dedup.txnMove(t,
+      graft.sources.StoredIndex.moveTree(t,
         java.nio.file.Paths.get(s"$dir/.tombstones-stage"),
         java.nio.file.Paths.get(s"$dir/tombstones"))
       IndexCommit.hit("ivf-del-before-commit")
@@ -428,30 +453,13 @@ object Similarity {
     t.cleanup()
   }
 
-  /** Stage-dir move-in recording each add in the transaction, recursing
-    * into `cell=` partition dirs (the [[graft.operators.Dedup.txnMove]]
-    * analog for partitioned tables).
+  /** Stage-dir move-in recording each add in the transaction (see
+    * [[graft.sources.StoredIndex.moveTree]]).
     */
   private[operators] def moveTree(t: graft.sources.IndexTxn,
                        from: java.nio.file.Path,
-                       to: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(from)) {
-      java.nio.file.Files.createDirectories(to)
-      val s = java.nio.file.Files.list(from)
-      val entries = try s.iterator().asScala.toSeq finally s.close()
-      entries.foreach { p =>
-        val name = p.getFileName.toString
-        if (java.nio.file.Files.isDirectory(p) && name.contains("="))
-          moveTree(t, p, to.resolve(name))
-        else if (name.endsWith(".parquet")) {
-          val dst = to.resolve(name)
-          java.nio.file.Files.move(p, dst)
-          t.add(t.rel(dst))
-        }
-      }
-    }
-  }
+                       to: java.nio.file.Path): Unit =
+    graft.sources.StoredIndex.moveTree(t, from, to)
 
   /** SMALL-FILES compaction for an append-grown IVF index — every
     * [[appendIvfIndex]] adds part files to its batch's cells, so a
@@ -537,7 +545,7 @@ object Similarity {
   def ivfDriftStats(spark: org.apache.spark.sql.SparkSession,
                     dir: String): DataFrame = {
     import spark.implicits._
-    val rows = graft.operators.Dedup.readIndexTable(spark, s"$dir/stats",
+    val rows = graft.sources.StoredIndex.readTable(spark, s"$dir/stats",
         "gen INT, cell BIGINT, n_vecs BIGINT, mean_qerr DOUBLE")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
         r.getDouble(3)))
@@ -586,6 +594,12 @@ object Similarity {
     * stats baseline exact in counts and equal to float reassociation in
     * `mean_qerr` (a distributed avg whose accumulation follows the
     * physical row order). IndexDeleteSpec proves all of it.
+    *
+    * `nCells = AutoCells` retrains under the [[autoCellsFor]] sqrt(N)
+    * policy — the rebuild is WHERE cell-count scaling happens (appends
+    * keep the frozen quantizer; a corpus grown 10x past its training mix
+    * wants ~3.2x the cells so [[annRoute]] per-decision cost returns to
+    * small-index levels — SimilaritySpec measures the candidate volume).
     */
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                       nCells: Int = 8, iters: Int = 3): Unit = {
@@ -597,7 +611,7 @@ object Similarity {
       .select(col("nid").as("vec_id"), col("nv").as("v"), col("nn").as("vn"))
     val e = graft.Caches.cached("emb-vectors",
       eRaw.queryExecution.analyzed.semanticHash().toString)(eRaw)
-    val cents = kmeansCentroids(e, nCells, iters)
+    val cents = kmeansCentroids(e, resolveCells(e, nCells), iters)
     cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
       .toDF("cell", "cv")
       .write.mode("overwrite").parquet(s"$dir/.centroids-stage")
@@ -643,10 +657,11 @@ object Similarity {
     */
   def annRoute(arrivals: DataFrame, indexDir: String, k: Int,
                nprobe: Int = 5, idCol: String = "vec_id",
-               embCol: String = "embedding"): DataFrame = {
+               embCol: String = "embedding",
+               asOf: Option[Int] = None): DataFrame = {
     val spark = arrivals.sparkSession
-    val cents = readCentroids(spark, indexDir)
-    val corpus = servedPostings(spark, indexDir)
+    val cents = readCentroids(spark, indexDir, asOf)
+    val corpus = servedPostings(spark, indexDir, asOf)
     val probes = arrivals
       .select(col(idCol).cast("long").as("qid"),
         transform(col(embCol), _.cast("double")).as("qv"))

@@ -61,7 +61,7 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  import graft.sources.IndexCommit
+  import graft.sources.{IndexCommit, StoredIndex}
 
   /** Segment budget before [[compactBm25Index]] folds an LSM table's
     * `seg=N` deltas back to a single base (the LogStore.compact budget).
@@ -80,7 +80,7 @@ object TextIndex {
   /** Whether the index currently carries live tombstones (metadata-only
     * check — specs assert compaction retires them).
     */
-  def hasTombstones(dir: String): Boolean = Dedup.tombstonesNonEmpty(dir)
+  def hasTombstones(dir: String): Boolean = StoredIndex.hasTombstones(dir)
 
   /** Driver-side term -> bucket, bit-identical to the column expression
     * `pmod(xxhash64(term), nbuckets)` the writers use (same XxHash64
@@ -101,47 +101,26 @@ object TextIndex {
     pmod(xxhash64(col("term")), lit(nBuckets.toLong))
 
   private def meta(spark: SparkSession, dir: String): (Int, Long) = {
-    val r = Dedup.readIndexTable(spark, s"$dir/meta",
+    val r = StoredIndex.readTable(spark, s"$dir/meta",
       "nbuckets INT, dlrange BIGINT").collect()
     require(r.nonEmpty, s"no bm25 index meta under $dir")
     (r.head.getInt(0), r.head.getLong(1))
   }
 
-  /** Table read pinned to the LATEST committed version (`asOf` None) or
-    * a SPECIFIC historical version — the manifest history IS the
-    * time-travel surface ([[graft.sources.IndexCommit.pinnedFilesAt]]):
-    * appends and deletes retire nothing, so every pre-compaction version
-    * of the index stays fully resolvable, and an `asOf` serve reproduces
-    * the exact state readers saw at that commit (TextIndexSpec + the
-    * `text_bm25_asof` oracle prove it). Unlike the latest-version path,
-    * `asOf` never falls back to a directory walk — snapshot reads
-    * require a governing manifest.
-    */
-  private def readTableAt(spark: SparkSession, path: String, ddl: String,
-                          asOf: Option[Int]): DataFrame = asOf match {
-    case None => Dedup.readIndexTable(spark, path, ddl)
-    case Some(v) =>
-      require(IndexCommit.resolveRoot(path).nonEmpty,
-        s"as-of read needs a committed manifest governing $path")
-      IndexCommit.pinnedUnder(path, asOf) match {
-        case None => sys.error(
-          s"index version $v is not in the manifest history of $path")
-        case Some(files) if files.isEmpty => Dedup.emptyFrame(spark, ddl)
-        case Some(files) => spark.read
-          .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-          .option("basePath", path)
-          .parquet(files: _*)
-      }
-  }
+  // All table reads go through [[graft.sources.StoredIndex.readTable]]:
+  // pinned to the LATEST committed version (`asOf` None) or a SPECIFIC
+  // historical one — the manifest history IS the time-travel surface
+  // (TextIndexSpec + the `text_bm25_asof` oracle prove an as-of serve
+  // reproduces the exact state readers saw at that commit).
 
   private def rawPostings(spark: SparkSession, dir: String,
                           asOf: Option[Int] = None): DataFrame =
-    readTableAt(spark, s"$dir/postings",
+    StoredIndex.readTable(spark, s"$dir/postings",
       "term STRING, doc_id BIGINT, tf BIGINT, tb BIGINT", asOf)
 
   private def rawDoclens(spark: SparkSession, dir: String,
                          asOf: Option[Int] = None): DataFrame =
-    readTableAt(spark, s"$dir/doclens",
+    StoredIndex.readTable(spark, s"$dir/doclens",
       "doc_id BIGINT, dl BIGINT, dr BIGINT", asOf)
 
   /** Merged LIVE document frequencies for the terms matching `pred` —
@@ -151,7 +130,7 @@ object TextIndex {
   private def mergedTermdf(spark: SparkSession, dir: String,
                            pred: Column,
                            asOf: Option[Int] = None): DataFrame =
-    readTableAt(spark, s"$dir/termdf",
+    StoredIndex.readTable(spark, s"$dir/termdf",
         "term STRING, df BIGINT, seg INT, tb BIGINT", asOf)
       .filter(pred)
       .groupBy("term").agg(sum(col("df")).as("df"))
@@ -160,58 +139,23 @@ object TextIndex {
   /** Merged live corpus stats (one row: n docs, total length). */
   private def mergedStats(spark: SparkSession, dir: String,
                           asOf: Option[Int] = None): DataFrame =
-    readTableAt(spark, s"$dir/stats", "n BIGINT, tl BIGINT, seg INT", asOf)
+    StoredIndex.readTable(spark, s"$dir/stats",
+        "n BIGINT, tl BIGINT, seg INT", asOf)
       .agg(sum(col("n")).as("n"), sum(col("tl")).as("tl"))
 
-  /** Whether the version being served carries tombstones (metadata-only,
-    * so the no-delete case never plans an empty anti-join).
-    */
-  private def tombstonedAt(dir: String, asOf: Option[Int]): Boolean =
-    asOf match {
-      case None => Dedup.tombstonesNonEmpty(dir)
-      case Some(_) =>
-        IndexCommit.pinnedUnder(s"$dir/tombstones", asOf).exists(_.nonEmpty)
-    }
-
-  /** Tombstoned doc ids of the served version, cached per committed
-    * version (route consumers probe every micro-batch; the set is
-    * takedown-sized).
-    */
-  private def deadIds(spark: SparkSession, dir: String,
-                      asOf: Option[Int]): DataFrame = {
-    val ver = asOf.orElse(
-      IndexCommit.resolveRoot(s"$dir/tombstones").map(_._2)).getOrElse(-1)
-    graft.Caches.cached("bm25-tombstones", s"$dir|v$ver") {
-      readTableAt(spark, s"$dir/tombstones", "id BIGINT", asOf).distinct()
-    }
-  }
-
-  /** Anti-join `idCol` against the tombstone set; the no-tombstones
-    * common case returns the plan untouched (no empty anti-join planned).
+  /** Anti-join `idCol` against the served version's tombstone set
+    * (`distinct = true`: the BM25 tombstone table carries one (id, tb)
+    * row per dead doc's bucket); the no-tombstones common case returns
+    * the plan untouched.
     */
   private def antiDead(spark: SparkSession, dir: String,
                        df: DataFrame, idCol: String,
                        asOf: Option[Int] = None): DataFrame =
-    if (!tombstonedAt(dir, asOf)) df
-    else df.join(
-      broadcast(deadIds(spark, dir, asOf).select(col("id").as(idCol))),
-      Seq(idCol), "left_anti")
+    StoredIndex.antiTombstoned(spark, dir, "bm25-tombstones", df, idCol,
+      asOf, distinct = true)
 
-  /** Next LSM segment number for `table` (`seg=N` partition-style dirs):
-    * max(existing)+1, never a count — crash leftovers cannot alias.
-    */
-  private def nextSeg(dir: String, table: String): Int = {
-    val root = java.nio.file.Paths.get(dir, table)
-    if (!java.nio.file.Files.exists(root)) 0
-    else {
-      import scala.jdk.CollectionConverters._
-      val s = java.nio.file.Files.list(root)
-      val names = try s.iterator().asScala.map(_.getFileName.toString).toSeq
-        finally s.close()
-      names.filter(_.startsWith("seg=")).map(_.stripPrefix("seg=").toInt)
-        .maxOption.getOrElse(-1) + 1
-    }
-  }
+  private def nextSeg(dir: String, table: String): Int =
+    StoredIndex.nextSeg(dir, table, "seg=")
 
   /** Tokenized batch: (doc_id, toks). One shared shape for every writer. */
   private def tokenized(docs: DataFrame): DataFrame =
@@ -283,11 +227,11 @@ object TextIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stats-stage")
     IndexCommit.hit("bm25-staged")
     def p(s: String) = java.nio.file.Paths.get(s)
-    Similarity.moveTree(t, p(s"$dir/.postings-stage"), p(s"$dir/postings"))
-    Similarity.moveTree(t, p(s"$dir/.termdf-stage"),
+    StoredIndex.moveTree(t, p(s"$dir/.postings-stage"), p(s"$dir/postings"))
+    StoredIndex.moveTree(t, p(s"$dir/.termdf-stage"),
       p(s"$dir/termdf/seg=${nextSeg(dir, "termdf")}"))
-    Similarity.moveTree(t, p(s"$dir/.doclens-stage"), p(s"$dir/doclens"))
-    Similarity.moveTree(t, p(s"$dir/.stats-stage"),
+    StoredIndex.moveTree(t, p(s"$dir/.doclens-stage"), p(s"$dir/doclens"))
+    StoredIndex.moveTree(t, p(s"$dir/.stats-stage"),
       p(s"$dir/stats/seg=${nextSeg(dir, "stats")}"))
     IndexCommit.hit("bm25-before-commit")
     t.commit()
@@ -315,7 +259,7 @@ object TextIndex {
     // newly dead = requested ∩ indexed (doclens is the membership table:
     // every ingested doc has exactly one row) − already tombstoned
     val dead = ids.select(col(idCol).cast("long").as("id")).distinct()
-      .join(Dedup.readIndexTable(spark, s"$dir/tombstones", "id BIGINT"),
+      .join(StoredIndex.readTable(spark, s"$dir/tombstones", "id BIGINT"),
         Seq("id"), "left_anti")
       .join(rawDoclens(spark, dir).select(col("doc_id").as("id"), col("dl")),
         Seq("id"))
@@ -326,7 +270,7 @@ object TextIndex {
       .join(deadPost.select(col("doc_id").as("id"), col("tb")).distinct(),
         Seq("id"), "left")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/.tombstones-stage")
-    val nDead = Dedup.readDirTable(spark, s"$dir/.tombstones-stage",
+    val nDead = StoredIndex.readDirTable(spark, s"$dir/.tombstones-stage",
       "id BIGINT, tb BIGINT").select("id").distinct().count()
     if (nDead > 0) {
       deadPost.groupBy("term", "tb").agg((-count(lit(1))).as("df"))
@@ -336,11 +280,11 @@ object TextIndex {
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stats-stage")
       IndexCommit.hit("bm25-del-staged")
       def p(s: String) = java.nio.file.Paths.get(s)
-      Similarity.moveTree(t, p(s"$dir/.tombstones-stage"),
+      StoredIndex.moveTree(t, p(s"$dir/.tombstones-stage"),
         p(s"$dir/tombstones"))
-      Similarity.moveTree(t, p(s"$dir/.termdf-stage"),
+      StoredIndex.moveTree(t, p(s"$dir/.termdf-stage"),
         p(s"$dir/termdf/seg=${nextSeg(dir, "termdf")}"))
-      Similarity.moveTree(t, p(s"$dir/.stats-stage"),
+      StoredIndex.moveTree(t, p(s"$dir/.stats-stage"),
         p(s"$dir/stats/seg=${nextSeg(dir, "stats")}"))
       IndexCommit.hit("bm25-del-before-commit")
       t.commit()
@@ -364,22 +308,20 @@ object TextIndex {
     IndexCommit.vacuum(dir)
     val t = new graft.sources.IndexTxn(dir)
     val (_, dlr) = meta(spark, dir)
-    val hasDead = Dedup.tombstonesNonEmpty(dir)
+    val hasDead = StoredIndex.hasTombstones(dir)
     def p(s: String) = java.nio.file.Paths.get(s)
     var rewritten = 0
 
     // partitions (key=value dir name) of `table` holding > maxFiles files
-    def overfull(table: String): Seq[String] = t.baseUnder(table)
-      .flatMap(_.stripPrefix(table + "/").split('/').headOption)
-      .filter(_.contains("="))
-      .groupBy(identity).filter(_._2.size > maxFiles).keys.toSeq
+    def overfull(table: String): Seq[String] =
+      StoredIndex.overfullPartitions(t, table, maxFiles)
 
     // dead bucket / range keys, driver-bounded by the takedown-sized
     // tombstone set
     val (deadTbs, deadDrs) =
       if (!hasDead) (Seq.empty[Long], Seq.empty[Long])
       else {
-        val ts = Dedup.readIndexTable(spark, s"$dir/tombstones",
+        val ts = StoredIndex.readTable(spark, s"$dir/tombstones",
           "id BIGINT, tb BIGINT")
         (ts.filter(col("tb").isNotNull).select("tb").distinct()
             .collect().map(_.getLong(0)).toSeq,
@@ -396,7 +338,7 @@ object TextIndex {
       keep.write.partitionBy("tb").mode("overwrite")
         .parquet(s"$dir/.postings-compact")
       postKeys.foreach(k => t.retireUnder(s"postings/$k"))
-      Similarity.moveTree(t, p(s"$dir/.postings-compact"), p(s"$dir/postings"))
+      StoredIndex.moveTree(t, p(s"$dir/.postings-compact"), p(s"$dir/postings"))
       rewritten += postKeys.size
     }
     val dlKeys = (deadDrs.map(v => s"dr=$v") ++ overfull("doclens")).distinct
@@ -408,28 +350,26 @@ object TextIndex {
       keep.write.partitionBy("dr").mode("overwrite")
         .parquet(s"$dir/.doclens-compact")
       dlKeys.foreach(k => t.retireUnder(s"doclens/$k"))
-      Similarity.moveTree(t, p(s"$dir/.doclens-compact"), p(s"$dir/doclens"))
+      StoredIndex.moveTree(t, p(s"$dir/.doclens-compact"), p(s"$dir/doclens"))
       rewritten += dlKeys.size
     }
     // LSM folds: segment count over budget -> one merged base segment.
     // The vocabulary-sized termdf fold is metadata-scale next to postings.
-    def segCount(table: String): Int = t.baseUnder(table)
-      .flatMap(_.stripPrefix(table + "/").split('/').headOption)
-      .filter(_.startsWith("seg=")).distinct.size
+    def segCount(table: String): Int = StoredIndex.segCount(t, table, "seg=")
     if (segCount("termdf") > segBudget) {
       mergedTermdf(spark, dir, lit(true))
         .withColumn("tb", tbCol(meta(spark, dir)._1))
         .write.partitionBy("tb").mode("overwrite")
         .parquet(s"$dir/.termdf-compact")
       t.retireUnder("termdf")
-      Similarity.moveTree(t, p(s"$dir/.termdf-compact"), p(s"$dir/termdf/seg=0"))
+      StoredIndex.moveTree(t, p(s"$dir/.termdf-compact"), p(s"$dir/termdf/seg=0"))
       rewritten += 1
     }
     if (segCount("stats") > segBudget) {
       mergedStats(spark, dir)
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stats-compact")
       t.retireUnder("stats")
-      Similarity.moveTree(t, p(s"$dir/.stats-compact"), p(s"$dir/stats/seg=0"))
+      StoredIndex.moveTree(t, p(s"$dir/.stats-compact"), p(s"$dir/stats/seg=0"))
       rewritten += 1
     }
     if (hasDead) t.retireUnder("tombstones")
@@ -487,7 +427,7 @@ object TextIndex {
     * term buckets are computed driver-side ([[termBucket]]) and pushed as
     * literal partition filters — no job runs to plan the pruning.
     * `asOf` serves a HISTORICAL committed version instead of the latest
-    * ([[readTableAt]] — audits and reproducible reruns over the
+    * ([[graft.sources.StoredIndex.readTable]] — audits and reproducible reruns over the
     * manifest history; `text_bm25_asof` hash-checks version 0 of the
     * append chain against the oracle over the base corpus slice).
     */

@@ -1,0 +1,255 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared plumbing for the four STORED-INDEX families (LSH near-dup,
+  * IVF vector, BM25 inverted, curation state) — the glue each family
+  * re-implemented separately through round 12 (VERDICT r12 item #6):
+  * manifest-pinned table reads (latest or AS-OF a historical version),
+  * LSM delta-segment naming and merged views, tombstone serving, stage-dir
+  * move-in, and the over-budget partition sweep compactions share.
+  *
+  * Families keep their own LAYOUT decisions (what is partitioned by what,
+  * which statistics are LSM-shaped, what a delete must correct) — this
+  * object owns only the mechanics those decisions share, so the protocol
+  * proven by the maintenance specs (stage under dot-dirs, move in under
+  * fresh names, one atomic [[IndexCommit]] manifest rename, physical
+  * cleanup strictly after) has exactly one implementation.
+  *
+  * TIME TRAVEL: every read here takes `asOf: Option[Int]`. None serves the
+  * latest committed version (falling back to a direct directory read for
+  * never-committed legacy dirs); Some(v) pins the file list of manifest
+  * version v ([[IndexCommit.pinnedFilesAt]] semantics — resolvable along
+  * pure-append chains, failing fast once a compaction rewrote a pinned
+  * file). A nested index (the curation state's `lsh/` subtree) resolves
+  * versions against its PARENT's manifest, so one version number snapshots
+  * the whole composite state.
+  */
+object StoredIndex {
+
+  def emptyFrame(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  private def dirHasParquet(path: String): Boolean = {
+    val root = java.nio.file.Paths.get(path)
+    java.nio.file.Files.exists(root) && {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+  }
+
+  /** DIRECT directory read of an index table with a declared schema,
+    * tolerating the EMPTY-BOOTSTRAP case: a write of zero rows can emit no
+    * data files at all (a partitionBy write always, a plain write when the
+    * frame has zero partitions). Schema inference has nothing to read
+    * then, and in Spark 4 the failure surfaces lazily at ANALYSIS of the
+    * consuming query — so the empty case is detected eagerly by listing
+    * for data files (index dirs are local-path by the maintenance
+    * contract) and served as a zero-row frame with the declared schema.
+    * Used by bootstrap readbacks, stage-dir readbacks, and as the legacy
+    * (never-committed-dir) fallback.
+    */
+  def readDirTable(spark: SparkSession, path: String, ddl: String,
+                   recursive: Boolean = false): DataFrame =
+    if (dirHasParquet(path)) {
+      val r = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      (if (recursive) r.option("recursiveFileLookup", "true") else r)
+        .parquet(path)
+    } else emptyFrame(spark, ddl)
+
+  /** SNAPSHOT-ISOLATED table read: resolve the governing committed
+    * manifest ([[IndexCommit.pinnedUnder]] — the table's own root or an
+    * enclosing composite root) and scan exactly its file list, so files an
+    * in-flight or crashed append moved in are invisible and retired-but-
+    * undeleted files never double-count. `basePath` recovers the table's
+    * `key=value` partition columns from the pinned file paths.
+    *
+    * `asOf = Some(v)` serves manifest version v instead of the latest —
+    * the manifest history IS the time-travel surface: appends and deletes
+    * retire nothing, so every pre-compaction version stays fully
+    * resolvable, and an as-of serve reproduces the exact state readers saw
+    * at that commit. Unlike the latest-version path, as-of never falls
+    * back to a directory walk — snapshot reads require a governing
+    * manifest, and an unknown version fails fast.
+    */
+  def readTable(spark: SparkSession, path: String, ddl: String,
+                asOf: Option[Int] = None): DataFrame = asOf match {
+    case None => IndexCommit.pinnedUnder(path) match {
+      case Some(files) if files.isEmpty => emptyFrame(spark, ddl)
+      case Some(files) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .option("basePath", path)
+        .parquet(files: _*)
+      case None => readDirTable(spark, path, ddl)
+    }
+    case Some(v) =>
+      require(IndexCommit.resolveRoot(path).nonEmpty,
+        s"as-of read needs a committed manifest governing $path")
+      IndexCommit.pinnedUnder(path, asOf) match {
+        case None => sys.error(
+          s"index version $v is not in the manifest history of $path")
+        case Some(files) if files.isEmpty => emptyFrame(spark, ddl)
+        case Some(files) => spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .option("basePath", path)
+          .parquet(files: _*)
+      }
+  }
+
+  /** Raw union of an LSM table's delta segments (no basePath — the
+    * `seg-NNNNN` dir names are not partition-style, so there are no
+    * partition columns to recover; the legacy fallback needs the
+    * recursive lookup for the same reason).
+    */
+  private def lsmSegments(spark: SparkSession, path: String, ddl: String,
+                          asOf: Option[Int]): DataFrame = asOf match {
+    case None => IndexCommit.pinnedUnder(path) match {
+      case Some(files) if files.isEmpty => emptyFrame(spark, ddl)
+      case Some(files) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(files: _*)
+      case None => readDirTable(spark, path, ddl, recursive = true)
+    }
+    case Some(v) =>
+      require(IndexCommit.resolveRoot(path).nonEmpty,
+        s"as-of read needs a committed manifest governing $path")
+      IndexCommit.pinnedUnder(path, asOf) match {
+        case None => sys.error(
+          s"index version $v is not in the manifest history of $path")
+        case Some(files) if files.isEmpty => emptyFrame(spark, ddl)
+        case Some(files) => spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .parquet(files: _*)
+      }
+  }
+
+  /** The merged view of an LSM-shaped index statistic: append-only delta
+    * segments carrying per-key count deltas, summed at read. Appends
+    * write O(batch keys) instead of rewriting the table-scale statistic;
+    * compaction folds the segments back to one base past the family's
+    * segment budget (the [[LogStore.compact]] discipline).
+    */
+  def mergedLsm(spark: SparkSession, path: String, ddl: String,
+                keys: Seq[String], cnt: String,
+                asOf: Option[Int] = None): DataFrame =
+    lsmSegments(spark, path, ddl, asOf)
+      .groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+
+  /** Whether the served version carries live tombstones — a driver-side
+    * metadata check (pinned file list or directory walk), so the
+    * no-delete common case keeps every served plan EXACTLY as before (no
+    * empty anti-join is ever planned).
+    */
+  def hasTombstones(dir: String, asOf: Option[Int] = None): Boolean =
+    asOf match {
+      case None => IndexCommit.pinnedUnder(s"$dir/tombstones") match {
+        case Some(files) => files.nonEmpty
+        case None => dirHasParquet(s"$dir/tombstones")
+      }
+      case Some(_) =>
+        IndexCommit.pinnedUnder(s"$dir/tombstones", asOf).exists(_.nonEmpty)
+    }
+
+  /** The served version's tombstoned id set — takedown-sized by contract,
+    * cached per (dir, version) under the family's cache name (route
+    * consumers probe it every micro-batch; the set is version-stable
+    * between commits). `distinct` for families whose tombstone table
+    * carries multiple rows per id (the BM25 (id, tb) bucket list).
+    */
+  def tombstoneIds(spark: SparkSession, dir: String, family: String,
+                   asOf: Option[Int] = None,
+                   distinct: Boolean = false): DataFrame = {
+    val ver = asOf.orElse(
+      IndexCommit.resolveRoot(s"$dir/tombstones").map(_._2)).getOrElse(-1)
+    graft.Caches.cached(family, s"$dir|v$ver") {
+      val ids = readTable(spark, s"$dir/tombstones", "id BIGINT", asOf)
+      if (distinct) ids.distinct() else ids
+    }
+  }
+
+  /** Exclude tombstoned ids from a served view (broadcast anti-join on
+    * the tiny delete set, joined on `idCol`); the no-tombstones case
+    * returns the plan untouched.
+    */
+  def antiTombstoned(spark: SparkSession, dir: String, family: String,
+                     df: DataFrame, idCol: String = "id",
+                     asOf: Option[Int] = None,
+                     distinct: Boolean = false): DataFrame =
+    if (!hasTombstones(dir, asOf)) df
+    else {
+      val ids = tombstoneIds(spark, dir, family, asOf, distinct)
+      val keyed = if (idCol == "id") ids else ids.select(col("id").as(idCol))
+      df.join(broadcast(keyed), Seq(idCol), "left_anti")
+    }
+
+  /** Move every staged `.parquet` under `from` into `to` under its fresh
+    * part name, recording each add in the transaction — recursing into
+    * `key=value` partition dirs. The shared stage-dir move-in every
+    * maintenance path uses; flat stage dirs take the same code path
+    * (nothing to recurse into).
+    */
+  def moveTree(t: IndexTxn, from: java.nio.file.Path,
+               to: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(from)) {
+      java.nio.file.Files.createDirectories(to)
+      val s = java.nio.file.Files.list(from)
+      val entries = try s.iterator().asScala.toSeq finally s.close()
+      entries.foreach { p =>
+        val name = p.getFileName.toString
+        if (java.nio.file.Files.isDirectory(p) && name.contains("="))
+          moveTree(t, p, to.resolve(name))
+        else if (name.endsWith(".parquet")) {
+          val dst = to.resolve(name)
+          java.nio.file.Files.move(p, dst)
+          t.add(t.rel(dst))
+        }
+      }
+    }
+  }
+
+  /** Next LSM segment NUMBER for `dir/table` whose segment dirs start
+    * with `prefix` ("seg-", "seg=", "gen-"): max(existing)+1, never a
+    * count — non-contiguous crash leftovers must not alias (and silently
+    * overwrite) an existing segment. Scans the PHYSICAL directory, not
+    * the manifest: a crashed append's moved-in orphan segment must also
+    * never be aliased.
+    */
+  def nextSeg(dir: String, table: String, prefix: String): Int = {
+    val root = java.nio.file.Paths.get(dir, table)
+    if (!java.nio.file.Files.exists(root)) 0
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(root)
+      val names = try s.iterator().asScala.map(_.getFileName.toString).toSeq
+        finally s.close()
+      names.filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toInt)
+        .maxOption.getOrElse(-1) + 1
+    }
+  }
+
+  /** Partition dir names (`key=value`) of the transaction-live `relTable`
+    * holding more than `maxFiles` data files — the small-files sweep's
+    * work list.
+    */
+  def overfullPartitions(t: IndexTxn, relTable: String,
+                         maxFiles: Int): Seq[String] =
+    t.liveUnder(relTable)
+      .flatMap(_.stripPrefix(relTable + "/").split('/').headOption)
+      .filter(_.contains("="))
+      .groupBy(identity).filter(_._2.size > maxFiles).keys.toSeq
+
+  /** Distinct first-level segment dirs (by `prefix`) of the
+    * transaction-live `relTable` — the LSM fold budget check.
+    */
+  def segCount(t: IndexTxn, relTable: String, prefix: String): Int =
+    t.liveUnder(relTable)
+      .flatMap(_.stripPrefix(relTable + "/").split('/').headOption)
+      .filter(_.startsWith(prefix)).distinct.size
+}
