@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, Similarity}
+import graft.sources.IndexCommit
+
+/** AS-OF serving across the stored-index families (VERDICT r12 item #3):
+  * the manifest history is the time-travel surface, and serving any
+  * committed version reproduces EXACTLY what readers saw at that commit —
+  * the takedown-audit question ("what did the gate serve on date X?").
+  *
+  * Resolvability contract (documented at
+  * [[graft.sources.IndexCommit.pinnedFilesAt]]): a version resolves while
+  * its pinned files survive. Appends and DELETES retire nothing in any
+  * family — deletes are pure tombstone/delta appends — so the audit-
+  * critical chain (state before vs after each erasure) stays fully
+  * resolvable; the first COMPACTION (and, for LSH, an append that
+  * restages a touched id range) rewrites pinned files and older versions
+  * then fail FAST with a clear error instead of serving wrong data.
+  * The BM25 family's as-of is covered by TextIndexSpec + the
+  * `text_bm25_asof` oracle; this suite covers the other three.
+  */
+class TimeTravelSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  private def docs: DataFrame = Tables.t(spark, sf001, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private def emb: DataFrame = Tables.t(spark, sf001, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("da", "db").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH: pairsFromIndex/jaccardRoute as-of replay every delete-chain version") {
+    val dir = tmp("lsh-asof")
+    Dedup.writeLshIndex(docs, dir) // version 0
+    val probes = docs.limit(40)
+    val v0Pairs = pairSet(Dedup.pairsFromIndex(spark, dir))
+    val v0Route = pairSet(Dedup.jaccardRoute(probes, dir))
+    Dedup.deleteFromLshIndex(docs.filter(col("doc_id") % 7 === 3), dir) // v1
+    val v1Pairs = pairSet(Dedup.pairsFromIndex(spark, dir))
+    Dedup.deleteFromLshIndex(docs.filter(col("doc_id") % 11 === 5), dir) // v2
+    val v2Pairs = pairSet(Dedup.pairsFromIndex(spark, dir))
+    assert(v0Pairs != v1Pairs && v1Pairs != v2Pairs,
+      "deletes must change the served pair set for the audit to be real")
+
+    assert(IndexCommit.versionsOf(dir) == Seq(0, 1, 2))
+    assert(pairSet(Dedup.pairsFromIndex(spark, dir, asOf = Some(0)))
+      == v0Pairs)
+    assert(pairSet(Dedup.pairsFromIndex(spark, dir, asOf = Some(1)))
+      == v1Pairs)
+    assert(pairSet(Dedup.pairsFromIndex(spark, dir, asOf = Some(2)))
+      == v2Pairs)
+    assert(pairSet(Dedup.jaccardRoute(probes, dir, asOf = Some(0)))
+      == v0Route)
+    // the live route sees the post-delete state, as-of v0 ignores it
+    assert(pairSet(Dedup.jaccardRoute(probes, dir)) != v0Route)
+
+    // unknown version fails fast
+    val e = intercept[RuntimeException] {
+      Dedup.pairsFromIndex(spark, dir, asOf = Some(99)).collect()
+    }
+    assert(e.getMessage.contains("not in the manifest history"))
+
+    // compaction folds the tombstones: pre-compaction versions pinned
+    // files that no longer exist -> fail fast, never serve wrong data
+    Dedup.compactLshIndex(spark, dir, maxFilesPerRange = 1)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.pairsFromIndex(spark, dir, asOf = Some(0)).collect()
+    }
+    assert(e2.getMessage.contains("no longer fully resolvable"))
+    // ... while the latest view is unchanged by compaction
+    assert(pairSet(Dedup.pairsFromIndex(spark, dir)) == v2Pairs)
+  }
+
+  test("IVF: annRoute as-of replays build -> append -> delete versions") {
+    val dir = tmp("ivf-asof")
+    Similarity.ivfWriteIndex(emb.filter(col("vec_id") < 400), dir) // v0
+    val probes = emb.filter(col("vec_id") >= 450)
+    def served(asOf: Option[Int] = None): Set[(Long, Int, Long)] =
+      Similarity.annRoute(probes, dir, k = 5, asOf = asOf)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val v0 = served()
+    Similarity.appendIvfIndex(
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 450), dir) // v1
+    val v1 = served()
+    Similarity.deleteFromIvfIndex(
+      emb.filter(col("vec_id") % 5 === 0).select("vec_id"), dir) // v2
+    val v2 = served()
+    assert(v0 != v1 && v1 != v2)
+
+    // IVF appends AND deletes are pure adds, so the whole chain resolves
+    assert(IndexCommit.versionsOf(dir) == Seq(0, 1, 2))
+    assert(served(Some(0)) == v0)
+    assert(served(Some(1)) == v1)
+    assert(served(Some(2)) == v2)
+    assert(served() == v2)
+  }
+
+  test("curate: curateRoute as-of replays the pre-erasure admission decisions") {
+    val dir = tmp("curate-asof")
+    Curation.writeCurateIndex(docs.filter(col("doc_id") % 2 === 0), dir) // v0
+    val arrivals = docs.filter(col("doc_id") % 2 === 1).limit(120)
+    def decisions(asOf: Option[Int] = None): Set[(Long, Boolean, String)] =
+      Curation.curateRoute(arrivals, dir, asOf = asOf)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          Option(r.getString(2)).getOrElse(""))).toSet
+    val v0 = decisions()
+    // erase a slice of the stored corpus: some arrivals that were exact /
+    // near dups of erased keepers flip to accepted
+    Curation.deleteFromCurateIndex(
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 3 === 0)
+        .select("doc_id"), dir) // v1
+    val v1 = decisions()
+    assert(v0 != v1,
+      "the erasure must change some admission decision for the audit to be real")
+
+    assert(IndexCommit.versionsOf(dir) == Seq(0, 1))
+    assert(decisions(Some(0)) == v0)
+    assert(decisions(Some(1)) == v1)
+    assert(decisions() == v1)
+  }
+}
