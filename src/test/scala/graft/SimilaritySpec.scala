@@ -384,6 +384,87 @@ class SimilaritySpec extends SparkSpec {
       "idempotent second sweep")
   }
 
+  test("AutoCells rebuild: 10x growth, policy retrain restores per-decision candidate volume; recall holds") {
+    import spark.implicits._
+    // clustered fixture (the real-world shape), ids INTERLEAVED across
+    // clusters so the bounded deterministic training sample (first 4096 by
+    // id) sees every cluster at both corpus sizes
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val clusters = 20
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers =
+      Array.fill(clusters)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    def mkRows(n: Int, idBase: Long): Seq[(Long, Array[Float])] =
+      (0 until n).map { i =>
+        val c = i % clusters
+        val v = unit(centers(c).map(_ + rnd.nextGaussian() * 0.07))
+        (idBase + i, v.map(_.toFloat))
+      }
+    val base = mkRows(2000, 0L).toDF("vec_id", "embedding").persist()
+    val grown = mkRows(20000, 1000000L).toDF("vec_id", "embedding").persist()
+    base.count(); grown.count()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-policy").toString
+    try {
+      Similarity.ivfWriteIndex(base, dir, nCells = Similarity.AutoCells)
+      def nCellsOf: Long = spark.read.parquet(s"$dir/centroids").count()
+      def meanOcc: Double = {
+        val p = spark.read.schema("nid BIGINT, cell BIGINT")
+          .parquet(s"$dir/postings")
+        p.count().toDouble / nCellsOf
+      }
+      assert(nCellsOf == Similarity.autoCellsFor(2000),
+        "build must size cells by the sqrt(N) policy when asked")
+      val occSmall = meanOcc
+
+      // grow 10x: appends keep the frozen quantizer, so per-cell occupancy
+      // (= per-decision candidates, nprobe cells scanned per probe) grows
+      // linearly — the measured r12 ann_route degradation
+      grown.repartition(4).write.mode("overwrite")
+        .parquet(s"$dir-growstage") // stable input for two appends
+      Similarity.appendIvfIndex(spark.read.parquet(s"$dir-growstage"), dir)
+      val occGrownFrozen = meanOcc
+      assert(occGrownFrozen > occSmall * 8,
+        s"frozen quantizer: occupancy must grow ~linearly " +
+          s"($occSmall -> $occGrownFrozen)")
+
+      // POLICY REBUILD: retrain with nCells = ceil(sqrt(22000)) — the
+      // per-decision candidate volume returns to ~sqrt-policy levels
+      Similarity.rebuildIvfIndex(spark, dir, nCells = Similarity.AutoCells)
+      assert(nCellsOf == Similarity.autoCellsFor(22000))
+      val occPolicy = meanOcc
+      assert(occPolicy < occGrownFrozen / 2.5,
+        s"policy rebuild must shrink mean cell occupancy materially " +
+          s"(frozen $occGrownFrozen -> policy $occPolicy)")
+
+      // ... and recall against exact brute force holds on the grown corpus
+      val all = base.unionByName(grown).persist()
+      val probeF = col("vec_id") % 400 === 7
+      val exact = Similarity.bruteForceTopK(all, probeF, k = 5)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val routed = Similarity.annRoute(all.filter(probeF), dir, k = 5)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & routed).size.toDouble / exact.size
+      info(s"policy-rebuilt recall@5 = $recall " +
+        s"(cells ${Similarity.autoCellsFor(2000)} -> " +
+        s"${Similarity.autoCellsFor(22000)}, occupancy " +
+        s"$occSmall -> $occGrownFrozen -> $occPolicy)")
+      assert(recall >= 0.8, s"recall too low after policy rebuild: $recall")
+      all.unpersist()
+    } finally {
+      base.unpersist(); grown.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$dir-growstage"))
+    }
+  }
+
   /** A copy of the index dir truncated to its FIRST committed version
     * (gen-0 build) — drift appends rolled back via the manifest history,
     * which doubles as a check that old manifests still describe a
