@@ -467,6 +467,19 @@ object TextIndex {
     * run under `foreachBatch` like the other route operators.
     * Query-side term repeats are ignored (standard short-query BM25, and
     * the batch query's semantics). Returns (qid, rank, doc_id, score).
+    *
+    * DRIVER-WORK CONTRACT (nbuckets vs batch size): the one collect per
+    * micro-batch returns the batch's PROBED bucket set — bounded by
+    * min(distinct terms in the batch, nbuckets) longs, never by batch
+    * row count or index size. At the 100 TB setting nbuckets is in the
+    * thousands (so each bucket's postings stay row-group-sized) and the
+    * collect is still metadata-sized: a 10k-query batch of 3-term queries
+    * probes <= 30k buckets worst case, a few hundred KB of longs; the
+    * pushed `tb IN (...)` partition filter prunes the postings scan to
+    * exactly those buckets (TextIndexSpec asserts the pruning at
+    * nbuckets = 1024). Batches whose vocabulary spans EVERY bucket probe
+    * the whole index by definition — the filter then keeps the plan
+    * correct and costs nothing.
     */
   def bm25Route(queries: DataFrame, indexDir: String, k: Int = 20,
                 idCol: String = "qid", textCol: String = "qtext"): DataFrame = {

@@ -149,6 +149,38 @@ class TextIndexSpec extends SparkSpec {
       s"3-term query must prune to <= 3 buckets: $postingsScan")
   }
 
+  test("bm25Route at nbuckets=1024: pruning tracks the batch's probed " +
+      "buckets, not the bucket count") {
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs, dir, nBuckets = 1024)
+    val queries = docs.limit(8).select(col("doc_id").as("qid"),
+      array_join(slice(split(col("text"), " "), 1, 3), " ").as("qtext"))
+    val nTerms = queries
+      .select(explode(split(col("qtext"), " ")).as("t"))
+      .distinct().count()
+    val saved = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "20000")
+    try {
+      val routed = TextIndex.bm25Route(queries, dir, k = 5)
+      assert(routed.count() > 0)
+      val plan = routed.queryExecution.executedPlan.toString
+      val postingsScan = plan.linesIterator
+        .filter(l => l.contains("FileScan") && l.contains("postings"))
+        .mkString("\n")
+      assert(postingsScan.contains("PartitionFilters: [") &&
+        ".*PartitionFilters: \\[[^\\]]*tb.*".r
+          .findFirstIn(postingsScan).isDefined,
+        s"route postings scan must carry tb partition filters:\n$postingsScan")
+      // a small IN renders as "IN (a,b)", a larger one as "INSET a, b, ..."
+      val inList = "tb#\\d+L? (?:IN \\(([^)]*)\\)|INSET ([^\\]]*))".r
+        .findFirstMatchIn(postingsScan)
+        .map(m => Option(m.group(1)).getOrElse(m.group(2)))
+      assert(inList.exists(_.split(",").length <= nTerms),
+        s"the batch probes $nTerms distinct terms, so the filter must list " +
+          s"<= $nTerms of the 1024 buckets: $postingsScan")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", saved)
+  }
+
   test("as-of serves historical versions along the append/delete chain; " +
       "compaction invalidates them loudly") {
     val dir = tmp()
