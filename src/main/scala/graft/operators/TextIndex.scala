@@ -469,29 +469,42 @@ object TextIndex {
     * the batch query's semantics). Returns (qid, rank, doc_id, score).
     *
     * DRIVER-WORK CONTRACT (nbuckets vs batch size): the one collect per
-    * micro-batch returns the batch's PROBED bucket set — bounded by
-    * min(distinct terms in the batch, nbuckets) longs, never by batch
-    * row count or index size. At the 100 TB setting nbuckets is in the
-    * thousands (so each bucket's postings stay row-group-sized) and the
-    * collect is still metadata-sized: a 10k-query batch of 3-term queries
-    * probes <= 30k buckets worst case, a few hundred KB of longs; the
-    * pushed `tb IN (...)` partition filter prunes the postings scan to
-    * exactly those buckets (TextIndexSpec asserts the pruning at
-    * nbuckets = 1024). Batches whose vocabulary spans EVERY bucket probe
-    * the whole index by definition — the filter then keeps the plan
-    * correct and costs nothing.
+    * micro-batch returns the batch's PROBED (term, bucket) set — bounded
+    * by the batch's distinct-term vocabulary, never by batch row count or
+    * index size. At the 100 TB setting nbuckets is in the thousands (so
+    * each bucket's postings stay row-group-sized) and the collect is
+    * still metadata-sized: a 10k-query batch of 3-term queries probes
+    * <= 30k terms worst case, a few hundred KB; the bucket set pushes as
+    * a `tb IN (...)` PARTITION filter (TextIndexSpec asserts the pruning
+    * at nbuckets = 1024) and — when `termPushdownCap` > 0 and the batch
+    * vocabulary is under it — the term set pushes as a DATA filter too,
+    * for row-group stats/dictionary pruning where postings files carry
+    * many row groups (the 100 TB layout). Default OFF: measured on the
+    * single-row-group local fixtures, the per-row string-set filter costs
+    * more than it saves (375 -> 305 decisions/s on the 50k-doc Zipf
+    * corpus) because the equi-join already discards non-query terms; the
+    * knob exists for deployments whose scan actually prunes. Batches
+    * whose vocabulary exceeds the cap fall back to the correct
+    * full-disjunction scan — the cap bounds the pushed literal list, not
+    * correctness.
     */
   def bm25Route(queries: DataFrame, indexDir: String, k: Int = 20,
-                idCol: String = "qid", textCol: String = "qtext"): DataFrame = {
+                idCol: String = "qid", textCol: String = "qtext",
+                termPushdownCap: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     val (nb, _) = meta(spark, indexDir)
     val probes = queries.select(col(idCol).cast("long").as("qid"),
         explode(split(col(textCol), " ")).as("term"))
       .dropDuplicates("qid", "term")
-    val wanted = probes
-      .select(tbCol(nb).as("tb")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val scored = scoredTerms(spark, indexDir, probes, wanted, None)
+    val probed = probes
+      .select(col("term"), tbCol(nb).as("tb")).distinct()
+      .collect()
+    val wanted = probed.map(_.getLong(1)).distinct.toSeq
+    val batchTerms =
+      if (termPushdownCap > 0 && probed.length <= termPushdownCap)
+        Some(probed.map(_.getString(0)).distinct.toSeq)
+      else None
+    val scored = scoredTerms(spark, indexDir, probes, wanted, batchTerms)
       .groupBy("qid", "doc_id").agg(sum(col("tscore")).as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))

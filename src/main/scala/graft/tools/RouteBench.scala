@@ -17,14 +17,15 @@ import org.apache.spark.sql.functions._
   *    .annRoute]], k=5) against stored cell-partitioned postings, with
   *    the probed-cells partition pruning in the plan;
   *  - `bm25` — per-arrival retrieval ([[graft.operators.TextIndex
-  *    .bm25Route]], k=10): 3-keyword queries against the maintained
-  *    BM25 index, the batch's probed term buckets pushed as partition
-  *    filters onto the postings scan; runs a 50x-lower rate ladder —
-  *    a retrieval decision scores every candidate doc, and the fixture
-  *    corpus's 31-word vocabulary makes every posting list ~77% of the
-  *    corpus, so each query is a near-full-corpus disjunction (the
-  *    degenerate worst case a Zipfian natural-language vocabulary
-  *    never hits).
+  *    .bm25Route]], k=10): 3-keyword Zipf-tail queries against a
+  *    maintained BM25 index over a [[SynthFixtures]] Zipf(1.1)
+  *    50k-word-vocabulary corpus sized to match `sfDir`'s documents
+  *    row count (r13 — the driver fixture's 31-word vocabulary made
+  *    every query a near-full-corpus disjunction, FIXTURES.md), the
+  *    batch's probed term buckets pushed as partition filters onto the
+  *    postings scan; runs a 10x-lower rate ladder — an exact
+  *    disjunctive top-k decision scores every posting of its terms,
+  *    inherently heavier than an admission decision.
   *
   * Reports sustained decisions/s per (tier, input rate) with kept-up
   * flags.
@@ -77,10 +78,13 @@ object RouteBench {
         graft.Tables.t(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding")), ivfDir)
     val bm25Dir = s"$dir-bm25"
-    if (tiers.contains("bm25"))
+    if (tiers.contains("bm25")) {
+      val nDocs = sys.env.get("SPARK_GRAFT_ROUTE_BM25_DOCS").map(_.toLong)
+        .getOrElse(graft.Tables.t(spark, sfDir, "documents").count())
       graft.operators.TextIndex.writeBm25Index(
-        graft.Tables.t(spark, sfDir, "documents")
-          .select(col("doc_id"), col("text")), bm25Dir)
+        spark.read.parquet(SynthFixtures.ensureZipfDocs(spark, nDocs)),
+        bm25Dir, nBuckets = 64)
+    }
     val buildSec = (System.nanoTime() - t0) / 1e9
     System.err.println(s"[route-bench] index build ${r1(buildSec)}s from $sfDir")
 
@@ -122,29 +126,24 @@ object RouteBench {
           b.count()
         })),
       "bm25" -> ((
-        // arriving retrieval queries: 3 KEYWORD-like tokens (length > 5
-        // — Zipf makes longer words rarer) from the pool text. First-N
-        // tokens would be mostly stopwords, turning every query into the
-        // worst-case full-disjunction scan no real search workload runs.
+        // arriving retrieval queries: 3 Zipf-tail keyword tokens,
+        // synthesized in-row (same generator as the indexed corpus)
         (rate: Int) => spark.readStream.format("rate")
           .option("rowsPerSecond", rate.toString).load()
           .select((col("value") + 1000000000L).as("qid"),
-            array_join(slice(filter(split(element_at(poolLit,
-              (pmod(col("value"), lit(pool.size)) + 1).cast("int")), " "),
-              x => length(x) > 5), 1, 3), " ").as("qtext")),
+            SynthFixtures.zipfQueryText(col("value")).as("qtext")),
         (b: DataFrame) => {
           graft.operators.TextIndex.bm25Route(b, bm25Dir, k = 10).count()
           b.count()
         })))
-    // a retrieval query scores every candidate holding >= 1 query term —
-    // an inherently heavier decision unit than a doc admission — and the
-    // fixture corpus has a 31-word vocabulary, so EVERY term's posting
-    // list is ~77% of the corpus (a natural-language corpus would Zipf-
-    // prune most terms to tiny lists). The bm25 tier therefore runs a
-    // 50x-lower rate ladder; its decisions/s is a LOWER bound paid at
-    // ~3 x 0.77 x |corpus| scored candidates per query.
+    // an exact retrieval decision scores every posting of its query's
+    // terms — an inherently heavier unit than a doc admission even on the
+    // Zipf corpus (query-term df ~1% of docs x 3 terms) — so the bm25
+    // tier runs a 10x-lower rate ladder (r12 ran 50x lower on the
+    // degenerate 31-word-vocabulary fixture where every posting list was
+    // ~77% of the corpus).
     val tierRates: Map[String, Array[Int]] =
-      Map("bm25" -> rates.map(r => math.max(1, r / 50)))
+      Map("bm25" -> rates.map(r => math.max(1, r / 10)))
         .withDefaultValue(rates)
 
     def measure(tier: String, rate: Int,

@@ -108,130 +108,152 @@ object ScalingProbe {
     val flagged = names.filter(n =>
       math.log(big(n) / small(n)) / math.log(rowRatio) > 1.1)
 
+    /** Least-squares slope of log(t) vs log(n) over the axis points —
+      * the 3-point generalization of log(t2/t1)/log(n2/n1).
+      */
+    def fitExponent(pts: Seq[(Long, Double)]): Double = {
+      val xs = pts.map(p => math.log(p._1.toDouble))
+      val ys = pts.map(p => math.log(p._2))
+      val xm = xs.sum / xs.size
+      val ym = ys.sum / ys.size
+      xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+        xs.map(x => (x - xm) * (x - xm)).sum
+    }
+
+    /** The scaling decades for the index-size axes (VERDICT r12 #5): the
+      * driver testdata stops at sf0.1 (5k docs / 2k vectors), so the
+      * third decade comes from the SAME generators as the first two —
+      * all three index corpora are [[SynthFixtures]] shapes (Zipf(1.1)
+      * 50k-word vocabulary documents, clustered embeddings), replacing
+      * the r12 testdata corpora whose 31-word vocabulary made every
+      * retrieval query a near-full-corpus disjunction (VERDICT r12 #1;
+      * FIXTURES.md documents the degeneracy).
+      */
+    val axisSizes: Seq[(Long, Long)] =
+      Seq((500L, 500L), (5000L, 2000L), (50000L, 20000L))
+
+    def wm(run: () => Unit): Double = {
+      run()
+      (1 to passes).map { _ =>
+        val t0 = System.nanoTime(); run()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    def axisJson(tag: String, tiers: Seq[String],
+                 pts: Map[String, Seq[(Long, Double, Long)]]): String =
+      tiers.map { n =>
+        val ps = pts(n)
+        val e = fitExponent(ps.map(p => (p._1, p._2)))
+        val ptJson = ps.map { case (sz, t, bn) =>
+          s"""{"n":$sz,"t":${r3(t)},"dps":${r3(bn / t)}}"""
+        }.mkString("[", ",", "]")
+        System.err.println(s"[scaling] $tag $n: " +
+          ps.map(p => s"${r3(p._3 / p._2)}@${p._1}").mkString(" -> ") +
+          s" decisions/s (exponent ${r3(e)})")
+        s""""$n":{"points":$ptJson,"exponent":${r3(e)}}"""
+      }.mkString(s""","$tag":{""", ",", "}")
+
     /** Route-tier axis: warm-min seconds to decide a FIXED synthetic
-      * arrival batch (fresh ids drawn from a 500-row sf0.001 pool)
-      * against a standing index built at `sfDir` — curateRoute (the full
-      * admission gate), annRoute (stored IVF top-k), and bm25Route (stored
-      * inverted-index retrieval). Exponent near 0
-      * = decision cost independent of index scale, the standing-index
-      * claim; the honest number is whatever the probe records.
+      * arrival batch against standing indexes built at three sizes a
+      * decade apart — curateRoute (the full admission gate), annRoute
+      * (stored IVF top-k under the AutoCells sqrt(N) policy), and
+      * bm25Route (term-bucket-pruned retrieval over the Zipf corpus).
+      * Exponent near 0 = decision cost independent of index scale; the
+      * honest residual for bm25 is candidate volume: exact disjunctive
+      * top-k scores every posting of the query's terms, and a fixed
+      * term's df grows with the corpus — the Zipf fixture makes that a
+      * ~1% tail instead of the old fixture's 77%-per-term head.
       */
     def routeAxis(): String = {
       import org.apache.spark.sql.functions._
-      val poolDir = sys.env.getOrElse("SPARK_GRAFT_ROUTE_POOL",
-        "/root/testdata/sf0.001")
       val batchN = sys.env.getOrElse("SPARK_GRAFT_ROUTE_BATCH", "20000").toInt
-      val pool = graft.Tables.t(spark, poolDir, "documents")
-        .select("text").limit(500).collect().map(_.getString(0)).toSeq
-      val poolLit = typedlit(pool)
-      val embPool: Seq[Seq[Float]] = graft.Tables
-        .t(spark, poolDir, "embeddings")
-        .select("embedding").limit(500).collect()
-        .map(_.getSeq[Float](0).toSeq).toSeq
-      val embPoolLit = typedlit(embPool)
-      val docBatch = spark.range(batchN.toLong)
-        .select((col("id") + 1000000000L).as("doc_id"),
-          element_at(poolLit, (pmod(col("id"), lit(pool.size)) + 1)
-            .cast("int")).as("text"))
-        .persist()
-      val embBatch = spark.range(batchN.toLong)
-        .select((col("id") + 1000000000L).as("vec_id"),
-          element_at(embPoolLit, (pmod(col("id"), lit(embPool.size)) + 1)
-            .cast("int")).as("embedding"))
-        .persist()
-      // arriving retrieval queries: 3 tokens from the pool texts. The
-      // fixture vocabulary is 31 words, so every query is a near-full-
-      // corpus disjunction (candidates ∝ corpus regardless of term
-      // choice) — a 10x-smaller fixed query batch keeps the probe
-      // tractable, and the honest exponent REFLECTS candidate growth:
-      // for disjunctive retrieval the per-query cost is O(query-term
-      // postings), which this degenerate vocabulary makes
-      // corpus-proportional (a Zipfian vocabulary would not).
       val qBatchN = math.max(1, batchN / 10)
-      val qBatch = spark.range(qBatchN.toLong)
-        .select((col("id") + 1000000000L).as("qid"),
-          array_join(slice(filter(split(element_at(poolLit,
-            (pmod(col("id"), lit(pool.size)) + 1).cast("int")), " "),
-            x => length(x) > 5), 1, 3), " ").as("qtext"))
+      // fixed arrival batches, fresh ids, same generators as the corpora
+      val docBatch = SynthFixtures.zipfDocs(spark, batchN.toLong, seed = 99L)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
         .persist()
+      val embBatch = SynthFixtures
+        .clusteredEmbeddings(spark, batchN.toLong, seed = 99L)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+        .persist()
+      val qBatch = SynthFixtures.zipfQueries(spark, qBatchN.toLong).persist()
       docBatch.count(); embBatch.count(); qBatch.count()
-      def bench(sfDir: String): Map[String, Double] = {
+      def bench(nDocs: Long, nVecs: Long): Map[String, Double] = {
+        val docs = spark.read
+          .parquet(SynthFixtures.ensureZipfDocs(spark, nDocs))
+        val emb = spark.read
+          .parquet(SynthFixtures.ensureEmbeddings(spark, nVecs))
         val dir = java.nio.file.Files
           .createTempDirectory("graft-route-scale").toString
-        graft.operators.Curation.writeCurateIndex(
-          graft.Tables.t(spark, sfDir, "documents")
-            .select(col("doc_id"), col("text")), dir)
-        graft.operators.Similarity.ivfWriteIndex(
-          graft.Tables.t(spark, sfDir, "embeddings")
-            .select(col("vec_id"), col("embedding")), s"$dir-ivf")
-        graft.operators.TextIndex.writeBm25Index(
-          graft.Tables.t(spark, sfDir, "documents")
-            .select(col("doc_id"), col("text")), s"$dir-bm25")
-        def wm(run: () => Unit): Double = {
-          run()
-          (1 to passes).map { _ =>
-            val t0 = System.nanoTime(); run()
-            (System.nanoTime() - t0) / 1e9
-          }.min
-        }
+        graft.operators.Curation.writeCurateIndex(docs, dir)
+        graft.operators.Similarity.ivfWriteIndex(emb, s"$dir-ivf",
+          nCells = graft.operators.Similarity.AutoCells)
+        // frozen-cell CONTROL for the AutoCells policy: same corpus, same
+        // probes, nCells pinned at the r12 default — per-decision
+        // candidates grow ~linearly here vs ~sqrt(N) under the policy
+        // (the exact-IVF optimum is c = sqrt(nprobe*N), per-probe cost
+        // 2*sqrt(nprobe*N): a FLAT per-decision cost is impossible for
+        // exhaustive cell scoring, so the policy's target slope is 0.5
+        // in candidates, not 0)
+        graft.operators.Similarity.ivfWriteIndex(emb, s"$dir-ivf8",
+          nCells = 8)
+        graft.operators.TextIndex.writeBm25Index(docs, s"$dir-bm25",
+          nBuckets = 64)
         val res = Map(
           "curate_route" -> wm(() =>
             { graft.operators.Curation.curateRoute(docBatch, dir).count(); () }),
           "ann_route" -> wm(() =>
             { graft.operators.Similarity.annRoute(embBatch, s"$dir-ivf",
               k = 5).count(); () }),
+          "ann_route_fixed8" -> wm(() =>
+            { graft.operators.Similarity.annRoute(embBatch, s"$dir-ivf8",
+              k = 5).count(); () }),
           "bm25_route" -> wm(() =>
             { graft.operators.TextIndex.bm25Route(qBatch, s"$dir-bm25",
               k = 10).count(); () }))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivf"))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivf8"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-bm25"))
         res
       }
-      val smallR = bench(sfSmall)
-      val bigR = bench(sfBig)
+      val rs = axisSizes.map { case (nd, nv) => (nd, nv, bench(nd, nv)) }
       docBatch.unpersist(); embBatch.unpersist(); qBatch.unpersist()
-      smallR.keys.toSeq.sorted.map { n =>
-        val bn = if (n == "bm25_route") qBatchN else batchN
-        val e = math.log(bigR(n) / smallR(n)) / math.log(rowRatio)
-        System.err.println(s"[scaling] route $n: " +
-          s"${r3(bn / smallR(n))} -> ${r3(bn / bigR(n))} decisions/s " +
-          s"(exponent ${r3(e)})")
-        s""""$n":{"batch":$bn,"t_small":${r3(smallR(n))},""" +
-          s""""t_big":${r3(bigR(n))},""" +
-          s""""dps_small":${r3(bn / smallR(n))},""" +
-          s""""dps_big":${r3(bn / bigR(n))},"exponent":${r3(e)}}"""
-      }.mkString(",\"route\":{", ",", "}")
+      val pts = Map(
+        "curate_route" -> rs.map { case (nd, _, m) =>
+          (nd, m("curate_route"), batchN.toLong) },
+        "ann_route" -> rs.map { case (_, nv, m) =>
+          (nv, m("ann_route"), batchN.toLong) },
+        "ann_route_fixed8" -> rs.map { case (_, nv, m) =>
+          (nv, m("ann_route_fixed8"), batchN.toLong) },
+        "bm25_route" -> rs.map { case (nd, _, m) =>
+          (nd, m("bm25_route"), qBatchN.toLong) })
+      axisJson("route", pts.keys.toSeq.sorted, pts)
     }
     /** Forget-tier axis: on standing LSH + IVF + BM25 indexes built at
-      * `sfDir`, time (a) a FIXED-size tombstone delete — disjoint id
+      * three sizes a decade apart (same [[SynthFixtures]] corpora as the
+      * route axis), time (a) a FIXED-size tombstone delete — disjoint id
       * slices per pass, so every pass does identical work against a
       * monotonically (slightly) more tombstoned index — and (b) the
       * served paths (stored-pair search, ANN route over a fixed probe
       * batch) before and after the deletes, isolating the broadcast
       * anti-join overhead the tombstones add. The scale claim: delete
-      * cost tracks the DELETE SET (exponent near 0 across the 10x index
-      * step, modulo the LSH delete's partition-pruned occupancy
-      * correction), and the serving overhead is a bounded ratio, not a
-      * function of index size.
+      * cost tracks the DELETE SET (exponent near 0 across the decades,
+      * modulo the LSH delete's partition-pruned occupancy correction),
+      * and the serving overhead is a bounded ratio, not a function of
+      * index size.
       */
     def forgetAxis(): String = {
       import org.apache.spark.sql.functions._
       val nDead = sys.env.getOrElse("SPARK_GRAFT_FORGET_N", "10").toInt
-      def wm(run: () => Unit): Double = {
-        run()
-        (1 to passes).map { _ =>
-          val t0 = System.nanoTime(); run()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-      }
-      def bench(sfDir: String): Map[String, Double] = {
+      def bench(nDocs: Long, nVecs: Long): Map[String, Double] = {
         val dir = java.nio.file.Files
           .createTempDirectory("graft-forget-scale").toString
-        val docs = graft.Tables.t(spark, sfDir, "documents")
-          .select(col("doc_id"), col("text"))
-        val emb = graft.Tables.t(spark, sfDir, "embeddings")
-          .select(col("vec_id"), col("embedding"))
+        val docs = spark.read
+          .parquet(SynthFixtures.ensureZipfDocs(spark, nDocs))
+        val emb = spark.read
+          .parquet(SynthFixtures.ensureEmbeddings(spark, nVecs))
         graft.operators.Dedup.writeLshIndex(docs, dir)
         graft.operators.Similarity.ivfWriteIndex(emb, s"$dir-ivf")
         graft.operators.TextIndex.writeBm25Index(docs, s"$dir-bm25")
@@ -313,32 +335,36 @@ object ScalingProbe {
           "bm25_clean" -> bm25Clean, "bm25_tombstoned" -> bm25Tomb,
           "bm25_compacted" -> bm25Comp)
       }
-      val s = bench(sfSmall)
-      val b = bench(sfBig)
-      def ex(k: String) = math.log(b(k) / s(k)) / math.log(rowRatio)
+      val rs = axisSizes.map { case (nd, nv) => (nd, nv, bench(nd, nv)) }
       val ops = Seq("lsh_delete", "ivf_delete", "bm25_delete")
+      val opJson = ops.map { k =>
+        val ps = rs.map { case (nd, nv, m) =>
+          (if (k == "ivf_delete") nv else nd, m(k)) }
+        val e = fitExponent(ps)
+        System.err.println(s"[scaling] forget $k: " +
+          ps.map(p => s"${r3(p._2)}s@${p._1}").mkString(" -> ") +
+          s" (exponent ${r3(e)})")
+        val ptJson = ps.map { case (sz, t) =>
+          s"""{"n":$sz,"t":${r3(t)}}""" }.mkString("[", ",", "]")
+        s""""$k":{"n_dead":$nDead,"points":$ptJson,"exponent":${r3(e)}}"""
+      }
       val paths = Seq("lsh_pairs" -> "lsh_pairs", "ann" -> "ann",
         "bm25" -> "bm25")
-      val opJson = ops.map { k =>
-        System.err.println(s"[scaling] forget $k: ${r3(s(k))} -> " +
-          s"${r3(b(k))} s (exponent ${r3(ex(k))})")
-        s""""$k":{"n_dead":$nDead,"t_small":${r3(s(k))},""" +
-          s""""t_big":${r3(b(k))},"exponent":${r3(ex(k))}}"""
-      }
       val pathJson = paths.map { case (name, k) =>
-        val ovS = s(s"${k}_tombstoned") / s(s"${k}_clean")
-        val ovB = b(s"${k}_tombstoned") / b(s"${k}_clean")
-        val cpB = b(s"${k}_compacted") / b(s"${k}_clean")
-        System.err.println(s"[scaling] forget $name serving overhead: " +
-          s"${r3(ovS)}x small, ${r3(ovB)}x big, " +
-          s"${r3(cpB)}x big after compaction")
-        s""""${name}_serving":{"t_clean_small":${r3(s(s"${k}_clean"))},""" +
-          s""""t_tombstoned_small":${r3(s(s"${k}_tombstoned"))},""" +
-          s""""t_clean_big":${r3(b(s"${k}_clean"))},""" +
-          s""""t_tombstoned_big":${r3(b(s"${k}_tombstoned"))},""" +
-          s""""t_compacted_big":${r3(b(s"${k}_compacted"))},""" +
-          s""""overhead_small":${r3(ovS)},"overhead_big":${r3(ovB)},""" +
-          s""""overhead_big_compacted":${r3(cpB)}}"""
+        val ptJson = rs.map { case (nd, nv, m) =>
+          val sz = if (k == "ann") nv else nd
+          val ov = m(s"${k}_tombstoned") / m(s"${k}_clean")
+          val cp = m(s"${k}_compacted") / m(s"${k}_clean")
+          s"""{"n":$sz,"t_clean":${r3(m(s"${k}_clean"))},""" +
+            s""""t_tombstoned":${r3(m(s"${k}_tombstoned"))},""" +
+            s""""t_compacted":${r3(m(s"${k}_compacted"))},""" +
+            s""""overhead":${r3(ov)},"overhead_compacted":${r3(cp)}}"""
+        }.mkString("[", ",", "]")
+        val ovMax = rs.map { case (_, _, m) =>
+          m(s"${k}_tombstoned") / m(s"${k}_clean") }.max
+        System.err.println(s"[scaling] forget $name serving overhead " +
+          s"max ${r3(ovMax)}x across sizes")
+        s""""${name}_serving":{"points":$ptJson,"overhead_max":${r3(ovMax)}}"""
       }
       (opJson ++ pathJson).mkString(",\"forget\":{", ",", "}")
     }
@@ -346,7 +372,7 @@ object ScalingProbe {
     val forgetJson = if (withForget) forgetAxis() else ""
     val json =
       s"""{"sf_small":"$sfSmall","sf_big":"$sfBig","row_ratio":$rowRatio,"passes":$passes,
-         |"note":"exponent=log(t_big/t_small)/log(row_ratio); warm-min per (query,sf); <=0 means the fixed driver/planning floor dominates; >1.1 flags super-linear; route axis: fixed arrival batch vs index scale; forget axis: fixed-size tombstone deletes + serving overhead vs index scale",
+         |"note":"query axis: exponent=log(t_big/t_small)/log(row_ratio), warm-min per (query,sf), <=0 means the fixed driver/planning floor dominates, >1.1 flags super-linear; route/forget axes (r13): THREE index sizes a decade apart on SynthFixtures corpora (Zipf(1.1) 50k-word docs, clustered embeddings — the r12 testdata's 31-word vocabulary made retrieval candidates corpus-proportional by construction), exponent = least-squares slope of log t vs log n; route = fixed arrival batch vs index scale (IVF under the AutoCells sqrt(N) policy); forget = fixed-size tombstone deletes + serving overhead vs index scale",
          |"super_linear":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"queries":{${entries.mkString(",")}}$routeJson$forgetJson}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
