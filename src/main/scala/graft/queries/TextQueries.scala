@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
-import graft.operators.{Multimodal, TextAnalysis}
+import graft.operators.{Multimodal, Similarity, TextAnalysis}
 
 /** Text-analysis + multimodal coverage queries. */
 object TextQueries {
@@ -40,7 +40,11 @@ object TextQueries {
     * scan-based retrieval pass over 100 TB should look (an inverted index
     * is the stored-tier alternative; see text_tfidf for the df machinery).
     */
-  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+  /** The scan-path BM25 scored frame (doc_id, score, tf0..tf2) for the
+    * fixed 3-term query — shared by [[textBm25]] and the lexical leg of
+    * [[textHybridRrf]].
+    */
+  private def bm25ScanScored(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "merge", "vector")
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -63,9 +67,60 @@ object TextQueries {
     withTf.crossJoin(broadcast(stats))
       .withColumn("score",
         expr(s"${tscore(0)} + ${tscore(1)} + ${tscore(2)}"))
+  }
+
+  def textBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25ScanScored(spark, dir)
       .select(col("doc_id"), col("score"), col("tf0").as("tf_spark"),
         col("tf1").as("tf_merge"), col("tf2").as("tf_vector"))
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
+  /** HYBRID RETRIEVAL — reciprocal-rank fusion of the lexical (BM25) and
+    * vector (cosine) retrievers, the standard two-tower shape a
+    * training-data pipeline runs when neither keywords nor embeddings
+    * alone surface the right documents (RAG retrieval, hard-negative
+    * mining, dedup candidate generation). One query = the fixed 3-term
+    * keyword set PLUS one example embedding (vec 0); each leg ranks its
+    * own top-[[hybridLegK]], and fusion scores
+    * RRF(d) = Σ_legs 10^9 div (60 + rank_leg(d)) — k=60 is the standard
+    * Cormack/Clarke constant, and scaling the reciprocal to an integer
+    * division makes the fused score EXACT integer arithmetic, so the
+    * ranking hash-matches DuckDB with no float caveats (the same
+    * clear-the-denominator trick as the BM25 score itself).
+    *
+    * Plan shape: each leg is the already-verified retrieval pass (scan
+    * BM25 via [[bm25ScanScored]]; brute-force cosine via
+    * [[graft.operators.Similarity.bruteForceTopK]], which prunes through
+    * the bounded-heap grouped top-k), cut to leg-k rows by
+    * TakeOrderedAndProject — so the FUSION input is 2 x legK rows
+    * regardless of corpus size, and the full-outer join + rank windows
+    * run on that constant-size frame. At 100 TB the legs swap in their
+    * stored-index tiers (`text_bm25_indexed` / `annRoute`) unchanged:
+    * fusion only consumes (doc_id, rank) lists.
+    */
+  def textHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val legK = 50
+    // lexical leg: top-legK by the exact scaled-integer BM25; the window
+    // ranks the ALREADY-CUT legK rows (TakeOrderedAndProject feeds it),
+    // never the corpus
+    val lexTop = bm25ScanScored(spark, dir)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(legK)
+    val lex = lexTop.withColumn("rank_lex", row_number().over(
+      Window.orderBy(col("score").desc, col("doc_id")))).drop("score")
+    // vector leg: exact cosine top-legK for the example embedding —
+    // rank comes from the verified bruteForceTopK ranking (cos desc, id)
+    val vec = Similarity.bruteForceTopK(t(spark, dir, "embeddings"),
+        probeFilter = col("vec_id") === 0, k = legK)
+      .select(col("nid").as("doc_id"), col("rank").as("rank_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", expr(
+        """coalesce(1000000000L div (60 + rank_lex), 0L)
+          | + coalesce(1000000000L div (60 + rank_vec), 0L)""".stripMargin))
+      .select(col("doc_id"), col("rrf_score"), col("rank_lex"),
+        col("rank_vec"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
       .limit(20)
   }
 
@@ -456,6 +511,7 @@ object TextQueries {
     "text_bpe" -> textBpe,
     "text_tfidf" -> textTfidf,
     "text_bm25" -> textBm25,
+    "text_hybrid_rrf" -> textHybridRrf,
     "text_bm25_indexed" -> textBm25Indexed,
     "text_bm25_maintained" -> textBm25Maintained,
     "text_bm25_forget" -> textBm25Forget,
@@ -504,6 +560,53 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "text_bpe" -> BpeOracle.mergesSql,
     "text_bm25" -> bm25OracleSql,
+    "text_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |t AS (SELECT doc_id, len(toks) AS dl,
+        |        len(list_filter(toks, x -> x = 'spark')) AS tf0,
+        |        len(list_filter(toks, x -> x = 'merge')) AS tf1,
+        |        len(list_filter(toks, x -> x = 'vector')) AS tf2
+        |      FROM d),
+        |s AS (SELECT COUNT(*) AS n, SUM(dl) AS tl,
+        |        SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |        SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |        SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |      FROM t),
+        |lex0 AS (SELECT doc_id, CAST(
+        |    (CASE WHEN tf0 > 0 THEN
+        |      (CAST(2*(n - df0) + 1 AS HUGEINT) * 44 * tf0 * tl * 1000000000)
+        |      // ((2*df0 + 1) * (20*tf0*tl + 6*tl + 18*dl*n)) ELSE 0 END)
+        |  + (CASE WHEN tf1 > 0 THEN
+        |      (CAST(2*(n - df1) + 1 AS HUGEINT) * 44 * tf1 * tl * 1000000000)
+        |      // ((2*df1 + 1) * (20*tf1*tl + 6*tl + 18*dl*n)) ELSE 0 END)
+        |  + (CASE WHEN tf2 > 0 THEN
+        |      (CAST(2*(n - df2) + 1 AS HUGEINT) * 44 * tf2 * tl * 1000000000)
+        |      // ((2*df2 + 1) * (20*tf2*tl + 6*tl + 18*dl*n)) ELSE 0 END)
+        |  AS BIGINT) AS score FROM t, s),
+        |lex AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY score DESC, doc_id)
+        |            AS rank_lex
+        |        FROM lex0 QUALIFY rank_lex <= 50),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings),
+        |vec0 AS (SELECT c.vec_id AS doc_id,
+        |        list_inner_product(q.v, c.v) /
+        |          (sqrt(list_inner_product(q.v, q.v)) *
+        |           sqrt(list_inner_product(c.v, c.v))) AS cos
+        |      FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0),
+        |vec AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+        |        FROM vec0 QUALIFY rank_vec <= 50),
+        |f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+        |        rank_lex, rank_vec
+        |      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        |SELECT doc_id,
+        |  COALESCE(1000000000 // (60 + rank_lex), 0)
+        |    + COALESCE(1000000000 // (60 + rank_vec), 0) AS rrf_score,
+        |  CAST(rank_lex AS INT) AS rank_lex,
+        |  CAST(rank_vec AS INT) AS rank_vec
+        |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
     "text_bm25_indexed" -> bm25OracleSql,
     "text_bm25_maintained" -> bm25OracleSql,
     "text_bm25_forget" -> bm25OracleSqlOver(" WHERE doc_id % 7 <> 3"),

@@ -56,4 +56,29 @@ class RetrievalSpec extends SparkSpec {
       p.contains("In(term, [spark,merge,vector]"),
       s"expected term pushdown on the postings scan in:\n$p")
   }
+
+  test("hybrid RRF: fused scores are exactly the legs' reciprocal ranks; " +
+      "both-leg docs dominate their single-leg components") {
+    val rows = graft.queries.TextQueries
+      .textHybridRrf(spark, sf001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val lex = Option(r.get(2)).map(_.asInstanceOf[Int])
+      val vec = Option(r.get(3)).map(_.asInstanceOf[Int])
+      assert(lex.nonEmpty || vec.nonEmpty, "a fused doc must come from a leg")
+      // the fused score IS the integer RRF of the surviving ranks
+      val expect = lex.map(x => 1000000000L / (60 + x)).getOrElse(0L) +
+        vec.map(x => 1000000000L / (60 + x)).getOrElse(0L)
+      assert(r.getLong(1) == expect, s"rrf mismatch for $r")
+    }
+    // fusion semantics: any doc present in BOTH legs outranks what its
+    // lexical rank alone would score — RRF strictly adds evidence
+    val both = rows.filter(r => r.get(2) != null && r.get(3) != null)
+    both.foreach { r =>
+      assert(r.getLong(1) > 1000000000L / (60 + r.getInt(2)))
+    }
+    // ranking sorted desc with doc_id ties
+    val scores = rows.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
 }
