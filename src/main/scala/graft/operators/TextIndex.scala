@@ -490,7 +490,8 @@ object TextIndex {
     */
   def bm25Route(queries: DataFrame, indexDir: String, k: Int = 20,
                 idCol: String = "qid", textCol: String = "qtext",
-                termPushdownCap: Int = 0): DataFrame = {
+                termPushdownCap: Int = 0,
+                asOf: Option[Int] = None): DataFrame = {
     val spark = queries.sparkSession
     val (nb, _) = meta(spark, indexDir)
     val probes = queries.select(col(idCol).cast("long").as("qid"),
@@ -504,7 +505,8 @@ object TextIndex {
       if (termPushdownCap > 0 && probed.length <= termPushdownCap)
         Some(probed.map(_.getString(0)).distinct.toSeq)
       else None
-    val scored = scoredTerms(spark, indexDir, probes, wanted, batchTerms)
+    val scored = scoredTerms(spark, indexDir, probes, wanted, batchTerms,
+        asOf)
       .groupBy("qid", "doc_id").agg(sum(col("tscore")).as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -512,5 +514,55 @@ object TextIndex {
         Seq("score" -> false, "doc_id" -> true), k)
       .withColumn("rank", row_number().over(w))
       .select("qid", "rank", "doc_id", "score")
+  }
+
+  /** STREAMING HYBRID RETRIEVAL — the route-tier twin of the batch
+    * `text_hybrid_rrf` query: each ARRIVING query carries keyword text
+    * AND an example embedding, the lexical leg ranks through the
+    * maintained BM25 index ([[bm25Route]]) while the vector leg ranks
+    * through the stored IVF index ([[Similarity.annRoute]]), and the two
+    * per-query rank lists fuse by reciprocal-rank fusion:
+    * RRF(d) = Σ_legs 10^9 div (60 + rank_leg(d)) — exact integer
+    * arithmetic, the same clear-the-denominator discipline as the BM25
+    * score itself, so fused rankings are reproducible bit-for-bit.
+    *
+    * Per micro-batch this adds ONE full-outer join of two
+    * batch × legK-row rank lists on (qid, doc_id) — constant-size per
+    * query, independent of either index's corpus — on top of the two
+    * legs' already-bounded plans (term-bucket-pruned postings scan;
+    * cell-pruned IVF postings scan). No state store, no corpus scan;
+    * run under `foreachBatch` like every route operator.
+    *
+    * Vector-leg recall is the IVF `nprobe` knob: at nprobe >= nCells the
+    * leg is EXACT and the fused ranking provably equals the batch
+    * brute-force fusion (RetrievalSpec); production keeps nprobe small
+    * and inherits standard IVF recall on the vector evidence only — the
+    * lexical leg is always exact.
+    *
+    * Returns (qid, rank, doc_id, rrf_score).
+    */
+  def hybridRoute(queries: DataFrame, bm25Dir: String, ivfDir: String,
+                  k: Int = 20, legK: Int = 50, nprobe: Int = 5,
+                  idCol: String = "qid", textCol: String = "qtext",
+                  embCol: String = "embedding",
+                  asOf: Option[Int] = None): DataFrame = {
+    val lex = bm25Route(queries.select(col(idCol), col(textCol)),
+        bm25Dir, k = legK, idCol = idCol, textCol = textCol, asOf = asOf)
+      .select(col("qid"), col("doc_id"), col("rank").as("rank_lex"))
+    val vec = Similarity.annRoute(queries.select(col(idCol), col(embCol)),
+        ivfDir, k = legK, nprobe = nprobe, idCol = idCol, embCol = embCol,
+        asOf = asOf)
+      .select(col("qid"), col("nid").as("doc_id"),
+        col("rank").as("rank_vec"))
+    val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_score", expr(
+        """coalesce(1000000000L div (60 + rank_lex), 0L)
+          | + coalesce(1000000000L div (60 + rank_vec), 0L)""".stripMargin))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    graft.plans.TopKPerGroup(fused, Seq("qid"),
+        Seq("rrf_score" -> false, "doc_id" -> true), k)
+      .withColumn("rank", row_number().over(w))
+      .select("qid", "rank", "doc_id", "rrf_score")
   }
 }

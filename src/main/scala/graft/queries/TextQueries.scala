@@ -206,6 +206,34 @@ object TextQueries {
       .limit(20)
   }
 
+  /** The batch harness of [[graft.operators.TextIndex.hybridRoute]] —
+    * streaming hybrid retrieval served ENTIRELY from standing state: the
+    * lexical leg ranks through the staged MAINTAINED BM25 index
+    * ([[bm25MaintIndex]] — build + append grown), the vector leg through
+    * a staged IVF index probed EXHAUSTIVELY (nprobe = nCells, so the leg
+    * is exact and the whole fused ranking is DuckDB-oracle-checkable;
+    * production drops nprobe and trades vector-leg recall only). One
+    * arriving query per 100th embedding: its vector + the fixed keyword
+    * text. The oracle replays per-probe cosine ranks and the shared
+    * BM25 ranks and fuses with the same integer RRF — hash-exact, so
+    * the route tier's fusion is proven cross-engine, per probe.
+    */
+  def textHybridRoute(spark: SparkSession, dir: String): DataFrame = {
+    val bm25Dir = bm25MaintIndex(spark, dir)
+    val ivfDir = graft.Caches.stagedPath("hybrid-ivf", dir) { base =>
+      Similarity.ivfWriteIndex(
+        t(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        base, nCells = 8)
+    }
+    val queries = t(spark, dir, "embeddings")
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"),
+        lit("spark merge vector").as("qtext"), col("embedding"))
+    graft.operators.TextIndex.hybridRoute(queries, bm25Dir, ivfDir,
+        k = 10, legK = 50, nprobe = 8)
+      .orderBy("qid", "rank")
+  }
+
   /** The staged MAINTAINED BM25 index ([[graft.operators.TextIndex]]):
     * built over the even-id half of the corpus, grown by appending the
     * odd half — the lifecycle fixture `text_bm25_maintained` and (by
@@ -512,6 +540,7 @@ object TextQueries {
     "text_tfidf" -> textTfidf,
     "text_bm25" -> textBm25,
     "text_hybrid_rrf" -> textHybridRrf,
+    "text_hybrid_route" -> textHybridRoute,
     "text_bm25_indexed" -> textBm25Indexed,
     "text_bm25_maintained" -> textBm25Maintained,
     "text_bm25_forget" -> textBm25Forget,
@@ -607,6 +636,63 @@ object TextQueries {
         |  CAST(rank_lex AS INT) AS rank_lex,
         |  CAST(rank_vec AS INT) AS rank_vec
         |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
+    "text_hybrid_route" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |t AS (SELECT doc_id, len(toks) AS dl,
+        |        len(list_filter(toks, x -> x = 'spark')) AS tf0,
+        |        len(list_filter(toks, x -> x = 'merge')) AS tf1,
+        |        len(list_filter(toks, x -> x = 'vector')) AS tf2
+        |      FROM d),
+        |s AS (SELECT COUNT(*) AS n, SUM(dl) AS tl,
+        |        SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |        SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |        SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |      FROM t),
+        |lex0 AS (SELECT doc_id, CAST(
+        |    (CASE WHEN tf0 > 0 THEN
+        |      (CAST(2*(n - df0) + 1 AS HUGEINT) * 44 * tf0 * tl * 1000000000)
+        |      // ((2*df0 + 1) * (20*tf0*tl + 6*tl + 18*dl*n)) ELSE 0 END)
+        |  + (CASE WHEN tf1 > 0 THEN
+        |      (CAST(2*(n - df1) + 1 AS HUGEINT) * 44 * tf1 * tl * 1000000000)
+        |      // ((2*df1 + 1) * (20*tf1*tl + 6*tl + 18*dl*n)) ELSE 0 END)
+        |  + (CASE WHEN tf2 > 0 THEN
+        |      (CAST(2*(n - df2) + 1 AS HUGEINT) * 44 * tf2 * tl * 1000000000)
+        |      // ((2*df2 + 1) * (20*tf2*tl + 6*tl + 18*dl*n)) ELSE 0 END)
+        |  AS BIGINT) AS score FROM t, s),
+        |lex AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY score DESC, doc_id)
+        |            AS rank_lex
+        |        FROM lex0 WHERE score > 0 QUALIFY rank_lex <= 50),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings),
+        |vec0 AS (SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+        |        list_inner_product(q.v, c.v) /
+        |          (sqrt(list_inner_product(q.v, q.v)) *
+        |           sqrt(list_inner_product(c.v, c.v))) AS cos
+        |      FROM e q JOIN e c
+        |        ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+        |vec AS (SELECT qid, doc_id,
+        |          row_number() OVER (PARTITION BY qid
+        |            ORDER BY cos DESC, doc_id) AS rank_vec
+        |        FROM vec0 QUALIFY rank_vec <= 50),
+        |qs AS (SELECT DISTINCT vec_id AS qid FROM e WHERE vec_id % 100 = 0),
+        |lexq AS (SELECT qs.qid, lex.doc_id, lex.rank_lex FROM qs, lex),
+        |f AS (SELECT COALESCE(lexq.qid, vec.qid) AS qid,
+        |        COALESCE(lexq.doc_id, vec.doc_id) AS doc_id,
+        |        lexq.rank_lex, vec.rank_vec
+        |      FROM lexq FULL OUTER JOIN vec
+        |        ON lexq.qid = vec.qid AND lexq.doc_id = vec.doc_id),
+        |fused AS (SELECT qid, doc_id,
+        |        COALESCE(1000000000 // (60 + rank_lex), 0)
+        |          + COALESCE(1000000000 // (60 + rank_vec), 0) AS rrf_score
+        |      FROM f),
+        |r AS (SELECT qid, doc_id, rrf_score,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY rrf_score DESC, doc_id) AS rank
+        |      FROM fused QUALIFY rank <= 10)
+        |SELECT qid, CAST(rank AS INT) AS rank, doc_id, rrf_score
+        |FROM r ORDER BY qid, rank""".stripMargin,
     "text_bm25_indexed" -> bm25OracleSql,
     "text_bm25_maintained" -> bm25OracleSql,
     "text_bm25_forget" -> bm25OracleSqlOver(" WHERE doc_id % 7 <> 3"),

@@ -181,6 +181,51 @@ class TextIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.maxMetadataStringLength", saved)
   }
 
+  test("hybridRoute at exhaustive nprobe equals the exact two-leg fusion") {
+    import graft.operators.Similarity
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs, dir)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val ivfDir = tmp()
+    Similarity.ivfWriteIndex(emb, ivfDir, nCells = 8)
+    val legK = 30
+    // arriving hybrid queries: every 50th vector's embedding + the fixed
+    // keyword text (qid = the probe's vec_id, so self-exclusion matches
+    // the brute-force leg's)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"),
+        lit(terms.mkString(" ")).as("qtext"), col("embedding"))
+    val routed = TextIndex.hybridRoute(queries, dir, ivfDir,
+        k = 10, legK = legK, nprobe = 8) // nprobe == nCells -> exact leg
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    // expected: exact lexical ranks (bm25TopK is spec/oracle-proven equal
+    // to the scan path) fused with exact brute-force cosine ranks
+    val lexRanks = TextIndex.bm25TopK(spark, dir, terms, k = legK)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (d, i) => d -> (i + 1) }.toMap
+    val vecRanks = Similarity.bruteForceTopK(emb,
+        col("vec_id") % 50 === 0, k = legK)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val qids = queries.select("qid").collect().map(_.getLong(0))
+    val expected = qids.flatMap { q =>
+      val docsInPlay = lexRanks.keySet ++
+        vecRanks.collect { case ((`q`, d), _) => d }
+      val fused = docsInPlay.toSeq.map { d =>
+        val s = lexRanks.get(d).map(r => 1000000000L / (60 + r))
+          .getOrElse(0L) +
+          vecRanks.get((q, d)).map(r => 1000000000L / (60 + r))
+            .getOrElse(0L)
+        (d, s)
+      }.sortBy { case (d, s) => (-s, d) }.take(10)
+      fused.zipWithIndex.map { case ((d, s), i) => (q, i + 1, d, s) }
+    }.toSet
+    assert(routed == expected,
+      "exhaustive-probe hybrid route must equal the exact two-leg fusion")
+  }
+
   test("as-of serves historical versions along the append/delete chain; " +
       "compaction invalidates them loudly") {
     val dir = tmp()
