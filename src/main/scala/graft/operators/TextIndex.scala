@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   * [[graft.sources.IndexCommit]] manifest; readers resolve exactly one
   * committed version):
   *
-  *  - `meta` — one row (nbuckets, dlrange): the physical-layout constants
-  *    every reader and writer derives partition keys from.
+  *  - `meta` — one row (nbuckets, dlrange, fwd?): the physical-layout
+  *    constants every reader and writer derives partition keys from.
   *  - `postings` — (term, doc_id, tf), PARTITIONED BY `tb` =
   *    pmod(xxhash64(term), nbuckets). A query's terms map to known
   *    buckets, so the serving scan prunes to ≤ |query terms| of the
@@ -35,6 +35,26 @@ import org.apache.spark.sql.functions._
   *    total length all serve live values, so post-delete rankings equal a
   *    fresh build over the live corpus (TextIndexSpec proves it; the
   *    `text_bm25_forget` oracle hash-checks it against DuckDB).
+  *    Each segment row also carries the term's score ENVELOPE over the
+  *    postings it covers — (max_tf, min_dl): the term-frequency maximum
+  *    and document-length minimum. Because the scaled-integer BM25
+  *    contribution is monotone INCREASING in tf and DECREASING in dl,
+  *    tscore(max_tf, min_dl | live df, n, tl) upper-bounds every live
+  *    posting's contribution; segments merge by max/min, delete deltas
+  *    carry NULL envelopes (a deletion can only SHRINK the true
+  *    envelope, so the merged value stays a sound upper bound — the LSH
+  *    `df`-upper-bound discipline applied to pruning statistics), and
+  *    compaction folds merged values forward. [[bm25TopKPruned]] turns
+  *    these bounds into MaxScore-style skipping.
+  *  - `fwd` — OPT-IN (`writeBm25Index(..., forward = true)`; recorded in
+  *    `meta`) forward index: (doc_id, term, tf) PARTITIONED BY `dr` =
+  *    doc_id div dlrange — the same id-range scheme as `doclens`, so a
+  *    bounded candidate set reads O(candidate ranges), never the table.
+  *    This is the classic inverted/forward dual: term-keyed postings
+  *    answer "who contains t", doc-keyed rows answer "what does d
+  *    contain" — the second copy is what lets certificate-driven pruned
+  *    serving finish candidates' EXACT scores without re-scanning the
+  *    skipped terms' (potentially corpus-scale) posting lists.
   *  - `doclens` — (doc_id, dl), PARTITIONED BY `dr` = doc_id div dlrange
   *    (id-range partitioning, the LSH `arrays` discipline): appends with
   *    fresh increasing ids touch only the newest range(s), and delete
@@ -100,11 +120,20 @@ object TextIndex {
   private def tbCol(nBuckets: Int): Column =
     pmod(xxhash64(col("term")), lit(nBuckets.toLong))
 
-  private def meta(spark: SparkSession, dir: String): (Int, Long) = {
+  /** (nbuckets, dlrange, forward?) — `fwd` reads null (= false) on
+    * indexes built before the forward-table option existed.
+    */
+  private def metaFull(spark: SparkSession, dir: String): (Int, Long, Boolean) = {
     val r = StoredIndex.readTable(spark, s"$dir/meta",
-      "nbuckets INT, dlrange BIGINT").collect()
+      "nbuckets INT, dlrange BIGINT, fwd BOOLEAN").collect()
     require(r.nonEmpty, s"no bm25 index meta under $dir")
-    (r.head.getInt(0), r.head.getLong(1))
+    (r.head.getInt(0), r.head.getLong(1),
+      !r.head.isNullAt(2) && r.head.getBoolean(2))
+  }
+
+  private def meta(spark: SparkSession, dir: String): (Int, Long) = {
+    val m = metaFull(spark, dir)
+    (m._1, m._2)
   }
 
   // All table reads go through [[graft.sources.StoredIndex.readTable]]:
@@ -123,17 +152,31 @@ object TextIndex {
     StoredIndex.readTable(spark, s"$dir/doclens",
       "doc_id BIGINT, dl BIGINT, dr BIGINT", asOf)
 
-  /** Merged LIVE document frequencies for the terms matching `pred` —
-    * the filter applies BELOW the merge aggregation, so a `tb IN (...)`
-    * predicate prunes every segment's scan to the probed buckets.
+  private def rawFwd(spark: SparkSession, dir: String,
+                     asOf: Option[Int] = None): DataFrame =
+    StoredIndex.readTable(spark, s"$dir/fwd",
+      "doc_id BIGINT, term STRING, tf BIGINT, dr BIGINT", asOf)
+
+  /** Merged LIVE document frequencies + score envelopes for the terms
+    * matching `pred` — the filter applies BELOW the merge aggregation,
+    * so a `tb IN (...)` predicate prunes every segment's scan to the
+    * probed buckets. df sums exactly (delete deltas are negative);
+    * (max_tf, min_dl) merge by max/min over non-null segment envelopes,
+    * so after deletes they stay sound UPPER-bound statistics (the LSH
+    * `df` historical-upper-bound discipline; null when no segment
+    * carries an envelope —
+    * a pre-envelope legacy index — which pruned serving treats as
+    * unprunable).
     */
   private def mergedTermdf(spark: SparkSession, dir: String,
                            pred: Column,
                            asOf: Option[Int] = None): DataFrame =
     StoredIndex.readTable(spark, s"$dir/termdf",
-        "term STRING, df BIGINT, seg INT, tb BIGINT", asOf)
+        "term STRING, df BIGINT, max_tf BIGINT, min_dl BIGINT, " +
+          "seg INT, tb BIGINT", asOf)
       .filter(pred)
-      .groupBy("term").agg(sum(col("df")).as("df"))
+      .groupBy("term").agg(sum(col("df")).as("df"),
+        max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"))
       .filter(col("df") > 0)
 
   /** Merged live corpus stats (one row: n docs, total length). */
@@ -171,28 +214,47 @@ object TextIndex {
     tok.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
       .withColumn("dr", expr(s"doc_id div ${dlRange}L"))
 
+  /** One `termdf` delta segment over a batch: per-(term, tb) df plus the
+    * batch's score envelope (max tf, min dl) — O(batch vocabulary) rows.
+    */
+  private def termStatsOf(post: DataFrame, dls: DataFrame): DataFrame =
+    post.join(dls.select("doc_id", "dl"), Seq("doc_id"))
+      .groupBy("term", "tb").agg(count(lit(1)).as("df"),
+        max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+
+  /** The forward rows of a batch: (doc_id, term, tf, dr). */
+  private def fwdOf(post: DataFrame, dlRange: Long): DataFrame =
+    post.select(col("doc_id"), col("term"), col("tf"))
+      .withColumn("dr", expr(s"doc_id div ${dlRange}L"))
+
   // -------------------------------------------------------------------------
   // Build / append / delete / compact
   // -------------------------------------------------------------------------
 
   /** Build the index from scratch over `docs` (doc_id, text) and publish
-    * manifest version 0.
+    * manifest version 0. `forward = true` additionally writes the
+    * doc-range-partitioned `fwd` table (and records it in `meta`, so
+    * appends and compactions maintain it) — the prerequisite for
+    * [[bm25TopKPruned]] / [[bm25RoutePruned]].
     */
   def writeBm25Index(docs: DataFrame, dir: String, nBuckets: Int = 16,
-                     dlRange: Long = 256L): Unit = {
+                     dlRange: Long = 256L, forward: Boolean = false): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     IndexCommit.deleteTree(java.nio.file.Paths.get(dir))
-    Seq((nBuckets, dlRange)).toDF("nbuckets", "dlrange")
+    Seq((nBuckets, dlRange, forward)).toDF("nbuckets", "dlrange", "fwd")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     val tok = tokenized(docs)
     val post = postingsOf(tok, nBuckets)
     post.write.partitionBy("tb").mode("overwrite").parquet(s"$dir/postings")
-    post.groupBy("term", "tb").agg(count(lit(1)).as("df"))
+    val dls = doclensOf(tok, dlRange)
+    termStatsOf(post, dls)
       .write.partitionBy("tb").mode("overwrite")
       .parquet(s"$dir/termdf/seg=0")
-    val dls = doclensOf(tok, dlRange)
     dls.write.partitionBy("dr").mode("overwrite").parquet(s"$dir/doclens")
+    if (forward)
+      fwdOf(post, dlRange).write.partitionBy("dr").mode("overwrite")
+        .parquet(s"$dir/fwd")
     dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/seg=0")
     IndexCommit.commitFiles(dir, IndexCommit.walkDataFiles(dir))
@@ -212,17 +274,20 @@ object TextIndex {
     val spark = newDocs.sparkSession
     IndexCommit.vacuum(dir)
     val t = new graft.sources.IndexTxn(dir)
-    val (nb, dlr) = meta(spark, dir)
+    val (nb, dlr, hasFwd) = metaFull(spark, dir)
     val tok = tokenized(newDocs)
     val post = postingsOf(tok, nb)
     post.write.partitionBy("tb").mode("overwrite")
       .parquet(s"$dir/.postings-stage")
-    post.groupBy("term", "tb").agg(count(lit(1)).as("df"))
+    val dls = doclensOf(tok, dlr)
+    termStatsOf(post, dls)
       .write.partitionBy("tb").mode("overwrite")
       .parquet(s"$dir/.termdf-stage")
-    val dls = doclensOf(tok, dlr)
     dls.write.partitionBy("dr").mode("overwrite")
       .parquet(s"$dir/.doclens-stage")
+    if (hasFwd)
+      fwdOf(post, dlr).write.partitionBy("dr").mode("overwrite")
+        .parquet(s"$dir/.fwd-stage")
     dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stats-stage")
     IndexCommit.hit("bm25-staged")
@@ -231,6 +296,8 @@ object TextIndex {
     StoredIndex.moveTree(t, p(s"$dir/.termdf-stage"),
       p(s"$dir/termdf/seg=${nextSeg(dir, "termdf")}"))
     StoredIndex.moveTree(t, p(s"$dir/.doclens-stage"), p(s"$dir/doclens"))
+    if (hasFwd)
+      StoredIndex.moveTree(t, p(s"$dir/.fwd-stage"), p(s"$dir/fwd"))
     StoredIndex.moveTree(t, p(s"$dir/.stats-stage"),
       p(s"$dir/stats/seg=${nextSeg(dir, "stats")}"))
     IndexCommit.hit("bm25-before-commit")
@@ -273,7 +340,12 @@ object TextIndex {
     val nDead = StoredIndex.readDirTable(spark, s"$dir/.tombstones-stage",
       "id BIGINT, tb BIGINT").select("id").distinct().count()
     if (nDead > 0) {
-      deadPost.groupBy("term", "tb").agg((-count(lit(1))).as("df"))
+      // NULL envelope on the negative delta: a delete can only SHRINK a
+      // term's true (max_tf, min_dl), so leaving the merged envelope
+      // untouched keeps it a sound (historical) upper bound
+      deadPost.groupBy("term", "tb").agg((-count(lit(1))).as("df"),
+          lit(null).cast("long").as("max_tf"),
+          lit(null).cast("long").as("min_dl"))
         .write.partitionBy("tb").mode("overwrite")
         .parquet(s"$dir/.termdf-stage")
       dead.agg((-count(lit(1))).as("n"), (-sum(col("dl"))).as("tl"))
@@ -352,6 +424,21 @@ object TextIndex {
       dlKeys.foreach(k => t.retireUnder(s"doclens/$k"))
       StoredIndex.moveTree(t, p(s"$dir/.doclens-compact"), p(s"$dir/doclens"))
       rewritten += dlKeys.size
+    }
+    // forward table (when present): same doc-range reclaim as doclens
+    val fwdKeys =
+      if (t.liveUnder("fwd").isEmpty) Seq.empty[String]
+      else (deadDrs.map(v => s"dr=$v") ++ overfull("fwd")).distinct
+    if (fwdKeys.nonEmpty) {
+      val keep = antiDead(spark, dir,
+        rawFwd(spark, dir)
+          .filter(col("dr").isin(fwdKeys.map(_.stripPrefix("dr=").toLong): _*)),
+        "doc_id")
+      keep.write.partitionBy("dr").mode("overwrite")
+        .parquet(s"$dir/.fwd-compact")
+      fwdKeys.foreach(k => t.retireUnder(s"fwd/$k"))
+      StoredIndex.moveTree(t, p(s"$dir/.fwd-compact"), p(s"$dir/fwd"))
+      rewritten += fwdKeys.size
     }
     // LSM folds: segment count over budget -> one merged base segment.
     // The vocabulary-sized termdf fold is metadata-scale next to postings.
@@ -513,6 +600,201 @@ object TextIndex {
     graft.plans.TopKPerGroup(scored, Seq("qid"),
         Seq("score" -> false, "doc_id" -> true), k)
       .withColumn("rank", row_number().over(w))
+      .select("qid", "rank", "doc_id", "score")
+  }
+
+  // -------------------------------------------------------------------------
+  // Pruned (MaxScore-style) serving — certificate-driven term skipping
+  // -------------------------------------------------------------------------
+
+  /** CERTIFICATE-DRIVEN pruned top-k — the set-at-a-time MaxScore: serve
+    * the EXACT disjunctive ranking while reading only the high-impact
+    * ("essential") terms' posting lists, with the skipped terms' stored
+    * score envelopes proving nothing outside the candidate set can reach
+    * the top k.
+    *
+    * Per round r (over the still-uncertified queries):
+    *  1. ESSENTIAL terms = each query's r highest-upper-bound terms
+    *     (ub = tscore at the term's (max_tf, min_dl) envelope under the
+    *     LIVE df/n/tl — with the scaled-integer idf ~ n/df, rare terms
+    *     bound far above common ones, so round 1 usually keeps only the
+    *     rarest term's SHORT posting list and skips the corpus-scale
+    *     common lists entirely).
+    *  2. CANDIDATES = docs holding >= 1 essential term — read from the
+    *     postings table pruned to the essential terms' buckets.
+    *  3. EXACT scores for all candidates from the FORWARD table (their
+    *     doc ranges partition-prune the read): a candidate's fwd rows
+    *     carry its tf for EVERY query term, including the skipped ones,
+    *     so candidate scores are complete without touching the skipped
+    *     posting lists.
+    *  4. CERTIFICATE per query: the k-th best exact candidate score must
+    *     STRICTLY exceed Σ ub over the skipped terms — any non-candidate
+    *     matches only skipped terms, so its score is <= that sum (and
+    *     strictness covers the doc_id tie-break). Certified queries emit;
+    *     the rest escalate (r+1). At r = |terms| the certificate is
+    *     vacuous and the result is the plain full-disjunction ranking —
+    *     pruning NEVER costs correctness, only the envelope-quality-
+    *     dependent speedup (on a df-skewed Zipf vocabulary round 1
+    *     certifies; on the degenerate uniform-df fixture it escalates).
+    *
+    * DRIVER-WORK CONTRACT (the [[bm25Route]] discipline): per round, one
+    * collect of the batch's probed (term, bucket) set (batch-vocabulary-
+    * bounded), one collect of candidate doc RANGES capped at `drCap`
+    * (over the cap the fwd/doclens scans fall back to unpruned — the
+    * joins still row-filter, so the cap bounds driver metadata, not
+    * correctness), and one 1-row continue? check.
+    *
+    * Returns (qid, rank, doc_id, score, tfmap) — tfmap is the per-doc
+    * query-term tf map the fixed-term wrapper surfaces as tf_* columns.
+    */
+  private def prunedTopK(spark: SparkSession, dir: String,
+                         probes0: DataFrame, k: Int,
+                         asOf: Option[Int], drCap: Int): DataFrame = {
+    val (nb, dlr, hasFwd) = metaFull(spark, dir)
+    require(hasFwd,
+      s"pruned bm25 serving needs a forward-enabled index under $dir " +
+        "(writeBm25Index(..., forward = true))")
+    val probes = probes0.dropDuplicates("qid", "term")
+    // bounded collect: the batch's probed buckets (<= batch vocabulary)
+    val allTb = probes.select(tbCol(nb).as("tb")).distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val stats = mergedStats(spark, dir, asOf)
+    val dfEnv = mergedTermdf(spark, dir, col("tb").isin(allTb: _*), asOf)
+    // per-(qid, term): live df, envelope ub, and the query-local ub rank
+    // (null envelopes — legacy segments — rank FIRST: always essential,
+    // never skipped-and-bounded)
+    val pinfo = probes.join(dfEnv, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tb", tbCol(nb))
+      .withColumn("ub", expr(
+        """CASE WHEN max_tf IS NULL OR min_dl IS NULL THEN NULL ELSE
+          | (cast(2 * (n - df) + 1 as decimal(38,0))
+          |   * 44 * max_tf * tl * 1000000000)
+          | div ((2 * df + 1)
+          |   * (20 * max_tf * tl + 6 * tl + 18 * min_dl * n)) END
+          |""".stripMargin))
+      .withColumn("ubrank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("ub").desc_nulls_first, col("term"))))
+      .withColumn("nterms",
+        count(lit(1)).over(Window.partitionBy(col("qid"))))
+      .select("qid", "term", "tb", "ub", "ubrank", "nterms")
+    val maxTerms = pinfo.agg(max(col("nterms"))).collect()
+      .headOption.flatMap(r => Option(r.get(0)))
+      .map(_.asInstanceOf[Long].toInt).getOrElse(0)
+    var pending = pinfo.select("qid").distinct()
+    var out: Option[DataFrame] = None
+    var r = 1
+    var continue = true
+    while (continue) {
+      IndexCommit.hit(s"bm25-pruned-round:$r")
+      val pin = pinfo.join(pending, Seq("qid"))
+      val ess = pin.filter(col("ubrank") <= r)
+      // bounded collect: this round's essential buckets (a subset of the
+      // probed set)
+      val essTbs = ess.select("tb").distinct().collect()
+        .map(_.getLong(0)).toSeq
+      IndexCommit.hit(s"bm25-pruned-buckets:${essTbs.sorted.mkString(",")}")
+      val post = antiDead(spark, dir,
+        rawPostings(spark, dir, asOf).filter(col("tb").isin(essTbs: _*)),
+        "doc_id", asOf)
+      val cands = ess.select("qid", "term").join(post, Seq("term"))
+        .select("qid", "doc_id").distinct()
+      // capped collect: candidate doc ranges -> partition filters on the
+      // forward/doclens reads
+      val drsAll = cands.select(expr(s"doc_id div ${dlr}L").as("dr"))
+        .distinct().limit(drCap + 1).collect().map(_.getLong(0)).toSeq
+      val drs = if (drsAll.size > drCap) None else Some(drsAll)
+      def prune(df: DataFrame): DataFrame =
+        drs.map(ds => df.filter(col("dr").isin(ds: _*))).getOrElse(df)
+      val dl = prune(rawDoclens(spark, dir, asOf)).select("doc_id", "dl")
+      val exact = cands
+        .join(prune(rawFwd(spark, dir, asOf))
+          .select("doc_id", "term", "tf"), Seq("doc_id"))
+        .join(pin.select("qid", "term"), Seq("qid", "term"))
+        .join(dfEnv.select("term", "df"), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("tscore", expr(
+          """(cast(2 * (n - df) + 1 as decimal(38,0))
+            |  * 44 * tf * tl * 1000000000)
+            | div ((2 * df + 1) * (20 * tf * tl + 6 * tl + 18 * dl * n))
+            |""".stripMargin))
+        .groupBy("qid", "doc_id")
+        .agg(sum(col("tscore")).as("score"),
+          map_from_entries(collect_list(struct(col("term"), col("tf"))))
+            .as("tfmap"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val top = graft.plans.TopKPerGroup(exact, Seq("qid"),
+          Seq("score" -> false, "doc_id" -> true), k)
+        .withColumn("rank", row_number().over(w))
+      val theta = top.groupBy("qid").agg(count(lit(1)).as("nc"),
+        min(when(col("rank") === k, col("score"))).as("theta"))
+      val nonEss = pin.filter(col("ubrank") > r)
+        .groupBy("qid").agg(sum(col("ub")).as("nonessub"),
+          sum(when(col("ub").isNull, 1).otherwise(0)).as("nullubs"))
+      val certQids = theta.join(nonEss, Seq("qid"), "left")
+        .withColumn("certified",
+          when(col("nullubs").isNull, lit(true)) // nothing skipped
+            .otherwise(coalesce(col("nc") === k && col("nullubs") === 0 &&
+              col("theta") > col("nonessub"), lit(false))))
+        .filter(col("certified")).select("qid")
+      val done = top.join(certQids, Seq("qid"))
+        .select("qid", "rank", "doc_id", "score", "tfmap")
+      out = Some(out.map(_.unionByName(done)).getOrElse(done))
+      pending = pending.join(certQids, Seq("qid"), "left_anti")
+      r += 1
+      continue = r <= maxTerms && pending.limit(1).count() > 0
+    }
+    out.get
+  }
+
+  /** Fixed-term PRUNED top-k over a forward-enabled index — identical
+    * output shape (and oracle) to [[bm25TopK]]: (doc_id, score, tf_*).
+    * The `text_bm25_pruned` query hash-checks it against the same
+    * recompute-from-raw-docs DuckDB oracle as the scan / indexed /
+    * maintained paths — certificate-driven skipping proven exact through
+    * an independent engine.
+    */
+  def bm25TopKPruned(spark: SparkSession, dir: String, terms: Seq[String],
+                     k: Int = 20, asOf: Option[Int] = None,
+                     drCap: Int = 4096): DataFrame = {
+    val probes = spark.createDataFrame(terms.map(tm => (0L, tm)))
+      .toDF("qid", "term")
+    val top = prunedTopK(spark, dir, probes, k, asOf, drCap)
+    // the same loud precondition as every postings-path serve: the
+    // all-docs oracle ranking is covered only with >= k matching docs
+    val ncand = top.agg(count(lit(1)).as("nc"))
+    top.crossJoin(broadcast(ncand))
+      .select((col("doc_id") +:
+        when(assert_true(col("nc") >= k,
+            lit(s"bm25TopKPruned: fewer than $k docs match any query " +
+              "term — the candidates path no longer covers the all-docs " +
+              "oracle ranking")).isNull,
+          col("score")).as("score") +:
+        terms.map(tm =>
+          coalesce(element_at(col("tfmap"), lit(tm)), lit(0L))
+            .as(s"tf_$tm"))): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Streaming PRUNED retrieval route — [[bm25Route]] semantics (same
+    * (qid, rank, doc_id, score) output for the same arrivals) served
+    * through [[prunedTopK]]: each micro-batch reads only its queries'
+    * essential posting lists plus the candidates' forward ranges, so on
+    * a df-skewed vocabulary the per-decision read is O(rare-term
+    * postings), not O(all query-term postings).
+    */
+  def bm25RoutePruned(queries: DataFrame, indexDir: String, k: Int = 20,
+                      idCol: String = "qid", textCol: String = "qtext",
+                      drCap: Int = 4096,
+                      asOf: Option[Int] = None): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = queries.select(col(idCol).cast("long").as("qid"),
+        explode(split(col(textCol), " ")).as("term"))
+      .dropDuplicates("qid", "term")
+    prunedTopK(spark, indexDir, probes, k, asOf, drCap)
       .select("qid", "rank", "doc_id", "score")
   }
 

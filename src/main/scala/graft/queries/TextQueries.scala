@@ -302,6 +302,32 @@ object TextQueries {
     graft.operators.TextIndex.bm25TopK(spark, bm25MaintIndex(spark, dir),
       Seq("spark", "merge", "vector"), asOf = Some(0))
 
+  /** BM25 served by CERTIFICATE-DRIVEN pruning ([[graft.operators
+    * .TextIndex.bm25TopKPruned]] — the set-at-a-time MaxScore) over a
+    * forward-enabled maintained index (built from the even-id half,
+    * grown by appending the odd half, like `text_bm25_maintained`): the
+    * serve reads only the ESSENTIAL terms' posting lists and finishes
+    * candidates' exact scores from the doc-range-pruned forward table,
+    * escalating per query until the skipped terms' stored score
+    * envelopes prove nothing outside the candidate set can reach the
+    * top k. Hash-checks against the SAME recompute-from-raw-docs oracle
+    * as the scan / indexed / maintained paths — the pruning is proven
+    * EXACT through an independent engine, on the fixture whose uniform
+    * df is the certificate's worst case (the df-skewed speedup is
+    * spec-proven and route-benched on the Zipf fixtures).
+    */
+  def textBm25Pruned(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Caches.stagedPath("bm25-pruned", dir) { base =>
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.TextIndex.writeBm25Index(
+        docs.filter(col("doc_id") % 2 === 0), base, forward = true)
+      graft.operators.TextIndex.appendBm25Index(
+        docs.filter(col("doc_id") % 2 === 1), base)
+    }
+    graft.operators.TextIndex.bm25TopKPruned(spark, base,
+      Seq("spark", "merge", "vector"))
+  }
+
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val tok = docs.select(col("doc_id"),
@@ -543,6 +569,7 @@ object TextQueries {
     "text_hybrid_route" -> textHybridRoute,
     "text_bm25_indexed" -> textBm25Indexed,
     "text_bm25_maintained" -> textBm25Maintained,
+    "text_bm25_pruned" -> textBm25Pruned,
     "text_bm25_forget" -> textBm25Forget,
     "text_bm25_asof" -> textBm25Asof,
     "text_vocab_encode" -> textVocabEncode,
@@ -589,6 +616,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "text_bpe" -> BpeOracle.mergesSql,
     "text_bm25" -> bm25OracleSql,
+    "text_bm25_pruned" -> bm25OracleSql,
     "text_hybrid_rrf" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),

@@ -25,7 +25,19 @@ import org.apache.spark.sql.functions._
   *    batch's probed term buckets pushed as partition filters onto the
   *    postings scan; runs a 10x-lower rate ladder — an exact
   *    disjunctive top-k decision scores every posting of its terms,
-  *    inherently heavier than an admission decision.
+  *    inherently heavier than an admission decision;
+  *  - `hybrid` — per-arrival HYBRID retrieval ([[graft.operators
+  *    .TextIndex.hybridRoute]], k=10): Zipf keyword text + a clustered
+  *    embedding per arrival, lexical leg through the bm25 index, vector
+  *    leg through the IVF index, integer reciprocal-rank fusion; same
+  *    10x-lower ladder (the bm25 leg dominates its decision cost);
+  *  - `bm25p` — the SAME arrivals and k as `bm25`, served by the
+  *    certificate-driven pruned path ([[graft.operators.TextIndex
+  *    .bm25RoutePruned]], r13): per micro-batch only the queries'
+  *    essential (rare-term) posting lists are scanned and candidates
+  *    finish from the doc-range-pruned forward table — EXACT results
+  *    (spec-proven equal to `bm25`), so the tier-vs-tier ratio is the
+  *    measured value of MaxScore-style skipping on the Zipf df ladder.
   *
   * Reports sustained decisions/s per (tier, input rate) with kept-up
   * flags.
@@ -52,7 +64,7 @@ object RouteBench {
     val rates = sys.env.getOrElse("SPARK_GRAFT_ROUTE_RATES", "2000,5000,10000")
       .split(",").map(_.trim.toInt)
     val tiers = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TIERS",
-        "curate,minhash,ann,bm25")
+        "curate,minhash,ann,bm25,bm25p,hybrid")
       .split(",").map(_.trim).toSeq
     val secs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_SECS", "40").toInt
     val triggerMs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TRIGGER_MS", "5000").toLong
@@ -73,17 +85,19 @@ object RouteBench {
       graft.Tables.t(spark, sfDir, "documents").select(col("doc_id"), col("text")),
       dir)
     val ivfDir = s"$dir-ivf"
-    if (tiers.contains("ann"))
+    if (tiers.exists(Set("ann", "hybrid")))
       graft.operators.Similarity.ivfWriteIndex(
         graft.Tables.t(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding")), ivfDir)
     val bm25Dir = s"$dir-bm25"
-    if (tiers.contains("bm25")) {
+    if (tiers.exists(Set("bm25", "bm25p", "hybrid"))) {
       val nDocs = sys.env.get("SPARK_GRAFT_ROUTE_BM25_DOCS").map(_.toLong)
         .getOrElse(graft.Tables.t(spark, sfDir, "documents").count())
+      // forward = true: the bm25p tier needs the doc-range forward table;
+      // the full-route tiers read the same index unchanged
       graft.operators.TextIndex.writeBm25Index(
         spark.read.parquet(SynthFixtures.ensureZipfDocs(spark, nDocs)),
-        bm25Dir, nBuckets = 64)
+        bm25Dir, nBuckets = 64, forward = tiers.contains("bm25p"))
     }
     val buildSec = (System.nanoTime() - t0) / 1e9
     System.err.println(s"[route-bench] index build ${r1(buildSec)}s from $sfDir")
@@ -135,6 +149,31 @@ object RouteBench {
         (b: DataFrame) => {
           graft.operators.TextIndex.bm25Route(b, bm25Dir, k = 10).count()
           b.count()
+        })),
+      "bm25p" -> ((
+        // same arrivals as bm25, served by the certificate-driven
+        // pruned path — exact, but only essential posting lists scanned
+        (rate: Int) => spark.readStream.format("rate")
+          .option("rowsPerSecond", rate.toString).load()
+          .select((col("value") + 1000000000L).as("qid"),
+            SynthFixtures.zipfQueryText(col("value")).as("qtext")),
+        (b: DataFrame) => {
+          graft.operators.TextIndex.bm25RoutePruned(b, bm25Dir, k = 10)
+            .count()
+          b.count()
+        })),
+      "hybrid" -> ((
+        // arriving hybrid queries: Zipf keyword text + a clustered
+        // embedding, both synthesized in-row per arrival
+        (rate: Int) => spark.readStream.format("rate")
+          .option("rowsPerSecond", rate.toString).load()
+          .select((col("value") + 1000000000L).as("qid"),
+            SynthFixtures.zipfQueryText(col("value")).as("qtext"),
+            SynthFixtures.clusteredEmbedding(col("value")).as("embedding")),
+        (b: DataFrame) => {
+          graft.operators.TextIndex.hybridRoute(b, bm25Dir, ivfDir,
+            k = 10).count()
+          b.count()
         })))
     // an exact retrieval decision scores every posting of its query's
     // terms — an inherently heavier unit than a doc admission even on the
@@ -143,7 +182,11 @@ object RouteBench {
     // degenerate 31-word-vocabulary fixture where every posting list was
     // ~77% of the corpus).
     val tierRates: Map[String, Array[Int]] =
-      Map("bm25" -> rates.map(r => math.max(1, r / 10)))
+      Map("bm25" -> rates.map(r => math.max(1, r / 10)),
+          "hybrid" -> rates.map(r => math.max(1, r / 10)),
+          // the pruned tier starts 4x lighter than the admission tiers:
+          // its decision is still an exact top-k, just candidate-pruned
+          "bm25p" -> rates.map(r => math.max(1, r / 4)))
         .withDefaultValue(rates)
 
     def measure(tier: String, rate: Int,

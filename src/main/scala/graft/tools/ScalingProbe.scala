@@ -164,6 +164,10 @@ object ScalingProbe {
       * top-k scores every posting of the query's terms, and a fixed
       * term's df grows with the corpus — the Zipf fixture makes that a
       * ~1% tail instead of the old fixture's 77%-per-term head.
+      * bm25p_route (r13) is the certificate-driven pruned serve over
+      * the SAME index + queries: per batch only the essential (rare)
+      * terms' posting lists are scanned, so its slope shows how much of
+      * the full route's df-growth MaxScore-style skipping removes.
       */
     def routeAxis(): String = {
       import org.apache.spark.sql.functions._
@@ -198,8 +202,10 @@ object ScalingProbe {
         // in candidates, not 0)
         graft.operators.Similarity.ivfWriteIndex(emb, s"$dir-ivf8",
           nCells = 8)
+        // forward = true: the bm25p_route tier serves the pruned path
+        // from the same index; the full bm25_route read path is unchanged
         graft.operators.TextIndex.writeBm25Index(docs, s"$dir-bm25",
-          nBuckets = 64)
+          nBuckets = 64, forward = true)
         val res = Map(
           "curate_route" -> wm(() =>
             { graft.operators.Curation.curateRoute(docBatch, dir).count(); () }),
@@ -211,7 +217,10 @@ object ScalingProbe {
               k = 5).count(); () }),
           "bm25_route" -> wm(() =>
             { graft.operators.TextIndex.bm25Route(qBatch, s"$dir-bm25",
-              k = 10).count(); () }))
+              k = 10).count(); () }),
+          "bm25p_route" -> wm(() =>
+            { graft.operators.TextIndex.bm25RoutePruned(qBatch,
+              s"$dir-bm25", k = 10).count(); () }))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivf"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivf8"))
@@ -228,7 +237,9 @@ object ScalingProbe {
         "ann_route_fixed8" -> rs.map { case (_, nv, m) =>
           (nv, m("ann_route_fixed8"), batchN.toLong) },
         "bm25_route" -> rs.map { case (nd, _, m) =>
-          (nd, m("bm25_route"), qBatchN.toLong) })
+          (nd, m("bm25_route"), qBatchN.toLong) },
+        "bm25p_route" -> rs.map { case (nd, _, m) =>
+          (nd, m("bm25p_route"), qBatchN.toLong) })
       axisJson("route", pts.keys.toSeq.sorted, pts)
     }
     /** Forget-tier axis: on standing LSH + IVF + BM25 indexes built at

@@ -86,12 +86,13 @@ object SynthFixtures {
     spark.range(n).select(col("id").as("qid"),
       zipfQueryText(col("id"), vocab, terms, minRank, s, seed).as("qtext"))
 
-  /** `n` embeddings (vec_id, embedding float[dim]) around `clusters`
-    * deterministic unit centers + hash-uniform noise.
+  /** A clustered embedding (float[dim]) keyed by `id`: one of `clusters`
+    * deterministic unit centers + hash-uniform noise — a pure column
+    * expression, so streaming rate sources can synthesize arrivals
+    * in-row.
     */
-  def clusteredEmbeddings(spark: SparkSession, n: Long, dim: Int = 64,
-                          clusters: Int = 30, noise: Double = 0.1,
-                          seed: Long = 2024L): DataFrame = {
+  def clusteredEmbedding(id: Column, dim: Int = 64, clusters: Int = 30,
+                         noise: Double = 0.1, seed: Long = 2024L): Column = {
     val rnd = new scala.util.Random(seed)
     val centers: Seq[Seq[Double]] = Seq.fill(clusters) {
       val v = Array.fill(dim)(rnd.nextGaussian())
@@ -99,13 +100,20 @@ object SynthFixtures {
       v.map(_ / norm).toSeq
     }
     val cLit = typedlit(centers)
-    spark.range(n).select(col("id").as("vec_id"),
-      transform(sequence(lit(1), lit(dim)), d =>
-        (element_at(element_at(cLit,
-            (pmod(col("id"), lit(clusters.toLong)) + 1).cast("int")), d) +
-          (u01(col("id"), d, seed) - lit(0.5)) * lit(2.0 * noise))
-          .cast("float")).as("embedding"))
+    transform(sequence(lit(1), lit(dim)), d =>
+      (element_at(element_at(cLit,
+          (pmod(id, lit(clusters.toLong)) + 1).cast("int")), d) +
+        (u01(id, d, seed) - lit(0.5)) * lit(2.0 * noise))
+        .cast("float"))
   }
+
+  /** `n` embeddings (vec_id, embedding) via [[clusteredEmbedding]]. */
+  def clusteredEmbeddings(spark: SparkSession, n: Long, dim: Int = 64,
+                          clusters: Int = 30, noise: Double = 0.1,
+                          seed: Long = 2024L): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      clusteredEmbedding(col("id"), dim, clusters, noise, seed)
+        .as("embedding"))
 
   def fixtureDir: String =
     sys.env.getOrElse("SPARK_GRAFT_SYNTH_DIR", "/tmp/graft-synth")

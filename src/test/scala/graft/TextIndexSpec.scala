@@ -315,6 +315,126 @@ class TextIndexSpec extends SparkSpec {
     freshEquals(live)
   }
 
+  private def recordPrunedEvents(body: => Unit): Seq[String] = {
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    IndexCommit.failpoint =
+      n => if (n.startsWith("bm25-pruned-")) events.synchronized { events += n }
+    try body finally IndexCommit.failpoint = _ => ()
+    events.toSeq
+  }
+
+  test("pruned serving equals the full ranking across the append/delete/" +
+      "compact lifecycle; a non-forward index refuses clearly") {
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs.filter(col("doc_id") % 2 === 0), dir,
+      forward = true)
+    TextIndex.appendBm25Index(docs.filter(col("doc_id") % 2 === 1), dir)
+    def both() = (
+      TextIndex.bm25TopK(spark, dir, terms).collect().toSeq,
+      TextIndex.bm25TopKPruned(spark, dir, terms).collect().toSeq)
+    val (f1, p1) = both()
+    assert(f1 == p1, "pruned must equal full after build+append")
+    // delete: live df/n/tl shift, envelopes go stale-high (sound upper
+    // bounds) — the certificate must still be exact
+    TextIndex.deleteFromBm25Index(
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"), dir)
+    val (f2, p2) = both()
+    assert(f2 == p2, "pruned must equal full under tombstones")
+    // compaction reclaims the forward table's dead ranges too
+    assert(TextIndex.compactBm25Index(spark, dir) > 0)
+    val (f3, p3) = both()
+    assert(f3 == p3, "pruned must equal full after compaction")
+    assert(spark.read.parquet(s"$dir/fwd")
+      .filter(col("doc_id") % 7 === 3).count() == 0,
+      "compaction must fold dead ids out of the forward table")
+    // pruning needs the forward table — refuse loudly, not wrong-answers
+    val legacy = tmp()
+    TextIndex.writeBm25Index(docs, legacy)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.bm25TopKPruned(spark, legacy, terms).collect()
+    }
+    assert(e.getMessage.contains("forward-enabled"))
+  }
+
+  test("on a df-skewed Zipf vocabulary the pruned serve certifies in one " +
+      "round and never reads the head term's posting list") {
+    val zdocs = graft.tools.SynthFixtures.zipfDocs(spark, 20000L)
+    val dir = tmp()
+    TextIndex.writeBm25Index(zdocs, dir, forward = true)
+    // head / mid / tail of the Zipf(1.1) df ladder (measured by the
+    // PrunedProbe run this spec pins): w000005 df=18820, w000500 df=411,
+    // w020123 df=9
+    val zterms = Seq("w000005", "w000500", "w020123")
+    val headTb = TextIndex.termBucket("w000005", 16)
+    val tailTb = TextIndex.termBucket("w020123", 16)
+    assert(headTb != tailTb, "fixture terms must hash to distinct buckets")
+    // k <= tail df: the rarest term's candidates alone cover the top k,
+    // and its ~n/df-scaled upper bound certifies against both skipped
+    // terms in ONE round — the head term's 18.8k-posting list is never
+    // scanned (its bucket never enters the essential set)
+    val ev1 = recordPrunedEvents {
+      val full = TextIndex.bm25TopK(spark, dir, zterms, k = 5)
+        .collect().toSeq
+      val pruned = TextIndex.bm25TopKPruned(spark, dir, zterms, k = 5)
+        .collect().toSeq
+      assert(full == pruned)
+    }
+    assert(ev1.count(_.startsWith("bm25-pruned-round")) == 1,
+      s"df-skew at k=5 must certify in one round: $ev1")
+    val bucketLists = ev1.filter(_.startsWith("bm25-pruned-buckets"))
+      .map(_.stripPrefix("bm25-pruned-buckets:"))
+    assert(bucketLists == Seq(tailTb.toString),
+      s"round 1 must read only the tail term's bucket: $bucketLists")
+    // k > tail df: too few candidates from the rarest list alone ->
+    // escalation (still exact, still skipping the head list)
+    val ev2 = recordPrunedEvents {
+      val full = TextIndex.bm25TopK(spark, dir, zterms, k = 10)
+        .collect().toSeq
+      val pruned = TextIndex.bm25TopKPruned(spark, dir, zterms, k = 10)
+        .collect().toSeq
+      assert(full == pruned)
+    }
+    assert(ev2.count(_.startsWith("bm25-pruned-round")) == 2,
+      s"k=10 > tail df=9 must escalate exactly once: $ev2")
+    val ev2Buckets = ev2.filter(_.startsWith("bm25-pruned-buckets"))
+      .flatMap(_.stripPrefix("bm25-pruned-buckets:").split(',')
+        .filter(_.nonEmpty).map(_.toLong)).toSet
+    val midTb = TextIndex.termBucket("w000500", 16)
+    assert(ev2Buckets.contains(tailTb) &&
+      (!ev2Buckets.contains(headTb) || headTb == midTb),
+      s"the head term's bucket must stay out of the essential set: $ev2")
+
+    // route parity on an arriving Zipf query batch, including queries
+    // that escalate
+    val queries = graft.tools.SynthFixtures.zipfQueries(spark, 30L)
+    val viaFull = TextIndex.bm25Route(queries, dir, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaPruned = TextIndex.bm25RoutePruned(queries, dir, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaFull == viaPruned,
+      "pruned route must rank exactly like the full route")
+  }
+
+  test("pruned serving degrades to the vacuous full-disjunction round " +
+      "when no certificate can hold (k above every candidate count)") {
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs, dir, forward = true)
+    val arrivals = spark.createDataFrame(Seq((7L, "spark merge vector")))
+      .toDF("qid", "qtext")
+    // k far above the corpus size: nc < k in every round, so the loop
+    // must run to r = |terms| and emit the all-candidates ranking
+    val ev = recordPrunedEvents {
+      val full = TextIndex.bm25Route(arrivals, dir, k = 1000000)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.get(3))).toSeq
+      val pruned = TextIndex.bm25RoutePruned(arrivals, dir, k = 1000000)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.get(3))).toSeq
+      assert(full == pruned && full.nonEmpty,
+        "the vacuous terminal must equal the full disjunction")
+    }
+    assert(ev.count(_.startsWith("bm25-pruned-round")) == terms.length,
+      s"an uncertifiable query must escalate to all ${terms.length} terms: $ev")
+  }
+
   test("bm25Route replays equal to the batch serving query") {
     val dir = tmp()
     TextIndex.writeBm25Index(docs, dir)
