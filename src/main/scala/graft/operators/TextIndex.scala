@@ -227,6 +227,20 @@ object TextIndex {
     post.select(col("doc_id"), col("term"), col("tf"))
       .withColumn("dr", expr(s"doc_id div ${dlRange}L"))
 
+  /** One parquet file per partition value: shuffling on the partition
+    * column before a partitionBy write sends each value to exactly one
+    * task, so a table's file count is its PARTITION count, not
+    * partitions x write tasks. The reader's file-listing pass is the
+    * dominant FIXED cost of an index serve (every route decision pays
+    * it), and without this the count compounds per LSM segment — the
+    * classic small-files problem. At petabyte scale an oversized
+    * partition would add a second bucketing column; readers are
+    * unchanged either way.
+    */
+  private def writeByPart(df: DataFrame, part: String, path: String): Unit =
+    df.repartition(col(part)).write.partitionBy(part)
+      .mode("overwrite").parquet(path)
+
   // -------------------------------------------------------------------------
   // Build / append / delete / compact
   // -------------------------------------------------------------------------
@@ -246,15 +260,12 @@ object TextIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     val tok = tokenized(docs)
     val post = postingsOf(tok, nBuckets)
-    post.write.partitionBy("tb").mode("overwrite").parquet(s"$dir/postings")
+    writeByPart(post, "tb", s"$dir/postings")
     val dls = doclensOf(tok, dlRange)
-    termStatsOf(post, dls)
-      .write.partitionBy("tb").mode("overwrite")
-      .parquet(s"$dir/termdf/seg=0")
-    dls.write.partitionBy("dr").mode("overwrite").parquet(s"$dir/doclens")
+    writeByPart(termStatsOf(post, dls), "tb", s"$dir/termdf/seg=0")
+    writeByPart(dls, "dr", s"$dir/doclens")
     if (forward)
-      fwdOf(post, dlRange).write.partitionBy("dr").mode("overwrite")
-        .parquet(s"$dir/fwd")
+      writeByPart(fwdOf(post, dlRange), "dr", s"$dir/fwd")
     dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/seg=0")
     IndexCommit.commitFiles(dir, IndexCommit.walkDataFiles(dir))
@@ -277,17 +288,12 @@ object TextIndex {
     val (nb, dlr, hasFwd) = metaFull(spark, dir)
     val tok = tokenized(newDocs)
     val post = postingsOf(tok, nb)
-    post.write.partitionBy("tb").mode("overwrite")
-      .parquet(s"$dir/.postings-stage")
+    writeByPart(post, "tb", s"$dir/.postings-stage")
     val dls = doclensOf(tok, dlr)
-    termStatsOf(post, dls)
-      .write.partitionBy("tb").mode("overwrite")
-      .parquet(s"$dir/.termdf-stage")
-    dls.write.partitionBy("dr").mode("overwrite")
-      .parquet(s"$dir/.doclens-stage")
+    writeByPart(termStatsOf(post, dls), "tb", s"$dir/.termdf-stage")
+    writeByPart(dls, "dr", s"$dir/.doclens-stage")
     if (hasFwd)
-      fwdOf(post, dlr).write.partitionBy("dr").mode("overwrite")
-        .parquet(s"$dir/.fwd-stage")
+      writeByPart(fwdOf(post, dlr), "dr", s"$dir/.fwd-stage")
     dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stats-stage")
     IndexCommit.hit("bm25-staged")
@@ -343,11 +349,11 @@ object TextIndex {
       // NULL envelope on the negative delta: a delete can only SHRINK a
       // term's true (max_tf, min_dl), so leaving the merged envelope
       // untouched keeps it a sound (historical) upper bound
-      deadPost.groupBy("term", "tb").agg((-count(lit(1))).as("df"),
+      writeByPart(
+        deadPost.groupBy("term", "tb").agg((-count(lit(1))).as("df"),
           lit(null).cast("long").as("max_tf"),
-          lit(null).cast("long").as("min_dl"))
-        .write.partitionBy("tb").mode("overwrite")
-        .parquet(s"$dir/.termdf-stage")
+          lit(null).cast("long").as("min_dl")),
+        "tb", s"$dir/.termdf-stage")
       dead.agg((-count(lit(1))).as("n"), (-sum(col("dl"))).as("tl"))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stats-stage")
       IndexCommit.hit("bm25-del-staged")
@@ -407,8 +413,7 @@ object TextIndex {
         rawPostings(spark, dir)
           .filter(col("tb").isin(postKeys.map(_.stripPrefix("tb=").toLong): _*)),
         "doc_id")
-      keep.write.partitionBy("tb").mode("overwrite")
-        .parquet(s"$dir/.postings-compact")
+      writeByPart(keep, "tb", s"$dir/.postings-compact")
       postKeys.foreach(k => t.retireUnder(s"postings/$k"))
       StoredIndex.moveTree(t, p(s"$dir/.postings-compact"), p(s"$dir/postings"))
       rewritten += postKeys.size
@@ -419,8 +424,7 @@ object TextIndex {
         rawDoclens(spark, dir)
           .filter(col("dr").isin(dlKeys.map(_.stripPrefix("dr=").toLong): _*)),
         "doc_id")
-      keep.write.partitionBy("dr").mode("overwrite")
-        .parquet(s"$dir/.doclens-compact")
+      writeByPart(keep, "dr", s"$dir/.doclens-compact")
       dlKeys.foreach(k => t.retireUnder(s"doclens/$k"))
       StoredIndex.moveTree(t, p(s"$dir/.doclens-compact"), p(s"$dir/doclens"))
       rewritten += dlKeys.size
@@ -434,8 +438,7 @@ object TextIndex {
         rawFwd(spark, dir)
           .filter(col("dr").isin(fwdKeys.map(_.stripPrefix("dr=").toLong): _*)),
         "doc_id")
-      keep.write.partitionBy("dr").mode("overwrite")
-        .parquet(s"$dir/.fwd-compact")
+      writeByPart(keep, "dr", s"$dir/.fwd-compact")
       fwdKeys.foreach(k => t.retireUnder(s"fwd/$k"))
       StoredIndex.moveTree(t, p(s"$dir/.fwd-compact"), p(s"$dir/fwd"))
       rewritten += fwdKeys.size
@@ -444,10 +447,9 @@ object TextIndex {
     // The vocabulary-sized termdf fold is metadata-scale next to postings.
     def segCount(table: String): Int = StoredIndex.segCount(t, table, "seg=")
     if (segCount("termdf") > segBudget) {
-      mergedTermdf(spark, dir, lit(true))
-        .withColumn("tb", tbCol(meta(spark, dir)._1))
-        .write.partitionBy("tb").mode("overwrite")
-        .parquet(s"$dir/.termdf-compact")
+      writeByPart(mergedTermdf(spark, dir, lit(true))
+        .withColumn("tb", tbCol(meta(spark, dir)._1)),
+        "tb", s"$dir/.termdf-compact")
       t.retireUnder("termdf")
       StoredIndex.moveTree(t, p(s"$dir/.termdf-compact"), p(s"$dir/termdf/seg=0"))
       rewritten += 1
@@ -631,18 +633,34 @@ object TextIndex {
     *     STRICTLY exceed Σ ub over the skipped terms — any non-candidate
     *     matches only skipped terms, so its score is <= that sum (and
     *     strictness covers the doc_id tie-break). Certified queries emit;
-    *     the rest escalate (r+1). At r = |terms| the certificate is
-    *     vacuous and the result is the plain full-disjunction ranking —
-    *     pruning NEVER costs correctness, only the envelope-quality-
-    *     dependent speedup (on a df-skewed Zipf vocabulary round 1
-    *     certifies; on the degenerate uniform-df fixture it escalates).
+    *     the rest escalate (one more essential term). When every term is
+    *     essential the certificate is vacuous and the result is the plain
+    *     full-disjunction ranking — pruning NEVER costs correctness, only
+    *     the envelope-quality-dependent speedup (on a df-skewed Zipf
+    *     vocabulary round 1 certifies; on the degenerate uniform-df
+    *     fixture it escalates).
     *
-    * DRIVER-WORK CONTRACT (the [[bm25Route]] discipline): per round, one
-    * collect of the batch's probed (term, bucket) set (batch-vocabulary-
-    * bounded), one collect of candidate doc RANGES capped at `drCap`
-    * (over the cap the fwd/doclens scans fall back to unpruned — the
-    * joins still row-filter, so the cap bounds driver metadata, not
-    * correctness), and one 1-row continue? check.
+    * Each query STARTS at r0 = the smallest essential-prefix size whose
+    * cumulative df reaches k: fewer candidates than k can never certify
+    * (nc === k is required), so smaller essential sets are provably
+    * wasted rounds — a query whose total df is below k jumps straight to
+    * the vacuous full-disjunction terminal.
+    *
+    * DRIVER-WORK CONTRACT (the [[bm25Route]] discipline): ONE up-front
+    * collect of the batch's (query, term) pairs joined to their merged
+    * term stats — O(batch query-terms) rows, the same order as the
+    * arrival batch itself — after which every essential-set, skipped-
+    * bound and escalation decision is driver-side BigInt arithmetic on
+    * that table (no per-round planning of window chains, no per-round
+    * verdict joins). Per round only two jobs run: the capped collect of
+    * candidate doc RANGES (`drCap`; over the cap the fwd/doclens scans
+    * fall back to unpruned — the joins still row-filter, so the cap
+    * bounds driver metadata, not correctness) fused with the candidate
+    * materialization, and the per-query (count, k-th score) collect off
+    * the localCheckpoint-ed `top` frame (<= k rows per pending query —
+    * the checkpoint also cuts the cross-round lineage that would
+    * otherwise replay every earlier round's candidate pipeline). The
+    * 2-long corpus stats inline as literals into the scoring expression.
     *
     * Returns (qid, rank, doc_id, score, tfmap) — tfmap is the per-doc
     * query-term tf map the fixed-term wrapper surfaces as tf_* columns.
@@ -650,54 +668,84 @@ object TextIndex {
   private def prunedTopK(spark: SparkSession, dir: String,
                          probes0: DataFrame, k: Int,
                          asOf: Option[Int], drCap: Int): DataFrame = {
+    import spark.implicits._
     val (nb, dlr, hasFwd) = metaFull(spark, dir)
     require(hasFwd,
       s"pruned bm25 serving needs a forward-enabled index under $dir " +
         "(writeBm25Index(..., forward = true))")
-    val probes = probes0.dropDuplicates("qid", "term")
-    // bounded collect: the batch's probed buckets (<= batch vocabulary)
-    val allTb = probes.select(tbCol(nb).as("tb")).distinct().collect()
-      .map(_.getLong(0)).toSeq
-    val stats = mergedStats(spark, dir, asOf)
-    val dfEnv = mergedTermdf(spark, dir, col("tb").isin(allTb: _*), asOf)
-    // per-(qid, term): live df, envelope ub, and the query-local ub rank
-    // (null envelopes — legacy segments — rank FIRST: always essential,
-    // never skipped-and-bounded)
-    val pinfo = probes.join(dfEnv, Seq("term"))
-      .crossJoin(broadcast(stats))
-      .withColumn("tb", tbCol(nb))
-      .withColumn("ub", expr(
-        """CASE WHEN max_tf IS NULL OR min_dl IS NULL THEN NULL ELSE
-          | (cast(2 * (n - df) + 1 as decimal(38,0))
-          |   * 44 * max_tf * tl * 1000000000)
-          | div ((2 * df + 1)
-          |   * (20 * max_tf * tl + 6 * tl + 18 * min_dl * n)) END
-          |""".stripMargin))
-      .withColumn("ubrank", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("ub").desc_nulls_first, col("term"))))
-      .withColumn("nterms",
-        count(lit(1)).over(Window.partitionBy(col("qid"))))
-      .select("qid", "term", "tb", "ub", "ubrank", "nterms")
-    val maxTerms = pinfo.agg(max(col("nterms"))).collect()
-      .headOption.flatMap(r => Option(r.get(0)))
-      .map(_.asInstanceOf[Long].toInt).getOrElse(0)
-    var pending = pinfo.select("qid").distinct()
+    // bounded collect #1: the batch's distinct (qid, term) pairs
+    val pairs = probes0.dropDuplicates("qid", "term")
+      .select(col("qid").cast("long"), col("term")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val termTb: Map[String, Long] =
+      pairs.map(_._2).distinct.map(t => t -> termBucket(t, nb)).toMap
+    val allTb = termTb.values.toSeq.distinct
+    // live corpus stats (2 longs) — inlined as literals below
+    val statsRow = mergedStats(spark, dir, asOf).collect().head
+    val cn = statsRow.getLong(0); val ctl = statsRow.getLong(1)
+    // bounded collect #2: merged live (df, envelope) for the batch
+    // vocabulary — term-bucket-pruned, O(batch vocabulary) rows
+    val termStats: Map[String, (Long, Option[Long], Option[Long])] =
+      mergedTermdf(spark, dir, col("tb").isin(allTb: _*), asOf)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    // the scaled-integer BM25 contribution of textBm25, driver-side —
+    // integer div of positive BigInts == the SQL decimal `div`
+    def tscoreAt(df: Long, tf: Long, dl: Long): BigInt =
+      ((BigInt(cn) - BigInt(df)) * 2 + 1) * 44 * BigInt(tf) * ctl *
+        BigInt(1000000000L) /
+        ((BigInt(df) * 2 + 1) *
+          (BigInt(20) * tf * ctl + BigInt(6) * ctl + BigInt(18) * dl * cn))
+    // per-(qid, term) plan rows: envelope upper bound (None = legacy
+    // segment without an envelope — ranks FIRST: always essential,
+    // never skipped-and-bounded), ub rank, and the r0 fast-start
+    case class TermPlan(qid: Long, term: String, tb: Long, df: Long,
+                        ub: Option[BigInt], rank: Int)
+    val plans: Map[Long, Seq[TermPlan]] = pairs.toSeq
+      .flatMap { case (qid, term) => termStats.get(term).collect {
+        case (df, maxTf, minDl) if df > 0 =>
+          val ub = for (mt <- maxTf; md <- minDl) yield tscoreAt(df, mt, md)
+          TermPlan(qid, term, termTb(term), df, ub, 0)
+      }}
+      .groupBy(_.qid).view.mapValues { ts =>
+        ts.sortWith { (a, b) => (a.ub, b.ub) match {
+          case (None, None) => a.term < b.term
+          case (None, _) => true
+          case (_, None) => false
+          case (Some(x), Some(y)) =>
+            if (x != y) x > y else a.term < b.term
+        }}.zipWithIndex.map { case (p, j) => p.copy(rank = j + 1) }
+      }.toMap
+    val r0s: Map[Long, Int] = plans.map { case (qid, ts) =>
+      val cum = ts.scanLeft(0L)(_ + _.df).drop(1)
+      val j = cum.indexWhere(_ >= k)
+      qid -> (if (j == -1) ts.size else j + 1)
+    }
+    val maxRounds = plans.map { case (q, ts) => ts.size - r0s(q) + 1 }
+      .maxOption.getOrElse(0)
+    // one file-listing per table per CALL, not per round: the round loop
+    // filters these shared relations, so partition pruning still applies
+    // per round while the (many-file) FileIndex builds exactly once
+    val postBase = antiDead(spark, dir, rawPostings(spark, dir, asOf),
+      "doc_id", asOf)
+    val dlBase = rawDoclens(spark, dir, asOf)
+    val fwdBase = rawFwd(spark, dir, asOf)
+    var pendingQids: Set[Long] = plans.keySet
     var out: Option[DataFrame] = None
-    var r = 1
+    var i = 1
     var continue = true
     while (continue) {
-      IndexCommit.hit(s"bm25-pruned-round:$r")
-      val pin = pinfo.join(pending, Seq("qid"))
-      val ess = pin.filter(col("ubrank") <= r)
-      // bounded collect: this round's essential buckets (a subset of the
-      // probed set)
-      val essTbs = ess.select("tb").distinct().collect()
-        .map(_.getLong(0)).toSeq
+      IndexCommit.hit(s"bm25-pruned-round:$i")
+      val pend = plans.view.filterKeys(pendingQids).toMap
+      def essOf(qid: Long) = pend(qid).filter(_.rank <= r0s(qid) + i - 1)
+      def skippedOf(qid: Long) = pend(qid).filter(_.rank > r0s(qid) + i - 1)
+      val ess = pend.keysIterator.flatMap(essOf).toSeq
+      val essTbs = ess.map(_.tb).distinct
       IndexCommit.hit(s"bm25-pruned-buckets:${essTbs.sorted.mkString(",")}")
-      val post = antiDead(spark, dir,
-        rawPostings(spark, dir, asOf).filter(col("tb").isin(essTbs: _*)),
-        "doc_id", asOf)
-      val cands = ess.select("qid", "term").join(post, Seq("term"))
+      val essDf = broadcast(ess.map(p => (p.qid, p.term)).toDF("qid", "term"))
+      val cands = essDf
+        .join(postBase.filter(col("tb").isin(essTbs: _*)), Seq("term"))
         .select("qid", "doc_id").distinct()
       // capped collect: candidate doc ranges -> partition filters on the
       // forward/doclens reads
@@ -706,45 +754,56 @@ object TextIndex {
       val drs = if (drsAll.size > drCap) None else Some(drsAll)
       def prune(df: DataFrame): DataFrame =
         drs.map(ds => df.filter(col("dr").isin(ds: _*))).getOrElse(df)
-      val dl = prune(rawDoclens(spark, dir, asOf)).select("doc_id", "dl")
+      val pinDf = broadcast(pend.valuesIterator.flatten
+        .map(p => (p.qid, p.term, p.df)).toSeq.toDF("qid", "term", "df"))
       val exact = cands
-        .join(prune(rawFwd(spark, dir, asOf))
+        .join(prune(fwdBase)
           .select("doc_id", "term", "tf"), Seq("doc_id"))
-        .join(pin.select("qid", "term"), Seq("qid", "term"))
-        .join(dfEnv.select("term", "df"), Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
+        .join(pinDf, Seq("qid", "term"))
+        .join(prune(dlBase).select("doc_id", "dl"), Seq("doc_id"))
         .withColumn("tscore", expr(
-          """(cast(2 * (n - df) + 1 as decimal(38,0))
-            |  * 44 * tf * tl * 1000000000)
-            | div ((2 * df + 1) * (20 * tf * tl + 6 * tl + 18 * dl * n))
-            |""".stripMargin))
+          s"""(cast(2 * (${cn}L - df) + 1 as decimal(38,0))
+             |  * 44 * tf * ${ctl}L * 1000000000)
+             | div ((2 * df + 1)
+             |  * (20 * tf * ${ctl}L + 6 * ${ctl}L + 18 * dl * ${cn}L))
+             |""".stripMargin))
         .groupBy("qid", "doc_id")
         .agg(sum(col("tscore")).as("score"),
           map_from_entries(collect_list(struct(col("term"), col("tf"))))
             .as("tfmap"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("doc_id"))
+      // <= k rows per pending query, materialized: the lineage cut
       val top = graft.plans.TopKPerGroup(exact, Seq("qid"),
           Seq("score" -> false, "doc_id" -> true), k)
         .withColumn("rank", row_number().over(w))
-      val theta = top.groupBy("qid").agg(count(lit(1)).as("nc"),
-        min(when(col("rank") === k, col("score"))).as("theta"))
-      val nonEss = pin.filter(col("ubrank") > r)
-        .groupBy("qid").agg(sum(col("ub")).as("nonessub"),
-          sum(when(col("ub").isNull, 1).otherwise(0)).as("nullubs"))
-      val certQids = theta.join(nonEss, Seq("qid"), "left")
-        .withColumn("certified",
-          when(col("nullubs").isNull, lit(true)) // nothing skipped
-            .otherwise(coalesce(col("nc") === k && col("nullubs") === 0 &&
-              col("theta") > col("nonessub"), lit(false))))
-        .filter(col("certified")).select("qid")
-      val done = top.join(certQids, Seq("qid"))
+        .localCheckpoint()
+      // bounded collect: one (count, k-th score) row per pending query;
+      // certification is driver arithmetic against the skipped bounds
+      val thetas: Map[Long, (Long, Option[BigInt])] =
+        top.groupBy("qid").agg(count(lit(1)).as("nc"),
+            min(when(col("rank") === k, col("score"))).as("theta"))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+            r.get(2) match { // the `div` score lands as long or decimal
+              case null => None
+              case d: java.math.BigDecimal => Some(BigInt(d.toBigInteger))
+              case l: java.lang.Long => Some(BigInt(l))
+            }))).toMap
+      val certified = pend.keysIterator.filter { qid =>
+        val skipped = skippedOf(qid)
+        skipped.isEmpty || {
+          val (nc, theta) = thetas.getOrElse(qid, (0L, None))
+          nc == k && skipped.forall(_.ub.nonEmpty) &&
+            theta.exists(_ > skipped.flatMap(_.ub).sum)
+        }
+      }.toSet
+      val done = top
+        .join(broadcast(certified.toSeq.toDF("qid")), Seq("qid"))
         .select("qid", "rank", "doc_id", "score", "tfmap")
       out = Some(out.map(_.unionByName(done)).getOrElse(done))
-      pending = pending.join(certQids, Seq("qid"), "left_anti")
-      r += 1
-      continue = r <= maxTerms && pending.limit(1).count() > 0
+      pendingQids = pendingQids -- certified
+      i += 1
+      continue = i <= maxRounds && pendingQids.nonEmpty
     }
     out.get
   }

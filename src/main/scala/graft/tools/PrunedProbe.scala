@@ -17,7 +17,7 @@ object PrunedProbe {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", false)
       .appName("pruned-probe").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
 
     val rounds = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -73,6 +73,28 @@ object PrunedProbe {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     println(s"[probe] route rounds=${rounds.filter(_.contains("round")).size} " +
       s"equal=${viaFull == viaPruned} n=${viaFull.size}")
+
+    // ---- timed batch at RouteBench scale: full vs pruned ----
+    val nBig = args.drop(1).headOption.map(_.toLong).getOrElse(50000L)
+    val nQ = args.drop(2).headOption.map(_.toLong).getOrElse(2500L)
+    val bdocs = spark.read.parquet(SynthFixtures.ensureZipfDocs(spark, nBig))
+    val bdir = java.nio.file.Files.createTempDirectory("pruned-big").toString
+    TextIndex.writeBm25Index(bdocs, bdir, nBuckets = 64, forward = true)
+    val bq = SynthFixtures.zipfQueries(spark, nQ).persist()
+    bq.count()
+    def time(f: () => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def bigFull(): Long = TextIndex.bm25Route(bq, bdir, k = 10).count()
+    def bigPruned(): Long = TextIndex.bm25RoutePruned(bq, bdir, k = 10).count()
+    bigFull(); bigPruned() // warm
+    val fT = (1 to 3).map(_ => time(bigFull _)).map(_._1).min
+    rounds.clear()
+    val pT = (1 to 3).map(_ => time(bigPruned _)).map(_._1).min
+    val nR = rounds.count(_.contains("round")) / 3
+    println(f"[probe] big n=$nBig q=$nQ full=${fT}%.2fs " +
+      f"pruned=${pT}%.2fs (~$nR rounds/pass) ratio=${fT / pT}%.2fx")
     spark.stop()
   }
 }

@@ -184,9 +184,11 @@ object RouteBench {
     val tierRates: Map[String, Array[Int]] =
       Map("bm25" -> rates.map(r => math.max(1, r / 10)),
           "hybrid" -> rates.map(r => math.max(1, r / 10)),
-          // the pruned tier starts 4x lighter than the admission tiers:
-          // its decision is still an exact top-k, just candidate-pruned
-          "bm25p" -> rates.map(r => math.max(1, r / 4)))
+          // same ladder as the full bm25 tier: the bm25p-vs-bm25 ratio at
+          // equal rates IS the measured local value of certificate
+          // skipping (I/O-bound deployments gain more; the spec pins the
+          // buckets-never-read property that carries to 100 TB)
+          "bm25p" -> rates.map(r => math.max(1, r / 10)))
         .withDefaultValue(rates)
 
     def measure(tier: String, rate: Int,

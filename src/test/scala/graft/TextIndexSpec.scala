@@ -385,8 +385,9 @@ class TextIndexSpec extends SparkSpec {
       .map(_.stripPrefix("bm25-pruned-buckets:"))
     assert(bucketLists == Seq(tailTb.toString),
       s"round 1 must read only the tail term's bucket: $bucketLists")
-    // k > tail df: too few candidates from the rarest list alone ->
-    // escalation (still exact, still skipping the head list)
+    // k > tail df: the rarest list alone can never yield k candidates,
+    // so the r0 fast-start opens with {tail, mid} essential in ROUND ONE
+    // (no wasted tail-only round) and certifies against the head bound
     val ev2 = recordPrunedEvents {
       val full = TextIndex.bm25TopK(spark, dir, zterms, k = 10)
         .collect().toSeq
@@ -394,8 +395,9 @@ class TextIndexSpec extends SparkSpec {
         .collect().toSeq
       assert(full == pruned)
     }
-    assert(ev2.count(_.startsWith("bm25-pruned-round")) == 2,
-      s"k=10 > tail df=9 must escalate exactly once: $ev2")
+    assert(ev2.count(_.startsWith("bm25-pruned-round")) == 1,
+      s"k=10 > tail df=9 must fast-start at r0=2 and certify in one " +
+        s"round: $ev2")
     val ev2Buckets = ev2.filter(_.startsWith("bm25-pruned-buckets"))
       .flatMap(_.stripPrefix("bm25-pruned-buckets:").split(',')
         .filter(_.nonEmpty).map(_.toLong)).toSet
@@ -421,8 +423,10 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.writeBm25Index(docs, dir, forward = true)
     val arrivals = spark.createDataFrame(Seq((7L, "spark merge vector")))
       .toDF("qid", "qtext")
-    // k far above the corpus size: nc < k in every round, so the loop
-    // must run to r = |terms| and emit the all-candidates ranking
+    // k far above the corpus size: the total df can never reach k, so
+    // the r0 fast-start jumps STRAIGHT to the vacuous full-disjunction
+    // terminal (every term essential, nothing skipped) in ONE round —
+    // no sequence of provably-uncertifiable smaller rounds runs at all
     val ev = recordPrunedEvents {
       val full = TextIndex.bm25Route(arrivals, dir, k = 1000000)
         .collect().map(r => (r.getInt(1), r.getLong(2), r.get(3))).toSeq
@@ -431,8 +435,15 @@ class TextIndexSpec extends SparkSpec {
       assert(full == pruned && full.nonEmpty,
         "the vacuous terminal must equal the full disjunction")
     }
-    assert(ev.count(_.startsWith("bm25-pruned-round")) == terms.length,
-      s"an uncertifiable query must escalate to all ${terms.length} terms: $ev")
+    assert(ev.count(_.startsWith("bm25-pruned-round")) == 1,
+      s"an uncertifiable query must jump straight to the vacuous " +
+        s"terminal: $ev")
+    val evBuckets = ev.filter(_.startsWith("bm25-pruned-buckets"))
+      .flatMap(_.stripPrefix("bm25-pruned-buckets:").split(',')
+        .filter(_.nonEmpty).map(_.toLong)).toSet
+    val allTbs = terms.map(TextIndex.termBucket(_, 16)).toSet
+    assert(evBuckets == allTbs,
+      s"the terminal round must read every query term's bucket: $ev")
   }
 
   test("bm25Route replays equal to the batch serving query") {
