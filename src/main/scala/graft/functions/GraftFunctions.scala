@@ -22,6 +22,7 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
     registry.createOrReplaceTempFunction("sorted_intersect_count", es => SortedIntersectCount(es(0), es(1)), "scala_udf")
     registry.createOrReplaceTempFunction("zorder2", es => ZOrder2(es(0), es(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("sorted_min_gap", es => SortedMinGap(es(0), es(1)), "scala_udf")
     // typed Aggregator UDAFs register through the udf facade, not the
     // expression registry
     spark.udf.register("heavy_hitters",

@@ -246,6 +246,17 @@ object gcolumns {
   def sorted_intersect_count(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Phrase-chain join of two sorted int position-array columns:
+    * left positions p with p + offset in the right array (codegen'd
+    * linear merge — the positional phrase kernel). */
+  def phrase_join(a: Column, b: Column, offset: Int): Column =
+    Bridge.column(PhraseJoin(Bridge.expression(a), Bridge.expression(b), offset))
+
+  /** Minimum |x - y| over two sorted int position-array columns
+    * (codegen'd two-pointer walk — the proximity kernel). */
+  def sorted_min_gap(a: Column, b: Column): Column =
+    Bridge.column(SortedMinGap(Bridge.expression(a), Bridge.expression(b)))
+
   /** Z-order (Morton) value of two int columns' low 16 bits. */
   def zorder2(x: Column, y: Column): Column =
     Bridge.column(ZOrder2(Bridge.expression(x), Bridge.expression(y)))

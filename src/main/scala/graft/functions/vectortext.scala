@@ -60,6 +60,45 @@ object VectorTextImpl {
     acc
   }
 
+  /** Phrase-chain join of two ascending-sorted int position arrays: the
+    * positions p in `a` with p + offset present in `b`, by linear merge.
+    * Chained left-to-right it yields the START positions of a phrase —
+    * starts("t0 t1 t2") = phraseJoin(phraseJoin(ps0, ps1, 1), ps2, 2) —
+    * the positional-index verification kernel ([[sortedIntersectCount]]'s
+    * analog for term positions). Occurrence lists may repeat positions
+    * only if the inputs do; the index's per-(term, doc) lists are
+    * distinct ascending by construction.
+    */
+  def phraseJoin(a: ArrayData, b: ArrayData, offset: Int): ArrayData = {
+    val na = a.numElements(); val nb = b.numElements()
+    val out = new Array[Int](math.min(na, nb))
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i) + offset; val y = b.getInt(j)
+      if (x == y) { out(c) = a.getInt(i); c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, c))
+  }
+
+  /** Minimum |x - y| over two ascending-sorted int arrays by the classic
+    * two-pointer walk — the proximity (NEAR/slop) kernel. Int.MaxValue
+    * on an empty side (no pair exists).
+    */
+  def sortedMinGap(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var best = Int.MaxValue
+    while (i < na && j < nb) {
+      val x = a.getInt(i); val y = b.getInt(j)
+      val d = math.abs(x - y)
+      if (d < best) best = d
+      if (best == 0) return 0
+      if (x < y) i += 1 else j += 1
+    }
+    best
+  }
+
   /** Intersection SIZE of two ascending-sorted string arrays by linear
     * merge: no per-pair hash set, no materialized intersection array —
     * the count `size(array_intersect(...))` computes at several times
@@ -116,6 +155,56 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Phrase-chain join over sorted int position arrays:
+  * `(array<int>, array<int>) -> array<int>` keeping left positions p with
+  * p + offset in the right array. The positional retrieval family's
+  * phrase kernel — a higher-order `filter(pa, p -> array_contains(pb,
+  * p + off))` evaluates interpreted and rescans `pb` per element; this
+  * runs the O(m + n) merge inside whole-stage codegen.
+  */
+case class PhraseJoin(left: Expression, right: Expression, offset: Int)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "phrase_join"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorTextImpl.phraseJoin(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], offset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorTextImpl.phraseJoin($a, $b, $offset)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PhraseJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Two-pointer minimum gap over sorted int position arrays:
+  * `(array<int>, array<int>) -> int` (Int.MaxValue when either side is
+  * empty) — the proximity (NEAR/slop) kernel of the positional family.
+  */
+case class SortedMinGap(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_min_gap"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorTextImpl.sortedMinGap(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorTextImpl.sortedMinGap($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedMinGap =
     copy(left = newLeft, right = newRight)
 }
 

@@ -328,6 +328,75 @@ object TextQueries {
       Seq("spark", "merge", "vector"))
   }
 
+
+  /** Positional PHRASE search, scan path: exact occurrence count of the
+    * consecutive-token phrase "spark merge" per doc, top-20 by (count,
+    * doc_id). Positions come from one posexplode pass filtered to the
+    * phrase terms; phrase starts fold through the codegen'd
+    * [[graft.functions.PhraseJoin]] sorted-merge kernel (overlapping
+    * occurrences count — each valid start is one). Hash-checks against
+    * a DuckDB position-join oracle (positions built by zipped unnest,
+    * starts by ord+i equi-joins) — two entirely different positional
+    * machineries agreeing on counts.
+    */
+  def textPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val phrase = Seq("spark", "merge")
+    val docs = t(spark, dir, "documents")
+    val pos = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val aggs = phrase.distinct.zipWithIndex.map { case (tm, i) =>
+      sort_array(collect_list(when(col("term") === tm, col("p"))))
+        .as(s"ps$i") }
+    val m = pos.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val byTerm = phrase.distinct.zipWithIndex
+      .map { case (tm, i) => tm -> col(s"ps$i") }.toMap
+    val starts = phrase.zipWithIndex.tail.foldLeft(byTerm(phrase.head)) {
+      case (acc, (tm, i)) =>
+        graft.functions.gcolumns.phrase_join(acc, byTerm(tm), i)
+    }
+    m.select(col("doc_id"), size(starts).cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** The staged POSITIONAL maintained index the indexed phrase/proximity
+    * queries serve from — built from the even-id half and grown by
+    * appending the odd half, like the other maintained-index fixtures,
+    * so the oracle checks the append-grown positional lists too.
+    */
+  private def posIndex(spark: SparkSession, dir: String): String =
+    graft.Caches.stagedPath("bm25-pos", dir) { base =>
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.TextIndex.writeBm25Index(
+        docs.filter(col("doc_id") % 2 === 0), base, positional = true)
+      graft.operators.TextIndex.appendBm25Index(
+        docs.filter(col("doc_id") % 2 === 1), base)
+    }
+
+  /** [[textPhrase]] served from the append-grown positional maintained
+    * index ([[graft.operators.TextIndex.phraseTopK]], term-bucket-pruned
+    * postings scan) — the SAME DuckDB oracle as the scan path, so the
+    * stored positional lists are proven equal to a fresh tokenization
+    * through an independent engine.
+    */
+  def textPhraseIndexed(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.phraseTopK(spark, posIndex(spark, dir),
+      Seq("spark", "merge"))
+      .select(col("doc_id"), col("phrase_tf").cast("long").as("phrase_tf"))
+
+  /** Proximity (NEAR/slop) search from the same positional index:
+    * docs where "spark" and "vector" occur within 3 tokens, ranked by
+    * the minimum gap ([[graft.functions.SortedMinGap]] two-pointer
+    * kernel), ties by doc_id. DuckDB oracle: pairwise position join,
+    * min(abs(gap)) per doc.
+    */
+  def textNear(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.nearTopK(spark, posIndex(spark, dir),
+      "spark", "vector", slop = 3)
+      .select(col("doc_id"), col("gap").cast("long").as("gap"))
+
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val tok = docs.select(col("doc_id"),
@@ -570,6 +639,9 @@ object TextQueries {
     "text_bm25_indexed" -> textBm25Indexed,
     "text_bm25_maintained" -> textBm25Maintained,
     "text_bm25_pruned" -> textBm25Pruned,
+    "text_phrase" -> textPhrase,
+    "text_phrase_indexed" -> textPhraseIndexed,
+    "text_near" -> textNear,
     "text_bm25_forget" -> textBm25Forget,
     "text_bm25_asof" -> textBm25Asof,
     "text_vocab_encode" -> textVocabEncode,
@@ -613,10 +685,37 @@ object TextQueries {
 
   private val bm25OracleSql = bm25OracleSqlOver("")
 
+
+  /** Zipped-unnest positions CTE shared by the positional oracles:
+    * (doc_id, tok, ord) with 1-based ord — only RELATIVE offsets enter
+    * the checks, so the Spark side's 0-based positions agree.
+    */
+  private val posCte =
+    """WITH p AS (SELECT doc_id,
+      |                  unnest(string_split(text, ' ')) AS tok,
+      |                  unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+      |           FROM documents)""".stripMargin
+
+  private val phraseOracleSql =
+    s"""$posCte
+       |SELECT a.doc_id AS doc_id, count(*) AS phrase_tf
+       |FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+       |WHERE a.tok = 'spark' AND b.tok = 'merge'
+       |GROUP BY 1 ORDER BY phrase_tf DESC, doc_id LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_bpe" -> BpeOracle.mergesSql,
     "text_bm25" -> bm25OracleSql,
     "text_bm25_pruned" -> bm25OracleSql,
+    "text_phrase" -> phraseOracleSql,
+    "text_phrase_indexed" -> phraseOracleSql,
+    "text_near" ->
+      s"""$posCte
+         |SELECT a.doc_id AS doc_id, min(abs(a.ord - b.ord)) AS gap
+         |FROM p a JOIN p b ON a.doc_id = b.doc_id
+         |WHERE a.tok = 'spark' AND b.tok = 'vector'
+         |GROUP BY 1 HAVING min(abs(a.ord - b.ord)) <= 3
+         |ORDER BY gap, doc_id LIMIT 20""".stripMargin,
     "text_hybrid_rrf" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),

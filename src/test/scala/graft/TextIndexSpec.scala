@@ -446,6 +446,122 @@ class TextIndexSpec extends SparkSpec {
       s"the terminal round must read every query term's bucket: $ev")
   }
 
+  test("phrase/min-gap kernels: overlapping starts count; two-pointer " +
+      "gap matches brute force") {
+    import spark.implicits._
+    // "a b a b a": a at [0,2,4], b at [1,3]; phrase "a b a" starts at 0
+    // AND 2 — overlapping occurrences each count
+    val df = Seq((Seq(0, 2, 4), Seq(1, 3))).toDF("pa", "pb")
+    val starts3 = graft.functions.gcolumns.phrase_join(
+      graft.functions.gcolumns.phrase_join(col("pa"), col("pb"), 1),
+      col("pa"), 2)
+    assert(df.select(starts3).collect().head.getSeq[Int](0) == Seq(0, 2))
+    val gaps = df.select(
+      graft.functions.gcolumns.sorted_min_gap(col("pa"), col("pb")),
+      graft.functions.gcolumns.sorted_min_gap(col("pa"),
+        typedLit(Seq.empty[Int]))).collect().head
+    assert(gaps.getInt(0) == 1, "adjacent positions gap 1")
+    assert(gaps.getInt(1) == Int.MaxValue, "no pair exists on an empty side")
+    val rnd = new scala.util.Random(7)
+    (1 to 60).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(9))(rnd.nextInt(30)).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(9))(rnd.nextInt(30)).distinct.sorted
+      val off = rnd.nextInt(3) + 1
+      val expStarts = a.filter(p => b.contains(p + off))
+      val expGap =
+        if (a.isEmpty || b.isEmpty) Int.MaxValue
+        else (for { x <- a; y <- b } yield math.abs(x - y)).min
+      val r = Seq((a, b)).toDF("pa", "pb").select(
+          graft.functions.gcolumns.phrase_join(col("pa"), col("pb"), off),
+          graft.functions.gcolumns.sorted_min_gap(col("pa"), col("pb")))
+        .collect().head
+      assert(r.getSeq[Int](0) == expStarts, s"starts of $a +$off in $b")
+      assert(r.getInt(1) == expGap, s"min gap of $a vs $b")
+    }
+  }
+
+  test("positional phrase/proximity serving equals an independent scan " +
+      "recompute across append/delete/compact; non-positional refuses; " +
+      "the phrase scan prunes to the phrase terms' buckets") {
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs.filter(col("doc_id") % 2 === 0), dir,
+      positional = true)
+    TextIndex.appendBm25Index(docs.filter(col("doc_id") % 2 === 1), dir)
+    val phrase = Seq("spark", "merge", "vector")
+    // independent reference: higher-order filter + array_contains over a
+    // fresh tokenization (different machinery than the PhraseJoin kernel)
+    def scanPhrase(live: DataFrame): Seq[(Long, Int)] = {
+      val pos = live.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "term")))
+        .filter(col("term").isin(phrase: _*))
+        .groupBy("doc_id")
+        .agg(
+          sort_array(collect_list(when(col("term") === phrase(0), col("p"))))
+            .as("p0"),
+          sort_array(collect_list(when(col("term") === phrase(1), col("p"))))
+            .as("p1"),
+          sort_array(collect_list(when(col("term") === phrase(2), col("p"))))
+            .as("p2"))
+      pos.select(col("doc_id"), expr(
+          "size(filter(p0, x -> array_contains(p1, x + 1) AND " +
+            "array_contains(p2, x + 2)))").as("tf"))
+        .filter(col("tf") > 0).orderBy(col("tf").desc, col("doc_id"))
+        .limit(20).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    }
+    // independent proximity reference: driver-side pairwise min gap
+    def scanNear(live: DataFrame, a: String, b: String,
+                 slop: Int): Seq[(Long, Int)] =
+      live.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p", "term")))
+        .filter(col("term").isin(a, b))
+        .collect().groupBy(_.getLong(0)).toSeq.flatMap { case (id, rows) =>
+          val pa = rows.filter(_.getString(2) == a).map(_.getInt(1))
+          val pb = rows.filter(_.getString(2) == b).map(_.getInt(1))
+          if (pa.isEmpty || pb.isEmpty) None
+          else {
+            val g = (for { x <- pa; y <- pb } yield math.abs(x - y)).min
+            if (g <= slop) Some((id, g)) else None
+          }
+        }.sortBy(t => (t._2, t._1)).take(20)
+    def servedPhrase(): Seq[(Long, Int)] =
+      TextIndex.phraseTopK(spark, dir, phrase)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    def servedNear(): Seq[(Long, Int)] =
+      TextIndex.nearTopK(spark, dir, "spark", "vector", slop = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(servedPhrase() == scanPhrase(docs), "phrase after build+append")
+    assert(servedNear() == scanNear(docs, "spark", "vector", 4),
+      "proximity after build+append")
+    // deletes: tombstoned docs leave the served results
+    TextIndex.deleteFromBm25Index(
+      docs.filter(col("doc_id") % 5 === 1).select("doc_id"), dir)
+    val live = docs.filter(col("doc_id") % 5 =!= 1)
+    assert(servedPhrase() == scanPhrase(live), "phrase under tombstones")
+    assert(servedNear() == scanNear(live, "spark", "vector", 4),
+      "proximity under tombstones")
+    // compaction rewrites the dead buckets and must carry `ps` forward
+    assert(TextIndex.compactBm25Index(spark, dir) > 0)
+    assert(servedPhrase() == scanPhrase(live), "phrase after compaction")
+    assert(servedNear() == scanNear(live, "spark", "vector", 4),
+      "proximity after compaction")
+    // positional serving needs the positional layout — refuse loudly
+    val legacy = tmp()
+    TextIndex.writeBm25Index(docs, legacy)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.phraseTopK(spark, legacy, phrase).collect()
+    }
+    assert(e.getMessage.contains("positional"))
+    // the phrase serve prunes the postings scan to the phrase buckets
+    val plan = TextIndex.phraseTopK(spark, dir, phrase)
+      .queryExecution.executedPlan.toString
+    val postingsScan = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("postings"))
+      .mkString("\n")
+    assert(postingsScan.contains("PartitionFilters: [") &&
+      ".*PartitionFilters: \\[[^\\]]*tb.*".r.findFirstIn(postingsScan).isDefined,
+      s"phrase postings scan must carry tb partition filters:\n$postingsScan")
+  }
+
   test("bm25Route replays equal to the batch serving query") {
     val dir = tmp()
     TextIndex.writeBm25Index(docs, dir)
