@@ -354,23 +354,25 @@ object Dedup {
       s"""{"idRangeSize":$idRangeSize,"prefixThreshold":$prefixThreshold}"""
         .getBytes("UTF-8"))
     val raw0 = banded(minhashSignatures(docs, k, numHashes), numHashes, bands)
-    raw0.withColumn("pid", expr(s"id div $idRangeSize"))
-      .write.partitionBy("pid").mode("overwrite")
-      .parquet(s"$dir/buckets_raw")
+    graft.sources.StoredIndex.writeByPart(
+      raw0.withColumn("pid", expr(s"id div $idRangeSize")),
+      "pid", s"$dir/buckets_raw")
     // bootstrap readbacks are DIRECT directory reads (no manifest exists
     // yet — or a stale one from a cleared rebuild, which must not pin)
     val raw = readDirTable(spark, s"$dir/buckets_raw",
       "id BIGINT, band INT, bh BIGINT, pid BIGINT")
     raw.groupBy("band", "bh").agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$dir/bcounts/seg-00000")
-    docShingleArrays(docs, k)
-      .withColumn("pid", expr(s"id div $idRangeSize"))
-      .write.partitionBy("pid").mode("overwrite").parquet(s"$dir/arrays")
-    prefixRows(readDirTable(spark, s"$dir/arrays",
-        "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT")
-        .select("id", "sa", "n"), prefixThreshold)
-      .withColumn("pid", expr(s"id div $idRangeSize"))
-      .write.partitionBy("pid").mode("overwrite").parquet(s"$dir/prefixes")
+    graft.sources.StoredIndex.writeByPart(
+      docShingleArrays(docs, k)
+        .withColumn("pid", expr(s"id div $idRangeSize")),
+      "pid", s"$dir/arrays")
+    graft.sources.StoredIndex.writeByPart(
+      prefixRows(readDirTable(spark, s"$dir/arrays",
+          "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT")
+          .select("id", "sa", "n"), prefixThreshold)
+        .withColumn("pid", expr(s"id div $idRangeSize")),
+      "pid", s"$dir/prefixes")
     val dfreq = shingles(docs, k).groupBy("shingle")
       .agg(count(lit(1)).as("df"))
     dfreq.write.mode("overwrite").parquet(s"$dir/df/seg-00000")
@@ -621,10 +623,10 @@ object Dedup {
     // delete-then-move promote needed is gone because reads are pinned
     // by file list, not by directory.
     def stagePartitioned(content: DataFrame, table: String): Unit =
-      content.withColumn("pid", expr(s"id div $rangeSize"))
-        .filter(col("pid").isin(touchedLit: _*))
-        .write.partitionBy("pid").mode("overwrite")
-        .parquet(s"$dir/.$table-stage")
+      graft.sources.StoredIndex.writeByPart(
+        content.withColumn("pid", expr(s"id div $rangeSize"))
+          .filter(col("pid").isin(touchedLit: _*)),
+        "pid", s"$dir/.$table-stage")
     if (touchedLit.nonEmpty) {
       // pruned re-reads: filtering on the PARTITION column means the scan
       // of carried-forward rows touches only the affected ranges' files

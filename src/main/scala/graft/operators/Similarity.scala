@@ -313,8 +313,8 @@ object Similarity {
     // two narrow passes over the CACHED vector frame: the lean postings
     // (qerr dropped) and the gen-0 stats baseline
     val scored = corpusCellsScored(e, cents)
-    scored.drop("qerr")
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/postings")
+    graft.sources.StoredIndex.writeByPart(scored.drop("qerr"), "cell",
+      s"$dir/postings")
     genStats(scored, gen = 0)
       .write.mode("overwrite").parquet(s"$dir/stats/gen-00000")
     graft.sources.IndexCommit.commitFiles(dir,
@@ -432,9 +432,8 @@ object Similarity {
     val t = new graft.sources.IndexTxn(dir)
     val cents = readCentroids(spark, dir)
     val scored = corpusCellsScored(asDouble(newEmb), cents)
-    scored.drop("qerr")
-      .write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$dir/.postings-stage")
+    graft.sources.StoredIndex.writeByPart(scored.drop("qerr"), "cell",
+      s"$dir/.postings-stage")
     val gen = t.baseUnder("stats")
       .map(_.stripPrefix("stats/").split('/').head)
       .filter(_.startsWith("gen-"))
@@ -616,9 +615,8 @@ object Similarity {
       .toDF("cell", "cv")
       .write.mode("overwrite").parquet(s"$dir/.centroids-stage")
     val scored = corpusCellsScored(e, cents)
-    scored.drop("qerr")
-      .write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$dir/.postings-stage")
+    graft.sources.StoredIndex.writeByPart(scored.drop("qerr"), "cell",
+      s"$dir/.postings-stage")
     genStats(scored, gen = 0)
       .write.mode("overwrite").parquet(s"$dir/.stats-stage")
     IndexCommit.hit("ivf-rebuild-staged")

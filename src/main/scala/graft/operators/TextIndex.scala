@@ -253,19 +253,9 @@ object TextIndex {
     post.select(col("doc_id"), col("term"), col("tf"))
       .withColumn("dr", expr(s"doc_id div ${dlRange}L"))
 
-  /** One parquet file per partition value: shuffling on the partition
-    * column before a partitionBy write sends each value to exactly one
-    * task, so a table's file count is its PARTITION count, not
-    * partitions x write tasks. The reader's file-listing pass is the
-    * dominant FIXED cost of an index serve (every route decision pays
-    * it), and without this the count compounds per LSM segment — the
-    * classic small-files problem. At petabyte scale an oversized
-    * partition would add a second bucketing column; readers are
-    * unchanged either way.
-    */
+  // one file per partition value — see the shared scaladoc
   private def writeByPart(df: DataFrame, part: String, path: String): Unit =
-    df.repartition(col(part)).write.partitionBy(part)
-      .mode("overwrite").parquet(path)
+    StoredIndex.writeByPart(df, part, path)
 
   // -------------------------------------------------------------------------
   // Build / append / delete / compact

@@ -28,6 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object StoredIndex {
 
+  /** One parquet file per partition value: shuffling on the partition
+    * column before a partitionBy write sends each value to exactly one
+    * task, so a table's file count is its PARTITION count, not
+    * partitions x write tasks. Readers pay a file-listing pass on every
+    * serve — the dominant FIXED cost of a route decision — and without
+    * this the count compounds per LSM segment / append (the classic
+    * small-files problem; measured 2.2x on the bm25 route's decisions/s
+    * and a 0.39 -> 0.135 scaling exponent, SCALING_r13). At petabyte
+    * scale an oversized partition would add a second bucketing column;
+    * readers are unchanged either way.
+    */
+  def writeByPart(df: DataFrame, part: String, path: String): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(part))
+      .write.partitionBy(part).mode("overwrite").parquet(path)
+
   def emptyFrame(spark: SparkSession, ddl: String): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

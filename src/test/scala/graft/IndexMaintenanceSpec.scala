@@ -312,10 +312,15 @@ class IndexMaintenanceSpec extends SparkSpec {
         finally s.close()
       }
     }
-    // partitioned tables restage touched ranges wholesale per append, so
-    // their per-range file count tracks write parallelism (not append
-    // count); the LSMs DO grow one segment per append
-    assert(dataFiles("arrays/pid=0") > 1, "fixture must be fragmented")
+    // partitioned tables restage touched ranges wholesale per append
+    // through StoredIndex.writeByPart, so a range holds exactly ONE data
+    // file no matter how many appends touched it or how many tasks wrote
+    // it (r13: the small-files fix — before it, per-range file count
+    // tracked write parallelism and the listing pass grew per append);
+    // the LSMs DO grow one segment per append, so compaction still has
+    // folds to sweep
+    assert(dataFiles("arrays/pid=0") == 1,
+      "writeByPart must keep a restaged range at one data file")
     assert(dataFiles("df") > 4, "df LSM must hold several segments")
     // a compaction killed right before its commit leaves the fragmented
     // version serving, bit for bit
