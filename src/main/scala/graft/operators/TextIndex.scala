@@ -952,6 +952,58 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Streaming PHRASE route — the route-tier twin of [[phraseTopK]] for
+    * ARRIVING (qid, qtext) phrase queries, each with its own phrase (any
+    * length, repeated terms allowed), served from the standing
+    * positional index. Per micro-batch: ONE bucket-pruned postings read
+    * over the batch's term set (the [[bm25Route]] discipline — one
+    * driver collect, bounded by batch vocabulary), then per (query,
+    * slot, doc) the slot's positions shift by -slot so a phrase START is
+    * a position present in EVERY slot's shifted list — the per-(query,
+    * doc) fold is an n-way sorted-list intersection
+    * (`aggregate(array_intersect)`), and a doc must match ALL slots
+    * (nslots == phrase length) to rank. Emits (qid, rank, doc_id,
+    * phrase_tf) top-k per query, phrase_tf counting overlapping starts
+    * exactly like the batch path (spec-proven equal per query).
+    */
+  def phraseRoute(queries: DataFrame, indexDir: String, k: Int = 20,
+                  idCol: String = "qid", textCol: String = "qtext",
+                  asOf: Option[Int] = None): DataFrame = {
+    val spark = queries.sparkSession
+    val (nb, _, _, hasPos) = metaFull(spark, indexDir)
+    require(hasPos,
+      s"positional serving needs a positional index under $indexDir " +
+        "(writeBm25Index(..., positional = true))")
+    val qterms = queries.select(col(idCol).cast("long").as("qid"),
+      posexplode(split(col(textCol), " ")).as(Seq("slot", "term")))
+    // bounded collect: the batch's probed buckets (<= batch vocabulary)
+    val tbs = qterms.select(tbCol(nb).as("tb")).distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val post = antiDead(spark, indexDir,
+      rawPostingsPos(spark, indexDir, asOf).filter(col("tb").isin(tbs: _*)),
+      "doc_id", asOf)
+    val nterms = qterms.groupBy("qid").agg(count(lit(1)).as("nterms"))
+    val rows = qterms.join(post.select("term", "doc_id", "ps"), Seq("term"))
+      .select(col("qid"), col("doc_id"),
+        transform(col("ps"), x => x - col("slot")).as("sps"))
+    val starts = rows.groupBy("qid", "doc_id")
+      .agg(collect_list(col("sps")).as("pss"),
+        count(lit(1)).as("nslots"))
+      .join(broadcast(nterms), Seq("qid"))
+      .filter(col("nslots") === col("nterms"))
+      .select(col("qid"), col("doc_id"),
+        size(expr("aggregate(slice(pss, 2, size(pss) - 1), " +
+          "element_at(pss, 1), (acc, x) -> array_intersect(acc, x))"))
+          .cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+    graft.plans.TopKPerGroup(starts, Seq("qid"),
+        Seq("phrase_tf" -> false, "doc_id" -> true), k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("qid", "rank", "doc_id", "phrase_tf")
+  }
+
   /** STREAMING HYBRID RETRIEVAL — the route-tier twin of the batch
     * `text_hybrid_rrf` query: each ARRIVING query carries keyword text
     * AND an example embedding, the lexical leg ranks through the

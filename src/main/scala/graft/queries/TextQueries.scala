@@ -397,6 +397,26 @@ object TextQueries {
       "spark", "vector", slop = 3)
       .select(col("doc_id"), col("gap").cast("long").as("gap"))
 
+
+  /** Streaming phrase-route replay: a fixed five-query batch (2-term,
+    * 3-term, reversed, and a REPEATED-term phrase) through
+    * [[graft.operators.TextIndex.phraseRoute]] against the staged
+    * positional index — per-query top-20 (rank, doc_id, phrase_tf).
+    * Hash-checks against a DuckDB oracle that computes each phrase by
+    * position equi-joins and ranks with a window — so the route's
+    * n-way shifted-intersection fold is proven equal to first-
+    * principles position arithmetic for every query shape at once.
+    */
+  def textPhraseRoute(spark: SparkSession, dir: String): DataFrame = {
+    val arrivals = spark.createDataFrame(Seq(
+        (1L, "spark merge"), (2L, "merge vector"),
+        (3L, "spark merge vector"), (4L, "vector spark"),
+        (5L, "merge merge")))
+      .toDF("qid", "qtext")
+    graft.operators.TextIndex.phraseRoute(arrivals, posIndex(spark, dir))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val tok = docs.select(col("doc_id"),
@@ -642,6 +662,7 @@ object TextQueries {
     "text_phrase" -> textPhrase,
     "text_phrase_indexed" -> textPhraseIndexed,
     "text_near" -> textNear,
+    "text_phrase_route" -> textPhraseRoute,
     "text_bm25_forget" -> textBm25Forget,
     "text_bm25_asof" -> textBm25Asof,
     "text_vocab_encode" -> textVocabEncode,
@@ -696,6 +717,19 @@ object TextQueries {
       |                  unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
       |           FROM documents)""".stripMargin
 
+
+  /** One phrase's (qid, doc_id, phrase_tf) rows by position equi-joins. */
+  private def phraseArm(qid: Int, terms: Seq[String]): String = {
+    val joins = terms.zipWithIndex.tail.map { case (_, i) =>
+      s"JOIN p t$i ON t0.doc_id = t$i.doc_id AND t$i.ord = t0.ord + $i"
+    }.mkString(" ")
+    val preds = terms.zipWithIndex.map { case (tm, i) => s"t$i.tok = '$tm'" }
+      .mkString(" AND ")
+    s"""SELECT CAST($qid AS BIGINT) AS qid, t0.doc_id AS doc_id,
+       | count(*) AS phrase_tf FROM p t0 $joins WHERE $preds GROUP BY 2"""
+      .stripMargin.replace("\n", " ")
+  }
+
   private val phraseOracleSql =
     s"""$posCte
        |SELECT a.doc_id AS doc_id, count(*) AS phrase_tf
@@ -709,6 +743,21 @@ object TextQueries {
     "text_bm25_pruned" -> bm25OracleSql,
     "text_phrase" -> phraseOracleSql,
     "text_phrase_indexed" -> phraseOracleSql,
+    "text_phrase_route" -> {
+      val arms = Seq(
+        phraseArm(1, Seq("spark", "merge")),
+        phraseArm(2, Seq("merge", "vector")),
+        phraseArm(3, Seq("spark", "merge", "vector")),
+        phraseArm(4, Seq("vector", "spark")),
+        phraseArm(5, Seq("merge", "merge"))).mkString(" UNION ALL ")
+      s"""$posCte,
+         |u AS ($arms),
+         |r AS (SELECT qid, doc_id, phrase_tf, row_number() OVER
+         |        (PARTITION BY qid ORDER BY phrase_tf DESC, doc_id)
+         |        AS rank FROM u)
+         |SELECT qid, rank, doc_id, phrase_tf FROM r
+         |WHERE rank <= 20 ORDER BY qid, rank""".stripMargin
+    },
     "text_near" ->
       s"""$posCte
          |SELECT a.doc_id AS doc_id, min(abs(a.ord - b.ord)) AS gap

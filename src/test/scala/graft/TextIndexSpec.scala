@@ -562,6 +562,31 @@ class TextIndexSpec extends SparkSpec {
       s"phrase postings scan must carry tb partition filters:\n$postingsScan")
   }
 
+  test("phraseRoute replays equal to per-query phraseTopK, including " +
+      "under tombstones and for repeated-term phrases") {
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs.filter(col("doc_id") % 2 === 0), dir,
+      positional = true)
+    TextIndex.appendBm25Index(docs.filter(col("doc_id") % 2 === 1), dir)
+    TextIndex.deleteFromBm25Index(
+      docs.filter(col("doc_id") % 7 === 2).select("doc_id"), dir)
+    val phrases = Seq(1L -> Seq("spark", "merge"),
+      2L -> Seq("spark", "merge", "vector"), 3L -> Seq("merge", "merge"))
+    val arrivals = spark.createDataFrame(
+        phrases.map { case (q, ts) => (q, ts.mkString(" ")) })
+      .toDF("qid", "qtext")
+    val viaRoute = TextIndex.phraseRoute(arrivals, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaBatch = phrases.flatMap { case (q, ts) =>
+      TextIndex.phraseTopK(spark, dir, ts).collect().zipWithIndex.map {
+        case (r, i) => (q, i + 1L, r.getLong(0), r.getInt(1).toLong) }
+    }.toSet
+    assert(viaRoute == viaBatch,
+      "the route's shifted-intersection fold must rank exactly like the " +
+        "fixed-phrase fold, per query")
+  }
+
   test("bm25Route replays equal to the batch serving query") {
     val dir = tmp()
     TextIndex.writeBm25Index(docs, dir)
