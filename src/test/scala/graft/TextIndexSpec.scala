@@ -585,6 +585,16 @@ class TextIndexSpec extends SparkSpec {
     assert(viaRoute == viaBatch,
       "the route's shifted-intersection fold must rank exactly like the " +
         "fixed-phrase fold, per query")
+    // the route's one postings read per batch is bucket-pruned too
+    val plan = TextIndex.phraseRoute(arrivals, dir)
+      .queryExecution.executedPlan.toString
+    val postingsScan = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("postings"))
+      .mkString("\n")
+    assert(postingsScan.contains("PartitionFilters: [") &&
+      ".*PartitionFilters: \\[[^\\]]*tb.*".r.findFirstIn(postingsScan).isDefined,
+      s"phraseRoute's postings scan must carry tb partition filters:\n" +
+        postingsScan)
   }
 
   test("bm25Route replays equal to the batch serving query") {
