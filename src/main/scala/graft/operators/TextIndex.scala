@@ -520,10 +520,17 @@ object TextIndex {
       .join(dfreq, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
+      // numerator AND denominator in decimal(38,0): long arithmetic wraps
+      // silently at 100 TB-scale stats (tl ~ 1e12, n ~ 1e9 puts the inner
+      // denominator sum past 2^63) and would diverge from the exact
+      // driver-side BigInt bounds of [[prunedTopK]]'s certificate
       .withColumn("tscore", expr(
         """(cast(2 * (n - df) + 1 as decimal(38,0))
           |  * 44 * tf * tl * 1000000000)
-          | div ((2 * df + 1) * (20 * tf * tl + 6 * tl + 18 * dl * n))
+          | div (cast(2 * df + 1 as decimal(38,0))
+          |  * (20 * cast(tf as decimal(38,0)) * tl
+          |     + 6 * cast(tl as decimal(38,0))
+          |     + 18 * cast(dl as decimal(38,0)) * n))
           |""".stripMargin))
       .select("qid", "doc_id", "term", "tf", "tscore")
   }
@@ -781,11 +788,17 @@ object TextIndex {
           .select("doc_id", "term", "tf"), Seq("doc_id"))
         .join(pinDf, Seq("qid", "term"))
         .join(prune(dlBase).select("doc_id", "dl"), Seq("doc_id"))
+        // decimal(38,0) denominator — must agree with the driver-side
+        // BigInt `tscoreAt` at ALL stats magnitudes: a long-wrapped SQL
+        // score compared against an unwrapped BigInt bound could certify
+        // a wrong top-k with no error
         .withColumn("tscore", expr(
           s"""(cast(2 * (${cn}L - df) + 1 as decimal(38,0))
              |  * 44 * tf * ${ctl}L * 1000000000)
-             | div ((2 * df + 1)
-             |  * (20 * tf * ${ctl}L + 6 * ${ctl}L + 18 * dl * ${cn}L))
+             | div (cast(2 * df + 1 as decimal(38,0))
+             |  * (20 * cast(tf as decimal(38,0)) * ${ctl}L
+             |     + 6 * cast(${ctl}L as decimal(38,0))
+             |     + 18 * cast(dl as decimal(38,0)) * ${cn}L))
              |""".stripMargin))
         .groupBy("qid", "doc_id")
         .agg(sum(col("tscore")).as("score"),
@@ -982,7 +995,17 @@ object TextIndex {
     val post = antiDead(spark, indexDir,
       rawPostingsPos(spark, indexDir, asOf).filter(col("tb").isin(tbs: _*)),
       "doc_id", asOf)
+    // [[phraseTopK]]'s loud >= 2-term refusal, per arriving query: a
+    // one-token arrival would otherwise silently degrade to a per-term tf
+    // ranking. The check rides the broadcast nterms frame (built fully
+    // when the hash side materializes), so a bad query fails the batch
+    // rather than emitting a wrong-shape answer.
     val nterms = qterms.groupBy("qid").agg(count(lit(1)).as("nterms"))
+      .select(col("qid"),
+        when(assert_true(col("nterms") >= 2,
+            concat(lit("phraseRoute: a phrase needs at least two terms " +
+              "(qid "), col("qid"), lit(")"))).isNull,
+          col("nterms")).as("nterms"))
     val rows = qterms.join(post.select("term", "doc_id", "ps"), Seq("term"))
       .select(col("qid"), col("doc_id"),
         transform(col("ps"), x => x - col("slot")).as("sps"))

@@ -58,11 +58,17 @@ object TextQueries {
       sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
       sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
       sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"))
+    // denominator in decimal(38,0) like the numerator: long arithmetic
+    // wraps at 100 TB-scale stats (tl ~ 1e12, n ~ 1e9), and every BM25
+    // path must score identically (see TextIndex.scoredTerms)
     def tscore(i: Int): String =
       s"""CASE WHEN tf$i > 0 THEN
          | (cast(2 * (n - df$i) + 1 as decimal(38,0))
          |   * 44 * tf$i * tl * 1000000000)
-         | div ((2 * df$i + 1) * (20 * tf$i * tl + 6 * tl + 18 * dl * n))
+         | div (cast(2 * df$i + 1 as decimal(38,0))
+         |   * (20 * cast(tf$i as decimal(38,0)) * tl
+         |      + 6 * cast(tl as decimal(38,0))
+         |      + 18 * cast(dl as decimal(38,0)) * n))
          | ELSE 0L END""".stripMargin
     withTf.crossJoin(broadcast(stats))
       .withColumn("score",
@@ -178,7 +184,10 @@ object TextQueries {
       .withColumn("tscore", expr(
         """(cast(2 * (n - df) + 1 as decimal(38,0))
           |  * 44 * tf * tl * 1000000000)
-          | div ((2 * df + 1) * (20 * tf * tl + 6 * tl + 18 * dl * n))
+          | div (cast(2 * df + 1 as decimal(38,0))
+          |  * (20 * cast(tf as decimal(38,0)) * tl
+          |     + 6 * cast(tl as decimal(38,0))
+          |     + 18 * cast(dl as decimal(38,0)) * n))
           |""".stripMargin))
       .groupBy("doc_id")
       .agg(sum(col("tscore")).as("score"),

@@ -35,13 +35,50 @@ object StoredIndex {
     * serve — the dominant FIXED cost of a route decision — and without
     * this the count compounds per LSM segment / append (the classic
     * small-files problem; measured 2.2x on the bm25 route's decisions/s
-    * and a 0.39 -> 0.135 scaling exponent, SCALING_r13). At petabyte
-    * scale an oversized partition would add a second bucketing column;
-    * readers are unchanged either way.
+    * and a 0.39 -> 0.135 scaling exponent, SCALING_r13).
+    *
+    * HOT-VALUE GUARD (`splitAbove`): one-task-per-value serializes a hot
+    * value (a head-term postings bucket, a dense doc range) through a
+    * single writer — at large scale that is a straggler and an OOM risk.
+    * Passing a row threshold runs ONE extra per-value count aggregation
+    * (driver result bounded by the number of HOT values, not partition
+    * count) and salts rows of over-threshold values across
+    * ceil(max_hot/splitAbove) writer tasks — the value's partition dir
+    * then holds that many files instead of one, and readers are unchanged
+    * (partition pruning is by directory, not file count). The default
+    * (no threshold) keeps the exact one-file layout and runs no extra
+    * job — the local test fixtures stay bit-stable; StateAndStoreSpec
+    * proves the guarded write splits the hot value and serves identical
+    * content.
     */
-  def writeByPart(df: DataFrame, part: String, path: String): Unit =
-    df.repartition(org.apache.spark.sql.functions.col(part))
-      .write.partitionBy(part).mode("overwrite").parquet(path)
+  def writeByPart(df: DataFrame, part: String, path: String,
+                  splitAbove: Long = Long.MaxValue): Unit = {
+    val keyed =
+      if (splitAbove == Long.MaxValue) df.repartition(col(part))
+      else {
+        val hot = df.groupBy(col(part)).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > splitAbove)
+          .collect().map(r => (r.get(0), r.getLong(1)))
+        if (hot.isEmpty) df.repartition(col(part))
+        else {
+          val slices =
+            ((hot.map(_._2).max + splitAbove - 1) / splitAbove).toInt
+          val hotVals = hot.map(_._1).toSeq
+          // explicit partition COUNT: a by-column repartition is fair
+          // game for AQE partition coalescing, which would fold the salt
+          // slices right back into one writer task
+          val nParts = math.max(df.sparkSession.conf
+            .get("spark.sql.shuffle.partitions").toInt, slices)
+          df.withColumn("__salt",
+              when(col(part).isin(hotVals: _*),
+                pmod(xxhash64(struct(df.columns.map(col): _*)),
+                  lit(slices.toLong)))
+                .otherwise(lit(0L)))
+            .repartition(nParts, col(part), col("__salt")).drop("__salt")
+        }
+      }
+    keyed.write.partitionBy(part).mode("overwrite").parquet(path)
+  }
 
   def emptyFrame(spark: SparkSession, ddl: String): DataFrame =
     spark.createDataFrame(
@@ -182,7 +219,10 @@ object StoredIndex {
                    distinct: Boolean = false): DataFrame = {
     val ver = asOf.orElse(
       IndexCommit.resolveRoot(s"$dir/tombstones").map(_._2)).getOrElse(-1)
-    graft.Caches.cached(family, s"$dir|v$ver") {
+    // the distinct flag is part of the frame's SHAPE, so it must be part
+    // of the cache key — two callers sharing dir+version with different
+    // flags must not share one cached frame
+    graft.Caches.cached(family, s"$dir|v$ver|d$distinct") {
       val ids = readTable(spark, s"$dir/tombstones", "id BIGINT", asOf)
       if (distinct) ids.distinct() else ids
     }

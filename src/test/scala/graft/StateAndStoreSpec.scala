@@ -477,4 +477,38 @@ class StateAndStoreSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
     assert(salted.exceptAll(plain).count() == 0)
   }
+
+  test("writeByPart hot-value guard: an over-threshold partition splits " +
+      "across files, cold partitions keep one file, content identical") {
+    import graft.sources.StoredIndex
+    def files(dir: String, key: String): Int = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir, key)
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    // bucket 0 is hot (900 rows), buckets 1..3 are cold (100 each)
+    val skewed = spark.range(1200)
+      .select(col("id"), when(col("id") < 900, 0L)
+        .otherwise(col("id") % 3 + 1).as("b"))
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft-wbp-plain").toString
+    StoredIndex.writeByPart(skewed, "b", plainDir)
+    assert(files(plainDir, "b=0") == 1,
+      "default writeByPart keeps one file per partition value")
+    val guardDir = java.nio.file.Files
+      .createTempDirectory("graft-wbp-guard").toString
+    StoredIndex.writeByPart(skewed, "b", guardDir, splitAbove = 400L)
+    assert(files(guardDir, "b=0") > 1,
+      "the hot value must spread across multiple writer tasks")
+    (1 to 3).foreach { b =>
+      assert(files(guardDir, s"b=$b") == 1,
+        s"cold partition b=$b must keep the one-file layout")
+    }
+    // readers see identical content either way
+    val a = spark.read.parquet(plainDir).select("id", "b")
+    val g = spark.read.parquet(guardDir).select("id", "b")
+    assert(a.exceptAll(g).count() == 0 && g.exceptAll(a).count() == 0)
+  }
 }

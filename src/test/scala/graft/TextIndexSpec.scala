@@ -597,6 +597,23 @@ class TextIndexSpec extends SparkSpec {
         postingsScan)
   }
 
+  test("phraseRoute refuses a one-term arrival loudly (phraseTopK's " +
+      ">= 2-term contract, per query)") {
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs, dir, positional = true)
+    val arrivals = spark.createDataFrame(
+        Seq((1L, "spark merge"), (2L, "spark")))
+      .toDF("qid", "qtext")
+    // without the guard, qid 2 would silently emit a per-term tf ranking
+    val e = intercept[Exception] {
+      TextIndex.phraseRoute(arrivals, dir).collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("at least two terms") ||
+      Option(e.getCause).exists(_.getMessage.contains("at least two terms")),
+      s"expected the loud >= 2-term refusal, got: $e")
+  }
+
   test("bm25Route replays equal to the batch serving query") {
     val dir = tmp()
     TextIndex.writeBm25Index(docs, dir)
