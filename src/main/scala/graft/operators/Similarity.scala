@@ -298,9 +298,24 @@ object Similarity {
     * round-trips are lossless, so a route against the stored index
     * reproduces the batch assignment bit for bit. Tables publish through
     * an [[graft.sources.IndexCommit]] manifest like the LSH index.
+    *
+    * PRODUCT QUANTIZATION (`pqM` > 0 — the IVFADC layout): additionally
+    * trains `pqM` per-subspace codebooks of `pqK` codewords each on the
+    * same bounded driver sample ([[pqCodebooks]]), stores them in a
+    * `codebooks` table (pqM x pqK rows — driver-sized, like the
+    * centroids), and every postings row gains `codes ARRAY<INT>` — the
+    * vector's per-subspace nearest codewords. [[pqRoute]] then serves the
+    * candidate scan from (codes, nn) ONLY: at dim=64/pqM=8 the scanned
+    * payload is 8 code bytes + a norm instead of 512 vector bytes —
+    * parquet column pruning makes the 64x memory/IO cut a free
+    * consequence of the columnar layout, no second table needed — while
+    * the full vectors stay in the same rows for the exact re-rank of the
+    * short candidate list. Non-PQ readers declare schemas without `codes`
+    * and are untouched; every lifecycle op (append/delete/compact/
+    * rebuild/as-of) maintains the column.
     */
   def ivfWriteIndex(emb: DataFrame, dir: String, nCells: Int = 8,
-                    iters: Int = 3): Unit = {
+                    iters: Int = 3, pqM: Int = 0, pqK: Int = 16): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     graft.sources.IndexCommit.deleteTree(java.nio.file.Paths.get(dir))
@@ -313,12 +328,233 @@ object Similarity {
     // two narrow passes over the CACHED vector frame: the lean postings
     // (qerr dropped) and the gen-0 stats baseline
     val scored = corpusCellsScored(e, cents)
-    graft.sources.StoredIndex.writeByPart(scored.drop("qerr"), "cell",
-      s"$dir/postings")
+    val post =
+      if (pqM <= 0) scored.drop("qerr")
+      else {
+        val cbs = pqCodebooks(e, cents, pqM, pqK, iters)
+        cbs.zipWithIndex.flatMap { case (cb, s) =>
+          cb.zipWithIndex.map { case (c, i) => (s, i, c) } }
+          .toDF("sub", "code", "cv")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+        withCodes(scored.drop("qerr"), "nv", "cell", cents, cbs)
+      }
+    graft.sources.StoredIndex.writeByPart(post, "cell", s"$dir/postings")
     genStats(scored, gen = 0)
       .write.mode("overwrite").parquet(s"$dir/stats/gen-00000")
     graft.sources.IndexCommit.commitFiles(dir,
       graft.sources.IndexCommit.walkDataFiles(dir))
+  }
+
+  // -------------------------------------------------------------------------
+  // Product quantization (IVF-PQ / IVFADC)
+  // -------------------------------------------------------------------------
+
+  /** Per-subspace PQ codebooks over coarse-assignment RESIDUALS: each
+    * bounded-sample vector assigns to its argmax cell (the
+    * [[kmeansCentroids]] inner loop), its residual v − centroid(cell) is
+    * split into `m` contiguous subspaces, and each subspace k-means
+    * (`ksub` codewords, L2) independently — sequential driver double
+    * math, bit-reproducible, so a rebuild over an unchanged corpus
+    * retrains identical codebooks. RESIDUAL encoding is the standard
+    * IVFADC choice for a reason that the clustered fixture makes
+    * falsifiable: raw-vector codes collapse a tight cluster to one code
+    * word (ADC then cannot rank within the cluster at all — exactly
+    * where the neighbors are), while residuals ARE the within-cell
+    * geometry. The serving cost is one extra dot(q, centroid) per
+    * (probe, cell) — probe-side, never per candidate ([[pqRoute]]).
+    */
+  private def pqCodebooks(e: DataFrame, cents: Seq[Seq[Double]],
+                          m: Int, ksub: Int, iters: Int,
+                          maxSample: Int = 4096): Seq[Seq[Seq[Double]]] = {
+    val sample = e.orderBy("vec_id").limit(maxSample)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim is not divisible into $m subspaces")
+    val sd = dim / m
+    val cnorms = cents.map(c => math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x)))
+    val residuals = sample.map { v =>
+      var best = 0; var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.size) {
+        var d = 0.0; var i = 0
+        while (i < dim) { d += v(i) * cents(c)(i); i += 1 }
+        val s = d / cnorms(c)
+        if (s > bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      val r = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { r(i) = v(i) - cents(best)(i); i += 1 }
+      r
+    }
+    (0 until m).map { s =>
+      val sub = residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, s * sd, (s + 1) * sd))
+      val stride = math.max(1, sub.length / ksub)
+      var cents: IndexedSeq[Array[Double]] = (0 until ksub)
+        .map(i => sub(math.min(i * stride, sub.length - 1)).clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(ksub, sd)(0.0)
+        val counts = new Array[Int](ksub)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0; var i = 0
+            while (i < sd) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sd) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = (0 until ksub).map(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      cents.map(c => c.toIndexedSeq: Seq[Double]): Seq[Seq[Double]]
+    }
+  }
+
+  /** Add the `codes ARRAY<INT>` residual-PQ encoding of double-array
+    * column `vCol` under coarse assignment column `cellCol`: the row's
+    * residual (v − centroid(cell), one zip_with against the cell-indexed
+    * centroid literal) splits into subspaces, and per subspace the
+    * argmin-L2 codeword is computed as codegen'd per-code score columns
+    * (dot(r, c) − |c|²/2, i.e. argmin L2 with the common |r|² term
+    * dropped) + a first-match when-chain, the [[corpusCellsScored]]
+    * argmax discipline. The expression is a pure function of (vector,
+    * cell, centroids, codebooks), so append-encoded rows are
+    * BIT-identical to a rebuild's encoding under the same quantizers.
+    */
+  private def withCodes(df: DataFrame, vCol: String, cellCol: String,
+                        cents: Seq[Seq[Double]],
+                        cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val sd = cbs.head.head.size
+    val res = zip_with(col(vCol),
+      element_at(typedlit(cents), col(cellCol).cast("int") + 1),
+      (x, c) => x - c)
+    val withRes = df.withColumn("__res", res)
+    val codeCols = cbs.indices.map { s =>
+      val sub = slice(col("__res"), s * sd + 1, sd)
+      val scores = cbs(s).map { c =>
+        val halfSq = c.foldLeft(0.0)((a, x) => a + x * x) / 2.0
+        dotp(sub, typedlit(c)) - lit(halfSq)
+      }
+      val mx = if (scores.size == 1) scores.head else greatest(scores: _*)
+      scores.indices.tail.foldLeft(when(scores(0) === mx, lit(0))) {
+        (w, cc) => w.when(scores(cc) === mx, lit(cc))
+      }.cast("int")
+    }
+    withRes.withColumn("codes", array(codeCols: _*)).drop("__res")
+  }
+
+  /** Stored codebooks as cbs(sub)(code) = codeword vector; empty when the
+    * index was built without PQ (the presence check every lifecycle op
+    * keys off — no meta flag needed).
+    */
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            dir: String,
+                            asOf: Option[Int] = None): Seq[Seq[Seq[Double]]] =
+    graft.sources.StoredIndex.readTable(spark, s"$dir/codebooks",
+        "sub INT, code INT, cv ARRAY<DOUBLE>", asOf)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+
+  /** IVF-PQ serving (IVFADC with exact re-rank) — per arriving probe:
+    *
+    *  1. COARSE probe: `nprobe` best cells via [[bestCells]] (identical
+    *     to [[annRoute]]); the batch's probed-cell set pushes as a
+    *     partition filter.
+    *  2. ADC scan: the probe computes its m x ksub lookup table (one
+    *     dot per (subspace, codeword) — O(dim x ksub) work per PROBE,
+    *     once) and every candidate's approximate score is m table
+    *     lookups over its stored `codes` — the scan reads ONLY
+    *     (nid, nn, codes, cell): parquet column pruning never touches
+    *     the float vectors (IvfPqSpec pins the ReadSchema), which is
+    *     the tier's 100 TB story — the per-decision scanned bytes drop
+    *     ~64x (dim=64 doubles -> m=8 code ints + a norm).
+    *  3. EXACT re-rank: the top `rerank * k` candidates per probe (by
+    *     approximate cosine) join back to the stored float vectors and
+    *     re-score with the same codegen'd sequential [[dotp]] as
+    *     [[bruteForceTopK]] — the emitted cosine is exact, PQ error can
+    *     only cost RECALL (a true neighbor ranked below the rerank cut),
+    *     never a wrong score.
+    *
+    * `rerank <= 0` disables the cut: every candidate re-ranks exactly,
+    * so at `nprobe >= nCells` the result provably equals
+    * [[bruteForceTopK]] — the oracle-adjudication mode `sim_ivfpq`
+    * hash-checks against the brute-force DuckDB oracle (the
+    * `text_hybrid_route` pattern); production keeps (nprobe, rerank)
+    * small and IvfPqSpec asserts the recall floor on the clustered
+    * fixture. Output (qid, rank, nid, cos) like every similarity tier.
+    */
+  def pqRoute(arrivals: DataFrame, indexDir: String, k: Int,
+              nprobe: Int = 5, rerank: Int = 4,
+              idCol: String = "vec_id", embCol: String = "embedding",
+              asOf: Option[Int] = None): DataFrame = {
+    val spark = arrivals.sparkSession
+    val cents = readCentroids(spark, indexDir, asOf)
+    val cbs = readCodebooks(spark, indexDir, asOf)
+    require(cbs.nonEmpty,
+      s"pq serving needs a PQ-enabled index under $indexDir " +
+        "(ivfWriteIndex(..., pqM > 0))")
+    val sd = cbs.head.head.size
+    val probesV = arrivals
+      .select(col(idCol).cast("long").as("qid"),
+        transform(col(embCol), _.cast("double")).as("qv"))
+      .withColumn("qn", sqrt(dotp(col("qv"), col("qv"))))
+    // the ADC lookup table, once per probe: lut(s)(c) = dot(qv_s, cb(s)(c))
+    // over the RESIDUAL codebooks; dot(q, x̂) then decomposes as
+    // dot(q, centroid(cell)) + Σ_s lut(s)(codes_s) — the centroid term is
+    // per (probe, cell), computed on the exploded probe side, NEVER per
+    // candidate, so the per-candidate cost stays m table lookups
+    val lut = array(cbs.indices.map { s =>
+      transform(typedlit(cbs(s)),
+        c => dotp(slice(col("qv"), s * sd + 1, sd), c))
+    }: _*)
+    val probes = probesV
+      .select(col("qid"), col("qv"), col("qn"), lut.as("lut"),
+        explode(bestCells(col("qv"), cents, nprobe)).as("cell"))
+      .dropDuplicates("qid", "cell")
+      .withColumn("centdot",
+        dotp(col("qv"),
+          element_at(typedlit(cents), col("cell").cast("int") + 1)))
+    // bounded collect (<= nCells values): the probed-cell partition filter
+    val wanted = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // ADC scan: codes + norm only — the narrow read is the whole point
+    val codesTbl = graft.sources.StoredIndex.antiTombstoned(spark, indexDir,
+      "lsh-tombstones",
+      graft.sources.StoredIndex.readTable(spark, s"$indexDir/postings",
+        "nid BIGINT, nn DOUBLE, codes ARRAY<INT>, cell BIGINT", asOf),
+      "nid", asOf)
+    val adc = probes
+      .join(codesTbl.filter(col("cell").isin(wanted: _*)), "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        ((col("centdot") + aggregate(zip_with(col("codes"), col("lut"),
+            (cd, row) => element_at(row, cd + 1)),
+          lit(0.0), (acc, x) => acc + x)) / (col("qn") * col("nn")))
+          .as("adcos"))
+    val cand =
+      if (rerank <= 0) adc.select("qid", "nid")
+      else graft.plans.TopKPerGroup(adc, Seq("qid"),
+        Seq("adcos" -> false, "nid" -> true), rerank * k)
+        .select("qid", "nid")
+    // exact re-rank: candidate-bounded join back to the stored floats
+    // (tombstoned ids already left at the ADC stage — inner join on nid)
+    val vecs = graft.sources.StoredIndex.readTable(spark,
+        s"$indexDir/postings",
+        "nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, cell BIGINT", asOf)
+      .filter(col("cell").isin(wanted: _*)).select("nid", "nv", "nn")
+    rankTopK(cand
+      .join(vecs, "nid")
+      .join(probesV.select(col("qid"), col("qv"), col("qn")), "qid")
+      .select(col("qid"), col("nid"),
+        (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos")), k)
   }
 
   /** Per-cell occupancy + mean quantization error of one assignment
@@ -432,7 +668,13 @@ object Similarity {
     val t = new graft.sources.IndexTxn(dir)
     val cents = readCentroids(spark, dir)
     val scored = corpusCellsScored(asDouble(newEmb), cents)
-    graft.sources.StoredIndex.writeByPart(scored.drop("qerr"), "cell",
+    // a PQ index's appends encode through the STORED codebooks — same
+    // frozen-quantizer model as the centroids, so append == rebuild
+    // bit-identically for codes too
+    val cbs = readCodebooks(spark, dir)
+    val post = if (cbs.isEmpty) scored.drop("qerr")
+               else withCodes(scored.drop("qerr"), "nv", "cell", cents, cbs)
+    graft.sources.StoredIndex.writeByPart(post, "cell",
       s"$dir/.postings-stage")
     val gen = t.baseUnder("stats")
       .map(_.stripPrefix("stats/").split('/').head)
@@ -481,6 +723,12 @@ object Similarity {
     IndexCommit.vacuum(dir)
     val t = new graft.sources.IndexTxn(dir)
     var touched = 0
+    // a PQ index's rewrites must carry the `codes` column forward (the
+    // positional-BM25 `ps` discipline)
+    val postDdl =
+      if (t.liveUnder("codebooks").nonEmpty)
+        "nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE, codes ARRAY<INT>"
+      else "nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE"
     val tombFiles = t.liveUnder("tombstones")
     if (tombFiles.nonEmpty) {
       val dead = spark.read.schema("id BIGINT, cell BIGINT")
@@ -493,7 +741,7 @@ object Similarity {
           part.startsWith("cell=") &&
             deadCells.contains(part.stripPrefix("cell=").toLong) }
       hit.foreach { case (part, files) =>
-        spark.read.schema("nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE")
+        spark.read.schema(postDdl)
           .parquet(files.map(f => s"$dir/$f"): _*)
           .join(broadcast(dead.select(col("id").as("nid"))),
             Seq("nid"), "left_anti")
@@ -512,7 +760,7 @@ object Similarity {
       .filter { case (part, files) =>
         part.startsWith("cell=") && files.size > maxFilesPerCell }
     fat.foreach { case (part, files) =>
-      spark.read.schema("nid BIGINT, nv ARRAY<DOUBLE>, nn DOUBLE")
+      spark.read.schema(postDdl)
         .parquet(files.map(f => s"$dir/$f"): _*)
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/.postings-compact/$part")
@@ -615,7 +863,22 @@ object Similarity {
       .toDF("cell", "cv")
       .write.mode("overwrite").parquet(s"$dir/.centroids-stage")
     val scored = corpusCellsScored(e, cents)
-    graft.sources.StoredIndex.writeByPart(scored.drop("qerr"), "cell",
+    // a PQ index RETRAINS its codebooks too (same m/ksub, read off the
+    // stored table — no meta flag) and re-encodes every vector: the
+    // rebuild is where quantizer drift resets, for both quantizer levels
+    val oldCbs = readCodebooks(spark, dir)
+    val post =
+      if (oldCbs.isEmpty) scored.drop("qerr")
+      else {
+        val cbs = pqCodebooks(e, cents, oldCbs.size, oldCbs.head.size, iters)
+        cbs.zipWithIndex.flatMap { case (cb, s) =>
+          cb.zipWithIndex.map { case (c, i) => (s, i, c) } }
+          .toDF("sub", "code", "cv")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/.codebooks-stage")
+        withCodes(scored.drop("qerr"), "nv", "cell", cents, cbs)
+      }
+    graft.sources.StoredIndex.writeByPart(post, "cell",
       s"$dir/.postings-stage")
     genStats(scored, gen = 0)
       .write.mode("overwrite").parquet(s"$dir/.stats-stage")
@@ -626,6 +889,11 @@ object Similarity {
     t.retireUnder("postings")
     t.retireUnder("stats")
     t.retireUnder("tombstones")
+    if (oldCbs.nonEmpty) {
+      t.retireUnder("codebooks")
+      moveTree(t, java.nio.file.Paths.get(s"$dir/.codebooks-stage"),
+        java.nio.file.Paths.get(s"$dir/codebooks"))
+    }
     moveTree(t, java.nio.file.Paths.get(s"$dir/.centroids-stage"),
       java.nio.file.Paths.get(s"$dir/centroids"))
     moveTree(t, java.nio.file.Paths.get(s"$dir/.postings-stage"),

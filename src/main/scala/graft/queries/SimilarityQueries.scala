@@ -37,10 +37,33 @@ object SimilarityQueries {
         probeFilter = col("vec_id") % 100 === 0, k = 5)
       .orderBy("qid", "rank")
 
+  /** IVF-PQ (IVFADC) serving against a STORED product-quantized index, in
+    * the oracle-adjudication mode (the `text_hybrid_route` pattern):
+    * exhaustive coarse probe + no rerank cut, so the two-stage
+    * ADC-then-exact pipeline — stored codes, per-probe lookup tables, the
+    * candidate join, the float re-rank — provably reproduces the
+    * brute-force cosine ranking and HASH-checks against the same DuckDB
+    * oracle as `sim_topk`. The production-shaped knobs (small nprobe +
+    * rerank cut, where PQ error can cost recall but never a wrong score)
+    * are recall-floor-asserted in IvfPqSpec, and the ADC scan's
+    * vectors-never-read column pruning is plan-pinned there.
+    */
+  def simIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val nCells = 16
+    val base = graft.Caches.stagedPath("ivfpq", dir) { p =>
+      Similarity.ivfWriteIndex(emb, p, nCells = nCells, pqM = 8, pqK = 16)
+    }
+    Similarity.pqRoute(emb.filter(col("vec_id") % 100 === 0), base,
+        k = 5, nprobe = nCells, rerank = 0)
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> simTopk,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ivf" -> simIvf,
+    "sim_ivfpq" -> simIvfPq,
     "sim_quantize" -> simQuantize,
     "sim_centroid" -> simCentroid)
 
@@ -70,6 +93,21 @@ object SimilarityQueries {
         |          ORDER BY qcos DESC, nid) AS rn
         |      FROM p)
         |SELECT qid, rn AS rank, nid, dot, qcos FROM r WHERE rn <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // sim_ivfpq runs the stored-index IVFADC pipeline in its provably-
+    // exact mode (exhaustive probe, no rerank cut), so the brute-force
+    // recompute IS its oracle — any drift in codes/LUT/re-rank plumbing
+    // surfaces as a hash mismatch here
+    "sim_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |        list_inner_product(q.v, c.v) /
+        |          (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cos
+        |      FROM e q JOIN e c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT qid, nid, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        |      FROM p)
+        |SELECT qid, rn AS rank, nid, cos FROM r WHERE rn <= 5
         |ORDER BY qid, rank""".stripMargin,
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
