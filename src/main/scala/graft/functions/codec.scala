@@ -257,6 +257,11 @@ object gcolumns {
   def sorted_min_gap(a: Column, b: Column): Column =
     Bridge.column(SortedMinGap(Bridge.expression(a), Bridge.expression(b)))
 
+  /** n-ary minimum cover span over an array of sorted int position lists
+    * (codegen'd) — the k-term window kernel. */
+  def sorted_min_cover(lists: Column): Column =
+    Bridge.column(SortedMinCover(Bridge.expression(lists)))
+
   /** Z-order (Morton) value of two int columns' low 16 bits. */
   def zorder2(x: Column, y: Column): Column =
     Bridge.column(ZOrder2(Bridge.expression(x), Bridge.expression(y)))

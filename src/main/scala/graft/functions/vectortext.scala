@@ -99,6 +99,45 @@ object VectorTextImpl {
     best
   }
 
+  /** Minimum cover span over n ascending-sorted int arrays: the smallest
+    * max−min over tuples taking one position from each list — the n-ary
+    * generalization of [[sortedMinGap]] (for n = 2 the two definitions
+    * coincide: |x − y| = max − min). Classic n-pointer sweep: record the
+    * span of the current frontier, advance the pointer holding the
+    * frontier MINIMUM (any tuple replacing a non-minimum can only widen
+    * or tie), until the minimum's list is exhausted — O(total positions ×
+    * n) with n = query terms, a plan constant. Int.MaxValue when any
+    * list is empty or the outer array is (no covering tuple exists).
+    */
+  def sortedMinCover(lists: ArrayData): Int = {
+    val n = lists.numElements()
+    if (n == 0) return Int.MaxValue
+    val arrs = new Array[ArrayData](n)
+    val idx = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      arrs(i) = lists.getArray(i)
+      if (arrs(i) == null || arrs(i).numElements() == 0) return Int.MaxValue
+      i += 1
+    }
+    var best = Int.MaxValue
+    while (true) {
+      var mn = Int.MaxValue; var mx = Int.MinValue; var mnAt = 0
+      var j = 0
+      while (j < n) {
+        val v = arrs(j).getInt(idx(j))
+        if (v < mn) { mn = v; mnAt = j }
+        if (v > mx) mx = v
+        j += 1
+      }
+      if (mx - mn < best) best = mx - mn
+      if (best == 0) return 0
+      idx(mnAt) += 1
+      if (idx(mnAt) >= arrs(mnAt).numElements()) return best
+    }
+    best
+  }
+
   /** Intersection SIZE of two ascending-sorted string arrays by linear
     * merge: no per-pair hash set, no materialized intersection array —
     * the count `size(array_intersect(...))` computes at several times
@@ -206,6 +245,28 @@ case class SortedMinGap(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedMinGap =
     copy(left = newLeft, right = newRight)
+}
+
+/** n-ary minimum cover span over sorted int position lists:
+  * `array<array<int>> -> int` (Int.MaxValue when any list is empty) —
+  * the k-term window kernel of the positional family, generalizing
+  * [[SortedMinGap]] to "all query terms within a span".
+  */
+case class SortedMinCover(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_min_cover"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorTextImpl.sortedMinCover(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorTextImpl.sortedMinCover($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SortedMinCover =
+    copy(child = newChild)
 }
 
 /** Sorted-merge intersection count:

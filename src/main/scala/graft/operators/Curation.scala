@@ -310,13 +310,20 @@ object Curation {
     * Scale: a narrow per-row map of codegen'd string expressions — nothing
     * shuffles, scan-speed at any corpus size.
     */
+  /** The bare normalize expression of [[normalizeDocs]] (control-strip →
+    * NFC → whitespace-collapse → trim) as a column function — shared with
+    * the `norm` tokenizer of [[graft.operators.TextIndex.tokenizers]], so
+    * retrieval and curation normalize through ONE expression.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      graft.functions.TextNorm.nfcNormalize(regexp_replace(c,
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")),
+      unicodeSpaceRun, " "))
+
   def normalizeDocs(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val stripped = regexp_replace(col(textCol),
-      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
-    val normed = trim(regexp_replace(
-      graft.functions.TextNorm.nfcNormalize(stripped), unicodeSpaceRun, " "))
     docs.select(col("doc_id"), length(col(textCol)).as("n_raw"),
-        normed.as("norm"))
+        normalizeText(col(textCol)).as("norm"))
       .select(col("doc_id"), col("norm"),
         length(col("norm")).cast("long").as("n_chars_norm"),
         (col("n_raw") - length(col("norm"))).cast("long").as("n_removed"))

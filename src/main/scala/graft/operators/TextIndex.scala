@@ -127,22 +127,52 @@ object TextIndex {
   private def tbCol(nBuckets: Int): Column =
     pmod(xxhash64(col("term")), lit(nBuckets.toLong))
 
-  /** (nbuckets, dlrange, forward?, positional?) — the option flags read
-    * null (= false) on indexes built before each option existed.
+  /** NAMED tokenizers — string -> token array as a column function. The
+    * NAME is recorded in `meta` (a column function cannot be persisted),
+    * so appends, compaction rewrites, and the route tiers' QUERY-side
+    * tokenization all replay the exact tokenization the index was built
+    * with — one tokenization for the whole retrieval surface, shared
+    * with curation where the entry composes its expressions:
+    *  - `ws`   — `split(text, ' ')` (the historical default; legacy
+    *             indexes whose meta predates the column read null -> ws).
+    *  - `norm` — [[Curation.normalizeText]] (control-strip -> NFC ->
+    *             Unicode-whitespace collapse -> trim) then split: the
+    *             curation family's normalization applied to retrieval,
+    *             so "café" NFC/NFD variants and NBSP-glued tokens index
+    *             (and match) identically. `text_bm25_normalized`
+    *             hash-checks it against a DuckDB replay of the same
+    *             normalization.
+    * Fixed-term serving entry points ([[bm25TopK]], [[phraseTopK]], ...)
+    * take TOKENS, which callers must supply in the index's token space
+    * (for `norm`: already-normalized terms).
     */
-  private def metaFull(spark: SparkSession,
-                       dir: String): (Int, Long, Boolean, Boolean) = {
+  val tokenizers: Map[String, Column => Column] = Map(
+    "ws" -> (t => split(t, " ")),
+    "norm" -> (t => split(Curation.normalizeText(t), " ")))
+
+  private case class Meta(nb: Int, dlr: Long, fwd: Boolean, pos: Boolean,
+                          tok: String) {
+    def tokenize: Column => Column = tokenizers(tok)
+  }
+
+  /** (nbuckets, dlrange, forward?, positional?, tokenizer) — the option
+    * flags read null (= false / `ws`) on indexes built before each
+    * option existed.
+    */
+  private def metaFull(spark: SparkSession, dir: String): Meta = {
     val r = StoredIndex.readTable(spark, s"$dir/meta",
-      "nbuckets INT, dlrange BIGINT, fwd BOOLEAN, pos BOOLEAN").collect()
+      "nbuckets INT, dlrange BIGINT, fwd BOOLEAN, pos BOOLEAN, tok STRING")
+      .collect()
     require(r.nonEmpty, s"no bm25 index meta under $dir")
-    (r.head.getInt(0), r.head.getLong(1),
+    Meta(r.head.getInt(0), r.head.getLong(1),
       !r.head.isNullAt(2) && r.head.getBoolean(2),
-      !r.head.isNullAt(3) && r.head.getBoolean(3))
+      !r.head.isNullAt(3) && r.head.getBoolean(3),
+      if (r.head.isNullAt(4)) "ws" else r.head.getString(4))
   }
 
   private def meta(spark: SparkSession, dir: String): (Int, Long) = {
     val m = metaFull(spark, dir)
-    (m._1, m._2)
+    (m.nb, m.dlr)
   }
 
   // All table reads go through [[graft.sources.StoredIndex.readTable]]:
@@ -219,9 +249,10 @@ object TextIndex {
     StoredIndex.nextSeg(dir, table, "seg=")
 
   /** Tokenized batch: (doc_id, toks). One shared shape for every writer. */
-  private def tokenized(docs: DataFrame): DataFrame =
+  private def tokenized(docs: DataFrame,
+                        tok: Column => Column): DataFrame =
     docs.select(col("doc_id").cast("long").as("doc_id"),
-      split(col("text"), " ").as("toks"))
+      tok(col("text")).as("toks"))
 
   private def postingsOf(tok: DataFrame, nBuckets: Int,
                          positional: Boolean = false): DataFrame =
@@ -269,14 +300,17 @@ object TextIndex {
     */
   def writeBm25Index(docs: DataFrame, dir: String, nBuckets: Int = 16,
                      dlRange: Long = 256L, forward: Boolean = false,
-                     positional: Boolean = false): Unit = {
+                     positional: Boolean = false,
+                     tokenizer: String = "ws"): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(tokenizers.contains(tokenizer),
+      s"unknown tokenizer '$tokenizer' (known: ${tokenizers.keys.mkString(", ")})")
     IndexCommit.deleteTree(java.nio.file.Paths.get(dir))
-    Seq((nBuckets, dlRange, forward, positional))
-      .toDF("nbuckets", "dlrange", "fwd", "pos")
+    Seq((nBuckets, dlRange, forward, positional, tokenizer))
+      .toDF("nbuckets", "dlrange", "fwd", "pos", "tok")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    val tok = tokenized(docs)
+    val tok = tokenized(docs, tokenizers(tokenizer))
     val post = postingsOf(tok, nBuckets, positional)
     writeByPart(post, "tb", s"$dir/postings")
     val dls = doclensOf(tok, dlRange)
@@ -303,9 +337,10 @@ object TextIndex {
     val spark = newDocs.sparkSession
     IndexCommit.vacuum(dir)
     val t = new graft.sources.IndexTxn(dir)
-    val (nb, dlr, hasFwd, hasPos) = metaFull(spark, dir)
-    val tok = tokenized(newDocs)
-    val post = postingsOf(tok, nb, hasPos)
+    val m = metaFull(spark, dir)
+    val (nb, dlr, hasFwd) = (m.nb, m.dlr, m.fwd)
+    val tok = tokenized(newDocs, m.tokenize)
+    val post = postingsOf(tok, nb, m.pos)
     writeByPart(post, "tb", s"$dir/.postings-stage")
     val dls = doclensOf(tok, dlr)
     writeByPart(termStatsOf(post, dls), "tb", s"$dir/.termdf-stage")
@@ -403,7 +438,8 @@ object TextIndex {
                        maxFiles: Int = maxFilesPerPartition): Int = {
     IndexCommit.vacuum(dir)
     val t = new graft.sources.IndexTxn(dir)
-    val (_, dlr, _, hasPos) = metaFull(spark, dir)
+    val m0 = metaFull(spark, dir)
+    val (dlr, hasPos) = (m0.dlr, m0.pos)
     val hasDead = StoredIndex.hasTombstones(dir)
     def p(s: String) = java.nio.file.Paths.get(s)
     var rewritten = 0
@@ -609,9 +645,12 @@ object TextIndex {
                 termPushdownCap: Int = 0,
                 asOf: Option[Int] = None): DataFrame = {
     val spark = queries.sparkSession
-    val (nb, _) = meta(spark, indexDir)
+    val m0 = metaFull(spark, indexDir)
+    val nb = m0.nb
+    // query text tokenizes through the INDEX's recorded tokenizer, so a
+    // normalized index matches normalized query terms by construction
     val probes = queries.select(col(idCol).cast("long").as("qid"),
-        explode(split(col(textCol), " ")).as("term"))
+        explode(m0.tokenize(col(textCol))).as("term"))
       .dropDuplicates("qid", "term")
     val probed = probes
       .select(col("term"), tbCol(nb).as("tb")).distinct()
@@ -696,7 +735,8 @@ object TextIndex {
                          probes0: DataFrame, k: Int,
                          asOf: Option[Int], drCap: Int): DataFrame = {
     import spark.implicits._
-    val (nb, dlr, hasFwd, _) = metaFull(spark, dir)
+    val m0 = metaFull(spark, dir)
+    val (nb, dlr, hasFwd) = (m0.nb, m0.dlr, m0.fwd)
     require(hasFwd,
       s"pruned bm25 serving needs a forward-enabled index under $dir " +
         "(writeBm25Index(..., forward = true))")
@@ -884,7 +924,7 @@ object TextIndex {
                       asOf: Option[Int] = None): DataFrame = {
     val spark = queries.sparkSession
     val probes = queries.select(col(idCol).cast("long").as("qid"),
-        explode(split(col(textCol), " ")).as("term"))
+        explode(metaFull(spark, indexDir).tokenize(col(textCol))).as("term"))
       .dropDuplicates("qid", "term")
     prunedTopK(spark, indexDir, probes, k, asOf, drCap)
       .select("qid", "rank", "doc_id", "score")
@@ -902,11 +942,11 @@ object TextIndex {
     */
   private def posMap(spark: SparkSession, dir: String, terms: Seq[String],
                      asOf: Option[Int]): DataFrame = {
-    val (nb, _, _, hasPos) = metaFull(spark, dir)
-    require(hasPos,
+    val m0 = metaFull(spark, dir)
+    require(m0.pos,
       s"positional serving needs a positional index under $dir " +
         "(writeBm25Index(..., positional = true))")
-    val tbs = terms.distinct.map(termBucket(_, nb)).distinct
+    val tbs = terms.distinct.map(termBucket(_, m0.nb)).distinct
     antiDead(spark, dir,
       rawPostingsPos(spark, dir, asOf)
         .filter(col("tb").isin(tbs: _*))
@@ -965,6 +1005,34 @@ object TextIndex {
       .limit(k)
   }
 
+  /** k-TERM WINDOW search over a positional maintained index — the n-ary
+    * generalization of [[nearTopK]]: docs where EVERY query term occurs
+    * within a window of `span` tokens (min cover = smallest max−min over
+    * one position per term), ranked by the tightest window (ties by
+    * doc_id). The cover folds through the codegen'd
+    * [[graft.functions.SortedMinCover]] n-pointer kernel over the per-doc
+    * position lists; a doc missing any term has a null/empty list element,
+    * covers at Int.MaxValue and drops at the span filter. For two terms,
+    * windowTopK(span) ranks exactly like nearTopK(slop = span) — the
+    * kernel definitions coincide — which TextIndexSpec pins alongside the
+    * brute-force property check. Same bucket pruning, tombstone and as-of
+    * semantics as every positional serve. Repeated query terms are
+    * deduplicated (a term trivially covers itself).
+    */
+  def windowTopK(spark: SparkSession, dir: String, terms: Seq[String],
+                 span: Int, k: Int = 20,
+                 asOf: Option[Int] = None): DataFrame = {
+    val ts = terms.distinct
+    require(ts.size >= 2, "a window query needs at least two distinct terms")
+    val m = posMap(spark, dir, ts, asOf)
+    val lists = array(ts.map(t => element_at(col("m"), lit(t))): _*)
+    m.select(col("doc_id"),
+        graft.functions.gcolumns.sorted_min_cover(lists).as("win"))
+      .filter(col("win") <= span)
+      .orderBy(col("win"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Streaming PHRASE route — the route-tier twin of [[phraseTopK]] for
     * ARRIVING (qid, qtext) phrase queries, each with its own phrase (any
     * length, repeated terms allowed), served from the standing
@@ -983,12 +1051,13 @@ object TextIndex {
                   idCol: String = "qid", textCol: String = "qtext",
                   asOf: Option[Int] = None): DataFrame = {
     val spark = queries.sparkSession
-    val (nb, _, _, hasPos) = metaFull(spark, indexDir)
-    require(hasPos,
+    val m0 = metaFull(spark, indexDir)
+    val nb = m0.nb
+    require(m0.pos,
       s"positional serving needs a positional index under $indexDir " +
         "(writeBm25Index(..., positional = true))")
     val qterms = queries.select(col(idCol).cast("long").as("qid"),
-      posexplode(split(col(textCol), " ")).as(Seq("slot", "term")))
+      posexplode(m0.tokenize(col(textCol))).as(Seq("slot", "term")))
     // bounded collect: the batch's probed buckets (<= batch vocabulary)
     val tbs = qterms.select(tbCol(nb).as("tb")).distinct().collect()
       .map(_.getLong(0)).toSeq

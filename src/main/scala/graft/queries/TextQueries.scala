@@ -273,6 +273,40 @@ object TextQueries {
     graft.operators.TextIndex.bm25TopK(spark, bm25MaintIndex(spark, dir),
       Seq("spark", "merge", "vector"))
 
+  /** BM25 over a NORM-tokenIZED maintained index (`writeBm25Index(...,
+    * tokenizer = "norm")`): the corpus is planted with messy variants —
+    * NBSP-glued query terms, a LINE SEPARATOR, a control byte, run-on
+    * whitespace — that a bare `split(text, ' ')` tokenizes as garbage
+    * tokens, and the index tokenizes through curation's normalization
+    * ([[graft.operators.Curation.normalizeText]]: control-strip → NFC →
+    * Unicode-whitespace collapse → trim) recorded in `meta`, so the
+    * append-grown half replays it identically. Hash-checks against a
+    * DuckDB oracle that replays the SAME normalization (the
+    * curate_normalize expressions) before the BM25 recompute — retrieval
+    * and curation share one tokenization, proven through an independent
+    * engine. Existing bm25 queries are untouched (their indexes record
+    * the `ws` default).
+    */
+  def textBm25Normalized(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Caches.stagedPath("bm25-norm", dir) { base =>
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      // NBSP-glued query terms, a U+2028 LINE SEPARATOR, a BEL control
+      // byte and a double space: every planted token is garbage to
+      // split-on-space and recovered by the norm tokenizer
+      val messy = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(lit("spark merge "), col("text"),
+            lit(" vector  spark")).as("text"))
+      val planted = docs.unionByName(messy)
+      graft.operators.TextIndex.writeBm25Index(
+        planted.filter(col("doc_id") % 2 === 0), base, tokenizer = "norm")
+      graft.operators.TextIndex.appendBm25Index(
+        planted.filter(col("doc_id") % 2 === 1), base)
+    }
+    graft.operators.TextIndex.bm25TopK(spark, base,
+      Seq("spark", "merge", "vector"))
+  }
+
   /** BM25 served AFTER a tombstone delete ([[graft.operators.TextIndex
     * .deleteFromBm25Index]] — the FORGET half of the retrieval tier):
     * the `doc_id % 7 = 3` slice is forgotten from a copy of the
@@ -405,6 +439,18 @@ object TextQueries {
     graft.operators.TextIndex.nearTopK(spark, posIndex(spark, dir),
       "spark", "vector", slop = 3)
       .select(col("doc_id"), col("gap").cast("long").as("gap"))
+
+  /** k-term WINDOW search from the same positional index: docs where
+    * "spark", "merge" AND "vector" all occur within 6 tokens, ranked by
+    * the tightest window ([[graft.functions.SortedMinCover]] n-pointer
+    * kernel — the n-ary generalization of text_near's min gap), ties by
+    * doc_id. DuckDB oracle: 3-way position join,
+    * min(greatest − least) per doc.
+    */
+  def textWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.windowTopK(spark, posIndex(spark, dir),
+      Seq("spark", "merge", "vector"), span = 6)
+      .select(col("doc_id"), col("win").cast("long").as("win"))
 
 
   /** Streaming phrase-route replay: a fixed five-query batch (2-term,
@@ -668,9 +714,11 @@ object TextQueries {
     "text_bm25_indexed" -> textBm25Indexed,
     "text_bm25_maintained" -> textBm25Maintained,
     "text_bm25_pruned" -> textBm25Pruned,
+    "text_bm25_normalized" -> textBm25Normalized,
     "text_phrase" -> textPhrase,
     "text_phrase_indexed" -> textPhraseIndexed,
     "text_near" -> textNear,
+    "text_window" -> textWindow,
     "text_phrase_route" -> textPhraseRoute,
     "text_bm25_forget" -> textBm25Forget,
     "text_bm25_asof" -> textBm25Asof,
@@ -686,8 +734,16 @@ object TextQueries {
     * is exact, so the delete semantics are just a WHERE on the source.
     */
   private def bm25OracleSqlOver(where: String): String =
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |           FROM documents$where),
+    bm25OracleSqlFromD(
+      s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |      FROM documents$where)""".stripMargin)
+
+  /** The BM25 recompute body over an arbitrary tokenized-docs CTE chain
+    * ending in `d(doc_id, toks)` — lets the normalized-tokenizer oracle
+    * replay curation's normalization before the SAME scoring SQL.
+    */
+  private def bm25OracleSqlFromD(dCte: String): String =
+      s"""WITH $dCte,
         |t AS (SELECT doc_id, len(toks) AS dl,
         |        len(list_filter(toks, x -> x = 'spark')) AS tf0,
         |        len(list_filter(toks, x -> x = 'merge')) AS tf1,
@@ -749,6 +805,23 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "text_bpe" -> BpeOracle.mergesSql,
     "text_bm25" -> bm25OracleSql,
+    // the normalized-tokenizer index: plant the messy variants, replay
+    // curation's normalization (the curate_normalize expressions), then
+    // the same BM25 recompute
+    "text_bm25_normalized" -> bm25OracleSqlFromD(
+      """u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000000,
+        |    'spark' || chr(160) || 'merge' || chr(160) || text ||
+        |    chr(8232) || 'vector ' || chr(7) || ' spark'
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |n AS (SELECT doc_id, trim(regexp_replace(
+        |    nfc_normalize(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+        |    '[\t\n\x0B\f\r \x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+        |    ' ', 'g')) AS norm FROM u),
+        |d AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n)"""
+        .stripMargin),
     "text_bm25_pruned" -> bm25OracleSql,
     "text_phrase" -> phraseOracleSql,
     "text_phrase_indexed" -> phraseOracleSql,
@@ -774,6 +847,19 @@ object TextQueries {
          |WHERE a.tok = 'spark' AND b.tok = 'vector'
          |GROUP BY 1 HAVING min(abs(a.ord - b.ord)) <= 3
          |ORDER BY gap, doc_id LIMIT 20""".stripMargin,
+    "text_window" ->
+      s"""$posCte
+         |SELECT a.doc_id AS doc_id,
+         |  min(greatest(a.ord, b.ord, c.ord)
+         |      - least(a.ord, b.ord, c.ord)) AS win
+         |FROM p a
+         |JOIN p b ON a.doc_id = b.doc_id
+         |JOIN p c ON a.doc_id = c.doc_id
+         |WHERE a.tok = 'spark' AND b.tok = 'merge' AND c.tok = 'vector'
+         |GROUP BY 1
+         |HAVING min(greatest(a.ord, b.ord, c.ord)
+         |           - least(a.ord, b.ord, c.ord)) <= 6
+         |ORDER BY win, doc_id LIMIT 20""".stripMargin,
     "text_hybrid_rrf" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),

@@ -473,10 +473,28 @@ class TextIndexSpec extends SparkSpec {
         else (for { x <- a; y <- b } yield math.abs(x - y)).min
       val r = Seq((a, b)).toDF("pa", "pb").select(
           graft.functions.gcolumns.phrase_join(col("pa"), col("pb"), off),
-          graft.functions.gcolumns.sorted_min_gap(col("pa"), col("pb")))
+          graft.functions.gcolumns.sorted_min_gap(col("pa"), col("pb")),
+          graft.functions.gcolumns.sorted_min_cover(
+            array(col("pa"), col("pb"))))
         .collect().head
       assert(r.getSeq[Int](0) == expStarts, s"starts of $a +$off in $b")
       assert(r.getInt(1) == expGap, s"min gap of $a vs $b")
+      assert(r.getInt(2) == expGap,
+        s"2-list min cover must equal the min gap for $a vs $b")
+    }
+    // n-ary min cover vs exhaustive brute force over 3 lists
+    (1 to 60).foreach { _ =>
+      val ls = Seq.fill(3)(
+        Seq.fill(rnd.nextInt(8))(rnd.nextInt(40)).distinct.sorted)
+      val exp =
+        if (ls.exists(_.isEmpty)) Int.MaxValue
+        else (for { x <- ls(0); y <- ls(1); z <- ls(2) }
+          yield Seq(x, y, z).max - Seq(x, y, z).min).min
+      val got = Seq((ls(0), ls(1), ls(2))).toDF("a", "b", "c")
+        .select(graft.functions.gcolumns.sorted_min_cover(
+          array(col("a"), col("b"), col("c"))))
+        .collect().head.getInt(0)
+      assert(got == exp, s"min cover of $ls")
     }
   }
 
@@ -595,6 +613,82 @@ class TextIndexSpec extends SparkSpec {
       ".*PartitionFilters: \\[[^\\]]*tb.*".r.findFirstIn(postingsScan).isDefined,
       s"phraseRoute's postings scan must carry tb partition filters:\n" +
         postingsScan)
+  }
+
+  test("norm tokenizer: a messy corpus serves identically to a ws index " +
+      "over pre-normalized text; appends and the route replay the " +
+      "recorded tokenization; unknown names refuse") {
+    import spark.implicits._
+    val messy = docs.select(col("doc_id"),
+      concat(lit("spark merge "), col("text"),
+        lit("  vector")).as("text"))
+    val dirN = tmp()
+    TextIndex.writeBm25Index(messy.filter(col("doc_id") % 2 === 0), dirN,
+      tokenizer = "norm")
+    // the append must pick the tokenizer up from meta, not a parameter
+    TextIndex.appendBm25Index(messy.filter(col("doc_id") % 2 === 1), dirN)
+    val dirW = tmp()
+    TextIndex.writeBm25Index(
+      graft.operators.Curation.normalizeDocs(messy)
+        .select(col("doc_id"), col("norm").as("text")), dirW)
+    def serveOf(dir: String) =
+      TextIndex.bm25TopK(spark, dir, terms).collect().toSeq
+    assert(serveOf(dirN) == serveOf(dirW),
+      "norm-tokenized index over messy text must rank exactly like a ws " +
+        "index over the pre-normalized text")
+    // route-side query tokenization: an NBSP-glued query behaves like the
+    // clean three-term query because qtext replays the index's tokenizer
+    def routed(qtext: String) =
+      TextIndex.bm25Route(Seq((1L, qtext)).toDF("qid", "qtext"), dirN)
+        .collect().toSeq
+    assert(routed("spark merge vector") == routed("spark merge vector"),
+      "bm25Route must tokenize query text through the recorded tokenizer")
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.writeBm25Index(messy, tmp(), tokenizer = "nope")
+    }
+    assert(e.getMessage.contains("unknown tokenizer"))
+  }
+
+  test("windowTopK: 2-term window ranks exactly like nearTopK; 3-term " +
+      "serve matches a driver brute force under tombstones; one distinct " +
+      "term refuses") {
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs, dir, positional = true)
+    TextIndex.deleteFromBm25Index(
+      docs.filter(col("doc_id") % 5 === 1).select("doc_id"), dir)
+    val live = docs.filter(col("doc_id") % 5 =!= 1)
+    // two terms: the cover definition collapses to the min gap
+    val viaWin = TextIndex.windowTopK(spark, dir, Seq("spark", "vector"),
+        span = 3).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val viaNear = TextIndex.nearTopK(spark, dir, "spark", "vector",
+        slop = 3).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(viaWin == viaNear,
+      "2-term windowTopK must rank exactly like nearTopK")
+    // three terms: driver brute force over a fresh tokenization of the
+    // LIVE corpus (tombstoned docs must not rank)
+    val terms = Seq("spark", "merge", "vector")
+    val span = 6
+    val brute = live.select(col("doc_id"), col("text")).collect().flatMap {
+      r =>
+        val toks = r.getString(1).split(" ", -1)
+        val pos = terms.map(t =>
+          toks.zipWithIndex.collect { case (x, i) if x == t => i })
+        if (pos.exists(_.isEmpty)) None
+        else {
+          val w = (for { x <- pos(0); y <- pos(1); z <- pos(2) }
+            yield Seq(x, y, z).max - Seq(x, y, z).min).min
+          if (w <= span) Some((r.getLong(0), w)) else None
+        }
+    }.sortBy { case (id, w) => (w, id) }.take(20).toSeq
+    val served = TextIndex.windowTopK(spark, dir, terms, span)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(served == brute,
+      "3-term window serve must match first-principles position math " +
+        "over the live corpus")
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.windowTopK(spark, dir, Seq("spark", "spark"), span = 3)
+    }
+    assert(e.getMessage.contains("two distinct terms"))
   }
 
   test("phraseRoute refuses a one-term arrival loudly (phraseTopK's " +
