@@ -897,6 +897,21 @@ object Curation {
     result
   }
 
+  /** NIGHTLY-OPS policy entry point for the curation state: the
+    * committed-state inspection is [[compactCurateIndex]]'s own sweep
+    * (hashes fold past the fragment budget or on live tombstones, the
+    * nested LSH tree's ranges/LSMs), one audit row. Idempotent;
+    * crash-safe by inheritance.
+    */
+  def maintainCurateIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, maxFilesPerTable: Int = 4)
+      : graft.sources.Maintenance = {
+    val parts = compactCurateIndex(spark, dir, maxFilesPerTable)
+    graft.sources.Maintenance("curate",
+      if (parts.nonEmpty) "compact" else "noop",
+      parts.map(_._2.toLong).sum)
+  }
+
   /** STREAMING admission control — the whole [[curatePipeline]] as a
     * per-arrival decision against the stored [[writeCurateIndex]] state,
     * composing the route tier end to end: normalize (in-row) -> quality

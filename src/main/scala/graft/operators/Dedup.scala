@@ -981,6 +981,21 @@ object Dedup {
     result
   }
 
+  /** NIGHTLY-OPS policy entry point for a stored LSH index: the
+    * committed-state inspection is [[compactLshIndex]]'s own sweep
+    * (overfull ranges, LSM folds, fragmented stop list, tombstone
+    * reclaim), reported as one audit row. Idempotent — a second run
+    * reports `noop`; crash-safe by inheritance.
+    */
+  def maintainLshIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, maxFilesPerRange: Int = 4)
+      : graft.sources.Maintenance = {
+    val parts = compactLshIndex(spark, dir, maxFilesPerRange)
+    graft.sources.Maintenance("lsh",
+      if (parts.nonEmpty) "compact" else "noop",
+      parts.map(_._2.toLong).sum)
+  }
+
   /** Batch near-dup pair search served ENTIRELY from a stored index
     * ([[writeLshIndex]] layout, however it was built — one shot or
     * [[appendLshIndex]]-grown): candidates from the stored small-bucket

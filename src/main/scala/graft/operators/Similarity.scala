@@ -905,6 +905,36 @@ object Similarity {
     t.cleanup()
   }
 
+  /** NIGHTLY-OPS policy entry point for a stored IVF / IVF-PQ index —
+    * the "retrain or keep compacting?" decision [[ivfDriftStats]]
+    * documents, as code: if ANY append generation's assignment mix sits
+    * past the drift thresholds (tv_vs_base >= `tvThreshold` or
+    * qerr_ratio >= `qerrRatioThreshold`), the indicated action is
+    * [[rebuildIvfIndex]] — retrain the quantizers (under the
+    * [[autoCellsFor]] sqrt(N) policy by default, codebooks included for
+    * a PQ index), re-assign, reset the drift baseline, fold tombstones
+    * for free. Otherwise the routine sweep: [[compactIvfIndex]]
+    * (tombstone fold + small-files). Idempotent: a rebuild resets the
+    * baseline so the re-run reports `noop`; crash-safe by inheritance
+    * (both actions' one-commit protocol, IndexDeleteSpec failpoints).
+    */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, tvThreshold: Double = 0.25,
+                       qerrRatioThreshold: Double = 1.3,
+                       nCells: Int = AutoCells, iters: Int = 3)
+      : graft.sources.Maintenance = {
+    val drifted = ivfDriftStats(spark, dir).collect().exists(r =>
+      r.getInt(0) > 0 && (r.getDouble(2) >= tvThreshold ||
+        r.getDouble(4) >= qerrRatioThreshold))
+    if (drifted) {
+      rebuildIvfIndex(spark, dir, nCells, iters)
+      graft.sources.Maintenance("ivf", "rebuild", 1L)
+    } else {
+      val n = compactIvfIndex(spark, dir)
+      graft.sources.Maintenance("ivf", if (n > 0) "compact" else "noop", n)
+    }
+  }
+
   /** Streaming ANN — the [[graft.operators.Dedup.minhashRoute]] analog for
     * vectors: each ARRIVING embedding retrieves its top-k approximate
     * neighbors from a stored [[ivfWriteIndex]] index. The centroid table

@@ -527,6 +527,22 @@ object TextIndex {
     rewritten
   }
 
+  /** NIGHTLY-OPS policy entry point (the decision loop as code, not a
+    * caller's judgment call): inspect the committed state and run the
+    * indicated physical maintenance — [[compactBm25Index]] already
+    * self-inspects tombstones, LSM segment budgets and overfull
+    * partitions, so the policy here IS that sweep, reported as an audit
+    * row. Idempotent: a second run finds nothing over budget and reports
+    * `noop`. Crash-safe by inheritance (the sweep's failpoint-proven
+    * one-commit protocol).
+    */
+  def maintainBm25Index(spark: SparkSession, dir: String,
+                        maxFiles: Int = maxFilesPerPartition)
+      : graft.sources.Maintenance = {
+    val n = compactBm25Index(spark, dir, maxFiles)
+    graft.sources.Maintenance("bm25", if (n > 0) "compact" else "noop", n)
+  }
+
   // -------------------------------------------------------------------------
   // Serving
   // -------------------------------------------------------------------------

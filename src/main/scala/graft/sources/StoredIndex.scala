@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   * versions against its PARENT's manifest, so one version number snapshots
   * the whole composite state.
   */
+/** One policy decision of a family's nightly-ops `maintain` entry point:
+  * which action the COMMITTED state indicated and how many units
+  * (partitions / tables / rebuilds) it touched. The loop — inspect, act,
+  * re-run converges to `noop` — is the same for every family; only the
+  * inspected signals differ (segment budgets, overfull partitions and
+  * live tombstones everywhere; the IVF family additionally weighs its
+  * stored drift statistics and RETRAINS instead of compacting when the
+  * arrival mix has left the trained quantizers behind).
+  */
+case class Maintenance(family: String, action: String, units: Long)
+
 object StoredIndex {
 
   /** One parquet file per partition value: shuffling on the partition

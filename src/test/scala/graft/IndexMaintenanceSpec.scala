@@ -383,4 +383,84 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(grown.size == emb.count(),
       "re-run append must post each vector exactly once (no crash dup)")
   }
+
+  test("maintain(): each family's policy runs the indicated action; " +
+      "re-runs are noops; a killed policy rebuild leaves the old " +
+      "version serving and the re-run converges") {
+    import graft.operators.{Curation, Similarity, TextIndex}
+    val docs = Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "merge", "vector")
+
+    // bm25: nine appends push the termdf/stats LSMs past segBudget (8),
+    // so the indicated action is the fold+sweep compact
+    val bDir = tmp()
+    TextIndex.writeBm25Index(docs.filter(col("doc_id") % 10 === 0), bDir)
+    for (m <- 1 to 9)
+      TextIndex.appendBm25Index(docs.filter(col("doc_id") % 10 === m), bDir)
+    val serveB = TextIndex.bm25TopK(spark, bDir, terms).collect().toSeq
+    val mb = TextIndex.maintainBm25Index(spark, bDir)
+    assert(mb.action == "compact" && mb.units > 0, s"bm25: $mb")
+    assert(TextIndex.bm25TopK(spark, bDir, terms).collect().toSeq == serveB,
+      "maintenance must not change the served ranking")
+    assert(TextIndex.maintainBm25Index(spark, bDir).action == "noop")
+
+    // lsh: chained appends fragment the df/bcounts LSMs
+    val lDir = tmp()
+    Dedup.writeLshIndex(docs.filter(col("doc_id") < 100), lDir)
+    for (lo <- Seq(100, 180, 260, 340, 420))
+      Dedup.appendLshIndex(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 80), lDir)
+    val pairsL = Dedup.pairsFromIndex(spark, lDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ml = Dedup.maintainLshIndex(spark, lDir)
+    assert(ml.action == "compact", s"lsh: $ml")
+    assert(Dedup.pairsFromIndex(spark, lDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == pairsL)
+    assert(Dedup.maintainLshIndex(spark, lDir).action == "noop")
+
+    // curate: five appends fragment the file-append hashes table
+    val cDir = tmp()
+    Curation.writeCurateIndex(docs.filter(col("doc_id") % 2 === 0), cDir)
+    for (m <- 0 to 4)
+      Curation.appendCurateIndex(
+        docs.filter(col("doc_id") % 10 === 2 * m + 1), cDir)
+    val mc = Curation.maintainCurateIndex(spark, cDir)
+    assert(mc.action == "compact", s"curate: $mc")
+    assert(Curation.maintainCurateIndex(spark, cDir).action == "noop")
+
+    // ivf: a distribution-shifted append puts the drift stats past the
+    // documented thresholds, so the indicated action is a RETRAIN — and a
+    // policy rebuild killed at its staging failpoint must be invisible
+    val emb = Tables.t(spark, sf001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val iDir = tmp()
+    Similarity.ivfWriteIndex(emb, iDir)
+    val spark2 = spark
+    import spark2.implicits._
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val shifted = (0 until 400).map { i =>
+      (900000L + i, (0 until dim).map(d =>
+        (if (d == 0) 10f else 0.01f * ((i + d) % 7)): Float))
+    }.toDF("vec_id", "embedding")
+    Similarity.appendIvfIndex(shifted, iDir)
+    def served(): Seq[org.apache.spark.sql.Row] =
+      Similarity.annRoute(
+        emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id"), col("embedding")), iDir, k = 5)
+        .collect().toSeq
+    val beforeKill = served()
+    IndexCommit.failpoint =
+      p => if (p == "ivf-rebuild-staged") throw new RuntimeException("boom")
+    val thrown = try {
+      Similarity.maintainIvfIndex(spark, iDir); false
+    } catch { case e: RuntimeException if e.getMessage == "boom" => true
+    } finally IndexCommit.failpoint = _ => ()
+    assert(thrown, "the policy must have chosen the rebuild path")
+    assert(served() == beforeKill, "killed policy rebuild must be invisible")
+    val mi = Similarity.maintainIvfIndex(spark, iDir)
+    assert(mi.action == "rebuild", s"ivf: $mi")
+    // the rebuild reset the drift baseline: the re-run finds nothing
+    assert(Similarity.maintainIvfIndex(spark, iDir).action == "noop")
+  }
 }
