@@ -26,6 +26,42 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingProbe {
 
+  /** Task input bytes/records read, summed across completed stages — the
+    * bytes-per-decision axis (VERDICT r13 #1): the pruned BM25 tier's
+    * value claim is per-decision I/O, which page-cached local wall time
+    * cannot see. Same async-drain discipline as Bench.ShuffleByGroup.
+    * Persisted arrival batches read from the block manager, NOT through
+    * input metrics, so after the warm pass a metered run counts index
+    * table bytes (postings/termdf/doclens/fwd + footers), which is
+    * exactly the serving-read claim.
+    */
+  private final class InputBytes
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val records = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      bytes.addAndGet(m.inputMetrics.bytesRead)
+      records.addAndGet(m.inputMetrics.recordsRead)
+    }
+    private def total: Long = bytes.get + records.get
+    def drain(): Unit = {
+      var last = -1L; var t = total; var waited = 0
+      while (t != last && waited < 2000) {
+        last = t; Thread.sleep(100); waited += 100; t = total
+      }
+    }
+    /** (bytesRead, recordsRead) attributable to one run. */
+    def measure(run: () => Unit): (Long, Long) = {
+      drain()
+      val b0 = bytes.get; val r0 = records.get
+      run()
+      drain()
+      (bytes.get - b0, records.get - r0)
+    }
+  }
+
   private val defaultSet = Seq(
     "curate_substring_dedup", "pipe_codec_roundtrip", "q_pagerank",
     "dedup_clusters_star", "q_equidepth", "dedup_minhash_lsh",
@@ -129,8 +165,13 @@ object ScalingProbe {
       * retrieval query a near-full-corpus disjunction (VERDICT r12 #1;
       * FIXTURES.md documents the degeneracy).
       */
+    // r14: a FOURTH point (500k docs / 200k vectors) pins the flagship
+    // route exponents across three decades — a 3-point fit cannot see
+    // curvature. SPARK_GRAFT_AXIS_DECADES=3 trims back for quick runs.
     val axisSizes: Seq[(Long, Long)] =
-      Seq((500L, 500L), (5000L, 2000L), (50000L, 20000L))
+      Seq((500L, 500L), (5000L, 2000L), (50000L, 20000L),
+        (500000L, 200000L))
+        .take(sys.env.getOrElse("SPARK_GRAFT_AXIS_DECADES", "4").toInt)
 
     def wm(run: () => Unit): Double = {
       run()
@@ -171,6 +212,8 @@ object ScalingProbe {
       */
     def routeAxis(): String = {
       import org.apache.spark.sql.functions._
+      val meter = new InputBytes
+      spark.sparkContext.addSparkListener(meter)
       val batchN = sys.env.getOrElse("SPARK_GRAFT_ROUTE_BATCH", "20000").toInt
       val qBatchN = math.max(1, batchN / 10)
       // fixed arrival batches, fresh ids, same generators as the corpora
@@ -183,7 +226,8 @@ object ScalingProbe {
         .persist()
       val qBatch = SynthFixtures.zipfQueries(spark, qBatchN.toLong).persist()
       docBatch.count(); embBatch.count(); qBatch.count()
-      def bench(nDocs: Long, nVecs: Long): Map[String, Double] = {
+      def bench(nDocs: Long, nVecs: Long)
+          : (Map[String, Double], Map[String, Long]) = {
         val docs = spark.read
           .parquet(SynthFixtures.ensureZipfDocs(spark, nDocs))
         val emb = spark.read
@@ -202,45 +246,73 @@ object ScalingProbe {
         // in candidates, not 0)
         graft.operators.Similarity.ivfWriteIndex(emb, s"$dir-ivf8",
           nCells = 8)
+        // r14: the compressed tier — PQ-enabled index in its OWN dir so
+        // the ann_route tiers' files stay bit-comparable to r13
+        graft.operators.Similarity.ivfWriteIndex(emb, s"$dir-ivfpq",
+          nCells = graft.operators.Similarity.AutoCells, pqM = 16, pqK = 16)
         // forward = true: the bm25p_route tier serves the pruned path
         // from the same index; the full bm25_route read path is unchanged
         graft.operators.TextIndex.writeBm25Index(docs, s"$dir-bm25",
           nBuckets = 64, forward = true)
-        val res = Map(
-          "curate_route" -> wm(() =>
+        val runs: Seq[(String, () => Unit)] = Seq(
+          "curate_route" -> (() =>
             { graft.operators.Curation.curateRoute(docBatch, dir).count(); () }),
-          "ann_route" -> wm(() =>
+          "ann_route" -> (() =>
             { graft.operators.Similarity.annRoute(embBatch, s"$dir-ivf",
               k = 5).count(); () }),
-          "ann_route_fixed8" -> wm(() =>
+          "ann_route_fixed8" -> (() =>
             { graft.operators.Similarity.annRoute(embBatch, s"$dir-ivf8",
               k = 5).count(); () }),
-          "bm25_route" -> wm(() =>
+          "ivfpq_route" -> (() =>
+            { graft.operators.Similarity.pqRoute(embBatch, s"$dir-ivfpq",
+              k = 5, nprobe = 5, rerank = 8).count(); () }),
+          "bm25_route" -> (() =>
             { graft.operators.TextIndex.bm25Route(qBatch, s"$dir-bm25",
               k = 10).count(); () }),
-          "bm25p_route" -> wm(() =>
+          "bm25p_route" -> (() =>
             { graft.operators.TextIndex.bm25RoutePruned(qBatch,
               s"$dir-bm25", k = 10).count(); () }))
+        // wm warms once untimed, so the metered pass after it reads the
+        // arrival batches from cache — the byte delta is the index read
+        val times = runs.map { case (n, f) => n -> wm(f) }.toMap
+        val bytesRead = runs.map { case (n, f) =>
+          n -> meter.measure(f)._1 }.toMap
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivf"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivf8"))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivfpq"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-bm25"))
-        res
+        (times, bytesRead)
       }
-      val rs = axisSizes.map { case (nd, nv) => (nd, nv, bench(nd, nv)) }
+      val rs = axisSizes.map { case (nd, nv) =>
+        val (t, b) = bench(nd, nv); (nd, nv, t, b) }
       docBatch.unpersist(); embBatch.unpersist(); qBatch.unpersist()
-      val pts = Map(
-        "curate_route" -> rs.map { case (nd, _, m) =>
-          (nd, m("curate_route"), batchN.toLong) },
-        "ann_route" -> rs.map { case (_, nv, m) =>
-          (nv, m("ann_route"), batchN.toLong) },
-        "ann_route_fixed8" -> rs.map { case (_, nv, m) =>
-          (nv, m("ann_route_fixed8"), batchN.toLong) },
-        "bm25_route" -> rs.map { case (nd, _, m) =>
-          (nd, m("bm25_route"), qBatchN.toLong) },
-        "bm25p_route" -> rs.map { case (nd, _, m) =>
-          (nd, m("bm25p_route"), qBatchN.toLong) })
-      axisJson("route", pts.keys.toSeq.sorted, pts)
+      def sizeOf(tier: String, nd: Long, nv: Long): Long =
+        if (tier.startsWith("ann") || tier.startsWith("ivfpq")) nv else nd
+      def decided(tier: String): Long =
+        if (tier.startsWith("bm25")) qBatchN.toLong else batchN.toLong
+      val tiers = rs.head._3.keys.toSeq.sorted
+      val pts = tiers.map { tier =>
+        tier -> rs.map { case (nd, nv, t, _) =>
+          (sizeOf(tier, nd, nv), t(tier), decided(tier)) }
+      }.toMap
+      // bytes-per-decision axis (VERDICT r13 #1): one metered pass per
+      // (tier, size) — exponent fits log bytes vs log corpus size, the
+      // number the pruned tier's "skipped posting lists are never read"
+      // claim lives or dies by
+      val byteJson = tiers.map { tier =>
+        val ps = rs.map { case (nd, nv, _, b) =>
+          (sizeOf(tier, nd, nv), b(tier)) }
+        val e = fitExponent(ps.map(p => (p._1, math.max(1L, p._2).toDouble)))
+        System.err.println(s"[scaling] route_bytes $tier: " +
+          ps.map(p => s"${p._2 / decided(tier)}B@${p._1}").mkString(" -> ") +
+          s" bytes/decision (exponent ${r3(e)})")
+        val ptJson = ps.map { case (sz, by) =>
+          s"""{"n":$sz,"bytes":$by,"bpd":${by / decided(tier)}}"""
+        }.mkString("[", ",", "]")
+        s""""$tier":{"points":$ptJson,"exponent":${r3(e)}}"""
+      }.mkString(""","route_bytes":{""", ",", "}")
+      axisJson("route", tiers, pts) + byteJson
     }
     /** Forget-tier axis: on standing LSH + IVF + BM25 indexes built at
       * three sizes a decade apart (same [[SynthFixtures]] corpora as the
