@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   *  - `ann` — per-arrival IVF top-k ([[graft.operators.Similarity
   *    .annRoute]], k=5) against stored cell-partitioned postings, with
   *    the probed-cells partition pruning in the plan;
+  *  - `ivfpq` — the same arrivals and k served by the COMPRESSED tier
+  *    ([[graft.operators.Similarity.pqRoute]], r14): ADC scan over the
+  *    stored PQ codes (float vectors never read — plan-pinned in
+  *    IvfPqSpec) + exact re-rank of rerank*k candidates;
   *  - `bm25` — per-arrival retrieval ([[graft.operators.TextIndex
   *    .bm25Route]], k=10): 3-keyword Zipf-tail queries against a
   *    maintained BM25 index over a [[SynthFixtures]] Zipf(1.1)
@@ -64,7 +68,7 @@ object RouteBench {
     val rates = sys.env.getOrElse("SPARK_GRAFT_ROUTE_RATES", "2000,5000,10000")
       .split(",").map(_.trim.toInt)
     val tiers = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TIERS",
-        "curate,minhash,ann,bm25,bm25p,hybrid")
+        "curate,minhash,ann,ivfpq,bm25,bm25p,hybrid")
       .split(",").map(_.trim).toSeq
     val secs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_SECS", "40").toInt
     val triggerMs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TRIGGER_MS", "5000").toLong
@@ -89,6 +93,14 @@ object RouteBench {
       graft.operators.Similarity.ivfWriteIndex(
         graft.Tables.t(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding")), ivfDir)
+    // the compressed tier's index lives in its own dir (PQ codes in the
+    // postings) so the ann/hybrid tiers' files stay as before
+    val ivfPqDir = s"$dir-ivfpq"
+    if (tiers.contains("ivfpq"))
+      graft.operators.Similarity.ivfWriteIndex(
+        graft.Tables.t(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding")), ivfPqDir,
+        pqM = 16, pqK = 16)
     val bm25Dir = s"$dir-bm25"
     if (tiers.exists(Set("bm25", "bm25p", "hybrid"))) {
       val nDocs = sys.env.get("SPARK_GRAFT_ROUTE_BM25_DOCS").map(_.toLong)
@@ -137,6 +149,16 @@ object RouteBench {
       "ann" -> ((embArrivals _,
         (b: DataFrame) => {
           graft.operators.Similarity.annRoute(b, ivfDir, k = 5).count()
+          b.count()
+        })),
+      "ivfpq" -> ((embArrivals _,
+        // the compressed serve (r14): ADC scan over stored codes + exact
+        // re-rank of rerank*k candidates from the stored floats — same
+        // arrivals and k as `ann`, so the tier ratio is the measured
+        // local cost/benefit of IVFADC at production knobs
+        (b: DataFrame) => {
+          graft.operators.Similarity.pqRoute(b, ivfPqDir, k = 5,
+            nprobe = 5, rerank = 8).count()
           b.count()
         })),
       "bm25" -> ((
@@ -234,6 +256,7 @@ object RouteBench {
       .map(_.group(1)).getOrElse("0.0")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ivfDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ivfPqDir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bm25Dir))
     spark.stop()
     val tiersBody = tierJson.map { case (t, j) => s""""$t":$j""" }

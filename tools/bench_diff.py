@@ -28,7 +28,9 @@ BENCH_PLANS baseline) for records that lack one.
 """
 import argparse
 import json
+import os
 import re
+import subprocess
 import sys
 
 
@@ -106,6 +108,27 @@ def shuffle_bytes(rec):
     return out
 
 
+def solo_runs(query, sfdir, timeout=2400):
+    """Warm-min of a SOLO fresh-JVM rerun of one query (tools.OneQuery) —
+    the adjudication control two rounds of BENCH_NOISE addenda were
+    hand-running (VERDICT r13 item #5): whole bench SESSIONS on this box
+    run up to ~1.4x uniformly hot while same-minute solo controls sit at
+    baseline, so an above-band fingerprint-unchanged row is judged by its
+    solo number, not its in-session one.
+    Returns the list of per-pass seconds ([] on failure)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "32")
+    try:
+        p = subprocess.run(
+            [os.path.join(repo, "tools", "run.sh"),
+             "graft.tools.OneQuery", query, sfdir],
+            capture_output=True, text=True, env=env, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return []
+    return [float(m) for m in re.findall(r"run\d+\s*([0-9.]+)s", p.stdout)]
+
+
 def human(n):
     for unit in ("B", "KB", "MB", "GB"):
         if abs(n) < 1024 or unit == "GB":
@@ -125,6 +148,14 @@ def main():
     ap.add_argument("--scaling", help="SCALING_r{N}.json from tools/ScalingProbe: "
                     "append the measured exponents and flag super-linear "
                     "queries (>1.1) mechanically")
+    ap.add_argument("--controls", metavar="SFDIR", nargs="?",
+                    const="/root/testdata/sf0.1",
+                    help="re-run every above-band fingerprint-unchanged query "
+                         "SOLO in a fresh JVM (tools.OneQuery) and add a "
+                         "'solo s' column with a mechanical box-noise verdict")
+    ap.add_argument("--noise-out",
+                    help="write the generated solo-control record (the "
+                         "BENCH_NOISE_r{N}.json artifact) here")
     args = ap.parse_args()
 
     old, new = load_record(args.old), load_record(args.new)
@@ -178,21 +209,55 @@ def main():
     else:
         w("(none)")
     w("")
+    # solo fresh-JVM controls for the above-band rows (VERDICT r13 #5):
+    # generated, not hand-run prose
+    controls = {}
+    if args.controls:
+        for r in above_band:
+            runs = solo_runs(r["q"], args.controls)
+            solo = min(runs) if runs else None
+            if solo is None:
+                verdict = "control failed"
+            elif r["old"] / args.band <= solo <= r["old"] * args.band:
+                verdict = "solo at old baseline -> box noise"
+            elif r["new"] / args.band <= solo <= r["new"] * args.band:
+                verdict = "solo tracks the new number -> real move"
+            else:
+                verdict = "solo matches neither -> investigate"
+            r["solo"], r["solo_verdict"] = solo, verdict
+            controls[r["q"]] = {"old": r["old"], "new": r["new"],
+                                "solo_runs": runs, "solo_min": solo,
+                                "verdict": verdict}
     w(f"## Above noise band (> {args.band}x either way, fingerprint unchanged/unknown)")
     w("")
     if above_band:
-        w("| query | old s | new s | ratio | note |")
-        w("|---|---|---|---|---|")
+        solo_col = " solo s | verdict |" if args.controls else ""
+        w(f"| query | old s | new s | ratio | note |{solo_col}")
+        w("|---|---|---|---|---|" + ("---|---|" if args.controls else ""))
         for r in above_band:
             note = "slower" if r["ratio"] > 1 else "faster"
             if r["fp_old"] is None or r["fp_new"] is None:
                 note += ", no fingerprint"
             if sh_old.get(r["q"]) is not None and sh_new.get(r["q"]) is not None:
                 note += f", shuffle {human(sh_old[r['q']])} -> {human(sh_new[r['q']])}"
-            w(f"| {r['q']} | {sec(r['old'])} | {sec(r['new'])} | {r['ratio']:.2f}x | {note} |")
+            solo_cell = ""
+            if args.controls:
+                s = r.get("solo")
+                solo_cell = (f" {sec(s)} | {r['solo_verdict']} |" if s is not None
+                             else f" - | {r.get('solo_verdict', '-')} |")
+            w(f"| {r['q']} | {sec(r['old'])} | {sec(r['new'])} | {r['ratio']:.2f}x | {note} |{solo_cell}")
     else:
         w("(none)")
     w("")
+    if args.noise_out is not None:
+        noise = {"band": args.band,
+                 "sf_dir": args.controls or None,
+                 "note": "solo fresh-JVM OneQuery controls for above-band "
+                         "fingerprint-unchanged rows; generated by "
+                         "bench_diff.py --controls (VERDICT r13 #5)",
+                 "controls": controls}
+        with open(args.noise_out, "w") as f:
+            json.dump(noise, f, indent=1)
     # shuffle bytes are the direct "plan got wider" signal: flag material
     # moves (>1.2x and >1 MB) regardless of wall time — these deserve a
     # look even when the clock sat happily inside the noise band
