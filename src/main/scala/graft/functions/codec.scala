@@ -262,6 +262,11 @@ object gcolumns {
   def sorted_min_cover(lists: Column): Column =
     Bridge.column(SortedMinCover(Bridge.expression(lists)))
 
+  /** ADC lookup sum Σ_s lut(s)(codes(s)) (codegen'd) — the IVF-PQ
+    * candidate-scoring kernel. */
+  def adc_sum(codes: Column, lut: Column): Column =
+    Bridge.column(AdcSum(Bridge.expression(codes), Bridge.expression(lut)))
+
   /** Z-order (Morton) value of two int columns' low 16 bits. */
   def zorder2(x: Column, y: Column): Column =
     Bridge.column(ZOrder2(Bridge.expression(x), Bridge.expression(y)))

@@ -138,6 +138,25 @@ object VectorTextImpl {
     best
   }
 
+  /** ADC (asymmetric-distance-computation) lookup sum: Σ_s lut(s)(codes(s))
+    * — the IVF-PQ candidate-scoring kernel. `codes` is a vector's stored
+    * per-subspace codewords, `lut` the probe's per-subspace lookup rows;
+    * the higher-order `aggregate(zip_with(...))` formulation evaluates
+    * interpreted at ~µs per candidate, which dominated the pqRoute tier
+    * (ROUTEBENCH r14: not kept up at the ann ladder); this runs the m
+    * lookups inside whole-stage codegen.
+    */
+  def adcSum(codes: ArrayData, lut: ArrayData): Double = {
+    val m = math.min(codes.numElements(), lut.numElements())
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += lut.getArray(s).getDouble(codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
   /** Intersection SIZE of two ascending-sorted string arrays by linear
     * merge: no per-pair hash set, no materialized intersection array —
     * the count `size(array_intersect(...))` computes at several times
@@ -244,6 +263,27 @@ case class SortedMinGap(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedMinGap =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ADC lookup sum: `(array<int>, array<array<double>>) -> double` —
+  * Σ_s lut(s)(codes(s)), the IVF-PQ candidate-scoring kernel (codegen'd).
+  */
+case class AdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "adc_sum"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorTextImpl.adcSum(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorTextImpl.adcSum($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcSum =
     copy(left = newLeft, right = newRight)
 }
 

@@ -510,10 +510,14 @@ object Similarity {
     // over the RESIDUAL codebooks; dot(q, x̂) then decomposes as
     // dot(q, centroid(cell)) + Σ_s lut(s)(codes_s) — the centroid term is
     // per (probe, cell), computed on the exploded probe side, NEVER per
-    // candidate, so the per-candidate cost stays m table lookups
+    // candidate, so the per-candidate cost stays m table lookups.
+    // Built as m x ksub CODEGEN'D per-codeword dotp columns (the
+    // signatures()/withCodes discipline) — the transform-over-literal HOF
+    // form evaluates every dot interpreted and made the probe side the
+    // route tier's bottleneck (ROUTEBENCH r14)
     val lut = array(cbs.indices.map { s =>
-      transform(typedlit(cbs(s)),
-        c => dotp(slice(col("qv"), s * sd + 1, sd), c))
+      array(cbs(s).map(c =>
+        dotp(slice(col("qv"), s * sd + 1, sd), typedlit(c))): _*)
     }: _*)
     val probes = probesV
       .select(col("qid"), col("qv"), col("qn"), lut.as("lut"),
@@ -535,10 +539,9 @@ object Similarity {
       .join(codesTbl.filter(col("cell").isin(wanted: _*)), "cell")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        ((col("centdot") + aggregate(zip_with(col("codes"), col("lut"),
-            (cd, row) => element_at(row, cd + 1)),
-          lit(0.0), (acc, x) => acc + x)) / (col("qn") * col("nn")))
-          .as("adcos"))
+        ((col("centdot") +
+          graft.functions.gcolumns.adc_sum(col("codes"), col("lut")))
+          / (col("qn") * col("nn"))).as("adcos"))
     val cand =
       if (rerank <= 0) adc.select("qid", "nid")
       else graft.plans.TopKPerGroup(adc, Seq("qid"),
