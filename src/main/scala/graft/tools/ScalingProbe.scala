@@ -243,9 +243,15 @@ object ScalingProbe {
         // (the exact-IVF optimum is c = sqrt(nprobe*N), per-probe cost
         // 2*sqrt(nprobe*N): a FLAT per-decision cost is impossible for
         // exhaustive cell scoring, so the policy's target slope is 0.5
-        // in candidates, not 0)
-        graft.operators.Similarity.ivfWriteIndex(emb, s"$dir-ivf8",
-          nCells = 8)
+        // in candidates, not 0). The control stops at the 50k decade: its
+        // BY-DESIGN linear candidate volume reaches 2.5e9 rows (a ~60 GB
+        // (qid, nid, cos) shuffle PER PASS) at 200k vectors — the r14
+        // fourth decade measures the tiers, not the diagnostic, and the
+        // contrast is established on the three shared points
+        val withControl = nVecs <= 50000
+        if (withControl)
+          graft.operators.Similarity.ivfWriteIndex(emb, s"$dir-ivf8",
+            nCells = 8)
         // r14: the compressed tier — PQ-enabled index in its OWN dir so
         // the ann_route tiers' files stay bit-comparable to r13
         graft.operators.Similarity.ivfWriteIndex(emb, s"$dir-ivfpq",
@@ -256,12 +262,13 @@ object ScalingProbe {
           nBuckets = 64, forward = true)
         val runs: Seq[(String, () => Unit)] = Seq(
           "curate_route" -> (() =>
-            { graft.operators.Curation.curateRoute(docBatch, dir).count(); () }),
+            { graft.operators.Curation.curateRoute(docBatch, dir).count(); () })) ++
+          (if (withControl) Seq(
+            "ann_route_fixed8" -> (() =>
+              { graft.operators.Similarity.annRoute(embBatch, s"$dir-ivf8",
+                k = 5).count(); () })) else Nil) ++ Seq(
           "ann_route" -> (() =>
             { graft.operators.Similarity.annRoute(embBatch, s"$dir-ivf",
-              k = 5).count(); () }),
-          "ann_route_fixed8" -> (() =>
-            { graft.operators.Similarity.annRoute(embBatch, s"$dir-ivf8",
               k = 5).count(); () }),
           "ivfpq_route" -> (() =>
             { graft.operators.Similarity.pqRoute(embBatch, s"$dir-ivfpq",
@@ -291,9 +298,11 @@ object ScalingProbe {
         if (tier.startsWith("ann") || tier.startsWith("ivfpq")) nv else nd
       def decided(tier: String): Long =
         if (tier.startsWith("bm25")) qBatchN.toLong else batchN.toLong
+      // the fixed8 control has fewer points than the tiers — fit each
+      // series over the sizes it actually ran
       val tiers = rs.head._3.keys.toSeq.sorted
       val pts = tiers.map { tier =>
-        tier -> rs.map { case (nd, nv, t, _) =>
+        tier -> rs.collect { case (nd, nv, t, _) if t.contains(tier) =>
           (sizeOf(tier, nd, nv), t(tier), decided(tier)) }
       }.toMap
       // bytes-per-decision axis (VERDICT r13 #1): one metered pass per
@@ -301,7 +310,7 @@ object ScalingProbe {
       // number the pruned tier's "skipped posting lists are never read"
       // claim lives or dies by
       val byteJson = tiers.map { tier =>
-        val ps = rs.map { case (nd, nv, _, b) =>
+        val ps = rs.collect { case (nd, nv, _, b) if b.contains(tier) =>
           (sizeOf(tier, nd, nv), b(tier)) }
         val e = fitExponent(ps.map(p => (p._1, math.max(1L, p._2).toDouble)))
         System.err.println(s"[scaling] route_bytes $tier: " +
