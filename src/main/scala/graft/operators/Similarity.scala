@@ -526,12 +526,18 @@ object Similarity {
       .withColumn("centdot",
         dotp(col("qv"),
           element_at(typedlit(cents), col("cell").cast("int") + 1)))
-    // bounded collect (<= nCells values): the probed-cell partition filter
-    val wanted = probes.select("cell").distinct()
+    // bounded collect (<= nCells values): the probed-cell partition
+    // filter. Collected off a LUT-FREE plan: the probes frame above is
+    // evaluated again by the ADC join, so collecting `wanted` through it
+    // would build every probe's m x ksub lookup table twice per batch —
+    // the keep-up residual ROUTEBENCH r14 attributed to the probe side
+    val wanted = probesV
+      .select(explode(bestCells(col("qv"), cents, nprobe)).as("cell"))
+      .distinct()
       .collect().map(_.getLong(0)).toSeq
     // ADC scan: codes + norm only — the narrow read is the whole point
     val codesTbl = graft.sources.StoredIndex.antiTombstoned(spark, indexDir,
-      "lsh-tombstones",
+      "ivf-tombstones",
       graft.sources.StoredIndex.readTable(spark, s"$indexDir/postings",
         "nid BIGINT, nn DOUBLE, codes ARRAY<INT>, cell BIGINT", asOf),
       "nid", asOf)
@@ -592,7 +598,10 @@ object Similarity {
   private def servedPostings(spark: org.apache.spark.sql.SparkSession,
                              dir: String,
                              asOf: Option[Int] = None): DataFrame =
-    graft.sources.StoredIndex.antiTombstoned(spark, dir, "lsh-tombstones",
+    // family label is only the tombstone-set CACHE key (nothing on disk
+    // records it), so the r14 "lsh-tombstones" label renames freely —
+    // old indexes serve unchanged (VERDICT r14 naming-debt item)
+    graft.sources.StoredIndex.antiTombstoned(spark, dir, "ivf-tombstones",
       readPostings(spark, dir, asOf), "nid", asOf)
 
   /** TOMBSTONE-DELETE vectors from a stored IVF index — the FORGET half

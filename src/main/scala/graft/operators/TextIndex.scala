@@ -142,32 +142,100 @@ object TextIndex {
     *             (and match) identically. `text_bm25_normalized`
     *             hash-checks it against a DuckDB replay of the same
     *             normalization.
+    *  - `bpe`  — the engine's own trained subword pipeline
+    *             ([[Bpe]]) as a retrieval tokenization: NOT in this map
+    *             (it is parameterized by a trained merge table, which a
+    *             name alone cannot carry) — the merges are passed to
+    *             [[writeBm25Index]], stored in the index's own
+    *             `tokmerges` table, and every append / route replays
+    *             them from there ([[bpeTokenizer]]). `text_bm25_bpe`
+    *             hash-checks index+query tokenization against a DuckDB
+    *             replay of the same trained merges.
     * Fixed-term serving entry points ([[bm25TopK]], [[phraseTopK]], ...)
     * take TOKENS, which callers must supply in the index's token space
-    * (for `norm`: already-normalized terms).
+    * (for `norm`: already-normalized terms; for `bpe`:
+    * [[bpeQueryTokens]]).
     */
   val tokenizers: Map[String, Column => Column] = Map(
     "ws" -> (t => split(t, " ")),
     "norm" -> (t => split(Curation.normalizeText(t), " ")))
 
-  private case class Meta(nb: Int, dlr: Long, fwd: Boolean, pos: Boolean,
-                          tok: String) {
-    def tokenize: Column => Column = tokenizers(tok)
+  /** The stored trained merge table of a `bpe` index (rank-ordered;
+    * driver-sized by the nMerges training bound).
+    */
+  private def readBpeMerges(spark: SparkSession,
+                            dir: String): Seq[Bpe.Merge] =
+    StoredIndex.readTable(spark, s"$dir/tokmerges",
+        "rank INT, `left` STRING, `right` STRING, pairCount BIGINT")
+      .collect().sortBy(_.getInt(0))
+      .map(r => Bpe.Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+
+  /** Token-array column function for a trained BPE merge table: words
+    * (split on space, empties dropped — [[Bpe.encodeStats]]'s word
+    * filter) encode through [[Bpe.encodeWord]] with the broadcast ranks.
+    * Implementation tier: the same Scala-UDF adjudication as
+    * [[Bpe.encodeStats]] (the repo's one UDF family) — the per-word
+    * merge loop is data-dependent iteration no builtin composes, and its
+    * cost is the loop, not the UDF boundary.
+    */
+  private def bpeTokenizer(spark: SparkSession,
+                           merges: Seq[Bpe.Merge]): Column => Column = {
+    val ranks = spark.sparkContext.broadcast(
+      merges.map(m => (m.left, m.right) -> m.rank).toMap)
+    val tokUdf = udf { text: String =>
+      text.split(" ").filter(_.nonEmpty)
+        .flatMap(w => Bpe.encodeWord(w, ranks.value)).toSeq
+    }
+    t => tokUdf(t)
   }
 
-  /** (nbuckets, dlrange, forward?, positional?, tokenizer) — the option
-    * flags read null (= false / `ws`) on indexes built before each
-    * option existed.
+  /** Query words -> the index's token space, for fixed-term serving
+    * against a `bpe` index: the stored trained merges applied to each
+    * word, flattened, DISTINCT (repeated subword tokens must not
+    * double-count in the disjunctive sum — the [[bm25Route]]
+    * dropDuplicates rule applied driver-side).
+    */
+  def bpeQueryTokens(spark: SparkSession, dir: String,
+                     words: Seq[String]): Seq[String] = {
+    val m = metaFull(spark, dir)
+    require(m.tok == "bpe",
+      s"bpeQueryTokens needs a bpe-tokenized index under $dir (found " +
+        s"tokenizer '${m.tok}')")
+    val ranks = readBpeMerges(spark, dir)
+      .map(mg => (mg.left, mg.right) -> mg.rank).toMap
+    words.flatMap(w => Bpe.encodeWord(w, ranks)).distinct
+  }
+
+  private case class Meta(nb: Int, dlr: Long, fwd: Boolean, pos: Boolean,
+                          tok: String, impB: Int, impBs: Int, dir: String) {
+    /** Resolved at USE (not at meta read): the bpe branch reads the
+      * stored merge table, which non-tokenizing callers never pay.
+      */
+    def tokenize: Column => Column =
+      if (tok == "bpe") {
+        val spark = org.apache.spark.sql.SparkSession.active
+        bpeTokenizer(spark, readBpeMerges(spark, dir))
+      } else tokenizers(tok)
+  }
+
+  /** (nbuckets, dlrange, forward?, positional?, tokenizer, impact
+    * blocks/blockSize) — the option flags read null (= false / `ws` /
+    * 0) on indexes built before each option existed.
     */
   private def metaFull(spark: SparkSession, dir: String): Meta = {
     val r = StoredIndex.readTable(spark, s"$dir/meta",
-      "nbuckets INT, dlrange BIGINT, fwd BOOLEAN, pos BOOLEAN, tok STRING")
+      "nbuckets INT, dlrange BIGINT, fwd BOOLEAN, pos BOOLEAN, " +
+        "tok STRING, impb INT, impbs INT")
       .collect()
     require(r.nonEmpty, s"no bm25 index meta under $dir")
     Meta(r.head.getInt(0), r.head.getLong(1),
       !r.head.isNullAt(2) && r.head.getBoolean(2),
       !r.head.isNullAt(3) && r.head.getBoolean(3),
-      if (r.head.isNullAt(4)) "ws" else r.head.getString(4))
+      if (r.head.isNullAt(4)) "ws" else r.head.getString(4),
+      if (r.head.isNullAt(5)) 0 else r.head.getInt(5),
+      if (r.head.isNullAt(6)) 0 else r.head.getInt(6),
+      dir)
   }
 
   private def meta(spark: SparkSession, dir: String): (Int, Long) = {
@@ -204,6 +272,28 @@ object TextIndex {
                      asOf: Option[Int] = None): DataFrame =
     StoredIndex.readTable(spark, s"$dir/fwd",
       "doc_id BIGINT, term STRING, tf BIGINT, dr BIGINT", asOf)
+
+  private def rawImpacts(spark: SparkSession, dir: String,
+                         asOf: Option[Int] = None): DataFrame =
+    StoredIndex.readTable(spark, s"$dir/impacts",
+      "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, ib INT, " +
+        "seg INT, tb BIGINT", asOf)
+
+  /** The scaled-integer BM25 contribution as a SQL expression over
+    * columns (tf, dl, df, n, tl). Numerator AND denominator in
+    * decimal(38,0): long arithmetic wraps silently at 100 TB-scale stats
+    * (tl ~ 1e12, n ~ 1e9 puts the inner denominator sum past 2^63) and
+    * would diverge from the exact driver-side BigInt bounds of
+    * [[prunedTopK]]'s certificate.
+    */
+  private val tscoreExpr: Column = expr(
+    """(cast(2 * (n - df) + 1 as decimal(38,0))
+      |  * 44 * tf * tl * 1000000000)
+      | div (cast(2 * df + 1 as decimal(38,0))
+      |  * (20 * cast(tf as decimal(38,0)) * tl
+      |     + 6 * cast(tl as decimal(38,0))
+      |     + 18 * cast(dl as decimal(38,0)) * n))
+      |""".stripMargin)
 
   /** Merged LIVE document frequencies + score envelopes for the terms
     * matching `pred` — the filter applies BELOW the merge aggregation,
@@ -284,6 +374,54 @@ object TextIndex {
     post.select(col("doc_id"), col("term"), col("tf"))
       .withColumn("dr", expr(s"doc_id div ${dlRange}L"))
 
+  /** One `impacts` LSM segment over a batch: per term, the HEAD
+    * `maxBlocks * blockSize` postings by IMPACT — the term's BM25
+    * contribution under the batch's own (df, n, tl) — blocked into `ib`
+    * = 0.. impact-rank blocks of `blockSize`. This is the stored form of
+    * impact ordering (Anh & Moffat's impact-sorted lists / the ordering
+    * Block-Max skipping exploits): [[bm25TopKWand]] reads only blocks
+    * `ib < budget`, so its per-term read is BUDGET-bounded — independent
+    * of the term's df, hence of corpus size — where even certificate-
+    * pruned exact serving still pays the essential terms' full lists.
+    *
+    * The ordering key is heuristic BY DESIGN (batch stats stand in for
+    * the live corpus stats a future serve will score under; the tier is
+    * recall-asserted, never oracle-hashed), but (tf, dl)-monotone like
+    * the true contribution, so a segment's head blocks are the segment's
+    * plausible top scorers. The head cut runs through the bounded-heap
+    * [[graft.plans.TopKPerGroup]] (no full per-term sort); the residual
+    * row_number window then ranks ≤ maxBlocks*blockSize rows per term.
+    * tf AND dl are stored inline so budgeted serving scores without
+    * doclens joins: the whole serve is one narrow budget-pruned scan.
+    */
+  private def impactsOf(post: DataFrame, dls: DataFrame,
+                        maxBlocks: Int, blockSize: Int): DataFrame = {
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
+    val scored = post.select("term", "doc_id", "tf", "tb")
+      .join(dls.select("doc_id", "dl"), Seq("doc_id"))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("imp", tscoreExpr)
+    val cut = graft.plans.TopKPerGroup(scored, Seq("term"),
+      Seq("imp" -> false, "doc_id" -> true), maxBlocks * blockSize)
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("imp").desc, col("doc_id"))
+    cut.withColumn("rn", row_number().over(w))
+      .withColumn("ib", expr(s"cast((rn - 1) div $blockSize as int)"))
+      .select("term", "doc_id", "tf", "dl", "ib", "tb")
+  }
+
+  /** Impacts layout: one file per bucket (the [[StoredIndex.writeByPart]]
+    * listing discipline), rows SORTED by (term, ib) within it — at the
+    * 100 TB multi-row-group layout the serve's `ib < budget` predicate
+    * then prunes row groups by min/max stats, so skipped blocks are
+    * never read.
+    */
+  private def writeImpacts(imp: DataFrame, path: String): Unit =
+    imp.repartition(col("tb")).sortWithinPartitions(col("term"), col("ib"))
+      .write.partitionBy("tb").mode("overwrite").parquet(path)
+
   // one file per partition value — see the shared scaladoc
   private def writeByPart(df: DataFrame, part: String, path: String): Unit =
     StoredIndex.writeByPart(df, part, path)
@@ -301,16 +439,30 @@ object TextIndex {
   def writeBm25Index(docs: DataFrame, dir: String, nBuckets: Int = 16,
                      dlRange: Long = 256L, forward: Boolean = false,
                      positional: Boolean = false,
-                     tokenizer: String = "ws"): Unit = {
+                     tokenizer: String = "ws",
+                     bpeMerges: Seq[Bpe.Merge] = Nil,
+                     impactBlocks: Int = 0,
+                     impactBlockSize: Int = 64): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    require(tokenizers.contains(tokenizer),
-      s"unknown tokenizer '$tokenizer' (known: ${tokenizers.keys.mkString(", ")})")
+    require(tokenizers.contains(tokenizer) || tokenizer == "bpe",
+      s"unknown tokenizer '$tokenizer' (known: " +
+        s"${(tokenizers.keys.toSeq :+ "bpe").mkString(", ")})")
+    require(tokenizer != "bpe" || bpeMerges.nonEmpty,
+      "the bpe tokenizer needs its trained merge table (bpeMerges)")
     IndexCommit.deleteTree(java.nio.file.Paths.get(dir))
-    Seq((nBuckets, dlRange, forward, positional, tokenizer))
-      .toDF("nbuckets", "dlrange", "fwd", "pos", "tok")
+    Seq((nBuckets, dlRange, forward, positional, tokenizer,
+        impactBlocks, impactBlockSize))
+      .toDF("nbuckets", "dlrange", "fwd", "pos", "tok", "impb", "impbs")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    val tok = tokenized(docs, tokenizers(tokenizer))
+    // the trained merges are INDEX STATE (the tokenization every append
+    // and route must replay), so they live in the index, not a caller dir
+    if (tokenizer == "bpe")
+      Bpe.mergeTable(spark, bpeMerges)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/tokmerges")
+    val tokFn = if (tokenizer == "bpe") bpeTokenizer(spark, bpeMerges)
+                else tokenizers(tokenizer)
+    val tok = tokenized(docs, tokFn)
     val post = postingsOf(tok, nBuckets, positional)
     writeByPart(post, "tb", s"$dir/postings")
     val dls = doclensOf(tok, dlRange)
@@ -318,6 +470,9 @@ object TextIndex {
     writeByPart(dls, "dr", s"$dir/doclens")
     if (forward)
       writeByPart(fwdOf(post, dlRange), "dr", s"$dir/fwd")
+    if (impactBlocks > 0)
+      writeImpacts(impactsOf(post, dls, impactBlocks, impactBlockSize),
+        s"$dir/impacts/seg=0")
     dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/seg=0")
     IndexCommit.commitFiles(dir, IndexCommit.walkDataFiles(dir))
@@ -347,6 +502,12 @@ object TextIndex {
     writeByPart(dls, "dr", s"$dir/.doclens-stage")
     if (hasFwd)
       writeByPart(fwdOf(post, dlr), "dr", s"$dir/.fwd-stage")
+    // an impact-enabled index gains one impacts segment per append: the
+    // batch's own head blocks (segment-local impact order — serving reads
+    // every segment's head, compaction re-blocks globally)
+    if (m.impB > 0)
+      writeImpacts(impactsOf(post, dls, m.impB, m.impBs),
+        s"$dir/.impacts-stage")
     dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stats-stage")
     IndexCommit.hit("bm25-staged")
@@ -357,6 +518,9 @@ object TextIndex {
     StoredIndex.moveTree(t, p(s"$dir/.doclens-stage"), p(s"$dir/doclens"))
     if (hasFwd)
       StoredIndex.moveTree(t, p(s"$dir/.fwd-stage"), p(s"$dir/fwd"))
+    if (m.impB > 0)
+      StoredIndex.moveTree(t, p(s"$dir/.impacts-stage"),
+        p(s"$dir/impacts/seg=${nextSeg(dir, "impacts")}"))
     StoredIndex.moveTree(t, p(s"$dir/.stats-stage"),
       p(s"$dir/stats/seg=${nextSeg(dir, "stats")}"))
     IndexCommit.hit("bm25-before-commit")
@@ -517,6 +681,24 @@ object TextIndex {
       StoredIndex.moveTree(t, p(s"$dir/.stats-compact"), p(s"$dir/stats/seg=0"))
       rewritten += 1
     }
+    // impacts fold: recompute GLOBAL impact blocks from the live
+    // postings + doclens — on live tombstones this is mandatory, not an
+    // optimization (the tombstones retire below, so dead rows must
+    // physically leave every serving table in the same commit); past the
+    // segment budget it also upgrades the per-append segment-local
+    // orderings to one corpus-wide ordering. One postings-scale pass —
+    // the same order of work as the dead-bucket postings rewrite above.
+    if (m0.impB > 0 &&
+        (hasDead || segCount("impacts") > segBudget)) {
+      val livePost = antiDead(spark, dir, rawPostings(spark, dir), "doc_id")
+      val liveDls = antiDead(spark, dir, rawDoclens(spark, dir), "doc_id")
+      writeImpacts(impactsOf(livePost, liveDls, m0.impB, m0.impBs),
+        s"$dir/.impacts-compact")
+      t.retireUnder("impacts")
+      StoredIndex.moveTree(t, p(s"$dir/.impacts-compact"),
+        p(s"$dir/impacts/seg=0"))
+      rewritten += 1
+    }
     if (hasDead) t.retireUnder("tombstones")
     if (rewritten > 0 || hasDead) {
       IndexCommit.hit("bm25-compact-staged")
@@ -572,18 +754,7 @@ object TextIndex {
       .join(dfreq, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      // numerator AND denominator in decimal(38,0): long arithmetic wraps
-      // silently at 100 TB-scale stats (tl ~ 1e12, n ~ 1e9 puts the inner
-      // denominator sum past 2^63) and would diverge from the exact
-      // driver-side BigInt bounds of [[prunedTopK]]'s certificate
-      .withColumn("tscore", expr(
-        """(cast(2 * (n - df) + 1 as decimal(38,0))
-          |  * 44 * tf * tl * 1000000000)
-          | div (cast(2 * df + 1 as decimal(38,0))
-          |  * (20 * cast(tf as decimal(38,0)) * tl
-          |     + 6 * cast(tl as decimal(38,0))
-          |     + 18 * cast(dl as decimal(38,0)) * n))
-          |""".stripMargin))
+      .withColumn("tscore", tscoreExpr)
       .select("qid", "doc_id", "term", "tf", "tscore")
   }
 
@@ -943,6 +1114,122 @@ object TextIndex {
         explode(metaFull(spark, indexDir).tokenize(col(textCol))).as("term"))
       .dropDuplicates("qid", "term")
     prunedTopK(spark, indexDir, probes, k, asOf, drCap)
+      .select("qid", "rank", "doc_id", "score")
+  }
+
+  // -------------------------------------------------------------------------
+  // Impact-ordered (WAND / Block-Max-class) APPROXIMATE serving
+  // -------------------------------------------------------------------------
+
+  /** Budget-pruned scored candidates off the stored impact blocks: the
+    * common body of [[bm25TopKWand]] / [[bm25RouteWand]]. Reads ONLY
+    * rows with `ib < budget` from the probed buckets (at most
+    * budget x blockSize postings per (term, LSM segment) — independent
+    * of the term's df, hence of corpus size), scores them under the
+    * LIVE merged df / n / tl with the exact [[tscoreExpr]] arithmetic
+    * (tf and dl are stored inline, so no doclens join runs), and sums
+    * per (qid, doc). A doc whose tf for some query term fell outside
+    * that term's head blocks simply misses that term's contribution —
+    * the score-at-a-time accumulator semantics this tier trades
+    * exactness for.
+    */
+  private def scoredImpacts(spark: SparkSession, dir: String,
+                            probes: DataFrame, wantedTb: Seq[Long],
+                            terms: Option[Seq[String]], budget: Int,
+                            asOf: Option[Int]): DataFrame = {
+    val imp0 = rawImpacts(spark, dir, asOf)
+      .filter(col("tb").isin(wantedTb: _*) && col("ib") < budget)
+    val imp = antiDead(spark, dir,
+      terms.map(ts => imp0.filter(col("term").isin(ts: _*))).getOrElse(imp0),
+      "doc_id", asOf)
+    val dfPred = terms match {
+      case Some(ts) => col("tb").isin(wantedTb: _*) && col("term").isin(ts: _*)
+      case None => col("tb").isin(wantedTb: _*)
+    }
+    val dfreq = mergedTermdf(spark, dir, dfPred, asOf)
+    val stats = mergedStats(spark, dir, asOf)
+    probes.join(imp, Seq("term"))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", tscoreExpr)
+      .groupBy("qid", "doc_id").agg(sum(col("tscore")).as("score"))
+  }
+
+  /** IMPACT-ORDERED approximate top-k — the WAND / Block-Max-CLASS tier
+    * (the principled answer to the one measured super-constant serving
+    * residual, SURVEY §9: exact disjunctive top-k must score every
+    * posting of the query's terms, and a fixed term's df grows with the
+    * corpus). This engine's set-at-a-time form is score-at-a-time early
+    * termination over STORED impact-ordered blocks ([[impactsOf]] — the
+    * Anh–Moffat impact-sorted layout): per query term, read only the
+    * `budget` head blocks (`budget * blockSize` postings per LSM
+    * segment, a constant), score them exactly under the live stats, and
+    * rank by the accumulated sums. Per-query cost is O(terms x budget x
+    * blockSize x segments) — FLAT in corpus size, where
+    * [[bm25TopKPruned]]'s certificate-exact serving still pays the
+    * essential (rarest) terms' full posting lists, which grow with the
+    * corpus.
+    *
+    * APPROXIMATE by construction — a true top-k doc whose per-term tf
+    * sits below every query term's head blocks is missed, and found
+    * docs may miss tail contributions — so this tier is RECALL-ASSERTED
+    * (TextIndexSpec, vs the exact [[bm25TopK]] ranking; the
+    * `sim_ann_lsh` adjudication pattern), never oracle-hashed: the
+    * exact tiers remain the verifiers. Needs an impact-enabled index
+    * (`writeBm25Index(..., impactBlocks > 0)`); refuses loudly
+    * otherwise. Returns (doc_id, score).
+    */
+  def bm25TopKWand(spark: SparkSession, dir: String, terms: Seq[String],
+                   k: Int = 20, budget: Int = 2,
+                   asOf: Option[Int] = None): DataFrame = {
+    val m = metaFull(spark, dir)
+    require(m.impB > 0,
+      s"impact-ordered serving needs an impact-enabled index under $dir " +
+        "(writeBm25Index(..., impactBlocks > 0))")
+    require(budget <= m.impB,
+      s"budget $budget exceeds the stored impact blocks (${m.impB})")
+    val ts = terms.distinct
+    val wanted = ts.map(termBucket(_, m.nb)).distinct
+    val probes = spark.createDataFrame(ts.map(tm => (0L, tm)))
+      .toDF("qid", "term")
+    scoredImpacts(spark, dir, probes, wanted, Some(ts), budget, asOf)
+      .select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Streaming impact-ordered route — [[bm25Route]]'s arrivals and
+    * output shape (qid, rank, doc_id, score) served through the
+    * budget-pruned impact blocks: per micro-batch one bounded collect of
+    * the probed buckets, one budget-pruned impacts scan (no doclens
+    * join), one bounded-heap top-k. The decision cost is flat in index
+    * size — the ROUTEBENCH `bm25w` tier measures it against the exact
+    * `bm25` route on the same arrivals.
+    */
+  def bm25RouteWand(queries: DataFrame, indexDir: String, k: Int = 20,
+                    budget: Int = 2, idCol: String = "qid",
+                    textCol: String = "qtext",
+                    asOf: Option[Int] = None): DataFrame = {
+    val spark = queries.sparkSession
+    val m0 = metaFull(spark, indexDir)
+    require(m0.impB > 0,
+      s"impact-ordered serving needs an impact-enabled index under " +
+        s"$indexDir (writeBm25Index(..., impactBlocks > 0))")
+    require(budget <= m0.impB,
+      s"budget $budget exceeds the stored impact blocks (${m0.impB})")
+    val probes = queries.select(col(idCol).cast("long").as("qid"),
+        explode(m0.tokenize(col(textCol))).as("term"))
+      .dropDuplicates("qid", "term")
+    // bounded collect: the batch's probed buckets (<= nbuckets values)
+    val wanted = probes.select(tbCol(m0.nb).as("tb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val scored = scoredImpacts(spark, indexDir, probes, wanted, None,
+      budget, asOf)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    graft.plans.TopKPerGroup(scored, Seq("qid"),
+        Seq("score" -> false, "doc_id" -> true), k)
+      .withColumn("rank", row_number().over(w))
       .select("qid", "rank", "doc_id", "score")
   }
 

@@ -371,6 +371,60 @@ object TextQueries {
       Seq("spark", "merge", "vector"))
   }
 
+  /** BM25 served by the IMPACT-ORDERED approximate tier
+    * ([[graft.operators.TextIndex.bm25TopKWand]] — WAND/Block-Max-class
+    * score-at-a-time early termination over stored impact blocks): per
+    * query term only the head `budget x blockSize` postings by stored
+    * impact are read and scored, so the per-query cost is flat in
+    * corpus size where every exact tier's grows with df. APPROXIMATE by
+    * construction, so this is a ROWS-ONLY record (the `sim_ann_lsh`
+    * adjudication): recall@k vs the exact [[textBm25Maintained]] ranking
+    * is asserted in TextIndexSpec, and the exact oracle-hashed tiers
+    * stay the verifiers. The index is the standard even/odd build+append
+    * fixture with `impactBlocks` enabled, so the serve exercises
+    * per-segment head blocks, not just a one-shot build.
+    */
+  def textBm25Wand(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Caches.stagedPath("bm25-wand", dir) { base =>
+      val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.TextIndex.writeBm25Index(
+        docs.filter(col("doc_id") % 2 === 0), base, impactBlocks = 4)
+      graft.operators.TextIndex.appendBm25Index(
+        docs.filter(col("doc_id") % 2 === 1), base)
+    }
+    graft.operators.TextIndex.bm25TopKWand(spark, base,
+      Seq("spark", "merge", "vector"), k = 20, budget = 4)
+  }
+
+  /** BM25 over a BPE-TOKENIZED maintained index — the engine's own
+    * trained subword pipeline ([[graft.operators.Bpe]], 30 merges
+    * trained on this corpus) as the index's recorded tokenization: the
+    * merge table is stored IN the index (`tokmerges`), the append-grown
+    * half replays it, and the query words encode through the same
+    * stored merges ([[graft.operators.TextIndex.bpeQueryTokens]]).
+    * Hash-checks against a DuckDB oracle that RETRAINS the identical
+    * merges (the BpeOracle chained-CTE replay), re-encodes every corpus
+    * word and the query words through them, and recomputes BM25 over
+    * the subword token stream — retrieval and subword tokenization
+    * proven consistent through an independent engine. tf_* columns are
+    * dropped (token-valued names); the ranking carries the check.
+    */
+  def textBm25Bpe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val base = graft.Caches.stagedPath("bm25-bpe", dir) { base =>
+      val merges = graft.operators.Bpe.train(docs, nMerges = 30)
+      graft.operators.TextIndex.writeBm25Index(
+        docs.filter(col("doc_id") % 2 === 0), base, tokenizer = "bpe",
+        bpeMerges = merges)
+      graft.operators.TextIndex.appendBm25Index(
+        docs.filter(col("doc_id") % 2 === 1), base)
+    }
+    val qtoks = graft.operators.TextIndex.bpeQueryTokens(spark, base,
+      Seq("spark", "merge", "vector"))
+    graft.operators.TextIndex.bm25TopK(spark, base, qtoks, k = 20)
+      .select("doc_id", "score")
+  }
+
 
   /** Positional PHRASE search, scan path: exact occurrence count of the
     * consecutive-token phrase "spark merge" per doc, top-20 by (count,
@@ -714,6 +768,8 @@ object TextQueries {
     "text_bm25_indexed" -> textBm25Indexed,
     "text_bm25_maintained" -> textBm25Maintained,
     "text_bm25_pruned" -> textBm25Pruned,
+    "text_bm25_wand" -> textBm25Wand,
+    "text_bm25_bpe" -> textBm25Bpe,
     "text_bm25_normalized" -> textBm25Normalized,
     "text_phrase" -> textPhrase,
     "text_phrase_indexed" -> textPhraseIndexed,
@@ -823,6 +879,10 @@ object TextQueries {
         |d AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n)"""
         .stripMargin),
     "text_bm25_pruned" -> bm25OracleSql,
+    // text_bm25_wand: deliberately NO oracle — the impact-ordered tier is
+    // approximate by construction (rows-only record; recall floor
+    // asserted in TextIndexSpec, the sim_ann_lsh adjudication pattern)
+    "text_bm25_bpe" -> BpeOracle.bm25BpeSql,
     "text_phrase" -> phraseOracleSql,
     "text_phrase_indexed" -> phraseOracleSql,
     "text_phrase_route" -> {
@@ -1252,7 +1312,12 @@ private[queries] object BpeOracle {
   private val M = 30 // merges; must match textBpe's nMerges
   private val S = "chr(1)"
 
-  val mergesSql: String = {
+  /** The training replay: wc (bounded word-frequency dict), st0..st{M-1}
+    * (sentinel-encoded word states), c_k/w_k (pair counts + the rank-k
+    * winner). Shared by [[mergesSql]] (text_bpe — emits the winners) and
+    * [[bm25BpeSql]] (text_bm25_bpe — re-encodes the corpus through them).
+    */
+  private def trainCtes: Seq[String] = {
     val ctes = Seq.newBuilder[String]
     ctes += s"""wc AS MATERIALIZED (SELECT w, COUNT(*) AS cnt
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -1274,12 +1339,74 @@ private[queries] object BpeOracle {
           |  replace(st.s, $S||w.l||$S||$S||w.r||$S, $S||w.l||w.r||$S) AS s,
           |  st.cnt FROM st$k st CROSS JOIN w$k w)""".stripMargin
     }
+    ctes.result()
+  }
+
+  val mergesSql: String = {
     val union = (0 until M)
       .map(k => s"SELECT $k AS rank, l, r, c FROM w$k")
       .mkString("\nUNION ALL ")
-    s"""WITH ${ctes.result().mkString(",\n")}
+    s"""WITH ${trainCtes.mkString(",\n")}
       |SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right",
       |  CAST(c AS BIGINT) AS "pairCount"
       |FROM ($union) ORDER BY rank""".stripMargin
+  }
+
+  /** BM25 over the BPE token space, replayed end-to-end in DuckDB:
+    * retrain the M merges (the [[trainCtes]] chain), ENCODE every
+    * distinct corpus word through them (e0..e$M — sequential
+    * rank-ordered replace over the sentinel encoding, the exact
+    * application order training used and [[graft.operators.Bpe
+    * .encodeWord]] reproduces per BpeSpec's encode/train-consistency
+    * proof), then the standard scaled-integer BM25 recompute over the
+    * resulting subword token stream: dl = tokens per doc, df/tf per
+    * DISTINCT query token (the query words' encodings — derived from
+    * the same chain, so the token set matches [[graft.operators
+    * .TextIndex.bpeQueryTokens]] by construction for in-vocabulary
+    * query words). Docs rank by the summed per-token contribution with
+    * score-0 docs included (LEFT JOIN), ties by doc_id — the
+    * [[TextQueries]] bm25 oracle shape.
+    */
+  val bm25BpeSql: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes ++= trainCtes
+    ctes += """aw AS MATERIALIZED (SELECT DISTINCT w
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) > 0)""".stripMargin
+    ctes += s"""e0 AS MATERIALIZED (SELECT w, $S || array_to_string(
+      |    list_transform(range(1, length(w)+1), i -> w[i:i]) || ['</w>'],
+      |    $S||$S) || $S AS s FROM aw)""".stripMargin
+    for (k <- 0 until M)
+      ctes += s"""e${k + 1} AS MATERIALIZED (SELECT e.w,
+        |  replace(e.s, $S||w.l||$S||$S||w.r||$S, $S||w.l||w.r||$S) AS s
+        |  FROM e$k e CROSS JOIN w$k w)""".stripMargin
+    ctes += s"""w2t AS MATERIALIZED (SELECT w,
+      |  string_split(s[2:length(s)-1], $S||$S) AS toks FROM e$M)"""
+      .stripMargin
+    ctes += """qt AS (SELECT DISTINCT unnest(toks) AS tok FROM w2t
+      |  WHERE w IN ('spark', 'merge', 'vector'))""".stripMargin
+    ctes += """dw AS (SELECT doc_id, w
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE length(w) > 0)""".stripMargin
+    ctes += """dt AS MATERIALIZED (SELECT dw.doc_id, unnest(w2t.toks) AS tok
+      |  FROM dw JOIN w2t USING (w))""".stripMargin
+    ctes += """dl AS (SELECT d.doc_id, count(dt.tok) AS dl
+      |  FROM documents d LEFT JOIN dt ON d.doc_id = dt.doc_id
+      |  GROUP BY 1)""".stripMargin
+    ctes += """tf AS (SELECT dt.doc_id, dt.tok, count(*) AS tf
+      |  FROM dt JOIN qt USING (tok) GROUP BY 1, 2)""".stripMargin
+    ctes += "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)"
+    ctes += "s AS (SELECT count(*) AS n, sum(dl) AS tl FROM dl)"
+    ctes += """sc AS (SELECT tf.doc_id, SUM(
+      |    (CAST(2*(n - df) + 1 AS HUGEINT) * 44 * tf * tl * 1000000000)
+      |    // ((2*df + 1) * (20*tf*tl + 6*tl + 18*dl*n))) AS score
+      |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN s
+      |  GROUP BY 1)""".stripMargin
+    s"""WITH ${ctes.result().mkString(",\n")}
+      |SELECT d.doc_id AS doc_id, CAST(COALESCE(sc.score, 0) AS BIGINT)
+      |  AS score
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 }

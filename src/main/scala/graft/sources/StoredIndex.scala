@@ -300,6 +300,60 @@ object StoredIndex {
     }
   }
 
+  /** ONE nightly-ops entry for a whole TREE of stored indexes — the
+    * umbrella the four per-family policy drivers plug into (one cron
+    * entry, N families): walk the immediate children of `root` (or
+    * `root` itself when it IS an index), detect each index's family
+    * from its TABLE LAYOUT — the layout names are the family signature,
+    * so there is no extra metadata to keep consistent: `hashes` =
+    * curation state, `centroids` = IVF, `termdf` = BM25, `bcounts` =
+    * LSH (checked in that order — the curation state NESTS an `lsh/`
+    * subtree, which its own driver maintains; a curate root must never
+    * double-dispatch) — and run that family's `maintain*` driver
+    * ([[graft.operators.Curation.maintainCurateIndex]],
+    * [[graft.operators.Similarity.maintainIvfIndex]],
+    * [[graft.operators.TextIndex.maintainBm25Index]],
+    * [[graft.operators.Dedup.maintainLshIndex]]). Children matching no
+    * family are skipped (a root may hold non-index data). Returns one
+    * audit row per dispatched index, in path order; idempotent
+    * end-to-end — each driver converges to `noop` (MaintainSpec).
+    */
+  def maintain(spark: SparkSession,
+               root: String): Seq[(String, Maintenance)] = {
+    def familyOf(dir: java.nio.file.Path): Option[String] = {
+      def has(t: String) = java.nio.file.Files.isDirectory(dir.resolve(t))
+      if (has("hashes")) Some("curate")
+      else if (has("centroids")) Some("ivf")
+      else if (has("termdf")) Some("bm25")
+      else if (has("bcounts")) Some("lsh")
+      else None
+    }
+    val rootP = java.nio.file.Paths.get(root)
+    val targets: Seq[(String, String)] = familyOf(rootP) match {
+      case Some(f) => Seq((root, f))
+      case None if java.nio.file.Files.isDirectory(rootP) =>
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(rootP)
+        val children =
+          try s.iterator().asScala
+            .filter(java.nio.file.Files.isDirectory(_))
+            .toSeq.sortBy(_.toString)
+          finally s.close()
+        children.flatMap(p => familyOf(p).map(f => (p.toString, f)))
+      case None => Seq.empty
+    }
+    targets.map { case (dir, fam) =>
+      val m = fam match {
+        case "curate" =>
+          graft.operators.Curation.maintainCurateIndex(spark, dir)
+        case "ivf" => graft.operators.Similarity.maintainIvfIndex(spark, dir)
+        case "bm25" => graft.operators.TextIndex.maintainBm25Index(spark, dir)
+        case "lsh" => graft.operators.Dedup.maintainLshIndex(spark, dir)
+      }
+      (dir, m)
+    }
+  }
+
   /** Partition dir names (`key=value`) of the transaction-live `relTable`
     * holding more than `maxFiles` data files — the small-files sweep's
     * work list.

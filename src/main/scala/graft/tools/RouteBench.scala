@@ -68,7 +68,7 @@ object RouteBench {
     val rates = sys.env.getOrElse("SPARK_GRAFT_ROUTE_RATES", "2000,5000,10000")
       .split(",").map(_.trim.toInt)
     val tiers = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TIERS",
-        "curate,minhash,ann,ivfpq,bm25,bm25p,hybrid")
+        "curate,minhash,ann,ivfpq,bm25,bm25p,bm25w,hybrid")
       .split(",").map(_.trim).toSeq
     val secs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_SECS", "40").toInt
     val triggerMs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TRIGGER_MS", "5000").toLong
@@ -102,14 +102,16 @@ object RouteBench {
           .select(col("vec_id"), col("embedding")), ivfPqDir,
         pqM = 16, pqK = 16)
     val bm25Dir = s"$dir-bm25"
-    if (tiers.exists(Set("bm25", "bm25p", "hybrid"))) {
+    if (tiers.exists(Set("bm25", "bm25p", "bm25w", "hybrid"))) {
       val nDocs = sys.env.get("SPARK_GRAFT_ROUTE_BM25_DOCS").map(_.toLong)
         .getOrElse(graft.Tables.t(spark, sfDir, "documents").count())
       // forward = true: the bm25p tier needs the doc-range forward table;
-      // the full-route tiers read the same index unchanged
+      // impactBlocks: the bm25w tier's stored impact blocks — both extra
+      // tables, the full-route tiers read the same index unchanged
       graft.operators.TextIndex.writeBm25Index(
         spark.read.parquet(SynthFixtures.ensureZipfDocs(spark, nDocs)),
-        bm25Dir, nBuckets = 64, forward = tiers.contains("bm25p"))
+        bm25Dir, nBuckets = 64, forward = tiers.contains("bm25p"),
+        impactBlocks = if (tiers.contains("bm25w")) 4 else 0)
     }
     val buildSec = (System.nanoTime() - t0) / 1e9
     System.err.println(s"[route-bench] index build ${r1(buildSec)}s from $sfDir")
@@ -184,6 +186,19 @@ object RouteBench {
             .count()
           b.count()
         })),
+      "bm25w" -> ((
+        // same arrivals as bm25, served by the impact-ordered
+        // APPROXIMATE tier (r15): budget-bounded head blocks only — the
+        // flat-latency trade; recall vs the exact tier is spec-asserted
+        (rate: Int) => spark.readStream.format("rate")
+          .option("rowsPerSecond", rate.toString).load()
+          .select((col("value") + 1000000000L).as("qid"),
+            SynthFixtures.zipfQueryText(col("value")).as("qtext")),
+        (b: DataFrame) => {
+          graft.operators.TextIndex.bm25RouteWand(b, bm25Dir, k = 10,
+            budget = 2).count()
+          b.count()
+        })),
       "hybrid" -> ((
         // arriving hybrid queries: Zipf keyword text + a clustered
         // embedding, both synthesized in-row per arrival
@@ -211,6 +226,9 @@ object RouteBench {
           // skipping (I/O-bound deployments gain more; the spec pins the
           // buckets-never-read property that carries to 100 TB)
           "bm25p" -> rates.map(r => math.max(1, r / 10)))
+        // bm25w runs the FULL ladder deliberately: the approximate tier's
+        // claim is flat per-decision cost, so it must get the headroom to
+        // demonstrate a sustained rate the exact tiers cannot reach
         .withDefaultValue(rates)
 
     def measure(tier: String, rate: Int,

@@ -257,9 +257,11 @@ object ScalingProbe {
         graft.operators.Similarity.ivfWriteIndex(emb, s"$dir-ivfpq",
           nCells = graft.operators.Similarity.AutoCells, pqM = 16, pqK = 16)
         // forward = true: the bm25p_route tier serves the pruned path
-        // from the same index; the full bm25_route read path is unchanged
+        // from the same index; impactBlocks: the bm25w_route tier's
+        // stored head blocks (r15); the full bm25_route read path is
+        // unchanged by either extra table
         graft.operators.TextIndex.writeBm25Index(docs, s"$dir-bm25",
-          nBuckets = 64, forward = true)
+          nBuckets = 64, forward = true, impactBlocks = 4)
         val runs: Seq[(String, () => Unit)] = Seq(
           "curate_route" -> (() =>
             { graft.operators.Curation.curateRoute(docBatch, dir).count(); () })) ++
@@ -278,7 +280,13 @@ object ScalingProbe {
               k = 10).count(); () }),
           "bm25p_route" -> (() =>
             { graft.operators.TextIndex.bm25RoutePruned(qBatch,
-              s"$dir-bm25", k = 10).count(); () }))
+              s"$dir-bm25", k = 10).count(); () }),
+          // the impact-ordered APPROXIMATE tier (r15): per query term
+          // only the budget head blocks are read — the claim under test
+          // is a route exponent BELOW the exact tiers' df-growth floor
+          "bm25w_route" -> (() =>
+            { graft.operators.TextIndex.bm25RouteWand(qBatch,
+              s"$dir-bm25", k = 10, budget = 2).count(); () }))
         // wm warms once untimed, so the metered pass after it reads the
         // arrival batches from cache — the byte delta is the index read
         val times = runs.map { case (n, f) => n -> wm(f) }.toMap

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.StoredIndex
+
+/** The ONE-CALL nightly-ops umbrella ([[graft.sources.StoredIndex
+  * .maintain]], VERDICT r14 #5): plant one stored index per family under
+  * a root, one call detects each family from its table layout and runs
+  * its policy driver; a second run converges to `noop` everywhere. The
+  * per-family policy semantics themselves are proven in
+  * IndexMaintenanceSpec / IvfPqSpec — this spec owns only the dispatch.
+  */
+class MaintainSpec extends SparkSpec {
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
+
+  private def emb: DataFrame =
+    spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("vec_id", "embedding")
+
+  test("maintain(root) detects all four families, runs each family's " +
+      "indicated action once, and a re-run is a no-op") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-maintain").toString
+    graft.operators.Dedup.writeLshIndex(docs, s"$root/d-lsh")
+    graft.operators.Similarity.ivfWriteIndex(emb, s"$root/d-ivf")
+    graft.operators.TextIndex.writeBm25Index(docs, s"$root/d-bm25")
+    graft.operators.Curation.writeCurateIndex(docs, s"$root/d-curate")
+    // a non-index child must be skipped, not crash the sweep
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "not-an-index"))
+    // leave the bm25 index with LIVE TOMBSTONES so its indicated action
+    // is a real compact, not a noop — the umbrella must surface it
+    graft.operators.TextIndex.deleteFromBm25Index(
+      docs.select("doc_id").limit(3), s"$root/d-bm25")
+    assert(graft.operators.TextIndex.hasTombstones(s"$root/d-bm25"))
+
+    val first = StoredIndex.maintain(spark, root)
+    val byFam = first.map { case (dir, m) => m.family -> dir }.toMap
+    assert(first.size == 4,
+      s"exactly the four planted indexes dispatch (got $first) — the " +
+        "curation state's NESTED lsh subtree must never double-dispatch")
+    assert(byFam == Map(
+      "lsh" -> s"$root/d-lsh", "ivf" -> s"$root/d-ivf",
+      "bm25" -> s"$root/d-bm25", "curate" -> s"$root/d-curate"),
+      "layout-signature detection must map every family to its dir")
+    val bm25Action = first.collectFirst {
+      case (_, m) if m.family == "bm25" => m.action }.get
+    assert(bm25Action == "compact",
+      "the tombstoned bm25 index's indicated action is the compact sweep")
+    assert(!graft.operators.TextIndex.hasTombstones(s"$root/d-bm25"),
+      "the dispatched compact must have retired the tombstones")
+
+    val second = StoredIndex.maintain(spark, root)
+    assert(second.size == 4 && second.forall(_._2.action == "noop"),
+      s"the re-run must report noop for every family (got $second)")
+  }
+
+  test("maintain on an index dir itself dispatches exactly that index") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-maintain-one").toString
+    graft.operators.TextIndex.writeBm25Index(docs, s"$root/solo")
+    val got = StoredIndex.maintain(spark, s"$root/solo")
+    assert(got.map(r => (r._1, r._2.family)) == Seq((s"$root/solo", "bm25")))
+    // a dir that is neither an index nor holds one dispatches nothing
+    assert(StoredIndex.maintain(spark, s"$root/absent").isEmpty)
+  }
+}

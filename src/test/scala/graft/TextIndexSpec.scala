@@ -723,4 +723,150 @@ class TextIndexSpec extends SparkSpec {
     assert(routed.toSeq == batch,
       "per-arrival route must rank exactly like the batch serving query")
   }
+
+  // -----------------------------------------------------------------------
+  // Impact-ordered (WAND/Block-Max-class) approximate tier
+  // -----------------------------------------------------------------------
+
+  test("impact tier: full-coverage budget reproduces the exact ranking; " +
+      "a truncating budget stores only the head blocks") {
+    val k = 10
+    // full coverage: blockSize 64 x 4 blocks per segment exceeds every
+    // term's df on this corpus, so the accumulator sums are COMPLETE and
+    // the approximate tier must coincide with the exact one bit-for-bit
+    val dirFull = tmp()
+    TextIndex.writeBm25Index(docs.filter(col("doc_id") % 2 === 0), dirFull,
+      impactBlocks = 4)
+    TextIndex.appendBm25Index(docs.filter(col("doc_id") % 2 === 1), dirFull)
+    val exact = TextIndex.bm25TopK(spark, dirFull, terms, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = TextIndex.bm25TopKWand(spark, dirFull, terms, k, budget = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == exact,
+      "a budget covering every posting must reproduce the exact ranking")
+    // truncating budget, storage contract: tiny blocks force real
+    // head-block cuts — the table stores at most blocks*blockSize rows
+    // per (term, segment), never the full posting lists
+    val dirCut = tmp()
+    TextIndex.writeBm25Index(docs.filter(col("doc_id") % 2 === 0), dirCut,
+      impactBlocks = 2, impactBlockSize = 4)
+    TextIndex.appendBm25Index(docs.filter(col("doc_id") % 2 === 1), dirCut)
+    val perTermSeg = graft.sources.StoredIndex.readTable(spark,
+        s"$dirCut/impacts",
+        "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, ib INT, " +
+          "seg INT, tb BIGINT")
+      .groupBy("term", "seg").count().collect()
+    assert(perTermSeg.nonEmpty && perTermSeg.forall(_.getLong(2) <= 8),
+      "impacts must store at most blocks*blockSize rows per term/segment")
+  }
+
+  test("impact tier recall floor on the df-skewed Zipf fixture (the " +
+      "tier's documented domain — on the degenerate uniform-df corpus " +
+      "score mass does not concentrate in head blocks by construction)") {
+    // 2000-doc Zipf(1.1) corpus, 50 tail-conditioned queries — the
+    // ROUTEBENCH/SCALING retrieval shape. Measured curve (WandProbe):
+    // budget=1 mean recall@10 0.954, budget=2 0.996 (min 0.9),
+    // budget>=3 1.000; at a 50k index the FIXED budget honestly decays
+    // (0.706 mean at budget=2) — df grows with the corpus while the
+    // head stays constant, which is exactly the flat-latency trade, and
+    // the budget knob is the scale lever. The floor pins the strong
+    // regime; the decay is documented in SURVEY §9, not asserted away.
+    val zdocs = graft.tools.SynthFixtures.zipfDocs(spark, 2000L)
+    val dir = tmp()
+    TextIndex.writeBm25Index(zdocs, dir, impactBlocks = 4)
+    val qs = graft.tools.SynthFixtures.zipfQueries(spark, 50L)
+    val k = 10
+    def ranks(df: DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = ranks(TextIndex.bm25Route(qs, dir, k = k))
+    val wand = ranks(TextIndex.bm25RouteWand(qs, dir, k = k, budget = 2))
+    val recalls = exact.map { case (q, ex) =>
+      wand.getOrElse(q, Set.empty[Long]).count(ex) / ex.size.toDouble }
+    val mean = recalls.sum / recalls.size
+    info(f"zipf mean recall@$k at budget 2 = $mean%.3f (min ${recalls.min}%.2f)")
+    assert(mean >= 0.9,
+      f"budget-2 serving must keep mean recall@$k >= 0.9 on the Zipf " +
+        f"fixture (got $mean%.3f)")
+    assert(recalls.min >= 0.5,
+      f"no single query may fall below recall 0.5 (got ${recalls.min}%.2f)")
+  }
+
+  test("impact tier: delete + compact fold the impacts table — dead doc " +
+      "leaves the served ranking, the fold re-blocks to seg=0, and the " +
+      "post-compact serve is unchanged") {
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs, dir, impactBlocks = 4)
+    val before = TextIndex.bm25TopKWand(spark, dir, terms, 10, budget = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val dead = before.head
+    TextIndex.deleteFromBm25Index(
+      spark.createDataFrame(Seq(Tuple1(dead))).toDF("doc_id"), dir)
+    val afterDel = TextIndex.bm25TopKWand(spark, dir, terms, 10, budget = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!afterDel.contains(dead),
+      "a tombstoned doc must leave the impact-served ranking immediately")
+    TextIndex.compactBm25Index(spark, dir)
+    assert(!TextIndex.hasTombstones(dir), "compaction retires tombstones")
+    val afterComp = TextIndex.bm25TopKWand(spark, dir, terms, 10, budget = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterComp == afterDel,
+      "compaction must not change the impact-served ranking")
+    import scala.jdk.CollectionConverters._
+    val segs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "impacts"))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(segs == Seq("seg=0"),
+      s"the fold must re-block the impacts table to seg=0 (got $segs)")
+  }
+
+  test("impact tier refusals: non-impact index and over-budget serve " +
+      "fail loudly") {
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs, dir)
+    val e1 = intercept[IllegalArgumentException] {
+      TextIndex.bm25TopKWand(spark, dir, terms)
+    }
+    assert(e1.getMessage.contains("impact-enabled"))
+    val dir2 = tmp()
+    TextIndex.writeBm25Index(docs, dir2, impactBlocks = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      TextIndex.bm25TopKWand(spark, dir2, terms, budget = 3)
+    }
+    assert(e2.getMessage.contains("exceeds the stored impact blocks"))
+  }
+
+  // -----------------------------------------------------------------------
+  // BPE tokenizer
+  // -----------------------------------------------------------------------
+
+  test("bpe tokenizer: the stored merge table replays across appends — " +
+      "build+append serves exactly a fresh rebuild, and bpeQueryTokens " +
+      "is the driver-side encode of the same merges") {
+    val merges = graft.operators.Bpe.train(docs, nMerges = 20)
+    val dir = tmp()
+    TextIndex.writeBm25Index(docs.filter(col("doc_id") % 2 === 0), dir,
+      tokenizer = "bpe", bpeMerges = merges)
+    TextIndex.appendBm25Index(docs.filter(col("doc_id") % 2 === 1), dir)
+    val dirFresh = tmp()
+    TextIndex.writeBm25Index(docs, dirFresh,
+      tokenizer = "bpe", bpeMerges = merges)
+    val qtoks = TextIndex.bpeQueryTokens(spark, dir, terms)
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    assert(qtoks ==
+      terms.flatMap(w => graft.operators.Bpe.encodeWord(w, ranks)).distinct,
+      "query tokens must be the stored merges' encode, deduplicated")
+    val grown = TextIndex.bm25TopK(spark, dir, qtoks, 10).collect().toSeq
+    val fresh = TextIndex.bm25TopK(spark, dirFresh, qtoks, 10).collect().toSeq
+    assert(grown == fresh,
+      "an append-grown bpe index must serve exactly a fresh rebuild " +
+        "(the appended half re-tokenized through the STORED merges)")
+    // a ws index refuses bpe query-token encoding loudly
+    val dirWs = tmp()
+    TextIndex.writeBm25Index(docs, dirWs)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.bpeQueryTokens(spark, dirWs, terms)
+    }
+    assert(e.getMessage.contains("bpe-tokenized"))
+  }
 }
