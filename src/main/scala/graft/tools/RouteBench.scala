@@ -225,10 +225,14 @@ object RouteBench {
           // equal rates IS the measured local value of certificate
           // skipping (I/O-bound deployments gain more; the spec pins the
           // buckets-never-read property that carries to 100 TB)
-          "bm25p" -> rates.map(r => math.max(1, r / 10)))
-        // bm25w runs the FULL ladder deliberately: the approximate tier's
-        // claim is flat per-decision cost, so it must get the headroom to
-        // demonstrate a sustained rate the exact tiers cannot reach
+          "bm25p" -> rates.map(r => math.max(1, r / 10)),
+          // 0.3x ladder: high enough that the capacity shows (the
+          // sustained metric reports drain-mode throughput when mean
+          // batch sits in the (trigger, 1.5x trigger] band), low enough
+          // to stay in keep-up — the full ladder's lowest rate (2000/s,
+          // 10k queries per 5 s batch) already overran the band (r15
+          // first pass: 8.9 s batches, kept_up false at 3.8k dec/s)
+          "bm25w" -> rates.map(r => math.max(1, r * 3 / 10)))
         .withDefaultValue(rates)
 
     def measure(tier: String, rate: Int,
