@@ -392,6 +392,91 @@ object Curation {
         .as("kept_tokens"))
   }
 
+  /** TOKEN-BUDGETED mixture — the recipe form of the mix problem that
+    * [[domainMixSample]]'s rate form cannot express: "fill each source to
+    * EXACTLY this many tokens" (the mix spec a training run actually
+    * states). Per budgeted source, documents are taken in deterministic
+    * content-hash order (md5, ties by id — a reproducible,
+    * engine-independent uniform draw, the [[stratifiedSample]]
+    * discipline) until the source's token budget fills: a document is
+    * selected iff the running token total BEFORE it is still under
+    * budget, so the crossing document is kept (budgets are fill targets;
+    * a hard cap would starve a source whose next document overshoots)
+    * and a source whose corpus is smaller than its budget is kept whole.
+    * Sources without a budget are excluded.
+    *
+    * Scale — the naive form is a per-source ordered prefix sum, i.e. a
+    * full sort of EVERY source's rows through one window per source (the
+    * skewed-window shape [[stratifiedSample]]'s own doc warns about:
+    * source cardinality is tiny, each source is huge). This
+    * implementation is the two-pass distributed-cutoff form instead:
+    * pass 1 aggregates token sums per (source, 2-hex-digit hash bucket)
+    * — a BOUNDED collect of <= sources x 256 rows — and the driver walks
+    * each source's buckets in hash order to find the single CROSSING
+    * bucket (cumulative sum crosses the budget there) plus the budget
+    * remainder entering it; pass 2 keeps every document in buckets below
+    * the crossing bucket with a narrow broadcast-joined filter (no
+    * shuffle, no order needed — selection-by-prefix is
+    * membership-by-bucket for all of them) and runs the ordered window
+    * ONLY inside the crossing bucket, ~1/256th of one source per source.
+    * At 100 TB the window input is budget-bounded, not corpus-bounded.
+    *
+    * Returns per-source accounting: (source, budget_tokens, n_docs,
+    * sum_tokens, max_h) — max_h is the selection's content-hash high
+    * watermark, the replayable "where the fill stopped" certificate.
+    */
+  def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetMix needs at least one budget")
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slim = docs
+      .filter(col("source").isin(budgets.keys.toSeq: _*))
+      .select(col("source"), col(idCol).cast("long").as("doc_id"),
+        md5(col(textCol)).as("h"), tokenCount(col(textCol)).as("tokens"))
+      .withColumn("hb", substring(col("h"), 1, 2))
+    // pass 1: bounded bucket statistics — <= sources x 256 rows
+    val bstats = slim.groupBy("source", "hb")
+      .agg(sum(col("tokens")).as("btok"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    // per source: the first bucket whose cumulative sum crosses the
+    // budget, and the budget remainder entering it; "zz" (> any hex
+    // pair) = no bucket crosses, the whole source fits its budget
+    val cuts = budgets.toSeq.map { case (s, budget) =>
+      val bs = bstats.getOrElse(s, Array.empty[(String, String, Long)])
+        .sortBy(_._2)
+      var cum = 0L
+      var cut: Option[(String, Long)] = None
+      bs.foreach { case (_, hb, btok) =>
+        if (cut.isEmpty && cum + btok > budget) cut = Some((hb, budget - cum))
+        cum += btok
+      }
+      val (hb, rem) = cut.getOrElse(("zz", 0L))
+      (s, hb, rem, budget)
+    }.toDF("source", "cut_hb", "rem", "budget_tokens")
+    val lim = slim.join(broadcast(cuts), Seq("source"))
+    // below the crossing bucket: kept by membership, no order computed
+    val full = lim.filter(col("hb") < col("cut_hb"))
+    // inside the crossing bucket: the one place the ordered prefix sum
+    // must actually run — per-doc "tokens before me" vs the remainder
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val crossing = lim.filter(col("hb") === col("cut_hb"))
+      .withColumn("bef", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .filter(col("bef") < col("rem"))
+      .drop("bef")
+    full.unionByName(crossing)
+      .groupBy(col("source"))
+      .agg(min(col("budget_tokens")).as("budget_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"),
+        max(col("h")).as("max_h"))
+  }
+
   /** Quantile quality floor — drop the worst `p` fraction of the corpus by
     * a quality score (here: whitespace token count), the data-driven
     * alternative to [[curatedStats]]' fixed thresholds. Returns per-lang

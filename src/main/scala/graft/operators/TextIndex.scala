@@ -1420,7 +1420,18 @@ object TextIndex {
     * leg is EXACT and the fused ranking provably equals the batch
     * brute-force fusion (RetrievalSpec); production keeps nprobe small
     * and inherits standard IVF recall on the vector evidence only — the
-    * lexical leg is always exact.
+    * lexical leg is exact by default.
+    *
+    * `wandBudget > 0` swaps the lexical leg to the IMPACT-ORDERED
+    * approximate tier ([[bm25RouteWand]] — budget head blocks per term,
+    * flat in corpus size where the exact leg's cost grows with the query
+    * terms' df): the fuse and the vector leg are unchanged, so the
+    * hybrid inherits the wand tier's recall trade on the lexical
+    * evidence only, with the `wandBudget = 0` serve as its exact
+    * verifier (recall floor asserted in RetrievalSpec; the ROUTEBENCH
+    * `hybridw` tier measures the throughput the swap buys back — the
+    * exact lexical leg is the measured hybrid bottleneck, r14: bm25
+    * 2.7k vs ann 30.9k decisions/s). Needs an impact-enabled index.
     *
     * Returns (qid, rank, doc_id, rrf_score).
     */
@@ -1428,9 +1439,15 @@ object TextIndex {
                   k: Int = 20, legK: Int = 50, nprobe: Int = 5,
                   idCol: String = "qid", textCol: String = "qtext",
                   embCol: String = "embedding",
+                  wandBudget: Int = 0,
                   asOf: Option[Int] = None): DataFrame = {
-    val lex = bm25Route(queries.select(col(idCol), col(textCol)),
-        bm25Dir, k = legK, idCol = idCol, textCol = textCol, asOf = asOf)
+    val lexQ = queries.select(col(idCol), col(textCol))
+    val lex = (if (wandBudget > 0)
+        bm25RouteWand(lexQ, bm25Dir, k = legK, budget = wandBudget,
+          idCol = idCol, textCol = textCol, asOf = asOf)
+      else
+        bm25Route(lexQ, bm25Dir, k = legK, idCol = idCol,
+          textCol = textCol, asOf = asOf))
       .select(col("qid"), col("doc_id"), col("rank").as("rank_lex"))
     val vec = Similarity.annRoute(queries.select(col(idCol), col(embCol)),
         ivfDir, k = legK, nprobe = nprobe, idCol = idCol, embCol = embCol,

@@ -83,6 +83,21 @@ object CurationQueries {
         defaultRate = "6")
       .orderBy("source")
 
+  /** Token-BUDGETED mixture ([[Curation.tokenBudgetMix]] — the recipe
+    * form of `samp_domain_mix`'s rates): three sources filled to exact
+    * token budgets in content-hash order, one source budgeted ABOVE its
+    * corpus (kept whole — the exhausted edge), every other source
+    * excluded. The oracle replays the plain per-source ordered prefix
+    * sum in DuckDB; the engine's two-pass bucket-cutoff plan must select
+    * the identical document set (the distributed form is proven
+    * equivalent to the sequential definition, hash-exact).
+    */
+  def sampTokenMix(spark: SparkSession, dir: String): DataFrame =
+    Curation.tokenBudgetMix(t(spark, dir, "documents"),
+        budgets = Map("src0" -> 800L, "src1" -> 400L, "src2" -> 1200L,
+          "src3" -> 50000L))
+      .orderBy("source")
+
   def curateQualityCut(spark: SparkSession, dir: String): DataFrame =
     Curation.qualityQuantileCut(t(spark, dir, "documents"), p = 0.25)
       .orderBy("lang")
@@ -316,6 +331,7 @@ object CurationQueries {
     "text_redact" -> textRedact,
     "text_chunk" -> textChunk,
     "samp_domain_mix" -> sampDomainMix,
+    "samp_token_mix" -> sampTokenMix,
     "curate_quality_cut" -> curateQualityCut,
     "curate_stats" -> curateStats)
 
@@ -703,6 +719,28 @@ object CurationQueries {
         |    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
         |    AS kept_tokens
         |FROM th GROUP BY source ORDER BY source""".stripMargin,
+    // the sequential definition of the token-budget fill: one ordered
+    // prefix sum per source, keep while the running total BEFORE the doc
+    // is under budget — the engine's two-pass bucket-cutoff plan must
+    // select the identical set
+    "samp_token_mix" ->
+      """WITH b(source, budget) AS (VALUES
+        |    ('src0', 800), ('src1', 400), ('src2', 1200), ('src3', 50000)),
+        |tok AS (
+        |  SELECT d.source, d.doc_id, md5(d.text) AS h,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tokens,
+        |    b.budget
+        |  FROM documents d JOIN b ON d.source = b.source),
+        |c AS (
+        |  SELECT *, COALESCE(SUM(tokens) OVER (
+        |      PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM tok)
+        |SELECT source, CAST(MIN(budget) AS BIGINT) AS budget_tokens,
+        |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+        |  MAX(h) AS max_h
+        |FROM c WHERE bef < budget
+        |GROUP BY source ORDER BY source""".stripMargin,
     "curate_quality_cut" ->
       """WITH tok AS (
         |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens

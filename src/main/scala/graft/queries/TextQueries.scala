@@ -384,16 +384,50 @@ object TextQueries {
     * fixture with `impactBlocks` enabled, so the serve exercises
     * per-segment head blocks, not just a one-shot build.
     */
-  def textBm25Wand(spark: SparkSession, dir: String): DataFrame = {
-    val base = graft.Caches.stagedPath("bm25-wand", dir) { base =>
+  def textBm25Wand(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.bm25TopKWand(spark, bm25WandIndex(spark, dir),
+      Seq("spark", "merge", "vector"), k = 20, budget = 4)
+
+  /** The staged IMPACT-ENABLED maintained index (the even/odd
+    * build+append fixture with `impactBlocks`) — shared by the
+    * impact-ordered serve (`text_bm25_wand`) and the wand-leg hybrid
+    * (`text_hybrid_wand`).
+    */
+  private def bm25WandIndex(spark: SparkSession, dir: String): String =
+    graft.Caches.stagedPath("bm25-wand", dir) { base =>
       val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
       graft.operators.TextIndex.writeBm25Index(
         docs.filter(col("doc_id") % 2 === 0), base, impactBlocks = 4)
       graft.operators.TextIndex.appendBm25Index(
         docs.filter(col("doc_id") % 2 === 1), base)
     }
-    graft.operators.TextIndex.bm25TopKWand(spark, base,
-      Seq("spark", "merge", "vector"), k = 20, budget = 4)
+
+  /** HYBRID retrieval with the IMPACT-ORDERED lexical leg
+    * ([[graft.operators.TextIndex.hybridRoute]] `wandBudget > 0`): the
+    * same arriving queries and exhaustive-nprobe vector leg as
+    * `text_hybrid_route`, but the lexical ranks come from the
+    * budget-bounded wand serve over the staged impact-enabled index —
+    * the flat-latency swap for the measured hybrid bottleneck (the
+    * exact lexical leg). APPROXIMATE on the lexical evidence by
+    * construction, so this is a ROWS-ONLY record (the `text_bm25_wand`
+    * adjudication): fused recall vs the exact-leg fusion is asserted in
+    * RetrievalSpec, and `text_hybrid_route` stays the hash-exact
+    * verifier of the fuse itself.
+    */
+  def textHybridWand(spark: SparkSession, dir: String): DataFrame = {
+    val bm25Dir = bm25WandIndex(spark, dir)
+    val ivfDir = graft.Caches.stagedPath("hybrid-ivf", dir) { base =>
+      Similarity.ivfWriteIndex(
+        t(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        base, nCells = 8)
+    }
+    val queries = t(spark, dir, "embeddings")
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"),
+        lit("spark merge vector").as("qtext"), col("embedding"))
+    graft.operators.TextIndex.hybridRoute(queries, bm25Dir, ivfDir,
+        k = 10, legK = 50, nprobe = 8, wandBudget = 4)
+      .orderBy("qid", "rank")
   }
 
   /** BM25 over a BPE-TOKENIZED maintained index — the engine's own
@@ -769,6 +803,7 @@ object TextQueries {
     "text_bm25_maintained" -> textBm25Maintained,
     "text_bm25_pruned" -> textBm25Pruned,
     "text_bm25_wand" -> textBm25Wand,
+    "text_hybrid_wand" -> textHybridWand,
     "text_bm25_bpe" -> textBm25Bpe,
     "text_bm25_normalized" -> textBm25Normalized,
     "text_phrase" -> textPhrase,
@@ -879,9 +914,11 @@ object TextQueries {
         |d AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n)"""
         .stripMargin),
     "text_bm25_pruned" -> bm25OracleSql,
-    // text_bm25_wand: deliberately NO oracle — the impact-ordered tier is
-    // approximate by construction (rows-only record; recall floor
-    // asserted in TextIndexSpec, the sim_ann_lsh adjudication pattern)
+    // text_bm25_wand / text_hybrid_wand: deliberately NO oracle — the
+    // impact-ordered tier (and the hybrid serve whose lexical leg rides
+    // it) is approximate by construction (rows-only records; recall
+    // floors asserted in TextIndexSpec / RetrievalSpec, the sim_ann_lsh
+    // adjudication pattern)
     "text_bm25_bpe" -> BpeOracle.bm25BpeSql,
     "text_phrase" -> phraseOracleSql,
     "text_phrase_indexed" -> phraseOracleSql,

@@ -68,7 +68,7 @@ object RouteBench {
     val rates = sys.env.getOrElse("SPARK_GRAFT_ROUTE_RATES", "2000,5000,10000")
       .split(",").map(_.trim.toInt)
     val tiers = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TIERS",
-        "curate,minhash,ann,ivfpq,bm25,bm25p,bm25w,hybrid")
+        "curate,minhash,ann,ivfpq,bm25,bm25p,bm25w,hybrid,hybridw")
       .split(",").map(_.trim).toSeq
     val secs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_SECS", "40").toInt
     val triggerMs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TRIGGER_MS", "5000").toLong
@@ -89,7 +89,7 @@ object RouteBench {
       graft.Tables.t(spark, sfDir, "documents").select(col("doc_id"), col("text")),
       dir)
     val ivfDir = s"$dir-ivf"
-    if (tiers.exists(Set("ann", "hybrid")))
+    if (tiers.exists(Set("ann", "hybrid", "hybridw")))
       graft.operators.Similarity.ivfWriteIndex(
         graft.Tables.t(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding")), ivfDir)
@@ -102,7 +102,7 @@ object RouteBench {
           .select(col("vec_id"), col("embedding")), ivfPqDir,
         pqM = 16, pqK = 16)
     val bm25Dir = s"$dir-bm25"
-    if (tiers.exists(Set("bm25", "bm25p", "bm25w", "hybrid"))) {
+    if (tiers.exists(Set("bm25", "bm25p", "bm25w", "hybrid", "hybridw"))) {
       val nDocs = sys.env.get("SPARK_GRAFT_ROUTE_BM25_DOCS").map(_.toLong)
         .getOrElse(graft.Tables.t(spark, sfDir, "documents").count())
       // forward = true: the bm25p tier needs the doc-range forward table;
@@ -111,7 +111,8 @@ object RouteBench {
       graft.operators.TextIndex.writeBm25Index(
         spark.read.parquet(SynthFixtures.ensureZipfDocs(spark, nDocs)),
         bm25Dir, nBuckets = 64, forward = tiers.contains("bm25p"),
-        impactBlocks = if (tiers.contains("bm25w")) 4 else 0)
+        impactBlocks =
+          if (tiers.exists(Set("bm25w", "hybridw"))) 4 else 0)
     }
     val buildSec = (System.nanoTime() - t0) / 1e9
     System.err.println(s"[route-bench] index build ${r1(buildSec)}s from $sfDir")
@@ -211,6 +212,20 @@ object RouteBench {
           graft.operators.TextIndex.hybridRoute(b, bm25Dir, ivfDir,
             k = 10).count()
           b.count()
+        })),
+      "hybridw" -> ((
+        // same arrivals as hybrid, lexical leg swapped to the
+        // impact-ordered wand serve (r15): the exact lexical leg is the
+        // measured hybrid bottleneck, and this tier prices the swap
+        (rate: Int) => spark.readStream.format("rate")
+          .option("rowsPerSecond", rate.toString).load()
+          .select((col("value") + 1000000000L).as("qid"),
+            SynthFixtures.zipfQueryText(col("value")).as("qtext"),
+            SynthFixtures.clusteredEmbedding(col("value")).as("embedding")),
+        (b: DataFrame) => {
+          graft.operators.TextIndex.hybridRoute(b, bm25Dir, ivfDir,
+            k = 10, wandBudget = 2).count()
+          b.count()
         })))
     // an exact retrieval decision scores every posting of its query's
     // terms — an inherently heavier unit than a doc admission even on the
@@ -232,7 +247,11 @@ object RouteBench {
           // to stay in keep-up — the full ladder's lowest rate (2000/s,
           // 10k queries per 5 s batch) already overran the band (r15
           // first pass: 8.9 s batches, kept_up false at 3.8k dec/s)
-          "bm25w" -> rates.map(r => math.max(1, r * 3 / 10)))
+          "bm25w" -> rates.map(r => math.max(1, r * 3 / 10)),
+          // the wand-leg hybrid shares the bm25w ladder: its lexical leg
+          // is the bm25w serve, its vector leg keeps up at full rates,
+          // and the fuse is constant-size per query
+          "hybridw" -> rates.map(r => math.max(1, r * 3 / 10)))
         .withDefaultValue(rates)
 
     def measure(tier: String, rate: Int,

@@ -297,6 +297,60 @@ class CurationSpec extends SparkSpec {
     assert(below <= (docs.count() * 0.25).ceil.toLong)
   }
 
+  test("tokenBudgetMix: bucket-cutoff selection equals the sequential " +
+      "prefix-sum definition across fill, zero and keep-whole budgets") {
+    val budgets = Map("src0" -> 300L, "src1" -> 0L, "src2" -> 999999L)
+    val got = Curation.tokenBudgetMix(docs, budgets).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // sequential replay of the definition on the driver: hash order,
+    // keep while the running total BEFORE the doc is under budget
+    val rows = docs.filter(col("source").isin("src0", "src1", "src2"))
+      .select(col("source"), col("doc_id"), md5(col("text")).as("h"),
+        Curation.tokenCount(col("text")).as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = budgets.flatMap { case (s, b) =>
+      var cum = 0L
+      val sel = rows.filter(_._1 == s).sortBy(r => (r._3, r._2))
+        .filter { case (_, _, _, t) =>
+          val keep = cum < b; cum += t; keep }
+      if (sel.isEmpty) None
+      else Some(s -> ((b, sel.size.toLong, sel.map(_._4).sum,
+        sel.map(_._3).max)))
+    }
+    assert(got == expected,
+      "the two-pass bucket-cutoff plan must select exactly the " +
+        "sequential definition's document set")
+    // the fill contract: a budget the corpus can cover lands AT or PAST
+    // the budget (the crossing doc is kept), never under
+    assert(got("src0")._3 >= 300L && got("src2")._3 < 999999L)
+  }
+
+  test("tokenBudgetMix: an exact-boundary budget keeps no crossing doc; " +
+      "selection is invariant to physical partitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    val syn = (1 to 40).map(i =>
+        (i.toLong, "s", ("tok " * (i % 5 + 1)).trim))
+      .toDF("doc_id", "source", "text")
+    val ordered = syn
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        Curation.tokenCount(col("text")).as("t"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    // budget exactly the first three docs' tokens: the fourth doc's
+    // running-total-before EQUALS the budget — strictly-under keeps it out
+    val b = ordered.take(3).map(_._3).sum
+    val out = Curation.tokenBudgetMix(syn, Map("s" -> b)).head()
+    assert(out.getLong(2) == 3L && out.getLong(3) == b,
+      s"exact-boundary budget $b must keep exactly the first 3 docs")
+    val a1 = Curation.tokenBudgetMix(syn, Map("s" -> b)).collect().toSeq
+    val a2 = Curation.tokenBudgetMix(syn.repartition(13), Map("s" -> b))
+      .collect().toSeq
+    assert(a1 == a2, "selection must not depend on physical partitioning")
+  }
+
   test("normalizeDocs: NFC composes, control strips, Unicode whitespace collapses") {
     val spark2 = spark
     import spark2.implicits._

@@ -81,4 +81,54 @@ class RetrievalSpec extends SparkSpec {
     val scores = rows.map(_.getLong(1)).toSeq
     assert(scores == scores.sorted.reverse)
   }
+
+  test("hybrid wand leg: full-coverage budget reproduces the exact fused " +
+      "ranking; a truncating budget keeps fused recall above the floor") {
+    import org.apache.spark.sql.functions._
+    // sf0.001: 4 x 64 head postings per (term, segment) exceed every
+    // term's df, so the wand lexical leg is COMPLETE and the fused serve
+    // must equal the exact-leg hybrid bit for bit — the sharp check that
+    // the swap changes only what the budget truncates
+    val exact = TextQueries.textHybridRoute(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val wand = TextQueries.textHybridWand(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(wand == exact,
+      "a full-coverage wand leg must reproduce the exact fused ranking")
+    // df-skewed Zipf corpus + clustered vectors, truncating budget (the
+    // TextIndexSpec impact-tier fixture): the recall trade rides ONLY
+    // the lexical evidence — nprobe = nCells keeps the vector leg exact
+    // on both sides of the comparison
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hybridw")
+      .toString
+    val zdocs = graft.tools.SynthFixtures.zipfDocs(spark, 2000L)
+    graft.operators.TextIndex.writeBm25Index(zdocs, s"$tmp/bm25",
+      impactBlocks = 4)
+    graft.operators.Similarity.ivfWriteIndex(
+      graft.tools.SynthFixtures.clusteredEmbeddings(spark, 2000L),
+      s"$tmp/ivf", nCells = 8)
+    val qs = graft.tools.SynthFixtures.zipfQueries(spark, 50L)
+      .withColumn("embedding",
+        graft.tools.SynthFixtures.clusteredEmbedding(col("qid")))
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ex = ranks(graft.operators.TextIndex.hybridRoute(qs,
+      s"$tmp/bm25", s"$tmp/ivf", k = 10, nprobe = 8))
+    val ww = ranks(graft.operators.TextIndex.hybridRoute(qs,
+      s"$tmp/bm25", s"$tmp/ivf", k = 10, nprobe = 8, wandBudget = 2))
+    val recalls = ex.map { case (q, e) =>
+      ww.getOrElse(q, Set.empty[Long]).count(e) / e.size.toDouble }
+    val mean = recalls.sum / recalls.size
+    info(f"zipf fused recall@10 at wandBudget 2 = $mean%.3f " +
+      f"(min ${recalls.min}%.2f)")
+    assert(mean >= 0.9,
+      f"budget-2 lexical leg must keep mean fused recall@10 >= 0.9 " +
+        f"(got $mean%.3f)")
+    assert(recalls.min >= 0.5,
+      f"no single query may fall below fused recall 0.5 " +
+        f"(got ${recalls.min}%.2f)")
+  }
 }
