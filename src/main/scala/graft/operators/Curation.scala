@@ -477,6 +477,151 @@ object Curation {
         max(col("h")).as("max_h"))
   }
 
+  /** Initialize a stateful BUDGET GATE — the streaming quota form of
+    * [[tokenBudgetMix]], and the CAPACITY half of the admission story
+    * ([[curateRoute]] decides content: dedup / quality / contamination;
+    * the budget gate decides quota: per-source token fill targets).
+    * Stores the per-source budgets table under one
+    * [[graft.sources.IndexCommit]] manifest; fill state accumulates as
+    * an LSM of per-batch deltas (`fills/gen-NNNNN`, O(admitted sources)
+    * rows per learn — the termdf/bcounts discipline, folded by
+    * [[graft.sources.StoredIndex.mergedLsm]] at read; segments stay one
+    * tiny file per learned batch, so no compaction pressure exists at
+    * any corpus scale).
+    */
+  def writeBudgetGate(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      budgets: Map[String, Long]): Unit = {
+    require(budgets.nonEmpty, "a budget gate needs at least one budget")
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    import spark.implicits._
+    graft.sources.IndexCommit.deleteTree(java.nio.file.Paths.get(dir))
+    budgets.toSeq.sortBy(_._1).toDF("source", "budget_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/budgets")
+    graft.sources.IndexCommit.commitFiles(dir,
+      graft.sources.IndexCommit.walkDataFiles(dir))
+  }
+
+  /** Decide one arrival batch against the COMMITTED fill state: a doc is
+    * admitted iff its source has a budget and `filled + (tokens of batch
+    * docs before it) < budget` — within the batch, "before" is the
+    * deterministic content-hash order (h, id), the [[tokenBudgetMix]]
+    * rule, so a single batch through an empty gate admits EXACTLY the
+    * batch mix's selection (CurationSpec pins the bridge); across
+    * batches the gate is first-come-first-filled (arrival order is real
+    * time — a later batch's low-hash doc cannot evict an earlier
+    * admission, the semantics any ingest quota has). Arrivals from
+    * unbudgeted sources are REJECTED (admitted = false), not dropped —
+    * a gate must answer for every arrival.
+    *
+    * Decisions derive ONLY from committed state, so a crashed learn
+    * ([[recordBudgetFills]]) re-decides the batch identically on
+    * re-run — the [[curateRoute]] decide/learn convergence contract.
+    * Scale: budgets and merged fills are source-cardinality frames
+    * (broadcast); the only window runs per source over THIS BATCH
+    * (batch-sized, never corpus-sized). Returns (doc_id, source,
+    * tokens, admitted).
+    */
+  def budgetRoute(batch: DataFrame, dir: String,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  asOf: Option[Int] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val budgets = graft.sources.StoredIndex.readTable(spark,
+      s"$dir/budgets", "source STRING, budget_tokens BIGINT", asOf)
+    val fills = graft.sources.StoredIndex.mergedLsm(spark, s"$dir/fills",
+      "source STRING, filled BIGINT", Seq("source"), "filled", asOf)
+    val slim = batch.select(col("source"),
+      col(idCol).cast("long").as("doc_id"), md5(col(textCol)).as("h"),
+      tokenCount(col(textCol)).as("tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    slim
+      .join(broadcast(budgets), Seq("source"), "left")
+      .join(broadcast(fills), Seq("source"), "left")
+      .withColumn("bef", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("tokens"),
+        (col("budget_tokens").isNotNull &&
+          (coalesce(col("filled"), lit(0L)) + col("bef") <
+            col("budget_tokens"))).as("admitted"))
+  }
+
+  /** LEARN a decided batch's admissions into the committed fill state:
+    * one `fills/gen-NNNNN` delta segment (per-source admitted token
+    * sums, O(sources) rows), staged then moved in and published by ONE
+    * manifest rename — crash before the commit leaves the previous
+    * version serving and the re-run re-decides identically. An
+    * all-rejected batch is a NO-OP (no segment, no new version).
+    * Returns the newly recorded token count.
+    */
+  def recordBudgetFills(decided: DataFrame, dir: String): Long = {
+    val spark = decided.sparkSession
+    graft.sources.IndexCommit.vacuum(dir)
+    // bounded collect: one row per source admitted in this batch
+    val delta = decided.filter(col("admitted"))
+      .groupBy(col("source")).agg(sum(col("tokens")).as("filled"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (delta.isEmpty) 0L
+    else {
+      import spark.implicits._
+      val t = new graft.sources.IndexTxn(dir)
+      val gen = graft.sources.StoredIndex.nextSeg(dir, "fills", "gen-")
+      delta.toDF("source", "filled")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/.fills-stage")
+      graft.sources.StoredIndex.moveTree(t,
+        java.nio.file.Paths.get(s"$dir/.fills-stage"),
+        java.nio.file.Paths.get(f"$dir/fills/gen-$gen%05d"))
+      t.commit()
+      t.cleanup()
+      delta.map(_._2).sum
+    }
+  }
+
+  /** Fold the budget gate's fills LSM back to ONE segment once the
+    * per-learn delta segments exceed `maxSegments` — the
+    * [[graft.sources.StoredIndex.mergedLsm]] read lists O(learned
+    * batches) tiny files on a long-running gate, and this is the
+    * LogStore.compact discipline that bounds it. Same stage / move-in /
+    * atomic-manifest-commit / then-delete protocol as every fold: a
+    * crash at any point leaves the previous version serving, and the
+    * merged per-source sums are unchanged by construction (decisions
+    * before and after the fold are identical). Returns the number of
+    * folded segments (0 = under budget, no-op).
+    */
+  def compactBudgetFills(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, maxSegments: Int = 8): Int = {
+    graft.sources.IndexCommit.vacuum(dir)
+    val t = new graft.sources.IndexTxn(dir)
+    val segs = graft.sources.StoredIndex.segCount(t, "fills", "gen-")
+    if (segs <= maxSegments) 0
+    else {
+      graft.sources.StoredIndex.mergedLsm(spark, s"$dir/fills",
+          "source STRING, filled BIGINT", Seq("source"), "filled")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/.fills-stage")
+      val gen = graft.sources.StoredIndex.nextSeg(dir, "fills", "gen-")
+      t.retireUnder("fills")
+      graft.sources.StoredIndex.moveTree(t,
+        java.nio.file.Paths.get(s"$dir/.fills-stage"),
+        java.nio.file.Paths.get(f"$dir/fills/gen-$gen%05d"))
+      t.commit()
+      t.cleanup()
+      segs
+    }
+  }
+
+  /** Nightly-ops policy driver for the budget-gate family (the
+    * [[maintainCurateIndex]] analog, dispatched by
+    * [[graft.sources.StoredIndex.maintain]]): folds the fills LSM when
+    * its segment count exceeds the budget, else a no-op audit row.
+    * Idempotent — the fold leaves one segment, so a second run is
+    * `noop`.
+    */
+  def maintainBudgetGate(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, maxSegments: Int = 8)
+      : graft.sources.Maintenance = {
+    val folded = compactBudgetFills(spark, dir, maxSegments)
+    graft.sources.Maintenance("budget",
+      if (folded > 0) "compact" else "noop", folded.toLong)
+  }
+
   /** Quantile quality floor — drop the worst `p` fraction of the corpus by
     * a quality score (here: whitespace token count), the data-driven
     * alternative to [[curatedStats]]' fixed thresholds. Returns per-lang

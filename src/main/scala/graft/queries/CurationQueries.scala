@@ -98,6 +98,34 @@ object CurationQueries {
           "src3" -> 50000L))
       .orderBy("source")
 
+  /** The stateful BUDGET GATE ([[Curation.budgetRoute]] — per-source
+    * token quotas as an admission decision, the capacity half of the
+    * `curate_route` story) driven through TWO sequential batches: the
+    * gate is initialized with four budgets, the even-id half of the
+    * corpus is decided and LEARNED ([[Curation.recordBudgetFills]] — one
+    * committed fills delta), and the emitted decisions are the ODD
+    * half's — every admitted/rejected verdict depends on the fill state
+    * the first batch committed. Budgets span the regimes: crossing in
+    * batch 2, already-filled by batch 1, never crossing, and unbudgeted
+    * sources (rejected, not dropped). The oracle replays both batches'
+    * content-hash-ordered prefix sums in DuckDB — the gate's
+    * cross-batch state arithmetic proven hash-exact through an
+    * independent engine.
+    */
+  def curateBudgetRoute(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val base = graft.Caches.stagedPath("budget-gate", dir) { b =>
+      Curation.writeBudgetGate(spark, b,
+        Map("src0" -> 900L, "src1" -> 300L, "src2" -> 5000L,
+          "src3" -> 10000L))
+      Curation.recordBudgetFills(
+        Curation.budgetRoute(docs.filter(col("doc_id") % 2 === 0), b), b)
+      ()
+    }
+    Curation.budgetRoute(docs.filter(col("doc_id") % 2 === 1), base)
+      .orderBy("source", "doc_id")
+  }
+
   def curateQualityCut(spark: SparkSession, dir: String): DataFrame =
     Curation.qualityQuantileCut(t(spark, dir, "documents"), p = 0.25)
       .orderBy("lang")
@@ -332,6 +360,7 @@ object CurationQueries {
     "text_chunk" -> textChunk,
     "samp_domain_mix" -> sampDomainMix,
     "samp_token_mix" -> sampTokenMix,
+    "curate_budget_route" -> curateBudgetRoute,
     "curate_quality_cut" -> curateQualityCut,
     "curate_stats" -> curateStats)
 
@@ -719,6 +748,38 @@ object CurationQueries {
         |    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
         |    AS kept_tokens
         |FROM th GROUP BY source ORDER BY source""".stripMargin,
+    // the gate's two-batch replay: batch 1 (even ids) fills through the
+    // same ordered prefix rule, batch 2 (odd ids) decides against the
+    // recorded fills — admitted iff budget exists and filled + bef < it
+    "curate_budget_route" ->
+      """WITH b(source, budget) AS (VALUES
+        |    ('src0', 900), ('src1', 300), ('src2', 5000), ('src3', 10000)),
+        |e AS (
+        |  SELECT d.source, d.doc_id, md5(d.text) AS h,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS t, b.budget
+        |  FROM documents d JOIN b ON d.source = b.source
+        |  WHERE d.doc_id % 2 = 0),
+        |ec AS (
+        |  SELECT *, COALESCE(SUM(t) OVER (
+        |      PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM e),
+        |fil AS (SELECT source, CAST(SUM(t) AS BIGINT) AS filled
+        |        FROM ec WHERE bef < budget GROUP BY source),
+        |o AS (
+        |  SELECT d.source, d.doc_id, md5(d.text) AS h,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS t
+        |  FROM documents d WHERE d.doc_id % 2 = 1),
+        |oc AS (
+        |  SELECT o.*, b.budget, COALESCE(f.filled, 0) AS filled,
+        |    COALESCE(SUM(o.t) OVER (
+        |      PARTITION BY o.source ORDER BY o.h, o.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM o LEFT JOIN b ON o.source = b.source
+        |         LEFT JOIN fil f ON o.source = f.source)
+        |SELECT doc_id, source, t AS tokens,
+        |  (budget IS NOT NULL AND filled + bef < budget) AS admitted
+        |FROM oc ORDER BY source, doc_id""".stripMargin,
     // the sequential definition of the token-budget fill: one ordered
     // prefix sum per source, keep while the running total BEFORE the doc
     // is under budget — the engine's two-pass bucket-cutoff plan must

@@ -326,6 +326,7 @@ object StoredIndex {
       else if (has("centroids")) Some("ivf")
       else if (has("termdf")) Some("bm25")
       else if (has("bcounts")) Some("lsh")
+      else if (has("budgets")) Some("budget")
       else None
     }
     val rootP = java.nio.file.Paths.get(root)
@@ -349,6 +350,8 @@ object StoredIndex {
         case "ivf" => graft.operators.Similarity.maintainIvfIndex(spark, dir)
         case "bm25" => graft.operators.TextIndex.maintainBm25Index(spark, dir)
         case "lsh" => graft.operators.Dedup.maintainLshIndex(spark, dir)
+        case "budget" =>
+          graft.operators.Curation.maintainBudgetGate(spark, dir)
       }
       (dir, m)
     }

@@ -68,7 +68,7 @@ object RouteBench {
     val rates = sys.env.getOrElse("SPARK_GRAFT_ROUTE_RATES", "2000,5000,10000")
       .split(",").map(_.trim.toInt)
     val tiers = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TIERS",
-        "curate,minhash,ann,ivfpq,bm25,bm25p,bm25w,hybrid,hybridw")
+        "curate,minhash,ann,ivfpq,bm25,bm25p,bm25w,hybrid,hybridw,budget")
       .split(",").map(_.trim).toSeq
     val secs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_SECS", "40").toInt
     val triggerMs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TRIGGER_MS", "5000").toLong
@@ -114,6 +114,14 @@ object RouteBench {
         impactBlocks =
           if (tiers.exists(Set("bm25w", "hybridw"))) 4 else 0)
     }
+    val budgetDir = s"$dir-budget"
+    if (tiers.contains("budget"))
+      // quotas large enough to never fill during the run: the measured
+      // steady state is the full decide+learn path (two broadcast joins,
+      // the batch-local window, one committed fills delta per batch),
+      // not the cheap everything-rejected path
+      graft.operators.Curation.writeBudgetGate(spark, budgetDir,
+        (0 until 20).map(i => s"src$i" -> 1000000000000L).toMap)
     val buildSec = (System.nanoTime() - t0) / 1e9
     System.err.println(s"[route-bench] index build ${r1(buildSec)}s from $sfDir")
 
@@ -225,6 +233,17 @@ object RouteBench {
         (b: DataFrame) => {
           graft.operators.TextIndex.hybridRoute(b, bm25Dir, ivfDir,
             k = 10, wandBudget = 2).count()
+          b.count()
+        })),
+      "budget" -> ((
+        // quota admission with LEARN: every batch decides against the
+        // committed fill state and commits one fills delta — the full
+        // stateful-gate ingest shape, transaction cost included
+        (rate: Int) => docArrivals(rate).withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("int"))),
+        (b: DataFrame) => {
+          graft.operators.Curation.recordBudgetFills(
+            graft.operators.Curation.budgetRoute(b, budgetDir), budgetDir)
           b.count()
         })))
     // an exact retrieval decision scores every posting of its query's

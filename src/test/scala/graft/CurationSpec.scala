@@ -327,6 +327,46 @@ class CurationSpec extends SparkSpec {
     assert(got("src0")._3 >= 300L && got("src2")._3 < 999999L)
   }
 
+  test("tokenBudgetMix: randomized corpora + budgets equal the " +
+      "sequential replay (duplicate texts, tiny/zero/huge budgets)") {
+    val spark2 = spark
+    import spark2.implicits._
+    for (seed <- Seq(7, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 30).map(i => s"w$i")
+      def text() = Vector.fill(1 + rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // duplicate texts across and within sources: identical md5 keys,
+      // doc_id must break the tie identically on both sides
+      val texts = Vector.fill(25)(text())
+      val rows = (0 until 120).map(i =>
+        (i.toLong, s"s${rnd.nextInt(5)}", texts(rnd.nextInt(texts.size))))
+      val docs = rows.toDF("doc_id", "source", "text")
+      val budgets = Map("s0" -> 0L, "s1" -> (1 + rnd.nextInt(5)).toLong,
+        "s2" -> (20 + rnd.nextInt(60)).toLong, "s3" -> 100000L)
+      val got = Curation.tokenBudgetMix(docs, budgets).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+        .toMap
+      val hashed = docs.select(col("source"), col("doc_id"),
+          md5(col("text")).as("h"), Curation.tokenCount(col("text")).as("t"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3)))
+      val expected = budgets.flatMap { case (s, b) =>
+        var cum = 0L
+        val sel = hashed.filter(_._1 == s).sortBy(r => (r._3, r._2))
+          .filter { case (_, _, _, t) =>
+            val keep = cum < b; cum += t; keep }
+        if (sel.isEmpty) None
+        else Some(s -> ((b, sel.size.toLong, sel.map(_._4).sum,
+          sel.map(_._3).max)))
+      }
+      assert(got == expected, s"seed $seed: bucket-cutoff selection " +
+        "diverged from the sequential definition")
+    }
+  }
+
   test("tokenBudgetMix: an exact-boundary budget keeps no crossing doc; " +
       "selection is invariant to physical partitioning") {
     val spark2 = spark
@@ -349,6 +389,87 @@ class CurationSpec extends SparkSpec {
     val a2 = Curation.tokenBudgetMix(syn.repartition(13), Map("s" -> b))
       .collect().toSeq
     assert(a1 == a2, "selection must not depend on physical partitioning")
+  }
+
+  test("budget gate: one batch from an empty gate admits exactly the " +
+      "batch mix; the second batch decides against committed fills; " +
+      "all-rejected learns are no-ops") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-budget-gate").toString
+    // s0 crosses in batch 1, s1 crosses in batch 2, s2 is unbudgeted
+    val syn = (1 to 60).map(i =>
+        (i.toLong, s"s${i % 3}", ("tok " * (i % 7 + 1)).trim))
+      .toDF("doc_id", "source", "text")
+    val budgets = Map("s0" -> 25L, "s1" -> 55L)
+    Curation.writeBudgetGate(spark, dir, budgets)
+    def admitted(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("admitted")).groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("tokens").as("s")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def mixOf(b: org.apache.spark.sql.DataFrame, bu: Map[String, Long]) =
+      Curation.tokenBudgetMix(b, bu).collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val b1 = syn.filter(col("doc_id") % 2 === 0)
+    val d1 = Curation.budgetRoute(b1, dir).cache()
+    val adm1 = admitted(d1)
+    // the bridge: an empty gate's single batch IS the batch mix
+    assert(adm1 == mixOf(b1, budgets),
+      "one batch through an empty gate must admit exactly the batch mix")
+    // unbudgeted arrivals are answered (rejected), never dropped
+    assert(d1.filter(col("source") === "s2").count() > 0 &&
+      d1.filter(col("source") === "s2" && col("admitted")).count() == 0)
+    val rec1 = Curation.recordBudgetFills(d1, dir)
+    assert(rec1 == adm1.values.map(_._2).sum,
+      "the learn must record exactly the admitted tokens")
+    // batch 2: decisions equal the batch mix under the REDUCED budgets
+    val b2 = syn.filter(col("doc_id") % 2 === 1)
+    val d2 = Curation.budgetRoute(b2, dir).cache()
+    val reduced = budgets.map { case (s, b) =>
+      s -> math.max(0L, b - adm1.get(s).map(_._2).getOrElse(0L)) }
+    assert(admitted(d2) == mixOf(b2, reduced),
+      "batch 2 must decide exactly as the mix over the remaining budget")
+    // s0 crossed in batch 1: nothing more admits
+    assert(d2.filter(col("source") === "s0" && col("admitted")).count() == 0)
+    Curation.recordBudgetFills(d2, dir)
+    // an all-rejected batch (exhausted + unbudgeted sources only) is a
+    // NO-OP: no fills segment, no new version
+    val gens = graft.sources.StoredIndex.nextSeg(dir, "fills", "gen-")
+    val b3 = syn.filter(col("source") =!= "s1")
+    val d3 = Curation.budgetRoute(b3, dir)
+    assert(d3.filter(col("admitted")).count() == 0)
+    assert(Curation.recordBudgetFills(d3, dir) == 0L)
+    assert(graft.sources.StoredIndex.nextSeg(dir, "fills", "gen-") == gens,
+      "an all-rejected learn must not write a fills segment")
+  }
+
+  test("budget gate: the fills LSM folds past the segment budget with " +
+      "decisions unchanged; the fold is idempotent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-budget-fold").toString
+    Curation.writeBudgetGate(spark, dir, Map("a" -> 100L))
+    for (i <- 1 to 10) {
+      val b = Seq((i.toLong, "a", "tok tok")).toDF("doc_id", "source", "text")
+      Curation.recordBudgetFills(Curation.budgetRoute(b, dir), dir)
+    }
+    val probe = Seq((99L, "a", "tok tok tok"), (100L, "b", "tok"))
+      .toDF("doc_id", "source", "text")
+    val before = Curation.budgetRoute(probe, dir).orderBy("doc_id")
+      .collect().toSeq
+    val folded = Curation.compactBudgetFills(spark, dir)
+    assert(folded == 10, s"all ten learn segments must fold (got $folded)")
+    val t = new graft.sources.IndexTxn(dir)
+    assert(graft.sources.StoredIndex.segCount(t, "fills", "gen-") == 1,
+      "the fold must leave exactly one fills segment")
+    val after = Curation.budgetRoute(probe, dir).orderBy("doc_id")
+      .collect().toSeq
+    assert(after == before,
+      "the fold must not change any admission decision")
+    assert(Curation.compactBudgetFills(spark, dir) == 0,
+      "a second fold must be a no-op")
   }
 
   test("normalizeDocs: NFC composes, control strips, Unicode whitespace collapses") {

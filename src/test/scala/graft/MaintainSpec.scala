@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.sources.StoredIndex
 
 /** The ONE-CALL nightly-ops umbrella ([[graft.sources.StoredIndex
-  * .maintain]], VERDICT r14 #5): plant one stored index per family under
-  * a root, one call detects each family from its table layout and runs
-  * its policy driver; a second run converges to `noop` everywhere. The
-  * per-family policy semantics themselves are proven in
-  * IndexMaintenanceSpec / IvfPqSpec — this spec owns only the dispatch.
+  * .maintain]], VERDICT r14 #5): plant one stored index per family
+  * (five since the r15 budget gate) under a root, one call detects each
+  * family from its table layout and runs its policy driver; a second
+  * run converges to `noop` everywhere. The per-family policy semantics
+  * themselves are proven in IndexMaintenanceSpec / IvfPqSpec /
+  * CurationSpec — this spec owns only the dispatch.
   */
 class MaintainSpec extends SparkSpec {
 
@@ -21,14 +22,27 @@ class MaintainSpec extends SparkSpec {
     spark.read.parquet(s"$sf001/embeddings.parquet")
       .select("vec_id", "embedding")
 
-  test("maintain(root) detects all four families, runs each family's " +
+  test("maintain(root) detects all five families, runs each family's " +
       "indicated action once, and a re-run is a no-op") {
+    val spark2 = spark
+    import spark2.implicits._
     val root = java.nio.file.Files
       .createTempDirectory("graft-maintain").toString
     graft.operators.Dedup.writeLshIndex(docs, s"$root/d-lsh")
     graft.operators.Similarity.ivfWriteIndex(emb, s"$root/d-ivf")
     graft.operators.TextIndex.writeBm25Index(docs, s"$root/d-bm25")
     graft.operators.Curation.writeCurateIndex(docs, s"$root/d-curate")
+    // a budget gate with MORE fills segments than the fold budget, so
+    // its indicated action is a real compact
+    graft.operators.Curation.writeBudgetGate(spark, s"$root/d-budget",
+      Map("s" -> 100000L))
+    for (i <- 1 to 10) {
+      val b = Seq((i.toLong, "s", "tok tok tok"))
+        .toDF("doc_id", "source", "text")
+      graft.operators.Curation.recordBudgetFills(
+        graft.operators.Curation.budgetRoute(b, s"$root/d-budget"),
+        s"$root/d-budget")
+    }
     // a non-index child must be skipped, not crash the sweep
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(root, "not-an-index"))
@@ -40,12 +54,13 @@ class MaintainSpec extends SparkSpec {
 
     val first = StoredIndex.maintain(spark, root)
     val byFam = first.map { case (dir, m) => m.family -> dir }.toMap
-    assert(first.size == 4,
-      s"exactly the four planted indexes dispatch (got $first) — the " +
+    assert(first.size == 5,
+      s"exactly the five planted indexes dispatch (got $first) — the " +
         "curation state's NESTED lsh subtree must never double-dispatch")
     assert(byFam == Map(
       "lsh" -> s"$root/d-lsh", "ivf" -> s"$root/d-ivf",
-      "bm25" -> s"$root/d-bm25", "curate" -> s"$root/d-curate"),
+      "bm25" -> s"$root/d-bm25", "curate" -> s"$root/d-curate",
+      "budget" -> s"$root/d-budget"),
       "layout-signature detection must map every family to its dir")
     val bm25Action = first.collectFirst {
       case (_, m) if m.family == "bm25" => m.action }.get
@@ -53,9 +68,13 @@ class MaintainSpec extends SparkSpec {
       "the tombstoned bm25 index's indicated action is the compact sweep")
     assert(!graft.operators.TextIndex.hasTombstones(s"$root/d-bm25"),
       "the dispatched compact must have retired the tombstones")
+    val budgetAction = first.collectFirst {
+      case (_, m) if m.family == "budget" => m.action }.get
+    assert(budgetAction == "compact",
+      "the over-segmented fills LSM's indicated action is the fold")
 
     val second = StoredIndex.maintain(spark, root)
-    assert(second.size == 4 && second.forall(_._2.action == "noop"),
+    assert(second.size == 5 && second.forall(_._2.action == "noop"),
       s"the re-run must report noop for every family (got $second)")
   }
 
