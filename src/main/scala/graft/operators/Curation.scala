@@ -575,6 +575,45 @@ object Curation {
     }
   }
 
+  /** REFUND admitted tokens — the FORGET half of the budget gate (the
+    * fifth family joins the engine's decide/admit/learn/forget loop):
+    * when admitted documents are later deleted (takedowns, the GDPR
+    * erasure path every other index family serves), their quota returns
+    * to the source by ONE NEGATIVE fills delta segment — the ledger
+    * stays append-only and crash-atomic, symmetric with
+    * [[recordBudgetFills]], and [[compactBudgetFills]] folds positive
+    * and negative deltas alike. The caller asserts the refunded rows
+    * were admitted (the gate keeps sums, not per-doc rows — per-doc
+    * membership is the curation index's job); no clamping is applied,
+    * so over-refunding simply grants headroom, visibly auditable in the
+    * fills history. An empty refund is a no-op (no segment, no
+    * version). Returns the refunded token count.
+    */
+  def refundBudgetFills(docs: DataFrame, dir: String,
+                        textCol: String = "text"): Long = {
+    val spark = docs.sparkSession
+    graft.sources.IndexCommit.vacuum(dir)
+    // bounded collect: one row per refunded source
+    val delta = docs
+      .groupBy(col("source"))
+      .agg((-sum(tokenCount(col(textCol)))).as("filled"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (delta.isEmpty) 0L
+    else {
+      import spark.implicits._
+      val t = new graft.sources.IndexTxn(dir)
+      val gen = graft.sources.StoredIndex.nextSeg(dir, "fills", "gen-")
+      delta.toDF("source", "filled")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/.fills-stage")
+      graft.sources.StoredIndex.moveTree(t,
+        java.nio.file.Paths.get(s"$dir/.fills-stage"),
+        java.nio.file.Paths.get(f"$dir/fills/gen-$gen%05d"))
+      t.commit()
+      t.cleanup()
+      -delta.map(_._2).sum
+    }
+  }
+
   /** Fold the budget gate's fills LSM back to ONE segment once the
     * per-learn delta segments exceed `maxSegments` — the
     * [[graft.sources.StoredIndex.mergedLsm]] read lists O(learned

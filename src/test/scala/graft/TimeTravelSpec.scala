@@ -20,7 +20,8 @@ import graft.sources.IndexCommit
   * restages a touched id range) rewrites pinned files and older versions
   * then fail FAST with a clear error instead of serving wrong data.
   * The BM25 family's as-of is covered by TextIndexSpec + the
-  * `text_bm25_asof` oracle; this suite covers the other three.
+  * `text_bm25_asof` oracle; this suite covers the other four
+  * (LSH, IVF, curate, and the r15 budget gate).
   */
 class TimeTravelSpec extends SparkSpec {
 
@@ -125,5 +126,35 @@ class TimeTravelSpec extends SparkSpec {
     assert(decisions(Some(0)) == v0)
     assert(decisions(Some(1)) == v1)
     assert(decisions() == v1)
+  }
+
+  test("budget: budgetRoute as-of replays init -> fill -> fill -> " +
+      "refund versions (the quota-audit question)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("budget-asof")
+    Curation.writeBudgetGate(spark, dir, Map("s" -> 10L)) // v0
+    def doc(id: Long) =
+      Seq((id, "s", "tok tok tok tok tok tok")).toDF("doc_id", "source",
+        "text") // 6 tokens
+    Curation.recordBudgetFills(
+      Curation.budgetRoute(doc(1L), dir), dir) // v1: filled 6
+    Curation.recordBudgetFills(
+      Curation.budgetRoute(doc(2L), dir), dir) // v2: filled 12 (crossing)
+    assert(Curation.refundBudgetFills(doc(1L), dir) == 6L) // v3: filled 6
+    val probe = Seq((9L, "s", "tok")).toDF("doc_id", "source", "text")
+    def admits(asOf: Option[Int]): Boolean =
+      Curation.budgetRoute(probe, dir, asOf = asOf)
+        .collect().head.getBoolean(3)
+    assert(IndexCommit.versionsOf(dir) == Seq(0, 1, 2, 3))
+    assert(admits(Some(0)), "v0: empty fills, the probe admits")
+    assert(admits(Some(1)), "v1: filled 6 of 10, still admits")
+    assert(!admits(Some(2)), "v2: filled past budget, rejects")
+    assert(admits(Some(3)) && admits(None),
+      "the refund must restore exactly the erased doc's headroom")
+    // an empty refund is a no-op: no segment, no version
+    assert(Curation.refundBudgetFills(
+      probe.filter(col("doc_id") < 0), dir) == 0L)
+    assert(IndexCommit.versionsOf(dir) == Seq(0, 1, 2, 3))
   }
 }
