@@ -561,18 +561,35 @@ object Curation {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     if (delta.isEmpty) 0L
     else {
-      import spark.implicits._
-      val t = new graft.sources.IndexTxn(dir)
-      val gen = graft.sources.StoredIndex.nextSeg(dir, "fills", "gen-")
-      delta.toDF("source", "filled")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/.fills-stage")
-      graft.sources.StoredIndex.moveTree(t,
-        java.nio.file.Paths.get(s"$dir/.fills-stage"),
-        java.nio.file.Paths.get(f"$dir/fills/gen-$gen%05d"))
-      t.commit()
-      t.cleanup()
+      appendFillsDelta(spark, dir, delta)
       delta.map(_._2).sum
     }
+  }
+
+  /** One staged fills delta segment, published by one manifest rename —
+    * the shared learn/refund commit path. Failpoints (`budget-staged`,
+    * `budget-before-commit`) let CurationSpec kill it at the windows
+    * where a non-atomic design would double-count or half-publish: a
+    * crash anywhere leaves the previous version serving (orphan staged
+    * files are invisible to the manifest-pinned read and reclaimed by
+    * the next call's vacuum; [[graft.sources.StoredIndex.nextSeg]] scans
+    * the physical dir so a surviving orphan can never be aliased).
+    */
+  private def appendFillsDelta(spark: org.apache.spark.sql.SparkSession,
+                               dir: String,
+                               delta: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    val t = new graft.sources.IndexTxn(dir)
+    val gen = graft.sources.StoredIndex.nextSeg(dir, "fills", "gen-")
+    delta.toDF("source", "filled")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/.fills-stage")
+    graft.sources.IndexCommit.hit("budget-staged")
+    graft.sources.StoredIndex.moveTree(t,
+      java.nio.file.Paths.get(s"$dir/.fills-stage"),
+      java.nio.file.Paths.get(f"$dir/fills/gen-$gen%05d"))
+    graft.sources.IndexCommit.hit("budget-before-commit")
+    t.commit()
+    t.cleanup()
   }
 
   /** REFUND admitted tokens — the FORGET half of the budget gate (the
@@ -600,16 +617,7 @@ object Curation {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     if (delta.isEmpty) 0L
     else {
-      import spark.implicits._
-      val t = new graft.sources.IndexTxn(dir)
-      val gen = graft.sources.StoredIndex.nextSeg(dir, "fills", "gen-")
-      delta.toDF("source", "filled")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/.fills-stage")
-      graft.sources.StoredIndex.moveTree(t,
-        java.nio.file.Paths.get(s"$dir/.fills-stage"),
-        java.nio.file.Paths.get(f"$dir/fills/gen-$gen%05d"))
-      t.commit()
-      t.cleanup()
+      appendFillsDelta(spark, dir, delta)
       -delta.map(_._2).sum
     }
   }

@@ -444,6 +444,45 @@ class CurationSpec extends SparkSpec {
       "an all-rejected learn must not write a fills segment")
   }
 
+  test("budget gate: a crashed learn rolls back atomically and the " +
+      "re-run records exactly once (no double count)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-budget-crash").toString
+    Curation.writeBudgetGate(spark, dir, Map("s" -> 10L))
+    def doc(id: Long) = Seq((id, "s", "tok tok tok tok tok tok"))
+      .toDF("doc_id", "source", "text") // 6 tokens
+    // kill the learn at both windows: after the stage write, and after
+    // the segment moved in but before the manifest commit (where a
+    // non-atomic design double-counts on re-run)
+    for (point <- Seq("budget-staged", "budget-before-commit")) {
+      graft.sources.IndexCommit.failpoint =
+        p => if (p == point) throw new RuntimeException(s"boom:$p")
+      val thrown = try {
+          Curation.recordBudgetFills(Curation.budgetRoute(doc(1L), dir), dir)
+          false
+        } catch { case e: RuntimeException
+          if e.getMessage == s"boom:$point" => true }
+        finally graft.sources.IndexCommit.failpoint = _ => ()
+      assert(thrown, s"failpoint $point must fire")
+      assert(graft.sources.IndexCommit.versionsOf(dir) == Seq(0),
+        s"a learn crashed at $point must publish nothing")
+    }
+    // the re-run lands ONCE: filled becomes exactly 6, so a second
+    // 6-token doc still admits (6 + 0 < 10) — a double-counted crash
+    // leftover would have filled 12 and rejected it
+    Curation.recordBudgetFills(Curation.budgetRoute(doc(1L), dir), dir)
+    assert(graft.sources.IndexCommit.versionsOf(dir) == Seq(0, 1))
+    val d2 = Curation.budgetRoute(doc(2L), dir).collect().head
+    assert(d2.getBoolean(3),
+      "after one committed 6-token learn of a 10-token budget the next " +
+        "6-token doc must still admit — filled must be exactly 6")
+    Curation.recordBudgetFills(Curation.budgetRoute(doc(2L), dir), dir)
+    assert(!Curation.budgetRoute(doc(3L), dir).collect().head.getBoolean(3),
+      "past the budget the gate must reject")
+  }
+
   test("budget gate: the fills LSM folds past the segment budget with " +
       "decisions unchanged; the fold is idempotent") {
     val spark2 = spark
