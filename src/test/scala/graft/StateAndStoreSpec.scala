@@ -511,4 +511,56 @@ class StateAndStoreSpec extends SparkSpec {
     val g = spark.read.parquet(guardDir).select("id", "b")
     assert(a.exceptAll(g).count() == 0 && g.exceptAll(a).count() == 0)
   }
+
+  test("budgetRoute under a real stream: micro-batched decide+learn " +
+      "equals the sequential batch calls; the quota crosses mid-stream") {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.Curation
+    implicit val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    val budgets = Map("s0" -> 30L, "s1" -> 100000L)
+    val rows = (1 to 40).map(i =>
+      (i.toLong, s"s${i % 3}", ("tok " * (i % 5 + 1)).trim))
+    val (h1, h2) = rows.splitAt(20)
+    // sequential ground truth: the same two batches through a fresh gate
+    val seqDir = java.nio.file.Files
+      .createTempDirectory("graft-budget-seq").toString
+    Curation.writeBudgetGate(spark, seqDir, budgets)
+    val expect = scala.collection.mutable.Map[Long, Boolean]()
+    for (half <- Seq(h1, h2)) {
+      val d = Curation.budgetRoute(
+        half.toDF("doc_id", "source", "text"), seqDir)
+      expect ++= d.collect().map(r => r.getLong(0) -> r.getBoolean(3))
+      Curation.recordBudgetFills(d, seqDir)
+    }
+    // streamed: same halves as micro-batches, decide+learn under
+    // foreachBatch — the operator's documented deployment shape
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-budget-stream").toString
+    Curation.writeBudgetGate(spark, dir, budgets)
+    val input = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Map[Long, Boolean]()
+    val q = input.toDF().toDF("doc_id", "source", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        got.synchronized {
+          val d = Curation.budgetRoute(batch, dir)
+          got ++= d.collect().map(r => r.getLong(0) -> r.getBoolean(3))
+          Curation.recordBudgetFills(d, dir)
+        }
+        ()
+      }.start()
+    try {
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toMap == expect.toMap,
+      s"stream decisions must equal the sequential gate (stream ${got.toMap}" +
+        s" vs batch ${expect.toMap})")
+    // the replay is only meaningful if batch 2 depended on batch 1's
+    // committed fills: s0's 30-token budget (41 tokens arriving, 19 in
+    // the first half) must cross somewhere in the SECOND micro-batch
+    val s0 = rows.filter(_._2 == "s0").map(_._1).toSet
+    assert(s0.exists(got(_)) && s0.exists(id => !got(id)),
+      "the budget must cross mid-stream for the state dependence to be real")
+  }
 }
