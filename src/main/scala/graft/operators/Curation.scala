@@ -477,6 +477,68 @@ object Curation {
         max(col("h")).as("max_h"))
   }
 
+  /** Token-budgeted mixture WITH UPSAMPLING — the epochs form real mix
+    * recipes state ("books x2.5"): when a source's budget EXCEEDS its
+    * corpus, the fill cycles its documents in the same content-hash
+    * order until the budget crosses, so a high-quality source repeats
+    * (epochs) instead of capping at one pass. Semantics are the
+    * [[tokenBudgetMix]] rule applied to the infinite cyclic stream —
+    * select while the running total BEFORE the doc is strictly under
+    * budget — which has a CLOSED FORM: `full_epochs = budget div total`
+    * complete passes plus one partial pass that IS `tokenBudgetMix`
+    * under the remainder (`budget - full_epochs * total`; a remainder
+    * of 0 means the budget lands exactly on an epoch boundary and no
+    * partial runs — the spec replays the cyclic stream to pin the
+    * equivalence). Sub-epoch budgets reduce exactly to the plain mix
+    * (full_epochs = 0).
+    *
+    * Scale: ONE narrow per-source totals aggregate (bounded collect,
+    * source cardinality) + the partial pass's bucket-cutoff machinery —
+    * the epochs themselves cost arithmetic, not IO (a manifest of
+    * "repeat this selection f times" is what a downstream
+    * tokenizer-writer consumes; materializing f copies is its choice,
+    * not this operator's). Returns per-source accounting: (source,
+    * budget_tokens, full_epochs, n_rows, sum_tokens) where n_rows /
+    * sum_tokens count REPEATS.
+    */
+  def tokenBudgetMixEpochs(docs: DataFrame, budgets: Map[String, Long],
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetMixEpochs needs budgets")
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // bounded collect: one totals row per budgeted source
+    val totals = docs
+      .filter(col("source").isin(budgets.keys.toSeq: _*))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(tokenCount(col(textCol))).as("tt"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val plans = budgets.toSeq.sorted.flatMap { case (s, b) =>
+      totals.get(s).map { case (n, tt) =>
+        val fe = b / tt
+        (s, b, fe, n, tt, b - fe * tt)
+      }
+    }
+    val remBudgets = plans.collect { case (s, _, _, _, _, rem) if rem > 0 =>
+      s -> rem }.toMap
+    val partial =
+      if (remBudgets.isEmpty)
+        graft.sources.StoredIndex.emptyFrame(spark,
+          "source STRING, pn BIGINT, pt BIGINT")
+      else tokenBudgetMix(docs, remBudgets, textCol, idCol)
+        .select(col("source"), col("n_docs").as("pn"),
+          col("sum_tokens").as("pt"))
+    plans.toDF("source", "budget_tokens", "full_epochs", "n", "tt", "rem")
+      .join(partial, Seq("source"), "left")
+      .select(col("source"), col("budget_tokens"), col("full_epochs"),
+        (col("full_epochs") * col("n") + coalesce(col("pn"), lit(0L)))
+          .as("n_rows"),
+        (col("full_epochs") * col("tt") + coalesce(col("pt"), lit(0L)))
+          .as("sum_tokens"))
+  }
+
   /** Initialize a stateful BUDGET GATE — the streaming quota form of
     * [[tokenBudgetMix]], and the CAPACITY half of the admission story
     * ([[curateRoute]] decides content: dedup / quality / contamination;

@@ -98,6 +98,21 @@ object CurationQueries {
           "src3" -> 50000L))
       .orderBy("source")
 
+  /** Token-budgeted mixture WITH UPSAMPLING ([[Curation
+    * .tokenBudgetMixEpochs]] — the epochs form of the mix recipe:
+    * budgets above a source's corpus repeat it in content-hash order,
+    * the "books x2.5" knob). Budgets span the regimes at sf0.01:
+    * src0 fills ~2.1 epochs (full passes + a partial), src1's budget
+    * lands EXACTLY on its 3-epoch boundary (remainder 0, no partial
+    * runs), src2 stays sub-epoch (reduces to the plain mix). The
+    * oracle replays the closed form in DuckDB — integer epoch division
+    * plus the same windowed prefix sum for the partial pass.
+    */
+  def sampTokenMixEpochs(spark: SparkSession, dir: String): DataFrame =
+    Curation.tokenBudgetMixEpochs(t(spark, dir, "documents"),
+        budgets = Map("src0" -> 3000L, "src1" -> 4620L, "src2" -> 700L))
+      .orderBy("source")
+
   /** The stateful BUDGET GATE ([[Curation.budgetRoute]] — per-source
     * token quotas as an admission decision, the capacity half of the
     * `curate_route` story) driven through TWO sequential batches: the
@@ -360,6 +375,7 @@ object CurationQueries {
     "text_chunk" -> textChunk,
     "samp_domain_mix" -> sampDomainMix,
     "samp_token_mix" -> sampTokenMix,
+    "samp_token_mix_epochs" -> sampTokenMixEpochs,
     "curate_budget_route" -> curateBudgetRoute,
     "curate_quality_cut" -> curateQualityCut,
     "curate_stats" -> curateStats)
@@ -748,6 +764,34 @@ object CurationQueries {
         |    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
         |    AS kept_tokens
         |FROM th GROUP BY source ORDER BY source""".stripMargin,
+    // the closed form of the cyclic fill: full_epochs = budget // total,
+    // the partial pass is the same windowed prefix rule under the
+    // remainder (rem = 0 -> no partial, the exact-boundary case)
+    "samp_token_mix_epochs" ->
+      """WITH b(source, budget) AS (VALUES
+        |    ('src0', 3000), ('src1', 4620), ('src2', 700)),
+        |tok AS (
+        |  SELECT d.source, d.doc_id, md5(d.text) AS h,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS t
+        |  FROM documents d JOIN b ON d.source = b.source),
+        |tot AS (SELECT source, COUNT(*) AS n, CAST(SUM(t) AS BIGINT) AS tt
+        |        FROM tok GROUP BY source),
+        |f AS (SELECT tot.source, b.budget, tot.n, tot.tt,
+        |        b.budget // tot.tt AS fe,
+        |        b.budget - (b.budget // tot.tt) * tot.tt AS rem
+        |      FROM tot JOIN b ON tot.source = b.source),
+        |c AS (SELECT tok.*, f.rem, COALESCE(SUM(t) OVER (
+        |        PARTITION BY tok.source ORDER BY h, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |      FROM tok JOIN f ON tok.source = f.source),
+        |p AS (SELECT source, COUNT(*) AS pn, CAST(SUM(t) AS BIGINT) AS pt
+        |      FROM c WHERE bef < rem GROUP BY source)
+        |SELECT f.source, CAST(f.budget AS BIGINT) AS budget_tokens,
+        |  CAST(f.fe AS BIGINT) AS full_epochs,
+        |  CAST(f.fe * f.n + COALESCE(p.pn, 0) AS BIGINT) AS n_rows,
+        |  CAST(f.fe * f.tt + COALESCE(p.pt, 0) AS BIGINT) AS sum_tokens
+        |FROM f LEFT JOIN p ON f.source = p.source
+        |ORDER BY f.source""".stripMargin,
     // the gate's two-batch replay: batch 1 (even ids) fills through the
     // same ordered prefix rule, batch 2 (odd ids) decides against the
     // recorded fills — admitted iff budget exists and filled + bef < it

@@ -391,6 +391,41 @@ class CurationSpec extends SparkSpec {
     assert(a1 == a2, "selection must not depend on physical partitioning")
   }
 
+  test("tokenBudgetMixEpochs: the closed form equals an explicit " +
+      "cyclic-stream replay across first-doc, sub-epoch, exact-boundary " +
+      "and multi-epoch budgets") {
+    val spark2 = spark
+    import spark2.implicits._
+    val syn = (1 to 12).map(i =>
+        (i.toLong, "s", ("tok " * (i % 4 + 1)).trim))
+      .toDF("doc_id", "source", "text")
+    // one period of the cyclic stream: token counts in (h, id) order
+    val period = syn
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        Curation.tokenCount(col("text")).as("t"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .sortBy(r => (r._1, r._2)).map(_._3)
+    val total = period.sum
+    // the DEFINITION: walk the infinite cyclic stream, select while the
+    // running total BEFORE the doc is strictly under budget
+    def cyclic(b: Long): (Long, Long) = {
+      var cum = 0L; var n = 0L; var s = 0L; var i = 0
+      while (cum < b) {
+        val t = period(i % period.length)
+        n += 1; s += t; cum += t; i += 1
+      }
+      (n, s)
+    }
+    for (b <- Seq(1L, total / 2, 3 * total, 2 * total + total / 3)) {
+      val row = Curation.tokenBudgetMixEpochs(syn, Map("s" -> b)).head()
+      val (en, es) = cyclic(b)
+      assert(row.getLong(2) == b / total && row.getLong(3) == en &&
+        row.getLong(4) == es,
+        s"budget $b: closed form gave $row, cyclic replay gives " +
+          s"(${b / total} epochs, $en rows, $es tokens)")
+    }
+  }
+
   test("budget gate: one batch from an empty gate admits exactly the " +
       "batch mix; the second batch decides against committed fills; " +
       "all-rejected learns are no-ops") {
