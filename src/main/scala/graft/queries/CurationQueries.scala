@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
-import graft.operators.Curation
+import graft.operators.{Curation, LangModel}
 
 /** Training-data curation coverage: sequence packing, deterministic
   * sampling, contamination screening, end-to-end curation — each an
@@ -144,6 +144,29 @@ object CurationQueries {
   def curateQualityCut(spark: SparkSession, dir: String): DataFrame =
     Curation.qualityQuantileCut(t(spark, dir, "documents"), p = 0.25)
       .orderBy("lang")
+
+  /** The stored-LM perplexity gate ([[LangModel]]) in its batch harness:
+    * train the reference model on the `doc_id % 4 = 0` corpus slice
+    * (vocabTop 200 — small enough that the `<unk>` path carries real
+    * mass), then decide EVERY other document against the committed
+    * counts. thrMean 35e6 sits at the eval-slice median of the scaled
+    * mean-surprise distribution (measured at sf0.01), so the gate
+    * genuinely splits the corpus. The DuckDB oracle RETRAINS the model
+    * (vocab top-k, mapped bigram counts) and replays the integer-exact
+    * surprise arithmetic — train and serve proven consistent
+    * cross-engine, the `text_bm25_bpe` discipline.
+    */
+  def curateLmRoute(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val base = graft.Caches.stagedPath("lm-index", dir) { b =>
+      LangModel.writeLmIndex(docs.filter(col("doc_id") % 4 === 0), b,
+        vocabTop = 200)
+    }
+    LangModel.lmRoute(docs.filter(col("doc_id") % 4 =!= 0), base,
+        thrMean = 35000000L)
+      .withColumn("surprise_sum", col("surprise_sum").cast("long"))
+      .orderBy("doc_id")
+  }
 
   def sampSplit(spark: SparkSession, dir: String): DataFrame =
     Curation.splitStats(t(spark, dir, "documents"))
@@ -377,6 +400,7 @@ object CurationQueries {
     "samp_token_mix" -> sampTokenMix,
     "samp_token_mix_epochs" -> sampTokenMixEpochs,
     "curate_budget_route" -> curateBudgetRoute,
+    "curate_lm_route" -> curateLmRoute,
     "curate_quality_cut" -> curateQualityCut,
     "curate_stats" -> curateStats)
 
@@ -824,6 +848,60 @@ object CurationQueries {
         |SELECT doc_id, source, t AS tokens,
         |  (budget IS NOT NULL AND filled + bef < budget) AS admitted
         |FROM oc ORDER BY source, doc_id""".stripMargin,
+    // the full stored-LM replay: retrain the vocab + bigram counts on the
+    // reference slice, then score every eval doc with the same
+    // integer-exact Laplace inverse-probability surprise
+    "curate_lm_route" ->
+      """WITH ref AS (SELECT string_split(text, ' ') AS toks
+        |            FROM documents WHERE doc_id % 4 = 0),
+        |uni AS (SELECT unnest(toks) AS tok FROM ref),
+        |voc AS (SELECT tok FROM (
+        |          SELECT tok, COUNT(*) AS cnt FROM uni GROUP BY tok
+        |          ORDER BY cnt DESC, tok LIMIT 200)),
+        |vv AS (SELECT COUNT(*) + 1 AS v FROM voc),
+        |rbg0 AS (SELECT toks[i] AS r1, toks[i+1] AS r2
+        |         FROM (SELECT toks,
+        |                 unnest(generate_series(1, len(toks)-1)) AS i
+        |               FROM ref WHERE len(toks) >= 2)),
+        |rbg AS (SELECT
+        |          CASE WHEN v1.tok IS NOT NULL THEN r1
+        |               ELSE '<unk>' END AS w1,
+        |          CASE WHEN v2.tok IS NOT NULL THEN r2
+        |               ELSE '<unk>' END AS w2
+        |        FROM rbg0 LEFT JOIN voc v1 ON r1 = v1.tok
+        |                  LEFT JOIN voc v2 ON r2 = v2.tok),
+        |bi AS (SELECT w1, w2, COUNT(*) AS cnt FROM rbg GROUP BY w1, w2),
+        |ctx AS (SELECT w1, SUM(cnt) AS ctx FROM bi GROUP BY w1),
+        |ev AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |       FROM documents WHERE doc_id % 4 <> 0),
+        |ebg0 AS (SELECT doc_id, toks[i] AS r1, toks[i+1] AS r2
+        |         FROM (SELECT doc_id, toks,
+        |                 unnest(generate_series(1, len(toks)-1)) AS i
+        |               FROM ev WHERE len(toks) >= 2)),
+        |ebg AS (SELECT doc_id,
+        |          CASE WHEN v1.tok IS NOT NULL THEN r1
+        |               ELSE '<unk>' END AS w1,
+        |          CASE WHEN v2.tok IS NOT NULL THEN r2
+        |               ELSE '<unk>' END AS w2
+        |        FROM ebg0 LEFT JOIN voc v1 ON r1 = v1.tok
+        |                  LEFT JOIN voc v2 ON r2 = v2.tok),
+        |sc AS (SELECT doc_id,
+        |         (CAST(1000000 AS HUGEINT) * (COALESCE(ctx.ctx, 0) + vv.v))
+        |           // (COALESCE(bi.cnt, 0) + 1) AS surprise
+        |       FROM ebg LEFT JOIN bi USING (w1, w2)
+        |                LEFT JOIN ctx ON ebg.w1 = ctx.w1
+        |                CROSS JOIN vv),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |          CAST(SUM(surprise) AS BIGINT) AS surprise_sum
+        |        FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(a.surprise_sum, 0) AS surprise_sum,
+        |  (a.n_bigrams IS NULL
+        |    OR a.surprise_sum <= 35000000 * a.n_bigrams) AS admitted
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0) d
+        |LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // the sequential definition of the token-budget fill: one ordered
     // prefix sum per source, keep while the running total BEFORE the doc
     // is under budget — the engine's two-pass bucket-cutoff plan must

@@ -307,8 +307,9 @@ object StoredIndex {
     * from its TABLE LAYOUT — the layout names are the family signature,
     * so there is no extra metadata to keep consistent: `hashes` =
     * curation state, `centroids` = IVF, `termdf` = BM25, `bcounts` =
-    * LSH (checked in that order — the curation state NESTS an `lsh/`
-    * subtree, which its own driver maintains; a curate root must never
+    * LSH, `budgets` = budget gate, `bi` = stored n-gram LM (checked in
+    * that order — the curation state NESTS an `lsh/` subtree, which its
+    * own driver maintains; a curate root must never
     * double-dispatch) — and run that family's `maintain*` driver
     * ([[graft.operators.Curation.maintainCurateIndex]],
     * [[graft.operators.Similarity.maintainIvfIndex]],
@@ -327,6 +328,7 @@ object StoredIndex {
       else if (has("termdf")) Some("bm25")
       else if (has("bcounts")) Some("lsh")
       else if (has("budgets")) Some("budget")
+      else if (has("bi")) Some("lm")
       else None
     }
     val rootP = java.nio.file.Paths.get(root)
@@ -352,6 +354,7 @@ object StoredIndex {
         case "lsh" => graft.operators.Dedup.maintainLshIndex(spark, dir)
         case "budget" =>
           graft.operators.Curation.maintainBudgetGate(spark, dir)
+        case "lm" => graft.operators.LangModel.maintainLmIndex(spark, dir)
       }
       (dir, m)
     }

@@ -7,7 +7,8 @@ import graft.sources.StoredIndex
 
 /** The ONE-CALL nightly-ops umbrella ([[graft.sources.StoredIndex
   * .maintain]], VERDICT r14 #5): plant one stored index per family
-  * (five since the r15 budget gate) under a root, one call detects each
+  * (six since the r15 budget gate and stored LM) under a root, one call
+  * detects each
   * family from its table layout and runs its policy driver; a second
   * run converges to `noop` everywhere. The per-family policy semantics
   * themselves are proven in IndexMaintenanceSpec / IvfPqSpec /
@@ -43,6 +44,13 @@ class MaintainSpec extends SparkSpec {
         graft.operators.Curation.budgetRoute(b, s"$root/d-budget"),
         s"$root/d-budget")
     }
+    // an lm index with MORE bi segments than the fold budget, so its
+    // indicated action is a real compact
+    graft.operators.LangModel.writeLmIndex(docs.limit(50), s"$root/d-lm",
+      vocabTop = 50)
+    for (_ <- 1 to 9)
+      graft.operators.LangModel.appendLmCounts(
+        docs.filter(col("doc_id") === 1L), s"$root/d-lm")
     // a non-index child must be skipped, not crash the sweep
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(root, "not-an-index"))
@@ -54,13 +62,13 @@ class MaintainSpec extends SparkSpec {
 
     val first = StoredIndex.maintain(spark, root)
     val byFam = first.map { case (dir, m) => m.family -> dir }.toMap
-    assert(first.size == 5,
-      s"exactly the five planted indexes dispatch (got $first) — the " +
+    assert(first.size == 6,
+      s"exactly the six planted indexes dispatch (got $first) — the " +
         "curation state's NESTED lsh subtree must never double-dispatch")
     assert(byFam == Map(
       "lsh" -> s"$root/d-lsh", "ivf" -> s"$root/d-ivf",
       "bm25" -> s"$root/d-bm25", "curate" -> s"$root/d-curate",
-      "budget" -> s"$root/d-budget"),
+      "budget" -> s"$root/d-budget", "lm" -> s"$root/d-lm"),
       "layout-signature detection must map every family to its dir")
     val bm25Action = first.collectFirst {
       case (_, m) if m.family == "bm25" => m.action }.get
@@ -72,9 +80,13 @@ class MaintainSpec extends SparkSpec {
       case (_, m) if m.family == "budget" => m.action }.get
     assert(budgetAction == "compact",
       "the over-segmented fills LSM's indicated action is the fold")
+    val lmAction = first.collectFirst {
+      case (_, m) if m.family == "lm" => m.action }.get
+    assert(lmAction == "compact",
+      "the over-segmented bi LSM's indicated action is the fold")
 
     val second = StoredIndex.maintain(spark, root)
-    assert(second.size == 5 && second.forall(_._2.action == "noop"),
+    assert(second.size == 6 && second.forall(_._2.action == "noop"),
       s"the re-run must report noop for every family (got $second)")
   }
 
