@@ -962,14 +962,33 @@ object Similarity {
     * store, no stream-stream join, no corpus scan per batch; run under
     * `foreachBatch` like the other route operators. SimilaritySpec
     * replays corpus probes and proves route == batch [[ivfTopK]] exactly.
+    *
+    * FILTERED search (`allowed`): the metadata-constrained ANN every
+    * production vector store serves ("top-k neighbors WHERE lang='en'").
+    * This is the PRE-FILTER shape — the allowed-id frame (the caller's
+    * predicate evaluated on its own metadata table, with that table's
+    * pushdown) semi-joins the cell-pruned postings BEFORE scoring, so
+    * the result is exactly top-k OF THE ALLOWED SET: post-filtering an
+    * unfiltered top-k instead can silently return fewer than k survivors
+    * at selective predicates (the classic filtered-ANN failure). The
+    * semi-join is on the already-pruned probed-cell slice and broadcasts
+    * when the allowed set is small (AQE decides); at exhaustive nprobe
+    * the route provably equals brute-force-with-filter — q:`sim_filtered`
+    * hash-checks that bridge, production nprobe trades recall only
+    * (exactly the [[pqRoute]] adjudication pattern).
     */
   def annRoute(arrivals: DataFrame, indexDir: String, k: Int,
                nprobe: Int = 5, idCol: String = "vec_id",
                embCol: String = "embedding",
-               asOf: Option[Int] = None): DataFrame = {
+               asOf: Option[Int] = None,
+               allowed: Option[DataFrame] = None,
+               allowedIdCol: String = "vec_id"): DataFrame = {
     val spark = arrivals.sparkSession
     val cents = readCentroids(spark, indexDir, asOf)
-    val corpus = servedPostings(spark, indexDir, asOf)
+    val corpus0 = servedPostings(spark, indexDir, asOf)
+    val corpus = allowed.fold(corpus0)(a => corpus0.join(
+      a.select(col(allowedIdCol).cast("long").as("nid")), Seq("nid"),
+      "semi"))
     val probes = arrivals
       .select(col(idCol).cast("long").as("qid"),
         transform(col(embCol), _.cast("double")).as("qv"))

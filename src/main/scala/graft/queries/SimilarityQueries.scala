@@ -59,7 +59,30 @@ object SimilarityQueries {
       .orderBy("qid", "rank")
   }
 
+  /** METADATA-FILTERED ANN against the stored IVF index — "top-k
+    * neighbors among vectors whose label % 3 = 0", the predicate
+    * evaluated on the embeddings table and pre-filter semi-joined into
+    * the postings scan ([[Similarity.annRoute]]'s `allowed`). Run in the
+    * oracle-adjudication mode (exhaustive nprobe == brute-force over the
+    * allowed set, the `sim_ivfpq` pattern) so the filtered pipeline
+    * hash-checks against a DuckDB brute-force-with-WHERE; production
+    * nprobe trades recall only (SimilaritySpec).
+    */
+  def simFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val nCells = 8
+    val base = graft.Caches.stagedPath("ivf-filtered", dir) { p =>
+      Similarity.ivfWriteIndex(emb.select("vec_id", "embedding"), p,
+        nCells = nCells)
+    }
+    Similarity.annRoute(emb.filter(col("vec_id") % 100 === 0), base,
+        k = 5, nprobe = nCells,
+        allowed = Some(emb.filter(col("label") % 3 === 0)))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_filtered" -> simFiltered,
     "sim_topk" -> simTopk,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ivf" -> simIvf,
@@ -104,6 +127,21 @@ object SimilarityQueries {
         |        list_inner_product(q.v, c.v) /
         |          (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cos
         |      FROM e q JOIN e c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT qid, nid, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        |      FROM p)
+        |SELECT qid, rn AS rank, nid, cos FROM r WHERE rn <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // brute force restricted to the allowed set: the filtered route at
+    // exhaustive nprobe must reproduce this ranking bit-exactly
+    "sim_filtered" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE label % 3 = 0),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |        list_inner_product(q.v, c.v) /
+        |          (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cos
+        |      FROM e q JOIN a c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
         |r AS (SELECT qid, nid, cos,
         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
         |      FROM p)

@@ -311,6 +311,51 @@ class SimilaritySpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("filtered annRoute: results come only from the allowed set, " +
+      "exhaustive probe equals brute-force-with-filter, pruning kept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-f").toString
+    Similarity.ivfWriteIndex(emb.select("vec_id", "embedding"), dir)
+    val allowed = emb.filter(col("label") % 3 === 0)
+    val allowedIds = allowed.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val probes = emb.filter(probe).select("vec_id", "embedding")
+    val routed = Similarity.annRoute(probes, dir, k = 5, nprobe = 8,
+      allowed = Some(allowed))
+    val got = routed.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got.forall { case (_, _, nid) =>
+      allowedIds(nid) }, "every neighbor must satisfy the predicate")
+    // ground truth: every probe scored against the whole allowed set
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val q = e.filter(probe).select(col("vec_id").as("qid"),
+      col("v").as("qv"))
+    val c = e.join(allowed.select("vec_id"), Seq("vec_id"), "semi")
+      .select(col("vec_id").as("nid"), col("v").as("nv"))
+    val scored = q.crossJoin(c).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (Similarity.dot(col("qv"), col("nv")) /
+          (sqrt(Similarity.dot(col("qv"), col("qv"))) *
+            sqrt(Similarity.dot(col("nv"), col("nv"))))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("nid"))
+    val want = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(got == want,
+      "exhaustive filtered route must equal brute force over the allowed set")
+    // the allowed semi-join must not cost the cell partition pruning
+    val plan = Similarity.annRoute(probes.limit(1), dir, k = 5, nprobe = 2,
+      allowed = Some(allowed)).queryExecution.executedPlan.toString
+    val postingsScan = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("postings"))
+      .mkString("\n")
+    assert(postingsScan.contains("PartitionFilters: [") &&
+      ".*PartitionFilters: \\[[^\\]]*cell.*".r
+        .findFirstIn(postingsScan).isDefined,
+      s"filtered postings scan must keep cell partition filters:\n$postingsScan")
+  }
+
   test("ivfDriftStats flags a distribution-shifted append; recall holds for the base") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-drift").toString
     Similarity.ivfWriteIndex(emb, dir)
