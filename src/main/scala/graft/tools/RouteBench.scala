@@ -43,6 +43,12 @@ import org.apache.spark.sql.functions._
   *    (spec-proven equal to `bm25`), so the tier-vs-tier ratio is the
   *    measured value of MaxScore-style skipping on the Zipf df ladder.
   *
+  *  - `lm` — the stored-LM perplexity gate ([[graft.operators.LangModel
+  *    .lmRoute]], r15): per arrival, bigram explode through the frozen
+  *    vocab + one wb-bucket-pruned stream-static join against the
+  *    committed count LSM, integer surprise aggregate per doc;
+  *  - `budget` — the stateful quota gate, learn included.
+  *
   * Reports sustained decisions/s per (tier, input rate) with kept-up
   * flags.
   *
@@ -68,7 +74,7 @@ object RouteBench {
     val rates = sys.env.getOrElse("SPARK_GRAFT_ROUTE_RATES", "2000,5000,10000")
       .split(",").map(_.trim.toInt)
     val tiers = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TIERS",
-        "curate,minhash,ann,ivfpq,bm25,bm25p,bm25w,hybrid,hybridw,budget")
+        "curate,minhash,ann,ivfpq,bm25,bm25p,bm25w,hybrid,hybridw,budget,lm")
       .split(",").map(_.trim).toSeq
     val secs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_SECS", "40").toInt
     val triggerMs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TRIGGER_MS", "5000").toLong
@@ -122,6 +128,13 @@ object RouteBench {
       // not the cheap everything-rejected path
       graft.operators.Curation.writeBudgetGate(spark, budgetDir,
         (0 until 20).map(i => s"src$i" -> 1000000000000L).toMap)
+    val lmDir = s"$dir-lm"
+    if (tiers.contains("lm"))
+      // the stored-LM gate trains on the full sfDir documents as its
+      // reference corpus; arrivals score against the committed counts
+      graft.operators.LangModel.writeLmIndex(
+        graft.Tables.t(spark, sfDir, "documents").select("doc_id", "text"),
+        lmDir)
     val buildSec = (System.nanoTime() - t0) / 1e9
     System.err.println(s"[route-bench] index build ${r1(buildSec)}s from $sfDir")
 
@@ -235,6 +248,11 @@ object RouteBench {
             k = 10, wandBudget = 2).count()
           b.count()
         })),
+      "lm" -> ((docArrivals _,
+        // perplexity-gate decisions against the stored bigram counts:
+        // in-row bigram explode + the wb-pruned stream-static count join
+        (b: DataFrame) => graft.operators.LangModel.lmRoute(b, lmDir,
+          thrMean = 35000000L).count())),
       "budget" -> ((
         // quota admission with LEARN: every batch decides against the
         // committed fill state and commits one fills delta — the full

@@ -563,4 +563,65 @@ class StateAndStoreSpec extends SparkSpec {
     assert(s0.exists(got(_)) && s0.exists(id => !got(id)),
       "the budget must cross mid-stream for the state dependence to be real")
   }
+
+  test("lmRoute under a real stream: decisions equal the batch calls and " +
+      "track a mid-stream learn") {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.LangModel
+    implicit val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    val ref = Seq("the cat sat on the mat", "the dog ran to the log")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val arrivals = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "zzz qqq www eee rrr ttt"),
+      (3L, "the dog ran to the log"),
+      (4L, "zzz qqq www eee rrr ttt"))
+    val (h1, h2) = arrivals.splitAt(2)
+    val extra = Seq((100L, "zzz qqq www eee rrr ttt zzz qqq www eee"))
+    val thr = 10000000L
+    def routeMap(rows: Seq[(Long, String)], d: String) =
+      LangModel.lmRoute(rows.toDF("doc_id", "text"), d, thr).collect()
+        .map(r => r.getLong(0) -> ((BigInt(r.getDecimal(2).toBigInteger),
+          r.getBoolean(3)))).toMap
+    // sequential ground truth: decide h1, LEARN the extra reference
+    // slice, decide h2 against the grown counts
+    val seqDir = java.nio.file.Files
+      .createTempDirectory("graft-lm-seq").toString
+    LangModel.writeLmIndex(ref.toDF("doc_id", "text"), seqDir,
+      vocabTop = 50)
+    val expect = scala.collection.mutable.Map[Long, (BigInt, Boolean)]()
+    expect ++= routeMap(h1, seqDir)
+    LangModel.appendLmCounts(extra.toDF("doc_id", "text"), seqDir)
+    expect ++= routeMap(h2, seqDir)
+    // streamed: the same halves as micro-batches with the same learn
+    // landing between them — decisions must serve the committed state
+    // as of each batch
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-stream").toString
+    LangModel.writeLmIndex(ref.toDF("doc_id", "text"), dir, vocabTop = 50)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, (BigInt, Boolean)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= LangModel.lmRoute(batch, dir, thr).collect()
+            .map(r => r.getLong(0) ->
+              ((BigInt(r.getDecimal(2).toBigInteger), r.getBoolean(3))))
+        }
+        ()
+      }.start()
+    try {
+      input.addData(h1); q.processAllAvailable()
+      LangModel.appendLmCounts(extra.toDF("doc_id", "text"), dir)
+      input.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toMap == expect.toMap,
+      s"stream decisions must equal the sequential gate (stream ${got.toMap}" +
+        s" vs batch ${expect.toMap})")
+    // the learn must be VISIBLE: docs 2 and 4 carry identical text, so a
+    // surprise drop between them is exactly the mid-stream learn landing
+    assert(got(4L)._1 < got(2L)._1,
+      "the learned phrasing must lower the second half's surprise")
+  }
 }
