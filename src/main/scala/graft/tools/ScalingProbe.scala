@@ -262,7 +262,13 @@ object ScalingProbe {
         // unchanged by either extra table
         graft.operators.TextIndex.writeBm25Index(docs, s"$dir-bm25",
           nBuckets = 64, forward = true, impactBlocks = 4)
+        // the stored-LM gate (r15 continued): trained on the same corpus,
+        // decisions against the committed bigram-count LSM
+        graft.operators.LangModel.writeLmIndex(docs, s"$dir-lm")
         val runs: Seq[(String, () => Unit)] = Seq(
+          "lm_route" -> (() =>
+            { graft.operators.LangModel.lmRoute(docBatch, s"$dir-lm",
+              thrMean = 35000000L).count(); () }),
           "curate_route" -> (() =>
             { graft.operators.Curation.curateRoute(docBatch, dir).count(); () })) ++
           (if (withControl) Seq(
@@ -297,6 +303,7 @@ object ScalingProbe {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivf8"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivfpq"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-bm25"))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-lm"))
         (times, bytesRead)
       }
       val rs = axisSizes.map { case (nd, nv) =>
