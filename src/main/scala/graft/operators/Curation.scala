@@ -1294,7 +1294,9 @@ object Curation {
   def curateRoute(arrivals: DataFrame, dir: String, minTokens: Int = 20,
                   k: Int = 3, nearThreshold: Double = 0.6,
                   benchMod: Int = 97, minOverlap: Int = 3,
-                  asOf: Option[Int] = None): DataFrame = {
+                  asOf: Option[Int] = None,
+                  lmDir: Option[String] = None,
+                  lmThr: Long = 0L): DataFrame = {
     val spark = arrivals.sparkSession
     val normed = normalizeDocs(arrivals).select(col("doc_id"),
       col("norm").as("text"))
@@ -1367,17 +1369,34 @@ object Curation {
         size(array_intersect(col("ba"), col("kept"))) >= minOverlap)
       .select(col("sid").as("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
-    withExact
+    // optional PERPLEXITY verdict (the CCNet order: dedup first, then the
+    // LM cut) against a stored [[LangModel]] index — scored on the SAME
+    // normalized text the rest of the route decides on, so index builders
+    // should train on normalized reference text
+    val lmHit = lmDir.map { ld =>
+      LangModel.lmRoute(normed, ld, lmThr, asOf = asOf)
+        .filter(!col("admitted"))
+        .select(col("doc_id"), lit(true).as("lm_cut"))
+    }
+    val joined0 = withExact
       .join(nearHit, Seq("doc_id"), "left")
       .join(contHit, Seq("doc_id"), "left")
+    val joined = lmHit.fold(joined0)(h => joined0.join(h, Seq("doc_id"),
+      "left"))
+    // null-safe: a null-text arrival has null n_tokens, which every
+    // comparison below would skip — it must REJECT as quality, not
+    // fall through every when() to an accept
+    val preLm =
+      when(col("n_tokens").isNull || col("n_tokens") < minTokens, "quality")
+        .when(col("exact_dup"), "exact_dup")
+        .when(coalesce(col("near_dup"), lit(false)), "near_dup")
+    val withLm =
+      if (lmHit.isDefined)
+        preLm.when(coalesce(col("lm_cut"), lit(false)), "perplexity")
+      else preLm
+    joined
       .select(col("doc_id"),
-        // null-safe: a null-text arrival has null n_tokens, which every
-        // comparison below would skip — it must REJECT as quality, not
-        // fall through every when() to an accept
-        when(col("n_tokens").isNull || col("n_tokens") < minTokens,
-          "quality")
-          .when(col("exact_dup"), "exact_dup")
-          .when(coalesce(col("near_dup"), lit(false)), "near_dup")
+        withLm
           .when(coalesce(col("contaminated"), lit(false)), "contaminated")
           .when(col("doc_id") % benchMod === 0, "held_out")
           .as("reason"))

@@ -378,9 +378,36 @@ object CurationQueries {
     Curation.curateRoute(planted, base).orderBy("doc_id")
   }
 
+  /** The admission gate WITH the stored-LM perplexity verdict composed in
+    * (the CCNet stage order: dedup verdicts first, then the LM cut) — the
+    * reference model trained on the NORMALIZED `doc_id % 4 = 0` slice of
+    * the same planted corpus, thr at the ~p80 of the mean-surprise
+    * distribution so a realistic tail cuts. The whole decision table —
+    * curation reasons AND the new `perplexity` reason — hash-checks
+    * against one DuckDB replay of pipeline + LM train + scoring. The
+    * curate index is the same staged build `curate_route` uses (shared
+    * cache key), so the two queries differ only by the LM leg.
+    */
+  def curateRouteLm(spark: SparkSession, dir: String): DataFrame = {
+    val planted = plantedDocs(spark, dir)
+    val base = graft.Caches.stagedPath("curate-index", dir) { b =>
+      Curation.writeCurateIndex(planted, b)
+    }
+    val lmBase = graft.Caches.stagedPath("lm-index-norm", dir) { b =>
+      LangModel.writeLmIndex(
+        Curation.normalizeDocs(planted)
+          .select(col("doc_id"), col("norm").as("text"))
+          .filter(col("doc_id") % 4 === 0), b, vocabTop = 200)
+    }
+    Curation.curateRoute(planted, base, lmDir = Some(lmBase),
+        lmThr = 36000000L)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_pipeline" -> curatePipeline,
     "curate_route" -> curateRouteQ,
+    "curate_route_lm" -> curateRouteLm,
     "text_pack" -> textPack,
     "curate_normalize" -> curateNormalize,
     "curate_line_dedup" -> curateLineDedup,
@@ -450,6 +477,56 @@ object CurationQueries {
       |       GROUP BY 1, 2),
       |contdrop AS (SELECT DISTINCT corpus_doc AS doc_id FROM ov
       |             WHERE overlap >= 3)""".stripMargin
+
+  /** The stored-LM train + score replay as a CTE chain ending in
+    * `agg(doc_id, n_bigrams, surprise_sum)` — shared by the standalone
+    * gate oracle (`curate_lm_route`) and the pipeline composition
+    * (`curate_route_lm`). `refSel`/`evSel` are FROM-clause fragments
+    * (table-or-CTE plus WHERE); no trailing comma — callers append one
+    * when chaining further CTEs.
+    */
+  private def lmCtes(refSel: String, evSel: String): String =
+    s"""ref AS (SELECT string_split(text, ' ') AS toks FROM $refSel),
+      |uni AS (SELECT unnest(toks) AS tok FROM ref),
+      |voc AS (SELECT tok FROM (
+      |          SELECT tok, COUNT(*) AS cnt FROM uni GROUP BY tok
+      |          ORDER BY cnt DESC, tok LIMIT 200)),
+      |vv AS (SELECT COUNT(*) + 1 AS v FROM voc),
+      |rbg0 AS (SELECT toks[i] AS r1, toks[i+1] AS r2
+      |         FROM (SELECT toks,
+      |                 unnest(generate_series(1, len(toks)-1)) AS i
+      |               FROM ref WHERE len(toks) >= 2)),
+      |rbg AS (SELECT
+      |          CASE WHEN v1.tok IS NOT NULL THEN r1
+      |               ELSE '<unk>' END AS w1,
+      |          CASE WHEN v2.tok IS NOT NULL THEN r2
+      |               ELSE '<unk>' END AS w2
+      |        FROM rbg0 LEFT JOIN voc v1 ON r1 = v1.tok
+      |                  LEFT JOIN voc v2 ON r2 = v2.tok),
+      |bi AS (SELECT w1, w2, COUNT(*) AS cnt FROM rbg GROUP BY w1, w2),
+      |ctx AS (SELECT w1, SUM(cnt) AS ctx FROM bi GROUP BY w1),
+      |ev AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |       FROM $evSel),
+      |ebg0 AS (SELECT doc_id, toks[i] AS r1, toks[i+1] AS r2
+      |         FROM (SELECT doc_id, toks,
+      |                 unnest(generate_series(1, len(toks)-1)) AS i
+      |               FROM ev WHERE len(toks) >= 2)),
+      |ebg AS (SELECT doc_id,
+      |          CASE WHEN v1.tok IS NOT NULL THEN r1
+      |               ELSE '<unk>' END AS w1,
+      |          CASE WHEN v2.tok IS NOT NULL THEN r2
+      |               ELSE '<unk>' END AS w2
+      |        FROM ebg0 LEFT JOIN voc v1 ON r1 = v1.tok
+      |                  LEFT JOIN voc v2 ON r2 = v2.tok),
+      |sc AS (SELECT doc_id,
+      |         (CAST(1000000 AS HUGEINT) * (COALESCE(ctx.ctx, 0) + vv.v))
+      |           // (COALESCE(bi.cnt, 0) + 1) AS surprise
+      |       FROM ebg LEFT JOIN bi USING (w1, w2)
+      |                LEFT JOIN ctx ON ebg.w1 = ctx.w1
+      |                CROSS JOIN vv),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |          CAST(SUM(surprise) AS BIGINT) AS surprise_sum
+      |        FROM sc GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // The flagship composition, replayed stage for stage: planted-mess
@@ -852,48 +929,8 @@ object CurationQueries {
     // reference slice, then score every eval doc with the same
     // integer-exact Laplace inverse-probability surprise
     "curate_lm_route" ->
-      """WITH ref AS (SELECT string_split(text, ' ') AS toks
-        |            FROM documents WHERE doc_id % 4 = 0),
-        |uni AS (SELECT unnest(toks) AS tok FROM ref),
-        |voc AS (SELECT tok FROM (
-        |          SELECT tok, COUNT(*) AS cnt FROM uni GROUP BY tok
-        |          ORDER BY cnt DESC, tok LIMIT 200)),
-        |vv AS (SELECT COUNT(*) + 1 AS v FROM voc),
-        |rbg0 AS (SELECT toks[i] AS r1, toks[i+1] AS r2
-        |         FROM (SELECT toks,
-        |                 unnest(generate_series(1, len(toks)-1)) AS i
-        |               FROM ref WHERE len(toks) >= 2)),
-        |rbg AS (SELECT
-        |          CASE WHEN v1.tok IS NOT NULL THEN r1
-        |               ELSE '<unk>' END AS w1,
-        |          CASE WHEN v2.tok IS NOT NULL THEN r2
-        |               ELSE '<unk>' END AS w2
-        |        FROM rbg0 LEFT JOIN voc v1 ON r1 = v1.tok
-        |                  LEFT JOIN voc v2 ON r2 = v2.tok),
-        |bi AS (SELECT w1, w2, COUNT(*) AS cnt FROM rbg GROUP BY w1, w2),
-        |ctx AS (SELECT w1, SUM(cnt) AS ctx FROM bi GROUP BY w1),
-        |ev AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |       FROM documents WHERE doc_id % 4 <> 0),
-        |ebg0 AS (SELECT doc_id, toks[i] AS r1, toks[i+1] AS r2
-        |         FROM (SELECT doc_id, toks,
-        |                 unnest(generate_series(1, len(toks)-1)) AS i
-        |               FROM ev WHERE len(toks) >= 2)),
-        |ebg AS (SELECT doc_id,
-        |          CASE WHEN v1.tok IS NOT NULL THEN r1
-        |               ELSE '<unk>' END AS w1,
-        |          CASE WHEN v2.tok IS NOT NULL THEN r2
-        |               ELSE '<unk>' END AS w2
-        |        FROM ebg0 LEFT JOIN voc v1 ON r1 = v1.tok
-        |                  LEFT JOIN voc v2 ON r2 = v2.tok),
-        |sc AS (SELECT doc_id,
-        |         (CAST(1000000 AS HUGEINT) * (COALESCE(ctx.ctx, 0) + vv.v))
-        |           // (COALESCE(bi.cnt, 0) + 1) AS surprise
-        |       FROM ebg LEFT JOIN bi USING (w1, w2)
-        |                LEFT JOIN ctx ON ebg.w1 = ctx.w1
-        |                CROSS JOIN vv),
-        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-        |          CAST(SUM(surprise) AS BIGINT) AS surprise_sum
-        |        FROM sc GROUP BY doc_id)
+      s"""WITH ${lmCtes("documents WHERE doc_id % 4 = 0",
+                        "documents WHERE doc_id % 4 <> 0")}
         |SELECT d.doc_id,
         |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
         |  COALESCE(a.surprise_sum, 0) AS surprise_sum,
@@ -902,6 +939,34 @@ object CurationQueries {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0) d
         |LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // pipeline + stored-LM composition: the curate_route decision table
+    // with the perplexity reason spliced in at the CCNet position
+    // (after the dedup verdicts), LM retrained on the NORMALIZED
+    // reference slice exactly as the query stages it
+    "curate_route_lm" ->
+      s"""WITH $pipelineCtes,
+        |${lmCtes("norm WHERE doc_id % 4 = 0", "norm")},
+        |lmcut AS (SELECT doc_id FROM agg
+        |          WHERE surprise_sum > 36000000 * n_bigrams),
+        |nt AS (SELECT doc_id, text,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |       FROM norm),
+        |kp AS (SELECT text, MIN(doc_id) AS keeper FROM nt
+        |       WHERE ntok >= 20 GROUP BY text),
+        |dec AS (SELECT n.doc_id,
+        |  CASE WHEN n.ntok < 20 THEN 'quality'
+        |       WHEN k.keeper < n.doc_id THEN 'exact_dup'
+        |       WHEN n.doc_id IN (SELECT doc_id FROM neardrop)
+        |         THEN 'near_dup'
+        |       WHEN n.doc_id IN (SELECT doc_id FROM lmcut)
+        |         THEN 'perplexity'
+        |       WHEN n.doc_id IN (SELECT doc_id FROM contdrop)
+        |         THEN 'contaminated'
+        |       WHEN n.doc_id % 97 = 0 THEN 'held_out'
+        |       ELSE NULL END AS reason
+        |  FROM nt n LEFT JOIN kp k ON n.text = k.text)
+        |SELECT doc_id, reason IS NULL AS accepted, reason
+        |FROM dec ORDER BY doc_id""".stripMargin,
     // the sequential definition of the token-budget fill: one ordered
     // prefix sum per source, keep while the running total BEFORE the doc
     // is under budget — the engine's two-pass bucket-cutoff plan must

@@ -950,4 +950,41 @@ class CurationSpec extends SparkSpec {
     // must have rejected against state the crashed appends built
     assert(got(20L) == false && got(40L) == false)
   }
+
+  test("curateRoute with a stored-LM leg: the perplexity verdict splices " +
+      "in at the CCNet position and changes nothing else") {
+    import graft.operators.LangModel
+    val raw = Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-route-lm").toString
+    Curation.writeCurateIndex(raw, dir)
+    val lmDir = java.nio.file.Files
+      .createTempDirectory("graft-route-lm-model").toString
+    LangModel.writeLmIndex(Curation.normalizeDocs(raw)
+        .select(col("doc_id"), col("norm").as("text"))
+        .filter(col("doc_id") % 4 === 0), lmDir, vocabTop = 200)
+    def reasons(lm: Option[String]) =
+      Curation.curateRoute(raw, dir, lmDir = lm, lmThr = 36000000L)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    val without = reasons(None)
+    val withLm = reasons(Some(lmDir))
+    assert(!without.values.toSet.contains("perplexity"),
+      "the default route must not plan or emit the LM stage")
+    assert(withLm.values.toSet.contains("perplexity"),
+      "the threshold must actually cut part of the corpus")
+    // splice invariant: decisions differ ONLY where the LM fires, and it
+    // may only preempt stages BELOW it (contamination / held-out / accept)
+    withLm.foreach { case (id, r) =>
+      if (r == "perplexity")
+        assert(without(id) == null || without(id) == "contaminated" ||
+          without(id) == "held_out",
+          s"doc $id: perplexity may only preempt later stages, " +
+            s"displaced '${without(id)}'")
+      else assert(r == without(id),
+        s"doc $id: non-LM decisions must be untouched " +
+          s"('$r' vs '${without(id)}')")
+    }
+  }
 }

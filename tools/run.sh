@@ -17,5 +17,5 @@ done
 exec java $ADD_OPENS -Xms256m -Xmx${SPARK_DRIVER_MEM:-8g} -XX:+UseSerialGC \
   -Dspark.buffer.pageSize=4m $JAVA_EXTRA \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "/root/repo/target/scala-2.13/classes:$SCALA_LIB:/opt/spark/jars/*" \
+  -cp "${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}:$SCALA_LIB:/opt/spark/jars/*" \
   "$MAIN" "$@"
