@@ -468,7 +468,34 @@ object GroupingQueries {
       .orderBy("event_type", "hour")
   }
 
+  /** The INCREMENTAL MATERIALIZED AGGREGATE VIEW ([[graft.sources
+    * .AggView]]) through a full lifecycle in one query: init on the even
+    * orderkeys, APPEND the odd ones, FORGET every 100th — then serve the
+    * folded view, which must equal one plain GROUP BY over the surviving
+    * rows (the DuckDB oracle). Sums go through the decimal cast
+    * discipline on both sides, so the doubles are bit-identical.
+    */
+  def qAggView(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val base = graft.Caches.stagedPath("aggview", dir) { b =>
+      graft.sources.AggView.write(li.filter(col("l_orderkey") % 2 === 0),
+        b, Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity", "l_extendedprice"))
+      graft.sources.AggView.append(
+        li.filter(col("l_orderkey") % 2 === 1), b)
+      graft.sources.AggView.forget(
+        li.filter(col("l_orderkey") % 100 === 0), b)
+      ()
+    }
+    graft.sources.AggView.read(spark, base)
+      .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+        toDouble(col("sum_l_quantity")).as("sum_qty"),
+        toDouble(col("sum_l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_aggview" -> qAggView,
     "q_ohlc" -> qOhlc,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
@@ -492,6 +519,16 @@ object GroupingQueries {
     "q_setops" -> qSetops)
 
   val oracles: Map[String, String] = Map(
+    // the maintained view (init even + append odd - forget %100) must
+    // equal one plain GROUP BY over the surviving rows
+    "q_aggview" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem WHERE l_orderkey % 100 <> 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the KMV replay: identical k-min selection over md5 hex order, the
     // k-th digest's first 13 hex chars parsed as an exact < 2^52 integer,
     // one IEEE division — the whole sketch estimator hash-compares

@@ -329,6 +329,7 @@ object StoredIndex {
       else if (has("bcounts")) Some("lsh")
       else if (has("budgets")) Some("budget")
       else if (has("bi")) Some("lm")
+      else if (has("state")) Some("aggview")
       else None
     }
     val rootP = java.nio.file.Paths.get(root)
@@ -355,6 +356,7 @@ object StoredIndex {
         case "budget" =>
           graft.operators.Curation.maintainBudgetGate(spark, dir)
         case "lm" => graft.operators.LangModel.maintainLmIndex(spark, dir)
+        case "aggview" => AggView.maintain(spark, dir)
       }
       (dir, m)
     }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.AggView
+
+/** The incremental materialized aggregate view ([[graft.sources.AggView]],
+  * seventh stored family): delta algebra vs a one-shot GROUP BY, forget
+  * as exact erasure, fold invariance + maintain(), crash-atomic mutations,
+  * as-of serving. The oracle bridge is q:`q_aggview`.
+  */
+class AggViewSpec extends SparkSpec {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft-aggview").toString
+
+  private def rows(ids: Range): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    ids.map(i => (i.toLong, s"k${i % 3}", (i % 7).toDouble + 0.25))
+      .toDF("id", "k", "v")
+  }
+
+  private def collectView(dir: String, asOf: Option[Int] = None)
+      : Map[String, (Long, BigDecimal)] =
+    AggView.read(spark, dir, asOf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+
+  private def direct(df: DataFrame): Map[String, (Long, BigDecimal)] =
+    df.groupBy("k").agg(count(lit(1)).as("cnt"),
+        sum(graft.Tables.dec(col("v"))).as("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+
+  test("init + appends serve exactly the one-shot GROUP BY; forget is " +
+      "exact erasure and a fully-erased key disappears") {
+    val dir = tmp()
+    AggView.write(rows(0 until 40), dir, Seq("k"), Seq("v"))
+    assert(AggView.append(rows(40 until 90), dir) > 0)
+    assert(AggView.append(rows(90 until 100), dir) > 0)
+    assert(collectView(dir) == direct(rows(0 until 100)),
+      "the maintained view must equal the recompute")
+    // forget a slice: the view equals the GROUP BY over survivors
+    assert(AggView.forget(rows(20 until 50), dir) > 0)
+    val survivors = rows(0 until 20).unionByName(rows(50 until 100))
+    assert(collectView(dir) == direct(survivors))
+    // erase ALL of key k2 (ids ≡ 2 mod 3): it must disappear, not zero
+    val k2ids = (0 until 100).filter(i => i % 3 == 2)
+      .filterNot(i => 20 until 50 contains i)
+    val spark2 = spark
+    import spark2.implicits._
+    AggView.forget(k2ids.map(i =>
+        (i.toLong, s"k${i % 3}", (i % 7).toDouble + 0.25))
+      .toDF("id", "k", "v"), dir)
+    val v = collectView(dir)
+    assert(!v.contains("k2"), s"fully-erased key must vanish (got $v)")
+    assert(v.keySet == Set("k0", "k1"))
+  }
+
+  test("compact folds the LSM without changing the view, maintain() " +
+      "drives it idempotently, empty mutations are version-less no-ops") {
+    val dir = tmp()
+    AggView.write(rows(0 until 10), dir, Seq("k"), Seq("v"))
+    for (b <- 1 to 9)
+      assert(AggView.append(rows(b * 10 until b * 10 + 10), dir) > 0)
+    val before = collectView(dir)
+    val versions = graft.sources.IndexCommit.versionsOf(dir).size
+    // an empty append/forget publishes nothing
+    assert(AggView.append(rows(0 until 0), dir) == 0)
+    assert(AggView.forget(rows(0 until 0), dir) == 0)
+    assert(graft.sources.IndexCommit.versionsOf(dir).size == versions,
+      "empty mutations must not publish a version")
+    val m1 = AggView.maintain(spark, dir)
+    assert(m1.family == "aggview" && m1.action == "compact" && m1.units > 8)
+    assert(collectView(dir) == before, "the fold must not move the view")
+    assert(AggView.maintain(spark, dir).action == "noop")
+    // annihilated keys leave physically at the fold
+    AggView.forget(rows(0 until 100).filter(col("k") === "k1"), dir)
+    assert(!collectView(dir).contains("k1"))
+    // fragment again with k0-only rows (id 99 -> k0): k1 must stay dead
+    for (_ <- 1 to 9) AggView.append(rows(99 until 100), dir)
+    assert(AggView.maintain(spark, dir).action == "compact")
+    val physical = spark.read.parquet(s"$dir/state")
+    assert(physical.filter(col("k") === "k1").count() == 0,
+      "the fold must drop keys whose every measure annihilated")
+  }
+
+  test("a mutation crashed at any failpoint publishes nothing and the " +
+      "re-run lands exactly once; as-of serves each committed version") {
+    val dir = tmp()
+    AggView.write(rows(0 until 10), dir, Seq("k"), Seq("v"))
+    val v0 = collectView(dir)
+    for (point <- Seq("aggview-staged", "aggview-before-commit")) {
+      graft.sources.IndexCommit.failpoint =
+        p => if (p == point) throw new RuntimeException(s"boom:$p")
+      val thrown = try { AggView.append(rows(10 until 20), dir); false }
+        catch { case e: RuntimeException
+          if e.getMessage == s"boom:$point" => true }
+        finally graft.sources.IndexCommit.failpoint = _ => ()
+      assert(thrown, s"failpoint $point must fire")
+      assert(graft.sources.IndexCommit.versionsOf(dir) == Seq(0),
+        s"a mutation crashed at $point must publish nothing")
+      assert(collectView(dir) == v0)
+    }
+    assert(AggView.append(rows(10 until 20), dir) > 0)
+    assert(collectView(dir) == direct(rows(0 until 20)),
+      "the re-run must land exactly once, not double-count")
+    // as-of: version 0 still serves the pre-append view
+    assert(collectView(dir, asOf = Some(0)) == v0)
+  }
+}

@@ -51,6 +51,12 @@ class MaintainSpec extends SparkSpec {
     for (_ <- 1 to 9)
       graft.operators.LangModel.appendLmCounts(
         docs.filter(col("doc_id") === 1L), s"$root/d-lm")
+    // an agg view with MORE state segments than the fold budget, so its
+    // indicated action is a real compact
+    graft.sources.AggView.write(docs.limit(10), s"$root/d-aggview",
+      Seq("doc_id"), Seq.empty)
+    for (_ <- 1 to 9)
+      graft.sources.AggView.append(docs.limit(5), s"$root/d-aggview")
     // a non-index child must be skipped, not crash the sweep
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(root, "not-an-index"))
@@ -62,13 +68,14 @@ class MaintainSpec extends SparkSpec {
 
     val first = StoredIndex.maintain(spark, root)
     val byFam = first.map { case (dir, m) => m.family -> dir }.toMap
-    assert(first.size == 6,
-      s"exactly the six planted indexes dispatch (got $first) — the " +
+    assert(first.size == 7,
+      s"exactly the seven planted indexes dispatch (got $first) — the " +
         "curation state's NESTED lsh subtree must never double-dispatch")
     assert(byFam == Map(
       "lsh" -> s"$root/d-lsh", "ivf" -> s"$root/d-ivf",
       "bm25" -> s"$root/d-bm25", "curate" -> s"$root/d-curate",
-      "budget" -> s"$root/d-budget", "lm" -> s"$root/d-lm"),
+      "budget" -> s"$root/d-budget", "lm" -> s"$root/d-lm",
+      "aggview" -> s"$root/d-aggview"),
       "layout-signature detection must map every family to its dir")
     val bm25Action = first.collectFirst {
       case (_, m) if m.family == "bm25" => m.action }.get
@@ -85,8 +92,13 @@ class MaintainSpec extends SparkSpec {
     assert(lmAction == "compact",
       "the over-segmented bi LSM's indicated action is the fold")
 
+    val aggAction = first.collectFirst {
+      case (_, m) if m.family == "aggview" => m.action }.get
+    assert(aggAction == "compact",
+      "the over-segmented state LSM's indicated action is the fold")
+
     val second = StoredIndex.maintain(spark, root)
-    assert(second.size == 6 && second.forall(_._2.action == "noop"),
+    assert(second.size == 7 && second.forall(_._2.action == "noop"),
       s"the re-run must report noop for every family (got $second)")
   }
 
