@@ -161,6 +161,36 @@ object AggView {
       .filter(col("cnt") =!= 0L)
   }
 
+  /** POINT LOOKUP: the served totals of ONE key tuple, with the key's
+    * `kb` bucket pushed as a partition filter — the O(1/nbuckets) read
+    * the 100 TB serving story needs (a dashboard asking for one rollup
+    * cell must not fold the whole view). The bucket is computed by the
+    * SAME column expression the writers use, evaluated on a one-row
+    * local frame (no index-sized job plans the pruning); AggViewSpec
+    * asserts the partition filter and lookup == read().filter(keys).
+    * `vals` align with the view's key columns in meta order.
+    */
+  def lookup(spark: SparkSession, dir: String, vals: Seq[Any],
+             asOf: Option[Int] = None): DataFrame = {
+    val m = metaOf(spark, dir, asOf)
+    require(vals.length == m.keys.length,
+      s"lookup needs ${m.keys.length} key values (${m.keys.mkString(",")})")
+    import spark.implicits._
+    val kb = Seq(0).toDF("__x")
+      .select(m.keys.zip(vals).map { case (k, v) =>
+        lit(v).as(k) }: _*)
+      .select(kbCol(m.keys, m.nb).as("kb"))
+      .collect()(0).getLong(0)
+    val aggs = sum(col("cnt")).as("cnt") +: m.vals.map(v =>
+      sum(col(s"sum_$v")).cast(SumType).as(s"sum_$v"))
+    StoredIndex.readTable(spark, s"$dir/state", m.ddl, asOf)
+      .filter(col("kb") === kb)
+      .filter(m.keys.zip(vals).map { case (k, v) =>
+        col(k) === lit(v) }.reduce(_ && _))
+      .groupBy(m.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .filter(col("cnt") =!= 0L)
+  }
+
   /** Fold the state LSM back to ONE segment past `maxSegments` — the
     * served view is unchanged by construction; rows whose every measure
     * annihilated to zero are physically dropped (a key with cnt 0 but a

@@ -110,4 +110,50 @@ class AggViewSpec extends SparkSpec {
     // as-of: version 0 still serves the pre-append view
     assert(collectView(dir, asOf = Some(0)) == v0)
   }
+
+  test("point lookup prunes to the key's kb partition and equals the " +
+      "full view's row") {
+    val dir = tmp()
+    AggView.write(rows(0 until 60), dir, Seq("k"), Seq("v"), nBuckets = 8)
+    AggView.append(rows(60 until 100), dir)
+    val looked = AggView.lookup(spark, dir, Seq("k1"))
+    val plan = looked.queryExecution.executedPlan.toString
+    val stateScan = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/state"))
+      .mkString("\n")
+    assert(stateScan.contains("PartitionFilters: [") &&
+      ".*PartitionFilters: \\[[^\\]]*kb.*".r.findFirstIn(stateScan).isDefined,
+      s"lookup scan must carry a kb partition filter:\n$stateScan")
+    val got = looked.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    assert(got == collectView(dir).filter(_._1 == "k1"),
+      "the pruned lookup must equal the full fold's row")
+  }
+
+  test("appends under a real stream: the maintained view tracks every " +
+      "micro-batch") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import sqlCtx.implicits._
+    val dir = tmp()
+    AggView.write(rows(0 until 10), dir, Seq("k"), Seq("v"))
+    val input = MemoryStream[(Long, String, Double)]
+    val q = input.toDF().toDF("id", "k", "v").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        AggView.append(batch, dir); ()
+      }.start()
+    val h1 = (10 until 40).map(i =>
+      (i.toLong, s"k${i % 3}", (i % 7).toDouble + 0.25))
+    val h2 = (40 until 70).map(i =>
+      (i.toLong, s"k${i % 3}", (i % 7).toDouble + 0.25))
+    try {
+      input.addData(h1); q.processAllAvailable()
+      // mid-stream: the view already serves the first batch
+      assert(collectView(dir) == direct(rows(0 until 40)))
+      input.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    assert(collectView(dir) == direct(rows(0 until 70)),
+      "the streamed view must equal the one-shot GROUP BY")
+  }
 }
