@@ -475,9 +475,13 @@ object GroupingQueries {
     * rows (the DuckDB oracle). Sums go through the decimal cast
     * discipline on both sides, so the doubles are bit-identical.
     */
-  def qAggView(spark: SparkSession, dir: String): DataFrame = {
+  /** The staged lifecycle both agg-view queries serve from: init on the
+    * even orderkeys, append the odd, forget every 100th — one shared
+    * cache key, so the pair differs only by the read path.
+    */
+  private def stagedAggView(spark: SparkSession, dir: String): String = {
     val li = t(spark, dir, "lineitem")
-    val base = graft.Caches.stagedPath("aggview", dir) { b =>
+    graft.Caches.stagedPath("aggview", dir) { b =>
       graft.sources.AggView.write(li.filter(col("l_orderkey") % 2 === 0),
         b, Seq("l_returnflag", "l_linestatus"),
         Seq("l_quantity", "l_extendedprice"))
@@ -487,15 +491,38 @@ object GroupingQueries {
         li.filter(col("l_orderkey") % 100 === 0), b)
       ()
     }
-    graft.sources.AggView.read(spark, base)
+  }
+
+  def qAggView(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.AggView.read(spark, stagedAggView(spark, dir))
       .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
         toDouble(col("sum_l_quantity")).as("sum_qty"),
         toDouble(col("sum_l_extendedprice")).as("sum_price"))
       .orderBy("l_returnflag", "l_linestatus")
+
+  /** The view's ROUTE tier in its batch harness: a deterministic arrival
+    * slice enriched with its key's served totals ([[graft.sources
+    * .AggView.route]] — the online feature-store read, kb buckets
+    * pruned), hash-checked against a DuckDB LEFT JOIN of the same
+    * arrivals to the same GROUP BY.
+    */
+  def qAggViewRoute(spark: SparkSession, dir: String): DataFrame = {
+    val base = stagedAggView(spark, dir)
+    val arrivals = t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 500 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"))
+    graft.sources.AggView.route(arrivals, base)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"), col("cnt"),
+        toDouble(col("sum_l_quantity")).as("sum_qty"),
+        toDouble(col("sum_l_extendedprice")).as("sum_price"))
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_aggview" -> qAggView,
+    "q_aggview_route" -> qAggViewRoute,
     "q_ohlc" -> qOhlc,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
@@ -529,6 +556,24 @@ object GroupingQueries {
         |    AS sum_price
         |FROM lineitem WHERE l_orderkey % 100 <> 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the route = the same view LEFT-JOINed onto a deterministic arrival
+    // slice; unknown keys answer zeros
+    "q_aggview_route" ->
+      """WITH v AS (
+        |  SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |      AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM lineitem WHERE l_orderkey % 100 <> 0 GROUP BY 1, 2)
+        |SELECT a.l_orderkey, a.l_linenumber, a.l_returnflag,
+        |  a.l_linestatus, COALESCE(v.cnt, 0) AS cnt,
+        |  COALESCE(v.sum_qty, 0) AS sum_qty,
+        |  COALESCE(v.sum_price, 0) AS sum_price
+        |FROM (SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+        |      FROM lineitem WHERE l_orderkey % 500 = 0) a
+        |LEFT JOIN v USING (l_returnflag, l_linestatus)
+        |ORDER BY a.l_orderkey, a.l_linenumber""".stripMargin,
     // the KMV replay: identical k-min selection over md5 hex order, the
     // k-th digest's first 13 hex chars parsed as an exact < 2^52 integer,
     // one IEEE division — the whole sketch estimator hash-compares

@@ -191,6 +191,37 @@ object AggView {
       .filter(col("cnt") =!= 0L)
   }
 
+  /** STREAMING ENRICHMENT — the family's route tier, and the online
+    * FEATURE-STORE read path: each arrival picks up its key's served
+    * totals (count + sums) from the committed view. Per micro-batch: ONE
+    * bounded driver collect (the batch's probed `kb` buckets, <=
+    * nbuckets values regardless of batch size) pushed as a partition
+    * filter on the state scan, the pruned slice folded and joined back
+    * on the keys. Arrivals under unknown keys answer with ZEROS (an
+    * enrichment must answer for every arrival — the gate discipline),
+    * so downstream logic never branches on null. Run under
+    * `foreachBatch`; decisions track learns exactly like every route
+    * (AggViewSpec replay).
+    */
+  def route(batch: DataFrame, dir: String,
+            asOf: Option[Int] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val m = metaOf(spark, dir, asOf)
+    val wanted = batch.select(kbCol(m.keys, m.nb).as("kb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val aggs = sum(col("cnt")).as("cnt") +: m.vals.map(v =>
+      sum(col(s"sum_$v")).cast(SumType).as(s"sum_$v"))
+    val view = StoredIndex.readTable(spark, s"$dir/state", m.ddl, asOf)
+      .filter(col("kb").isin(wanted: _*))
+      .groupBy(m.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .filter(col("cnt") =!= 0L)
+    batch.join(view, m.keys, "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .select(batch.columns.map(col) ++ (col("cnt") +: m.vals.map(v =>
+        coalesce(col(s"sum_$v"), lit(0).cast(SumType))
+          .as(s"sum_$v"))): _*)
+  }
+
   /** Fold the state LSM back to ONE segment past `maxSegments` — the
     * served view is unchanged by construction; rows whose every measure
     * annihilated to zero are physically dropped (a key with cnt 0 but a

@@ -130,6 +130,31 @@ class AggViewSpec extends SparkSpec {
       "the pruned lookup must equal the full fold's row")
   }
 
+  test("route enriches every arrival from the pruned kb buckets; " +
+      "unknown keys answer zeros") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp()
+    AggView.write(rows(0 until 100), dir, Seq("k"), Seq("v"), nBuckets = 8)
+    val arrivals = Seq((1L, "k0"), (2L, "k2"), (3L, "nope"))
+      .toDF("aid", "k")
+    val routed = AggView.route(arrivals, dir)
+    val plan = routed.queryExecution.executedPlan.toString
+    val stateScan = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/state"))
+      .mkString("\n")
+    assert(stateScan.contains("PartitionFilters: [") &&
+      ".*PartitionFilters: \\[[^\\]]*kb.*".r.findFirstIn(stateScan).isDefined,
+      s"route scan must carry kb partition filters:\n$stateScan")
+    val got = routed.collect().map(r => r.getLong(0) ->
+      ((r.getLong(2), BigDecimal(r.getDecimal(3))))).toMap
+    val view = collectView(dir)
+    assert(got(1L) == view("k0") && got(2L) == view("k2"),
+      "known keys must carry their served totals")
+    assert(got(3L) == ((0L, BigDecimal("0.00"))),
+      "unknown keys must answer zeros, not nulls")
+  }
+
   test("appends under a real stream: the maintained view tracks every " +
       "micro-batch") {
     import org.apache.spark.sql.DataFrame
