@@ -362,6 +362,45 @@ object StoredIndex {
     }
   }
 
+  /** EXPORT a committed snapshot of a stored index — the publish /
+    * disaster-recovery op: copy exactly the files one manifest version
+    * pins (latest by default, any resolvable version via `asOf`) into
+    * `outDir`, preserving relative paths, and commit them there as the
+    * export's own version 0. The export serves IDENTICALLY to the
+    * source at that version (same family layout + its own manifest) and
+    * has an INDEPENDENT lineage — appends/compactions on either side
+    * never affect the other. Works for every family (the copy is
+    * layout-agnostic: whatever the manifest pins moves). Fails fast via
+    * [[IndexCommit.pinnedFilesAt]] when the requested version is no
+    * longer fully resolvable (a compaction rewrote its files — the
+    * Delta-vacuum semantics). Returns the number of files exported.
+    *
+    * Scale note: this is a driver-side file copy sized by the index, not
+    * the corpus — for cluster deployments swap the copy loop for a
+    * distributed `hadoop distcp`-style move; the manifest protocol
+    * (copy-then-commit, readers never see a partial export) is the part
+    * that matters and is what the spec pins.
+    */
+  def exportSnapshot(dir: String, outDir: String,
+                     asOf: Option[Int] = None): Int = {
+    val files = (asOf match {
+      case Some(v) => IndexCommit.pinnedFilesAt(dir, v)
+      case None => IndexCommit.pinnedFiles(dir)
+    }).getOrElse(sys.error(
+      s"no committed manifest${asOf.fold("")(v => s" version $v")} " +
+        s"under $dir"))
+    IndexCommit.deleteTree(java.nio.file.Paths.get(outDir))
+    files.foreach { rel =>
+      val from = java.nio.file.Paths.get(dir, rel)
+      val to = java.nio.file.Paths.get(outDir, rel)
+      java.nio.file.Files.createDirectories(to.getParent)
+      java.nio.file.Files.copy(from, to,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    IndexCommit.commitFiles(outDir, IndexCommit.walkDataFiles(outDir))
+    files.size
+  }
+
   /** Partition dir names (`key=value`) of the transaction-live `relTable`
     * holding more than `maxFiles` data files — the small-files sweep's
     * work list.

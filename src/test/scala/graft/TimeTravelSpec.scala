@@ -157,4 +157,52 @@ class TimeTravelSpec extends SparkSpec {
       probe.filter(col("doc_id") < 0), dir) == 0L)
     assert(IndexCommit.versionsOf(dir) == Seq(0, 1, 2, 3))
   }
+
+  test("exportSnapshot: a version exports as an identically-serving " +
+      "index with independent lineage") {
+    import graft.operators.TextIndex
+    import graft.sources.{AggView, StoredIndex}
+    val dir = tmp("exp-src")
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    TextIndex.writeBm25Index(half, dir)
+    TextIndex.appendBm25Index(docs.filter(col("doc_id") % 2 === 1), dir)
+    val terms = Seq("spark", "merge", "vector")
+    def top(d: String, asOf: Option[Int]) =
+      TextIndex.bm25TopK(spark, d, terms, asOf = asOf).collect()
+        .map(r => (r.getLong(0), r.get(1).toString)).toSeq
+    // export the PRE-APPEND version: serves exactly asOf=0 of the source
+    val exp0 = tmp("exp-v0")
+    assert(StoredIndex.exportSnapshot(dir, exp0, asOf = Some(0)) > 0)
+    assert(top(exp0, None) == top(dir, Some(0)),
+      "the v0 export must serve the source's v0 ranking")
+    assert(IndexCommit.versionsOf(exp0) == Seq(0),
+      "an export starts its own lineage at version 0")
+    // latest export + INDEPENDENT lineage: appending to the export moves
+    // only the export
+    val agg = tmp("exp-agg-src")
+    val full = spark.read.parquet(s"$sf001/documents.parquet")
+    val halfFull = full.filter(col("doc_id") % 2 === 0)
+    AggView.write(halfFull.select(col("lang"), col("n_chars")), agg,
+      Seq("lang"), Seq("n_chars"))
+    val aggExp = tmp("exp-agg")
+    StoredIndex.exportSnapshot(agg, aggExp)
+    def viewOf(d: String) = AggView.read(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viewOf(aggExp) == viewOf(agg))
+    AggView.append(full.filter(col("doc_id") % 2 === 1)
+      .select(col("lang"), col("n_chars")), aggExp)
+    assert(viewOf(aggExp) != viewOf(agg),
+      "appending to the export must not touch the source")
+    assert(IndexCommit.versionsOf(agg) == Seq(0),
+      "the source lineage must be untouched by the export's append")
+    // a compacted-away version fails fast (unresolvable files or a
+    // retention-dropped manifest), not with a mystifying scan error
+    intercept[Exception] {
+      for (_ <- 1 to 10)
+        AggView.append(halfFull.select(col("lang"), col("n_chars")),
+          aggExp)
+      AggView.compact(spark, aggExp, maxSegments = 2)
+      StoredIndex.exportSnapshot(aggExp, tmp("exp-dead"), asOf = Some(1))
+    }
+  }
 }
