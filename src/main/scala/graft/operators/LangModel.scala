@@ -245,6 +245,48 @@ object LangModel {
     Maintenance("lm", if (folded > 0) "compact" else "noop", folded.toLong)
   }
 
+  /** DRIFT SIGNAL — the [[Similarity.ivfDriftStats]] analog for the LM
+    * family: how well the FROZEN model still covers an arrival slice.
+    * One aggregate row: token count, OOV tokens (outside the frozen
+    * vocab), bigram count, and bigrams UNSEEN by the stored counts.
+    * Rising OOV/unseen fractions mean the reference corpus no longer
+    * represents the arrivals — the operator that answers "when do we
+    * retrain" (a rebuild retrains vocab+counts from a fresh reference;
+    * the gate itself stays exact against whatever is committed). Bounded
+    * work: the batch's tokens/bigrams + one wb-pruned count probe.
+    */
+  def lmOovStats(batch: DataFrame, dir: String,
+                 textCol: String = "text",
+                 asOf: Option[Int] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val (_, _, nb) = metaOf(spark, dir, asOf)
+    val vocab = vocabOf(spark, dir, asOf)
+    val toks = batch.select(explode(split(col(textCol), " ")).as("tok"))
+    val tokStats = toks
+      .join(broadcast(vocab.select(col("tok"), lit(1).as("inv"))),
+        Seq("tok"), "left")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    val bg = mappedBigrams(batch, vocab, idCol = batch.columns.head,
+      textCol = textCol)
+    val wanted = bg.select(wbCol(nb).as("wb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val bi = StoredIndex.readTable(spark, s"$dir/bi",
+        "w1 STRING, w2 STRING, cnt BIGINT, seg INT, wb BIGINT", asOf)
+      .filter(col("wb").isin(wanted: _*))
+      .groupBy("w1", "w2").agg(sum(col("cnt")).as("cnt"))
+    val bgStats = bg.join(bi, Seq("w1", "w2"), "left")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt").isNull || col("cnt") <= 0L, 1L).otherwise(0L))
+          .as("n_unseen"))
+    tokStats.crossJoin(bgStats)
+      .select(col("n_tokens"), col("n_oov"), col("n_bigrams"),
+        col("n_unseen"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_frac"),
+        (col("n_unseen").cast("double") / col("n_bigrams"))
+          .as("unseen_frac"))
+  }
+
   /** DECIDE one arrival batch against the committed model: per doc the
     * bigram surprise sum under the stored counts, admitted iff the mean
     * surprise is at or under `thrMean` (scaled by [[Scale]]; pick the

@@ -191,6 +191,26 @@ class LangModelSpec extends SparkSpec {
     assert(got == want, "the re-run must land exactly once")
   }
 
+  test("lmOovStats: a distribution shift raises the OOV and unseen " +
+      "fractions; in-domain arrivals stay covered") {
+    val dir = tmp()
+    LangModel.writeLmIndex(df(refA.zipWithIndex.map {
+      case (t, i) => (i.toLong, t) }), dir, vocabTop = 50)
+    def stats(rows: Seq[(Long, String)]) = {
+      val r = LangModel.lmOovStats(df(rows), dir).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // in-domain: a ref sentence — zero OOV, zero unseen bigrams
+    assert(stats(Seq((1L, "the cat sat on the mat"))) == ((6L, 0L, 5L, 0L)))
+    // shifted: all-new tokens — full OOV; bigrams map to (<unk>,<unk>),
+    // which the ref corpus (fully in-vocab at vocabTop=50) never saw
+    assert(stats(Seq((2L, "zzz qqq www eee"))) == ((4L, 4L, 3L, 3L)))
+    // mixed: known context, new tail — counts split exactly
+    val (nt, no, nb2, nu) = stats(Seq((3L, "the cat zzz")))
+    assert(nt == 3L && no == 1L && nb2 == 2L && nu == 1L,
+      s"mixed doc must split exactly (got ($nt,$no,$nb2,$nu))")
+  }
+
   test("the route's bi scan prunes to the batch's probed wb buckets") {
     val dir = tmp()
     LangModel.writeLmIndex(df(refA.zipWithIndex.map {
