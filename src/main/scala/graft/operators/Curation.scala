@@ -427,7 +427,23 @@ object Curation {
     */
   def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],
                      textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame = {
+                     idCol: String = "doc_id"): DataFrame =
+    tokenBudgetMixDocs(docs, budgets, textCol, idCol)
+      .groupBy(col("source"))
+      .agg(min(col("budget_tokens")).as("budget_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"),
+        max(col("h")).as("max_h"))
+
+  /** The MEMBERSHIP form of [[tokenBudgetMix]] — the selected documents
+    * themselves, (source, doc_id, h, tokens, budget_tokens) one row per
+    * kept doc — for compositions that go on to consume the selection
+    * ([[datasetBuild]] packs it). Same two-pass distributed cutoff; the
+    * accounting form is just this frame aggregated.
+    */
+  def tokenBudgetMixDocs(docs: DataFrame, budgets: Map[String, Long],
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
     require(budgets.nonEmpty, "tokenBudgetMix needs at least one budget")
     require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
     val spark = docs.sparkSession
@@ -470,11 +486,8 @@ object Curation {
       .filter(col("bef") < col("rem"))
       .drop("bef")
     full.unionByName(crossing)
-      .groupBy(col("source"))
-      .agg(min(col("budget_tokens")).as("budget_tokens"),
-        count(lit(1)).as("n_docs"),
-        sum(col("tokens")).as("sum_tokens"),
-        max(col("h")).as("max_h"))
+      .select(col("source"), col("doc_id"), col("h"), col("tokens"),
+        col("budget_tokens"))
   }
 
   /** Token-budgeted mixture WITH UPSAMPLING — the epochs form real mix
@@ -972,6 +985,34 @@ object Curation {
                      shards: Int = 8): DataFrame =
     packSequences(curateKeep(docs, minTokens, k, nearThreshold, benchMod,
       minOverlap), budgetTokens, shards)
+
+  /** The TRAIN-READY DATASET BUILD — the whole recipe as one composition,
+    * every stage an already-verified primitive: CURATE (normalize ->
+    * quality floor -> exact dedup -> near-dup screen -> contamination
+    * screen, [[curateKeep]]) -> MIX (fill each source to its token
+    * budget in content-hash order over the curated text,
+    * [[tokenBudgetMixDocs]]) -> PACK (concat-and-chop training
+    * sequences, [[packSequences]]). Returns the pack manifest — one row
+    * per (shard, seq) — whose every value shifts on any keep/drop/select
+    * divergence anywhere in the three stages (q:`curate_dataset_build`
+    * hash-checks the full chain against one DuckDB replay).
+    *
+    * `sources` maps doc ids to their source for the mix (kept docs
+    * without a source row, like sources without a budget, are excluded
+    * from the dataset — a mix recipe names what goes in). Scale: the
+    * stages compose without materialization boundaries beyond their own
+    * documented shapes; the mix selection joins back as a broadcast-able
+    * semi-join on ids.
+    */
+  def datasetBuild(docs: DataFrame, sources: DataFrame,
+                   budgets: Map[String, Long], budgetTokens: Int = 2048,
+                   shards: Int = 8, minTokens: Int = 20): DataFrame = {
+    val kept = curateKeep(docs, minTokens)
+    val sel = tokenBudgetMixDocs(kept.join(sources, Seq("doc_id")),
+      budgets)
+    packSequences(kept.join(sel.select("doc_id"), Seq("doc_id"),
+      "semi"), budgetTokens, shards)
+  }
 
   /** Stages 1-3 of the pipeline (normalize -> floor -> exact dedup):
     * the curated frame both screens run over. Shared with
