@@ -361,6 +361,21 @@ object CurationQueries {
   def curatePipeline(spark: SparkSession, dir: String): DataFrame =
     Curation.curatePipeline(plantedDocs(spark, dir)).orderBy("shard", "seq")
 
+  /** The TRAIN-READY DATASET BUILD ([[Curation.datasetBuild]]): curate
+    * (the full planted pipeline) -> token-budget mix (four budgeted
+    * sources, content-hash fill over the curated text) -> pack (512-token
+    * sequences, 4 shards). One manifest, three composed stages, one
+    * DuckDB replay — the flagship composition extended by the mix
+    * recipe.
+    */
+  def curateDatasetBuild(spark: SparkSession, dir: String): DataFrame =
+    Curation.datasetBuild(plantedDocs(spark, dir),
+        t(spark, dir, "documents").select(col("doc_id"), col("source")),
+        Map("src0" -> 800L, "src1" -> 400L, "src2" -> 1200L,
+          "src3" -> 50000L),
+        budgetTokens = 512, shards = 4)
+      .orderBy("shard", "seq")
+
   /** The streaming admission gate ([[Curation.curateRoute]]) run in its
     * batch harness over the SAME planted corpus, against the staged
     * [[Curation.writeCurateIndex]] state — every per-document decision
@@ -406,6 +421,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_pipeline" -> curatePipeline,
+    "curate_dataset_build" -> curateDatasetBuild,
     "curate_route" -> curateRouteQ,
     "curate_route_lm" -> curateRouteLm,
     "text_pack" -> textPack,
@@ -550,6 +566,41 @@ object CurationQueries {
         |            AND 1 PRECEDING), 0) AS BIGINT) AS start
         |        FROM ptok)
         |SELECT shard, CAST(start // 2048 AS BIGINT) AS seq,
+        |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM off GROUP BY shard, seq ORDER BY shard, seq""".stripMargin,
+    // curate -> mix -> pack in one replay: the keep set (fin) joins its
+    // sources, the budget prefix-sum selects, the pack lays out the
+    // selection
+    "curate_dataset_build" ->
+      s"""WITH $pipelineCtes,
+        |fin AS (SELECT doc_id, text FROM ex
+        |        WHERE doc_id % 97 <> 0
+        |          AND doc_id NOT IN (SELECT doc_id FROM neardrop)
+        |          AND doc_id NOT IN (SELECT doc_id FROM contdrop)),
+        |b(source, budget) AS (VALUES
+        |    ('src0', 800), ('src1', 400), ('src2', 1200), ('src3', 50000)),
+        |mt AS (SELECT d.source, f.doc_id, md5(f.text) AS h,
+        |         CAST(len(string_split(f.text, ' ')) AS BIGINT) AS tokens,
+        |         b.budget
+        |       FROM fin f JOIN documents d USING (doc_id)
+        |                  JOIN b ON d.source = b.source),
+        |mc AS (SELECT *, COALESCE(SUM(tokens) OVER (
+        |         PARTITION BY source ORDER BY h, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS bef
+        |       FROM mt),
+        |sel AS (SELECT doc_id FROM mc WHERE bef < budget),
+        |ptok AS (SELECT f.doc_id, f.doc_id % 4 AS shard,
+        |           CAST(len(string_split(f.text, ' ')) AS BIGINT)
+        |             AS tokens
+        |         FROM fin f JOIN sel USING (doc_id)),
+        |off AS (SELECT doc_id, shard, tokens,
+        |          CAST(COALESCE(SUM(tokens) OVER (PARTITION BY shard
+        |            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |        FROM ptok)
+        |SELECT shard, CAST(start // 512 AS BIGINT) AS seq,
         |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM off GROUP BY shard, seq ORDER BY shard, seq""".stripMargin,
