@@ -74,7 +74,8 @@ object RouteBench {
     val rates = sys.env.getOrElse("SPARK_GRAFT_ROUTE_RATES", "2000,5000,10000")
       .split(",").map(_.trim.toInt)
     val tiers = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TIERS",
-        "curate,minhash,ann,ivfpq,bm25,bm25p,bm25w,hybrid,hybridw,budget,lm")
+        "curate,minhash,ann,ivfpq,bm25,bm25p,bm25w,hybrid,hybridw," +
+          "budget,lm,aggview")
       .split(",").map(_.trim).toSeq
     val secs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_SECS", "40").toInt
     val triggerMs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TRIGGER_MS", "5000").toLong
@@ -128,6 +129,14 @@ object RouteBench {
       // not the cheap everything-rejected path
       graft.operators.Curation.writeBudgetGate(spark, budgetDir,
         (0 until 20).map(i => s"src$i" -> 1000000000000L).toMap)
+    val aggDir = s"$dir-aggview"
+    if (tiers.contains("aggview"))
+      // the feature-store view: per-(lang, source) doc/char totals over
+      // the sfDir corpus; arrivals enrich against the committed state
+      graft.sources.AggView.write(
+        graft.Tables.t(spark, sfDir, "documents")
+          .select(col("lang"), col("source"), col("n_chars")),
+        aggDir, Seq("lang", "source"), Seq("n_chars"))
     val lmDir = s"$dir-lm"
     if (tiers.contains("lm"))
       // the stored-LM gate trains on the full sfDir documents as its
@@ -248,6 +257,16 @@ object RouteBench {
             k = 10, wandBudget = 2).count()
           b.count()
         })),
+      "aggview" -> ((
+        // arrivals carry their group keys; the route reads only the
+        // batch's kb buckets of the committed view
+        (rate: Int) => docArrivals(rate)
+          .withColumn("lang", concat(lit("l"),
+            pmod(col("doc_id"), lit(5)).cast("int")))
+          .withColumn("source", concat(lit("src"),
+            pmod(col("doc_id"), lit(20)).cast("int"))),
+        (b: DataFrame) => graft.sources.AggView.route(
+          b.select("doc_id", "lang", "source"), aggDir).count())),
       "lm" -> ((docArrivals _,
         // perplexity-gate decisions against the stored bigram counts:
         // in-row bigram explode + the wb-pruned stream-static count join
