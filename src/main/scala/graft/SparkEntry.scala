@@ -53,11 +53,17 @@ object SparkEntry {
     // text_bm25_forget likewise COPIES the maintained BM25 index that
     // text_bm25_maintained stages — pin it after so the one-time
     // build+append cost lands on the family's baseline query.
+    // curate_dataset_build CONSUMES the curated keep set (and its shared
+    // df-cut shingle index) that curate_pipeline historically stages —
+    // pin it after so the one-time build cost stays on the flagship's
+    // recorded baseline instead of shifting to the (alphabetically
+    // earlier) composition.
     val pinnedFirst = Map("dedup_ngram_jaccard" -> "a00_dedup",
       "sim_topk" -> "sim_a0", "text_fingerprint" -> "text_a0_fingerprint",
       "dedup_lsh_forget" -> "dedup_lsh_incremental_z_forget",
       "text_bm25_forget" -> "text_bm25_maintained_z_forget",
-      "text_bm25_asof" -> "text_bm25_maintained_z_asof")
+      "text_bm25_asof" -> "text_bm25_maintained_z_asof",
+      "curate_dataset_build" -> "curate_pipeline_z_dataset_build")
     scala.collection.immutable.SeqMap.from(
       all.toSeq.sortBy { case (n, _) => pinnedFirst.getOrElse(n, n) })
   }

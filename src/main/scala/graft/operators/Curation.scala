@@ -1007,7 +1007,14 @@ object Curation {
   def datasetBuild(docs: DataFrame, sources: DataFrame,
                    budgets: Map[String, Long], budgetTokens: Int = 2048,
                    shards: Int = 8, minTokens: Int = 20): DataFrame = {
-    val kept = curateKeep(docs, minTokens)
+    // persisted: the keep set is consumed by TWO jobs here (the mix's
+    // bounded bucket-stats collect, then the pack) — without this the
+    // near-dup/contamination screens re-run per job (measured 8.7 s ->
+    // 5.2 s solo-warm at sf0.1; curatePipeline's single consumer needs
+    // no extra pin)
+    val kept0 = curateKeep(docs, minTokens)
+    val kept = graft.Caches.cached("curate-keepset",
+      s"${kept0.queryExecution.analyzed.semanticHash()}")(kept0)
     val sel = tokenBudgetMixDocs(kept.join(sources, Seq("doc_id")),
       budgets)
     packSequences(kept.join(sel.select("doc_id"), Seq("doc_id"),
