@@ -520,9 +520,22 @@ object GroupingQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** The O(1/nbuckets) point read: one rollup cell served from one kb
+    * bucket ([[graft.sources.AggView.lookup]] — pruning plan-asserted in
+    * AggViewSpec), hash-checked against the same GROUP BY restricted to
+    * the key.
+    */
+  def qAggViewLookup(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.AggView.lookup(spark, stagedAggView(spark, dir),
+        Seq("R", "F"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+        toDouble(col("sum_l_quantity")).as("sum_qty"),
+        toDouble(col("sum_l_extendedprice")).as("sum_price"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_aggview" -> qAggView,
     "q_aggview_route" -> qAggViewRoute,
+    "q_aggview_lookup" -> qAggViewLookup,
     "q_ohlc" -> qOhlc,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
@@ -556,6 +569,16 @@ object GroupingQueries {
         |    AS sum_price
         |FROM lineitem WHERE l_orderkey % 100 <> 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_aggview_lookup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey % 100 <> 0
+        |  AND l_returnflag = 'R' AND l_linestatus = 'F'
+        |GROUP BY 1, 2""".stripMargin,
     // the route = the same view LEFT-JOINed onto a deterministic arrival
     // slice; unknown keys answer zeros
     "q_aggview_route" ->
