@@ -136,6 +136,29 @@ object Caches {
       }
     }
 
+  /** Driver-side DATA fingerprint of a frame's scanned files — one
+    * (path, size, mtime) fold over `df.inputFiles`. A plan's
+    * `semanticHash` covers paths and schema, NOT contents: a cache keyed
+    * on it alone keeps serving a persisted frame after the source files
+    * are rewritten in-session. Fold this in wherever that staleness is
+    * not acceptable (the staged-fixture registry accepts it for
+    * immutable bench fixtures; the curation keep set does not). Cost:
+    * one driver stat call per input file — listing-sized, no job.
+    */
+  def dataFingerprint(df: DataFrame): String = {
+    val parts = df.inputFiles.sorted.map { u =>
+      val p =
+        try java.nio.file.Paths.get(new java.net.URI(u))
+        catch { case _: Exception => java.nio.file.Paths.get(u) }
+      val (sz, mt) =
+        try (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        catch { case _: Exception => (-1L, -1L) }
+      s"$u:$sz:$mt"
+    }
+    java.util.Objects.hash(parts.toSeq).toString
+  }
+
   private def deleteTree(root: String): Unit = {
     val p = java.nio.file.Paths.get(root)
     if (java.nio.file.Files.exists(p)) {

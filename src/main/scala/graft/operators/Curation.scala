@@ -560,9 +560,9 @@ object Curation {
     * [[graft.sources.IndexCommit]] manifest; fill state accumulates as
     * an LSM of per-batch deltas (`fills/gen-NNNNN`, O(admitted sources)
     * rows per learn — the termdf/bcounts discipline, folded by
-    * [[graft.sources.StoredIndex.mergedLsm]] at read; segments stay one
-    * tiny file per learned batch, so no compaction pressure exists at
-    * any corpus scale).
+    * [[graft.sources.StoredIndex.mergedLsm]] at read; each segment is
+    * tiny, but a long-running gate's read lists O(learned batches) of
+    * them — [[compactBudgetFills]] is the fold that bounds that).
     */
   def writeBudgetGate(spark: org.apache.spark.sql.SparkSession, dir: String,
                       budgets: Map[String, Long]): Unit = {
@@ -1011,10 +1011,13 @@ object Curation {
     // bounded bucket-stats collect, then the pack) — without this the
     // near-dup/contamination screens re-run per job (measured 8.7 s ->
     // 5.2 s solo-warm at sf0.1; curatePipeline's single consumer needs
-    // no extra pin)
+    // no extra pin). Key = plan hash + DATA fingerprint: semanticHash
+    // alone keeps serving a stale keep set after a same-path source
+    // rewrite within the session.
     val kept0 = curateKeep(docs, minTokens)
     val kept = graft.Caches.cached("curate-keepset",
-      s"${kept0.queryExecution.analyzed.semanticHash()}")(kept0)
+      s"${kept0.queryExecution.analyzed.semanticHash()}|" +
+        graft.Caches.dataFingerprint(kept0))(kept0)
     val sel = tokenBudgetMixDocs(kept.join(sources, Seq("doc_id")),
       budgets)
     packSequences(kept.join(sel.select("doc_id"), Seq("doc_id"),
@@ -1048,9 +1051,11 @@ object Curation {
     val kept0 = curatedFrame(docs, minTokens)
     // persisted: consumed by the shingle-index build AND the final
     // keep-set scan below (Spark would otherwise run the normalize +
-    // dedup chain once per consumer)
+    // dedup chain once per consumer); data-fingerprinted like the
+    // keepset cache above
     val kept = graft.Caches.cached("curate-kept",
-      s"${kept0.queryExecution.analyzed.semanticHash()}")(kept0)
+      s"${kept0.queryExecution.analyzed.semanticHash()}|" +
+        graft.Caches.dataFingerprint(kept0))(kept0)
     val nearDrop = Dedup.ngramJaccardPairs(kept, k, nearThreshold)
       .select(col("db").as("doc_id")).distinct()
     val contDrop = contamination(kept, col("id") % benchMod === 0, k,
@@ -1338,13 +1343,20 @@ object Curation {
     * prefix postings, the bench arrays are benchmark-sized broadcasts,
     * and every intra-batch structure is micro-batch-sized. No state
     * store, no stream-stream join; run under `foreachBatch`.
+    *
+    * TIME TRAVEL: `asOf` pins the CURATE index's version; the optional
+    * stored-LM leg has an INDEPENDENT version lineage (two separate
+    * manifests), so it takes its own `lmAsOf` — forwarding one number to
+    * both stores would fail (or silently serve the wrong LM snapshot)
+    * whenever their version histories diverge.
     */
   def curateRoute(arrivals: DataFrame, dir: String, minTokens: Int = 20,
                   k: Int = 3, nearThreshold: Double = 0.6,
                   benchMod: Int = 97, minOverlap: Int = 3,
                   asOf: Option[Int] = None,
                   lmDir: Option[String] = None,
-                  lmThr: Long = 0L): DataFrame = {
+                  lmThr: Long = 0L,
+                  lmAsOf: Option[Int] = None): DataFrame = {
     val spark = arrivals.sparkSession
     val normed = normalizeDocs(arrivals).select(col("doc_id"),
       col("norm").as("text"))
@@ -1422,7 +1434,7 @@ object Curation {
     // normalized text the rest of the route decides on, so index builders
     // should train on normalized reference text
     val lmHit = lmDir.map { ld =>
-      LangModel.lmRoute(normed, ld, lmThr, asOf = asOf)
+      LangModel.lmRoute(normed, ld, lmThr, asOf = lmAsOf)
         .filter(!col("admitted"))
         .select(col("doc_id"), lit(true).as("lm_cut"))
     }

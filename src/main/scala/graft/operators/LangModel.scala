@@ -69,6 +69,35 @@ object LangModel {
 
   private def p(s: String) = java.nio.file.Paths.get(s)
 
+  /** Exact integral division of two non-negative decimal(38,0) columns.
+    * Spark's `div` returns LongType EVEN FOR DECIMAL OPERANDS (the
+    * quotient wraps silently past Long.MaxValue), and a plain decimal
+    * `/` rounds HALF_UP at the result scale (floor-of-rounded is off by
+    * one when the true fraction is within 5e-7 of 1 — reachable once
+    * the divisor exceeds ~2e6). Subtracting the EXACT remainder first
+    * makes the quotient an integer, so the decimal division is exact by
+    * construction and the final cast is lossless.
+    */
+  private[graft] def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+
+  /** One bigram's Laplace inverse-probability surprise as decimal(38,0):
+    * (Scale * (ctx + V)) div (cnt + 1), computed ENTIRELY in decimal —
+    * operands cast BEFORE the multiply (a long product wraps silently
+    * once ctx exceeds Long.MaxValue/Scale ≈ 9.2e12, exactly the 100 TB
+    * context counts this family is specced for) and divided via
+    * [[idiv]]. DuckDB replays the same arithmetic in HUGEINT
+    * (q:`curate_lm_route`); LangModelSpec pins the near-Long.MaxValue
+    * regime against driver-side BigInt.
+    */
+  private[graft] def surpriseBigram(ctx: Column, cnt: Column,
+                                    v: Long): Column = {
+    val a = (coalesce(ctx, lit(0L)) + lit(v)).cast("decimal(38,0)") *
+      lit(Scale)
+    val b = (coalesce(cnt, lit(0L)) + lit(1L)).cast("decimal(38,0)")
+    idiv(a, b)
+  }
+
   private def wbCol(nBuckets: Int): Column =
     pmod(xxhash64(col("w1")), lit(nBuckets.toLong))
 
@@ -254,6 +283,9 @@ object LangModel {
     * retrain" (a rebuild retrains vocab+counts from a fresh reference;
     * the gate itself stays exact against whatever is committed). Bounded
     * work: the batch's tokens/bigrams + one wb-pruned count probe.
+    * Identity-free by construction — the stats aggregate over token and
+    * bigram OCCURRENCES, so no id column is required (or guessed): the
+    * bigram explode runs under a synthetic row id.
     */
   def lmOovStats(batch: DataFrame, dir: String,
                  textCol: String = "text",
@@ -267,8 +299,9 @@ object LangModel {
         Seq("tok"), "left")
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
-    val bg = mappedBigrams(batch, vocab, idCol = batch.columns.head,
-      textCol = textCol)
+    val bg = mappedBigrams(
+      batch.select(monotonically_increasing_id().as("__row"), col(textCol)),
+      vocab, idCol = "__row", textCol = textCol)
     val wanted = bg.select(wbCol(nb).as("wb")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val bi = StoredIndex.readTable(spark, s"$dir/bi",
@@ -320,10 +353,8 @@ object LangModel {
     val scored = bg
       .join(bi, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
-      .select(col("doc_id"), expr(
-        s"""cast(${Scale}L * (coalesce(ctx, 0L) + ${v}L) as decimal(38,0))
-           | div cast(coalesce(cnt, 0L) + 1 as decimal(38,0))"""
-          .stripMargin.replace("\n", " ")).as("surprise"))
+      .select(col("doc_id"),
+        surpriseBigram(col("ctx"), col("cnt"), v).as("surprise"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
         sum(col("surprise")).as("surprise_sum"))
     batch.select(col(idCol).cast("long").as("doc_id"))

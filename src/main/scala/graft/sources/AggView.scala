@@ -207,6 +207,14 @@ object AggView {
             asOf: Option[Int] = None): DataFrame = {
     val spark = batch.sparkSession
     val m = metaOf(spark, dir, asOf)
+    // the served aggregate columns join INTO the batch — a batch already
+    // carrying one of their names (plausible for feature frames) would
+    // make the join output ambiguous and fail far from here
+    val reserved = "cnt" +: m.vals.map(v => s"sum_$v")
+    val clash = batch.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"route batch column(s) ${clash.mkString(", ")} collide with the " +
+        "view's served aggregate columns; rename them before routing")
     val wanted = batch.select(kbCol(m.keys, m.nb).as("kb")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val aggs = sum(col("cnt")).as("cnt") +: m.vals.map(v =>

@@ -380,9 +380,23 @@ object StoredIndex {
     * distributed `hadoop distcp`-style move; the manifest protocol
     * (copy-then-commit, readers never see a partial export) is the part
     * that matters and is what the spec pins.
+    *
+    * DESTRUCTIVE on the target: the export DELETES `outDir`'s existing
+    * tree before copying, so a non-empty target (another live index, any
+    * prior data) is refused unless `overwrite = true` — a publish path
+    * must never silently destroy what it points at.
     */
   def exportSnapshot(dir: String, outDir: String,
-                     asOf: Option[Int] = None): Int = {
+                     asOf: Option[Int] = None,
+                     overwrite: Boolean = false): Int = {
+    val outP = java.nio.file.Paths.get(outDir)
+    if (!overwrite && java.nio.file.Files.isDirectory(outP)) {
+      val s = java.nio.file.Files.list(outP)
+      val occupied = try s.findFirst().isPresent finally s.close()
+      require(!occupied,
+        s"exportSnapshot target $outDir is not empty; the export deletes " +
+          "the target tree first — pass overwrite = true to replace it")
+    }
     val files = (asOf match {
       case Some(v) => IndexCommit.pinnedFilesAt(dir, v)
       case None => IndexCommit.pinnedFiles(dir)

@@ -155,6 +155,24 @@ class AggViewSpec extends SparkSpec {
       "unknown keys must answer zeros, not nulls")
   }
 
+  test("route refuses a batch whose columns collide with the served " +
+      "aggregates (ADVICE r15: the join would be ambiguous)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp()
+    AggView.write(rows(0 until 20), dir, Seq("k"), Seq("v"))
+    val clashing = Seq((1L, "k0", 7L)).toDF("aid", "k", "cnt")
+    val e = intercept[IllegalArgumentException] {
+      AggView.route(clashing, dir)
+    }
+    assert(e.getMessage.contains("cnt"),
+      s"the refusal must name the clashing column (got: ${e.getMessage})")
+    val e2 = intercept[IllegalArgumentException] {
+      AggView.route(Seq((1L, "k0", 1.0)).toDF("aid", "k", "sum_v"), dir)
+    }
+    assert(e2.getMessage.contains("sum_v"))
+  }
+
   test("appends under a real stream: the maintained view tracks every " +
       "micro-batch") {
     import org.apache.spark.sql.DataFrame

@@ -211,6 +211,48 @@ class LangModelSpec extends SparkSpec {
       s"mixed doc must split exactly (got ($nt,$no,$nb2,$nu))")
   }
 
+  test("surpriseBigram stays exact past Long.MaxValue/Scale context " +
+      "counts — the decimal(38,0) contract (ADVICE r15)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // ctx > ~9.2e12 is where the old long product (Scale * (ctx+V))
+    // wrapped; probe well past it, plus a divisor > 2e6 (where a rounded
+    // decimal `/` + floor could misround) and the boundary cases
+    val v = 1001L
+    val cases = Seq(
+      (5000000000000000L, 2L),          // 5e15: long product wraps
+      (9223372036854L, 0L),             // just past Long.MaxValue/Scale
+      (9223372036854775L, 999999L),     // huge ctx, big divisor
+      (123456789L, 3456789L),           // divisor > 2e6: rounding regime
+      (0L, 0L), (1L, 1L))               // floors
+    val got = cases.toDF("ctx", "cnt")
+      .select(graft.operators.LangModel.surpriseBigram(
+        col("ctx"), col("cnt"), v).as("s"))
+      .collect().map(r => BigInt(r.getDecimal(0).toBigInteger)).toSeq
+    val want = cases.map { case (ctx, cnt) =>
+      BigInt(graft.operators.LangModel.Scale) * (BigInt(ctx) + v) /
+        (BigInt(cnt) + 1)
+    }
+    assert(got == want,
+      s"decimal surprise must match BigInt exactly (got $got want $want)")
+  }
+
+  test("lmOovStats is identity-free: a batch whose first column is the " +
+      "text works unchanged") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp()
+    LangModel.writeLmIndex(df(refA.zipWithIndex.map {
+      case (t, i) => (i.toLong, t) }), dir, vocabTop = 50)
+    // text FIRST, no id column at all — the r15 head-column guess would
+    // have cast the text to a null long and dropped every bigram
+    val batch = Seq(Tuple1("the cat sat on the mat")).toDF("text")
+    val r = LangModel.lmOovStats(batch, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 0L, 5L, 0L)),
+      "an in-domain text-only batch must count all bigrams as seen")
+  }
+
   test("the route's bi scan prunes to the batch's probed wb buckets") {
     val dir = tmp()
     LangModel.writeLmIndex(df(refA.zipWithIndex.map {

@@ -205,4 +205,29 @@ class TimeTravelSpec extends SparkSpec {
       StoredIndex.exportSnapshot(aggExp, tmp("exp-dead"), asOf = Some(1))
     }
   }
+
+  test("exportSnapshot refuses a non-empty target unless overwrite — " +
+      "the copy is delete-then-write") {
+    import graft.sources.{AggView, StoredIndex}
+    val full = spark.read.parquet(s"$sf001/documents.parquet")
+    val src = tmp("exp-guard-src")
+    AggView.write(full.select(col("lang"), col("n_chars")), src,
+      Seq("lang"), Seq("n_chars"))
+    // a LIVE index at the target must not be silently destroyed
+    val victim = tmp("exp-guard-victim")
+    AggView.write(full.select(col("source"), col("n_chars")), victim,
+      Seq("source"), Seq("n_chars"))
+    val e = intercept[IllegalArgumentException] {
+      StoredIndex.exportSnapshot(src, victim)
+    }
+    assert(e.getMessage.contains("not empty"),
+      s"refusal must name the non-empty target (got: ${e.getMessage})")
+    assert(AggView.read(spark, victim).count() > 0,
+      "the refused export must leave the target untouched")
+    // explicit overwrite replaces it; an empty dir needs no flag
+    assert(StoredIndex.exportSnapshot(src, victim, overwrite = true) > 0)
+    assert(AggView.read(spark, victim).columns.contains("lang"),
+      "the overwrite must serve the source's view definition")
+    assert(StoredIndex.exportSnapshot(src, tmp("exp-guard-empty")) > 0)
+  }
 }
