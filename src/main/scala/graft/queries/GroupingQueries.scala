@@ -500,6 +500,38 @@ object GroupingQueries {
         toDouble(col("sum_l_extendedprice")).as("sum_price"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** The NON-ADDITIVE measures through the same lifecycle (VERDICT r15
+    * #2): a view with min/max on `l_extendedprice` — init even
+    * orderkeys, append odd, FORGET every 100th with the surviving rows
+    * as the re-derivation base, so the forgotten slice's extrema must
+    * re-derive (negation cannot serve a retracted maximum). Served
+    * columns include the free `avg_<v>` (sum/cnt — one IEEE division of
+    * the exact decimal, bit-identical to DuckDB's CAST(SUM AS
+    * DOUBLE)/COUNT). Hash-checked against one plain GROUP BY with
+    * MIN/MAX/AVG over the survivors.
+    */
+  def qAggViewMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val base = graft.Caches.stagedPath("aggview-mm", dir) { b =>
+      graft.sources.AggView.write(li.filter(col("l_orderkey") % 2 === 0),
+        b, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"),
+        minmax = Seq("l_extendedprice"))
+      graft.sources.AggView.append(
+        li.filter(col("l_orderkey") % 2 === 1), b)
+      graft.sources.AggView.forget(
+        li.filter(col("l_orderkey") % 100 === 0), b,
+        base = Some(li.filter(col("l_orderkey") % 100 =!= 0)))
+      ()
+    }
+    graft.sources.AggView.read(spark, base)
+      .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+        toDouble(col("sum_l_quantity")).as("sum_qty"),
+        col("avg_l_quantity").as("avg_qty"),
+        col("min_l_extendedprice").as("min_price"),
+        col("max_l_extendedprice").as("max_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** The view's ROUTE tier in its batch harness: a deterministic arrival
     * slice enriched with its key's served totals ([[graft.sources
     * .AggView.route]] — the online feature-store read, kb buckets
@@ -534,6 +566,7 @@ object GroupingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_aggview" -> qAggView,
+    "q_aggview_minmax" -> qAggViewMinmax,
     "q_aggview_route" -> qAggViewRoute,
     "q_aggview_lookup" -> qAggViewLookup,
     "q_ohlc" -> qOhlc,
@@ -567,6 +600,19 @@ object GroupingQueries {
         |    AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
         |    AS sum_price
+        |FROM lineitem WHERE l_orderkey % 100 <> 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // min/max forget-retraction lifecycle: the %100 slice carried group
+    // maxima, so the served extrema must equal the survivors' MIN/MAX;
+    // avg = CAST(SUM(decimal) AS DOUBLE)/COUNT on both sides
+    "q_aggview_minmax" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_qty,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price
         |FROM lineitem WHERE l_orderkey % 100 <> 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_aggview_lookup" ->

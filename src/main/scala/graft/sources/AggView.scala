@@ -3,28 +3,49 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** INCREMENTAL MATERIALIZED AGGREGATE VIEW — keyed additive aggregates
-  * (count + decimal-exact sums) maintained by delta segments instead of
-  * recomputation: the OLAP rollup a 100 TB append stream cannot afford to
-  * rebuild nightly, as the engine's SEVENTH stored-state family (the
-  * budget gate's fills ledger generalized from per-source token sums to
-  * arbitrary group-by keys and measures).
+/** INCREMENTAL MATERIALIZED AGGREGATE VIEW — keyed aggregates (count +
+  * decimal-exact sums, served avg, optional min/max) maintained by delta
+  * segments instead of recomputation: the OLAP rollup a 100 TB append
+  * stream cannot afford to rebuild nightly, as the engine's SEVENTH
+  * stored-state family (the budget gate's fills ledger generalized from
+  * per-source token sums to arbitrary group-by keys and measures).
   *
   * Semantics: `read(dir)` always equals `rows.groupBy(keys).agg(count,
-  * sum(dec(v))…)` over every row appended minus every row forgotten —
-  * the append/forget deltas are themselves that aggregate over the batch
-  * (positive/negated), and addition is associative/commutative, so any
-  * interleaving of init/append/forget/compact folds to the same view
-  * (AggViewSpec proves init+appends == one-shot, forget == erasure, and
-  * q:`q_aggview` hash-checks a full lifecycle against one DuckDB GROUP
-  * BY). Measures follow the engine's oracle-parity rule
-  * ([[graft.Tables.dec]]): doubles cast to decimal(12,2) BEFORE summing
-  * (order-independent exact addition), accumulated as decimal(38,2).
+  * sum(dec(v))…, min/max…)` over every row appended minus every row
+  * forgotten — the append/forget deltas are themselves that aggregate
+  * over the batch (positive/negated), and addition is associative/
+  * commutative, so any interleaving of init/append/forget/compact folds
+  * to the same view (AggViewSpec proves init+appends == one-shot,
+  * forget == erasure, and q:`q_aggview` / q:`q_aggview_minmax`
+  * hash-check full lifecycles against one DuckDB GROUP BY). Measures
+  * follow the engine's oracle-parity rule ([[graft.Tables.dec]]):
+  * doubles cast to decimal(12,2) BEFORE summing (order-independent
+  * exact addition), accumulated as decimal(38,2). `avg_<v>` is served
+  * from sum/cnt (one IEEE division of the exact decimal — free and
+  * bit-reproducible); min/max pick RAW input values (no arithmetic), so
+  * they hash-compare cross-engine too.
+  *
+  * MIN/MAX are NOT invertible under forget (a retracted maximum needs
+  * the surviving rows of its key to re-derive the runner-up), so they
+  * follow a different discipline than the additive measures:
+  *  - state rows carry the key's extrema AS OF their segment, and the
+  *    served value is LAST-WRITER-WINS per key (`max_by(value, seg)` —
+  *    the LSM upsert rule) while cnt/sums still fold by sum;
+  *  - `append` merges the batch extrema with the served ones for the
+  *    touched keys (one kb-pruned read, bounded by batch keys — the
+  *    classic LSM read-modify-write; additive-only views skip it and
+  *    keep the read-free append);
+  *  - `forget` REQUIRES the surviving base rows (`base`) and
+  *    re-aggregates extrema for exactly the touched keys (bounded: a
+  *    keys-semi-join on the base, never a full re-aggregate).
+  * Views declared without `minmax` enforce the additivity contract by
+  * construction — nothing non-invertible is ever stored.
   *
   * Layout under `dir` (one [[IndexCommit]] manifest):
-  *  - `meta`  — one row (keycols, valcols, nbuckets, ddl): the view
-  *              definition, so appends/forgets re-derive the exact same
-  *              aggregate, and the stored DDL makes reads schema-stable.
+  *  - `meta`  — one row (keycols, valcols, nbuckets, ddl, mmcols): the
+  *              view definition, so appends/forgets re-derive the exact
+  *              same aggregate, and the stored DDL makes reads
+  *              schema-stable.
   *  - `state/seg=N/kb=K` — LSM delta segments, partitioned by
   *              `kb = pmod(xxhash64(keys…), nbuckets)` (the termdf
   *              layout: one file per partition value per segment, point
@@ -34,7 +55,9 @@ import org.apache.spark.sql.functions._
   * the batch, one staged segment, one manifest rename (crash-atomic,
   * failpoints `aggview-staged`/`aggview-before-commit`); the read folds
   * segment count x live keys, bounded by [[compact]]'s segment budget.
-  * No corpus rescan exists anywhere in the lifecycle.
+  * No corpus rescan exists anywhere in the lifecycle (a min/max forget
+  * rescans only the touched keys' base rows — partition the base on the
+  * view keys to make that a pruned scan).
   */
 object AggView {
 
@@ -49,46 +72,82 @@ object AggView {
     pmod(xxhash64(concat_ws("\u001f", keys.map(col): _*)), lit(nb.toLong))
 
   /** The view-defining aggregate of one row batch: (keys…, cnt,
-    * sum_<v>…). Shared by init, append, and (negated) forget, so the
-    * delta algebra is exact by construction.
+    * sum_<v>…, min_<c>/max_<c>…). Shared by init, append, and (negated)
+    * forget, so the delta algebra is exact by construction.
     */
-  private def aggOf(df: DataFrame, keys: Seq[String],
-                    vals: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("cnt") +: vals.map(v =>
-      sum(graft.Tables.dec(col(v))).cast(SumType).as(s"sum_$v"))
+  private def aggOf(df: DataFrame, keys: Seq[String], vals: Seq[String],
+                    mm: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("cnt") +:
+      (vals.map(v =>
+        sum(graft.Tables.dec(col(v))).cast(SumType).as(s"sum_$v")) ++
+        mm.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))))
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  private case class Meta(keys: Seq[String], vals: Seq[String], nb: Int,
-                          ddl: String)
+  private case class Meta(keys: Seq[String], vals: Seq[String],
+                          mm: Seq[String], nb: Int, ddl: String)
 
   private def metaOf(spark: SparkSession, dir: String,
                      asOf: Option[Int]): Meta = {
+    // mmcols last: pre-r16 metas lack the column and read as null
     val r = StoredIndex.readTable(spark, s"$dir/meta",
-      "keycols STRING, valcols STRING, nbuckets INT, ddl STRING", asOf)
+      "keycols STRING, valcols STRING, nbuckets INT, ddl STRING, " +
+        "mmcols STRING", asOf)
       .collect()
     require(r.nonEmpty, s"no agg-view meta under $dir")
     Meta(r(0).getString(0).split(',').toSeq,
       r(0).getString(1).split(',').filter(_.nonEmpty).toSeq,
+      Option(r(0).getString(4)).toSeq
+        .flatMap(_.split(',').filter(_.nonEmpty)),
       r(0).getInt(2), r(0).getString(3))
   }
 
+  /** Fold of the state LSM to per-key totals: cnt/sums by exact sum,
+    * extrema LAST-WRITER-WINS (`max_by(value, seg)` — every mutation
+    * writes a touched key's current extrema, so the newest segment's
+    * row is authoritative; segment numbers strictly increase and each
+    * segment holds at most one row per key, so the pick is total-order
+    * deterministic).
+    */
+  private def foldAggs(m: Meta): Seq[Column] =
+    sum(col("cnt")).as("cnt") +:
+      (m.vals.map(v => sum(col(s"sum_$v")).cast(SumType).as(s"sum_$v")) ++
+        m.mm.flatMap(c => Seq(
+          max_by(col(s"min_$c"), col("seg")).as(s"min_$c"),
+          max_by(col(s"max_$c"), col("seg")).as(s"max_$c"))))
+
+  /** The public served schema: keys, cnt, sums, avg_<v> (sum/cnt — one
+    * IEEE division of the exact decimal, free to serve), extrema.
+    */
+  private def servedSelect(df: DataFrame, m: Meta): DataFrame =
+    df.select((m.keys.map(col) :+ col("cnt")) ++
+      m.vals.map(v => col(s"sum_$v")) ++
+      m.vals.map(v => (col(s"sum_$v").cast("double") / col("cnt"))
+        .as(s"avg_$v")) ++
+      m.mm.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))): _*)
+
   /** INITIALIZE the view: the defining aggregate over the initial rows as
-    * the base segment, plus the committed view definition.
+    * the base segment, plus the committed view definition. `minmax`
+    * declares the non-additive extrema measures (see the family scaladoc
+    * for their forget contract); omit it and the view is additive by
+    * construction.
     */
   def write(rows: DataFrame, dir: String, keys: Seq[String],
-            vals: Seq[String], nBuckets: Int = 16): Unit = {
+            vals: Seq[String], nBuckets: Int = 16,
+            minmax: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty, "an agg view needs at least one key column")
     require(nBuckets > 0, "nBuckets must be > 0")
     val spark = rows.sparkSession
     import spark.implicits._
     IndexCommit.deleteTree(p(dir))
-    val state = aggOf(rows, keys, vals)
+    val state = aggOf(rows, keys, vals, minmax)
     StoredIndex.writeByPart(state.withColumn("kb", kbCol(keys, nBuckets)),
       "kb", s"$dir/state/seg=0")
     val ddl = state.schema.toDDL + ", seg INT, kb BIGINT"
-    Seq((keys.mkString(","), vals.mkString(","), nBuckets, ddl))
-      .toDF("keycols", "valcols", "nbuckets", "ddl")
+    Seq((keys.mkString(","), vals.mkString(","), nBuckets, ddl,
+        minmax.mkString(",")))
+      .toDF("keycols", "valcols", "nbuckets", "ddl", "mmcols")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     IndexCommit.commitFiles(dir, IndexCommit.walkDataFiles(dir))
   }
@@ -113,13 +172,36 @@ object AggView {
 
   /** APPEND rows into the view: one positive delta segment of the
     * defining aggregate over the batch. Empty batches are a no-op (no
-    * segment, no version). Returns the number of delta rows written.
+    * segment, no version). For a min/max view the batch extrema MERGE
+    * with the served ones first (one kb-pruned read of the touched
+    * buckets — O(batch keys), the LSM read-modify-write; additive views
+    * skip the read entirely). Returns the number of delta rows written.
     */
   def append(rows: DataFrame, dir: String): Long = {
     val spark = rows.sparkSession
     IndexCommit.vacuum(dir)
     val m = metaOf(spark, dir, None)
-    val delta = aggOf(rows, m.keys, m.vals)
+    val delta0 = aggOf(rows, m.keys, m.vals, m.mm)
+    val delta = if (m.mm.isEmpty) delta0 else {
+      // bounded collect: the batch's touched kb buckets (<= nbuckets)
+      val wanted = delta0.select(kbCol(m.keys, m.nb).as("kb")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val curAggs = m.mm.flatMap(c => Seq(
+        max_by(col(s"min_$c"), col("seg")).as(s"cur_min_$c"),
+        max_by(col(s"max_$c"), col("seg")).as(s"cur_max_$c")))
+      val cur = StoredIndex.readTable(spark, s"$dir/state", m.ddl, None)
+        .filter(col("kb").isin(wanted: _*))
+        .groupBy(m.keys.map(col): _*).agg(curAggs.head, curAggs.tail: _*)
+      delta0.join(cur, m.keys, "left")
+        .select(m.keys.map(col) ++ (col("cnt") +:
+          (m.vals.map(v => col(s"sum_$v")) ++
+            m.mm.flatMap(c => Seq(
+              // least/greatest skip nulls: a key new to the view (or
+              // nulled by a full erasure) restarts at the batch extrema
+              least(col(s"cur_min_$c"), col(s"min_$c")).as(s"min_$c"),
+              greatest(col(s"cur_max_$c"), col(s"max_$c"))
+                .as(s"max_$c"))))): _*)
+    }
     val n = delta.count()
     if (n > 0) appendDelta(delta, dir, m)
     n
@@ -130,35 +212,63 @@ object AggView {
     * SAME defining aggregate, negated, as one delta segment. The caller
     * asserts the rows were previously appended (no clamping — the budget
     * gate's refund rule: an over-forget is visible in the merged view
-    * and the segment history, never silently absorbed). Returns the
-    * number of delta rows written.
+    * and the segment history, never silently absorbed).
+    *
+    * MIN/MAX views must pass `base` — the SURVIVING fact rows (the
+    * system of record, post-deletion): extrema are not invertible, so
+    * the touched keys' values re-derive from their surviving rows (a
+    * keys-semi-join bounds the rescan to exactly those keys; a key with
+    * no survivors serves null extrema and disappears with its cnt).
+    * Additive views ignore `base`. Returns the number of delta rows
+    * written.
     */
-  def forget(rows: DataFrame, dir: String): Long = {
+  def forget(rows: DataFrame, dir: String,
+             base: Option[DataFrame] = None): Long = {
     val spark = rows.sparkSession
     IndexCommit.vacuum(dir)
     val m = metaOf(spark, dir, None)
-    val pos = aggOf(rows, m.keys, m.vals)
-    val delta = pos.select(m.keys.map(col) ++
+    require(m.mm.isEmpty || base.nonEmpty,
+      s"this view carries min/max measures (${m.mm.mkString(",")}), " +
+        "which are not invertible under forget — pass base = the " +
+        "surviving fact rows so the touched keys' extrema re-derive")
+    val pos = aggOf(rows, m.keys, m.vals, Nil)
+    val neg = pos.select(m.keys.map(col) ++
       ((-col("cnt")).as("cnt") +:
         m.vals.map(v => (-col(s"sum_$v")).cast(SumType).as(s"sum_$v"))): _*)
+    val delta = if (m.mm.isEmpty) neg else {
+      val touched = pos.select(m.keys.map(col): _*).distinct()
+      val mmAggs = m.mm.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")))
+      val fresh = base.get
+        .join(broadcast(touched), m.keys, "left_semi")
+        .groupBy(m.keys.map(col): _*).agg(mmAggs.head, mmAggs.tail: _*)
+      // a touched key with no survivors joins null extrema — correct:
+      // its cnt folds to zero and the read drops it
+      neg.join(fresh, m.keys, "left")
+        .select(m.keys.map(col) ++ (col("cnt") +:
+          (m.vals.map(v => col(s"sum_$v")) ++
+            m.mm.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))))): _*)
+    }
     val n = delta.count()
     if (n > 0) appendDelta(delta, dir, m)
     n
   }
 
-  /** The SERVED VIEW: fold the delta segments to per-key totals. Keys
-    * whose live count annihilated to zero disappear (fully-erased); a
-    * NEGATIVE count (an over-forget) surfaces as-is — auditable, the
-    * refund discipline. `asOf` serves any committed version.
+  /** The SERVED VIEW: fold the delta segments to per-key totals (sums
+    * exact-additive, extrema last-writer-wins — [[foldAggs]]), plus the
+    * derived `avg_<v>` columns. Keys whose live count annihilated to
+    * zero disappear (fully-erased); a NEGATIVE count (an over-forget)
+    * surfaces as-is — auditable, the refund discipline. `asOf` serves
+    * any committed version.
     */
   def read(spark: SparkSession, dir: String,
            asOf: Option[Int] = None): DataFrame = {
     val m = metaOf(spark, dir, asOf)
-    val aggs = sum(col("cnt")).as("cnt") +: m.vals.map(v =>
-      sum(col(s"sum_$v")).cast(SumType).as(s"sum_$v"))
-    StoredIndex.readTable(spark, s"$dir/state", m.ddl, asOf)
-      .groupBy(m.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      .filter(col("cnt") =!= 0L)
+    val aggs = foldAggs(m)
+    servedSelect(
+      StoredIndex.readTable(spark, s"$dir/state", m.ddl, asOf)
+        .groupBy(m.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        .filter(col("cnt") =!= 0L), m)
   }
 
   /** POINT LOOKUP: the served totals of ONE key tuple, with the key's
@@ -181,14 +291,14 @@ object AggView {
         lit(v).as(k) }: _*)
       .select(kbCol(m.keys, m.nb).as("kb"))
       .collect()(0).getLong(0)
-    val aggs = sum(col("cnt")).as("cnt") +: m.vals.map(v =>
-      sum(col(s"sum_$v")).cast(SumType).as(s"sum_$v"))
-    StoredIndex.readTable(spark, s"$dir/state", m.ddl, asOf)
-      .filter(col("kb") === kb)
-      .filter(m.keys.zip(vals).map { case (k, v) =>
-        col(k) === lit(v) }.reduce(_ && _))
-      .groupBy(m.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      .filter(col("cnt") =!= 0L)
+    val aggs = foldAggs(m)
+    servedSelect(
+      StoredIndex.readTable(spark, s"$dir/state", m.ddl, asOf)
+        .filter(col("kb") === kb)
+        .filter(m.keys.zip(vals).map { case (k, v) =>
+          col(k) === lit(v) }.reduce(_ && _))
+        .groupBy(m.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        .filter(col("cnt") =!= 0L), m)
   }
 
   /** STREAMING ENRICHMENT — the family's route tier, and the online
@@ -210,24 +320,28 @@ object AggView {
     // the served aggregate columns join INTO the batch — a batch already
     // carrying one of their names (plausible for feature frames) would
     // make the join output ambiguous and fail far from here
-    val reserved = "cnt" +: m.vals.map(v => s"sum_$v")
+    val reserved = "cnt" +: (m.vals.map(v => s"sum_$v") ++
+      m.mm.flatMap(c => Seq(s"min_$c", s"max_$c")))
     val clash = batch.columns.intersect(reserved)
     require(clash.isEmpty,
       s"route batch column(s) ${clash.mkString(", ")} collide with the " +
         "view's served aggregate columns; rename them before routing")
     val wanted = batch.select(kbCol(m.keys, m.nb).as("kb")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val aggs = sum(col("cnt")).as("cnt") +: m.vals.map(v =>
-      sum(col(s"sum_$v")).cast(SumType).as(s"sum_$v"))
+    val aggs = foldAggs(m)
     val view = StoredIndex.readTable(spark, s"$dir/state", m.ddl, asOf)
       .filter(col("kb").isin(wanted: _*))
       .groupBy(m.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .filter(col("cnt") =!= 0L)
+    // additive measures answer zeros for unknown keys (the gate
+    // discipline); extrema have no zero identity and pass through null
     batch.join(view, m.keys, "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-      .select(batch.columns.map(col) ++ (col("cnt") +: m.vals.map(v =>
-        coalesce(col(s"sum_$v"), lit(0).cast(SumType))
-          .as(s"sum_$v"))): _*)
+      .select(batch.columns.map(col) ++ (col("cnt") +:
+        (m.vals.map(v => coalesce(col(s"sum_$v"), lit(0).cast(SumType))
+          .as(s"sum_$v")) ++
+          m.mm.flatMap(c =>
+            Seq(col(s"min_$c"), col(s"max_$c"))))): _*)
   }
 
   /** Fold the state LSM back to ONE segment past `maxSegments` — the
@@ -245,8 +359,7 @@ object AggView {
     if (segs <= maxSegments) 0
     else {
       val m = metaOf(spark, dir, None)
-      val aggs = sum(col("cnt")).as("cnt") +: m.vals.map(v =>
-        sum(col(s"sum_$v")).cast(SumType).as(s"sum_$v"))
+      val aggs = foldAggs(m)
       val allZero = (col("cnt") === 0L) +: m.vals.map(v =>
         col(s"sum_$v") === lit(0).cast(SumType))
       val merged = StoredIndex.readTable(spark, s"$dir/state", m.ddl, None)
