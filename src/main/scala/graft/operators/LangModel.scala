@@ -49,6 +49,12 @@ import graft.sources.{IndexCommit, IndexTxn, Maintenance, StoredIndex}
   *                nbuckets)` so a route's scan prunes to the batch's probed
   *                buckets; forget writes NEGATIVE deltas (the budget-gate
   *                fills ledger discipline), folds sum exactly.
+  *  - `tri/seg=N/wb=K` — order-3 models only (r16): trigram counts
+  *                (w1, w2, w3, cnt), same bucketing and delta algebra;
+  *                bi and tri always publish under ONE manifest rename,
+  *                and the trigram scorer ([[surpriseTrigram]], Stupid
+  *                Backoff at α = 2/5) derives BOTH its contexts from the
+  *                bi fold, so the levels cannot drift apart.
   *
   * Scale: training is two bounded aggregations (vocab top-k + bigram
   * group-by); a route decision reads ONLY the batch's probed `wb` partitions
@@ -66,6 +72,14 @@ object LangModel {
     * probability) — headroom for decimal(38,0) sums at 100 TB counts.
     */
   val Scale = 1000000L
+
+  /** Stupid Backoff α = 2/5 (the Brants et al. constant, as a RATIONAL
+    * so the arithmetic stays exact-integer): a backed-off score
+    * multiplies the inverse probability by 1/α = [[BackoffNum]] /
+    * [[BackoffDen]].
+    */
+  val BackoffNum = 5L
+  val BackoffDen = 2L
 
   private def p(s: String) = java.nio.file.Paths.get(s)
 
@@ -101,12 +115,16 @@ object LangModel {
   private def wbCol(nBuckets: Int): Column =
     pmod(xxhash64(col("w1")), lit(nBuckets.toLong))
 
+  /** (vocabTop, V, nBuckets, order) — `ordern` last so pre-r16 bigram
+    * metas read it as null and default to order 2.
+    */
   private def metaOf(spark: SparkSession, dir: String,
-                     asOf: Option[Int]): (Int, Long, Int) = {
+                     asOf: Option[Int]): (Int, Long, Int, Int) = {
     val r = StoredIndex.readTable(spark, s"$dir/meta",
-      "vocab_top INT, v BIGINT, nbuckets INT", asOf).collect()
+      "vocab_top INT, v BIGINT, nbuckets INT, ordern INT", asOf).collect()
     require(r.nonEmpty, s"no lm index meta under $dir")
-    (r(0).getInt(0), r(0).getLong(1), r(0).getInt(2))
+    (r(0).getInt(0), r(0).getLong(1), r(0).getInt(2),
+      if (r(0).isNullAt(3)) 2 else r(0).getInt(3))
   }
 
   private def vocabOf(spark: SparkSession, dir: String,
@@ -139,16 +157,80 @@ object LangModel {
         when(col("in2").isNotNull, col("r2")).otherwise(lit(Unk)).as("w2"))
   }
 
+  /** One row per trigram OCCURRENCE of `docs`, all three positions
+    * mapped through the frozen vocabulary: (doc_id, w1, w2, w3). Docs
+    * under three tokens contribute no rows (the order-3 route admits
+    * them — no evidence). Same broadcast-mapping shape as
+    * [[mappedBigrams]].
+    */
+  private def mappedTrigrams(docs: DataFrame, vocab: DataFrame,
+                             idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val triples = transform(sequence(lit(1), size(toks) - 2), i => struct(
+      element_at(toks, i).as("r1"),
+      element_at(toks, i + 1).as("r2"),
+      element_at(toks, i + 2).as("r3")))
+    val mapped = Seq("r1", "r2", "r3").zip(Seq("w1", "w2", "w3"))
+    mapped.foldLeft(
+      docs.where(size(toks) >= 3)
+        .select(col(idCol).cast("long").as("doc_id"),
+          explode(triples).as("tr"))
+        .select(col("doc_id"), col("tr.r1").as("r1"),
+          col("tr.r2").as("r2"), col("tr.r3").as("r3"))) {
+      case (df, (r, w)) =>
+        df.join(broadcast(vocab.select(col("tok").as(r),
+            lit(1).as(s"in_$r"))), Seq(r), "left")
+          .withColumn(w,
+            when(col(s"in_$r").isNotNull, col(r)).otherwise(lit(Unk)))
+    }.select(col("doc_id"), col("w1"), col("w2"), col("w3"))
+  }
+
+  /** One trigram's STUPID-BACKOFF surprise as decimal(38,0) — the
+    * order-3 scoring rule, exact-integer end to end:
+    *
+    *   seen trigram:  (Scale * c(w1w2))            div c(w1w2w3)
+    *   backed off:    (Scale * 5 * (c(w2) + V))    div (2 * (c(w2w3)+1))
+    *
+    * The trigram level is the plain inverse conditional probability
+    * (c(w1w2) from the bi table — always >= c(w1w2w3) under symmetric
+    * learn/forget, so the ratio is a true inverse probability); the
+    * backoff level is [[surpriseBigram]]'s Laplace score on (w2,w3)
+    * times 1/α = [[BackoffNum]]/[[BackoffDen]] — it terminates at the
+    * always-defined bigram floor, so no unigram table or corpus total
+    * is needed and every count the rule touches lives in the probed
+    * buckets {hash(w1), hash(w2)}. DuckDB replays it in HUGEINT
+    * (q:`curate_lm3_route`).
+    */
+  private[graft] def surpriseTrigram(c12: Column, c123: Column,
+                                     c2: Column, c23: Column,
+                                     v: Long): Column =
+    when(coalesce(c123, lit(0L)) > 0L,
+      idiv(coalesce(c12, lit(0L)).cast("decimal(38,0)") * lit(Scale),
+        c123.cast("decimal(38,0)")))
+      .otherwise(idiv(
+        (coalesce(c2, lit(0L)) + lit(v)).cast("decimal(38,0)") *
+          lit(BackoffNum * Scale),
+        (lit(BackoffDen) * (coalesce(c23, lit(0L)) + lit(1L)))
+          .cast("decimal(38,0)")))
+
   /** TRAIN: build the stored LM from the reference corpus — frozen
     * top-`vocabTop` vocabulary (cnt desc, tok asc — the
     * [[TextAnalysis.bigramLmScore]] tie order), mapped bigram counts as the
     * LSM base segment, one committed manifest. Repeatable: the whole train
     * is deterministic aggregation, no sampling.
+    *
+    * `order = 3` additionally stores the trigram counts (`tri/seg=N`,
+    * bucketed by hash(w1) like `bi`) and flips [[lmRoute]] to the
+    * Stupid-Backoff scorer — the bi table keeps serving double duty as
+    * the trigram level's context counts AND the backoff level, so the
+    * two tables can never drift apart under learn/forget (both move in
+    * one transaction).
     */
   def writeLmIndex(refDocs: DataFrame, dir: String, vocabTop: Int = 50000,
                    nBuckets: Int = 16, idCol: String = "doc_id",
-                   textCol: String = "text"): Unit = {
+                   textCol: String = "text", order: Int = 2): Unit = {
     require(vocabTop > 0 && nBuckets > 0, "vocabTop and nBuckets must be > 0")
+    require(order == 2 || order == 3, s"order must be 2 or 3 (got $order)")
     val spark = refDocs.sparkSession
     import spark.implicits._
     IndexCommit.deleteTree(p(dir))
@@ -165,25 +247,41 @@ object LangModel {
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
       .withColumn("wb", wbCol(nBuckets))
     StoredIndex.writeByPart(bi, "wb", s"$dir/bi/seg=0")
-    Seq((vocabTop, v, nBuckets)).toDF("vocab_top", "v", "nbuckets")
+    if (order == 3) {
+      val tri = mappedTrigrams(refDocs, vocab, idCol, textCol)
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
+        .withColumn("wb", wbCol(nBuckets))
+      StoredIndex.writeByPart(tri, "wb", s"$dir/tri/seg=0")
+    }
+    Seq((vocabTop, v, nBuckets, order))
+      .toDF("vocab_top", "v", "nbuckets", "ordern")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     IndexCommit.commitFiles(dir, IndexCommit.walkDataFiles(dir))
   }
 
-  /** One staged bi-counts delta segment, published by one manifest rename —
-    * the shared learn/forget commit path (the budget gate's
-    * `appendFillsDelta` discipline, failpoints `lm-staged` /
-    * `lm-before-commit`): a crash anywhere leaves the previous version
-    * serving and the re-run re-derives the identical delta.
+  /** One staged count-delta publish — bi always, tri when the model is
+    * order 3 — under ONE manifest rename, the shared learn/forget commit
+    * path (the budget gate's `appendFillsDelta` discipline, failpoints
+    * `lm-staged` / `lm-before-commit`): a crash anywhere leaves the
+    * previous version serving BOTH tables (they can never flip
+    * separately) and the re-run re-derives the identical deltas.
     */
-  private def appendBiDelta(delta: DataFrame, dir: String,
-                            nBuckets: Int): Unit = {
+  private def appendCountDeltas(biDelta: DataFrame,
+                                triDelta: Option[DataFrame], dir: String,
+                                nBuckets: Int): Unit = {
     val t = new IndexTxn(dir)
-    val seg = StoredIndex.nextSeg(dir, "bi", "seg=")
-    StoredIndex.writeByPart(delta.withColumn("wb", wbCol(nBuckets)),
+    val biSeg = StoredIndex.nextSeg(dir, "bi", "seg=")
+    val triSeg = StoredIndex.nextSeg(dir, "tri", "seg=")
+    StoredIndex.writeByPart(biDelta.withColumn("wb", wbCol(nBuckets)),
       "wb", s"$dir/.bi-stage")
+    triDelta.foreach(d =>
+      StoredIndex.writeByPart(d.withColumn("wb", wbCol(nBuckets)),
+        "wb", s"$dir/.tri-stage"))
     IndexCommit.hit("lm-staged")
-    StoredIndex.moveTree(t, p(s"$dir/.bi-stage"), p(s"$dir/bi/seg=$seg"))
+    StoredIndex.moveTree(t, p(s"$dir/.bi-stage"), p(s"$dir/bi/seg=$biSeg"))
+    triDelta.foreach(_ =>
+      StoredIndex.moveTree(t, p(s"$dir/.tri-stage"),
+        p(s"$dir/tri/seg=$triSeg")))
     IndexCommit.hit("lm-before-commit")
     t.commit()
     t.cleanup()
@@ -201,12 +299,15 @@ object LangModel {
                      textCol: String = "text"): Long = {
     val spark = newRefDocs.sparkSession
     IndexCommit.vacuum(dir)
-    val (_, _, nb) = metaOf(spark, dir, None)
-    val delta = mappedBigrams(newRefDocs, vocabOf(spark, dir, None),
-        idCol, textCol)
+    val (_, _, nb, ord) = metaOf(spark, dir, None)
+    val vocab = vocabOf(spark, dir, None)
+    val delta = mappedBigrams(newRefDocs, vocab, idCol, textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-    val n = delta.count()
-    if (n > 0) appendBiDelta(delta, dir, nb)
+    val triDelta = if (ord < 3) None else Some(
+      mappedTrigrams(newRefDocs, vocab, idCol, textCol)
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt")))
+    val n = delta.count() + triDelta.fold(0L)(_.count())
+    if (n > 0) appendCountDeltas(delta, triDelta, dir, nb)
     n
   }
 
@@ -224,12 +325,15 @@ object LangModel {
                      textCol: String = "text"): Long = {
     val spark = docs.sparkSession
     IndexCommit.vacuum(dir)
-    val (_, _, nb) = metaOf(spark, dir, None)
-    val delta = mappedBigrams(docs, vocabOf(spark, dir, None), idCol,
-        textCol)
+    val (_, _, nb, ord) = metaOf(spark, dir, None)
+    val vocab = vocabOf(spark, dir, None)
+    val delta = mappedBigrams(docs, vocab, idCol, textCol)
       .groupBy("w1", "w2").agg((-count(lit(1))).as("cnt"))
-    val n = delta.count()
-    if (n > 0) appendBiDelta(delta, dir, nb)
+    val triDelta = if (ord < 3) None else Some(
+      mappedTrigrams(docs, vocab, idCol, textCol)
+        .groupBy("w1", "w2", "w3").agg((-count(lit(1))).as("cnt")))
+    val n = delta.count() + triDelta.fold(0L)(_.count())
+    if (n > 0) appendCountDeltas(delta, triDelta, dir, nb)
     n
   }
 
@@ -247,16 +351,31 @@ object LangModel {
     val segs = StoredIndex.segCount(t, "bi", "seg=")
     if (segs <= maxSegments) 0
     else {
-      val (_, _, nb) = metaOf(spark, dir, None)
+      val (_, _, nb, ord) = metaOf(spark, dir, None)
       val merged = StoredIndex.mergedLsm(spark, s"$dir/bi",
           "w1 STRING, w2 STRING, cnt BIGINT, seg INT, wb BIGINT",
           Seq("w1", "w2"), "cnt")
         .filter(col("cnt") =!= 0L)
       StoredIndex.writeByPart(merged.withColumn("wb", wbCol(nb)),
         "wb", s"$dir/.bi-stage")
+      if (ord >= 3) {
+        val mergedTri = StoredIndex.mergedLsm(spark, s"$dir/tri",
+            "w1 STRING, w2 STRING, w3 STRING, cnt BIGINT, seg INT, " +
+              "wb BIGINT",
+            Seq("w1", "w2", "w3"), "cnt")
+          .filter(col("cnt") =!= 0L)
+        StoredIndex.writeByPart(mergedTri.withColumn("wb", wbCol(nb)),
+          "wb", s"$dir/.tri-stage")
+      }
       val seg = StoredIndex.nextSeg(dir, "bi", "seg=")
+      val triSeg = StoredIndex.nextSeg(dir, "tri", "seg=")
       t.retireUnder("bi")
       StoredIndex.moveTree(t, p(s"$dir/.bi-stage"), p(s"$dir/bi/seg=$seg"))
+      if (ord >= 3) {
+        t.retireUnder("tri")
+        StoredIndex.moveTree(t, p(s"$dir/.tri-stage"),
+          p(s"$dir/tri/seg=$triSeg"))
+      }
       t.commit()
       t.cleanup()
       segs
@@ -291,7 +410,7 @@ object LangModel {
                  textCol: String = "text",
                  asOf: Option[Int] = None): DataFrame = {
     val spark = batch.sparkSession
-    val (_, _, nb) = metaOf(spark, dir, asOf)
+    val (_, _, nb, _) = metaOf(spark, dir, asOf)
     val vocab = vocabOf(spark, dir, asOf)
     val toks = batch.select(explode(split(col(textCol), " ")).as("tok"))
     val tokStats = toks
@@ -340,31 +459,93 @@ object LangModel {
               idCol: String = "doc_id", textCol: String = "text",
               asOf: Option[Int] = None): DataFrame = {
     val spark = batch.sparkSession
-    val (_, v, nb) = metaOf(spark, dir, asOf)
-    val bg = mappedBigrams(batch, vocabOf(spark, dir, asOf), idCol, textCol)
-    // bounded collect: the batch's probed buckets (<= nbuckets values)
-    val wanted = bg.select(wbCol(nb).as("wb")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val pruned = StoredIndex.readTable(spark, s"$dir/bi",
+    val (_, v, nb, ord) = metaOf(spark, dir, asOf)
+    if (ord >= 3) lm3Route(batch, dir, thrMean, idCol, textCol, asOf, v, nb)
+    else {
+      val bg = mappedBigrams(batch, vocabOf(spark, dir, asOf), idCol,
+        textCol)
+      // bounded collect: the batch's probed buckets (<= nbuckets values)
+      val wanted = bg.select(wbCol(nb).as("wb")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val pruned = StoredIndex.readTable(spark, s"$dir/bi",
+          "w1 STRING, w2 STRING, cnt BIGINT, seg INT, wb BIGINT", asOf)
+        .filter(col("wb").isin(wanted: _*))
+      val bi = pruned.groupBy("w1", "w2").agg(sum(col("cnt")).as("cnt"))
+      val ctx = pruned.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
+      val scored = bg
+        .join(bi, Seq("w1", "w2"), "left")
+        .join(ctx, Seq("w1"), "left")
+        .select(col("doc_id"),
+          surpriseBigram(col("ctx"), col("cnt"), v).as("surprise"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
+          sum(col("surprise")).as("surprise_sum"))
+      batch.select(col(idCol).cast("long").as("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("surprise_sum"),
+            lit(0L).cast("decimal(38,0)")).as("surprise_sum"),
+          (col("n_bigrams").isNull ||
+            col("surprise_sum") <= lit(thrMean).cast("decimal(38,0)") *
+              col("n_bigrams")).as("admitted"))
+    }
+  }
+
+  /** The order-3 route: per-trigram [[surpriseTrigram]] under the
+    * stored counts, admitted iff the mean is at or under `thrMean`.
+    * Docs under three tokens carry no evidence and are ADMITTED
+    * (n_trigrams 0, surprise_sum 0). Returns (doc_id, n_trigrams,
+    * surprise_sum decimal(38,0), admitted).
+    *
+    * Pruning: the probed bucket set is {hash(w1), hash(w2)} per batch
+    * trigram (still <= nbuckets driver values) — the trigram count and
+    * its context c(w1w2) live in bucket hash(w1); the backoff pair
+    * (w2,w3) and its context c(w2) = Σ_x c(w2,x) live ENTIRELY in
+    * bucket hash(w2), because `wb` hashes a row's first token. Both
+    * contexts derive from the same pruned bi fold — nothing extra is
+    * stored, so backoff can never desync from the trigram level.
+    */
+  private def lm3Route(batch: DataFrame, dir: String, thrMean: Long,
+                       idCol: String, textCol: String, asOf: Option[Int],
+                       v: Long, nb: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val tg = mappedTrigrams(batch, vocabOf(spark, dir, asOf), idCol,
+      textCol)
+    val wanted = tg.select(explode(array(
+        pmod(xxhash64(col("w1")), lit(nb.toLong)),
+        pmod(xxhash64(col("w2")), lit(nb.toLong)))).as("wb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val prunedBi = StoredIndex.readTable(spark, s"$dir/bi",
         "w1 STRING, w2 STRING, cnt BIGINT, seg INT, wb BIGINT", asOf)
       .filter(col("wb").isin(wanted: _*))
-    val bi = pruned.groupBy("w1", "w2").agg(sum(col("cnt")).as("cnt"))
-    val ctx = pruned.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
-    val scored = bg
-      .join(bi, Seq("w1", "w2"), "left")
-      .join(ctx, Seq("w1"), "left")
-      .select(col("doc_id"),
-        surpriseBigram(col("ctx"), col("cnt"), v).as("surprise"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
+    val prunedTri = StoredIndex.readTable(spark, s"$dir/tri",
+        "w1 STRING, w2 STRING, w3 STRING, cnt BIGINT, seg INT, wb BIGINT",
+        asOf)
+      .filter(col("wb").isin(wanted: _*))
+    val bi = prunedBi.groupBy("w1", "w2").agg(sum(col("cnt")).as("cnt"))
+    val ctx = prunedBi.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
+    val tri = prunedTri.groupBy("w1", "w2", "w3")
+      .agg(sum(col("cnt")).as("c123"))
+    val scored = tg
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("cnt").as("c12")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cnt").as("c23")), Seq("w2", "w3"), "left")
+      .join(ctx.select(col("w1").as("w2"), col("ctx").as("c2")),
+        Seq("w2"), "left")
+      .select(col("doc_id"), surpriseTrigram(col("c12"), col("c123"),
+        col("c2"), col("c23"), v).as("surprise"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_trigrams"),
         sum(col("surprise")).as("surprise_sum"))
     batch.select(col(idCol).cast("long").as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
         coalesce(col("surprise_sum"),
           lit(0L).cast("decimal(38,0)")).as("surprise_sum"),
-        (col("n_bigrams").isNull ||
+        (col("n_trigrams").isNull ||
           col("surprise_sum") <= lit(thrMean).cast("decimal(38,0)") *
-            col("n_bigrams")).as("admitted"))
+            col("n_trigrams")).as("admitted"))
   }
 }

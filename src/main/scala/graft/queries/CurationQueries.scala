@@ -168,6 +168,28 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** The ORDER-3 stored LM (Stupid Backoff at α = 2/5, r16) through the
+    * same standalone-gate harness: trained on the `doc_id % 4 = 0`
+    * slice at order 3, every other document decided against the
+    * committed trigram + bigram counts. The DuckDB oracle retrains
+    * vocab, bigram AND trigram counts and replays the exact-integer
+    * backoff rule in HUGEINT — the trigram level scores seen contexts,
+    * the unseen ones back off to 5/2 x the bigram Laplace score.
+    * thrMean sits near the eval-slice median of the order-3 scaled
+    * mean-surprise distribution (measured at sf0.01).
+    */
+  def curateLm3Route(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val base = graft.Caches.stagedPath("lm3-index", dir) { b =>
+      LangModel.writeLmIndex(docs.filter(col("doc_id") % 4 === 0), b,
+        vocabTop = 200, order = 3)
+    }
+    LangModel.lmRoute(docs.filter(col("doc_id") % 4 =!= 0), base,
+        thrMean = 73000000L)
+      .withColumn("surprise_sum", col("surprise_sum").cast("long"))
+      .orderBy("doc_id")
+  }
+
   def sampSplit(spark: SparkSession, dir: String): DataFrame =
     Curation.splitStats(t(spark, dir, "documents"))
       .orderBy("split")
@@ -444,6 +466,7 @@ object CurationQueries {
     "samp_token_mix_epochs" -> sampTokenMixEpochs,
     "curate_budget_route" -> curateBudgetRoute,
     "curate_lm_route" -> curateLmRoute,
+    "curate_lm3_route" -> curateLm3Route,
     "curate_quality_cut" -> curateQualityCut,
     "curate_stats" -> curateStats)
 
@@ -544,7 +567,101 @@ object CurationQueries {
       |          CAST(SUM(surprise) AS BIGINT) AS surprise_sum
       |        FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** The ORDER-3 retrain + Stupid-Backoff replay (q:`curate_lm3_route`):
+    * vocab + bigram + trigram counts retrained on `refSel`, every
+    * `evSel` doc scored per trigram position — seen trigrams pay
+    * (Scale * c(w1w2)) // c(w1w2w3), unseen ones back off to
+    * (Scale * 5 * (c(w2)+V)) // (2 * (c(w2w3)+1)) — all HUGEINT, ending
+    * in `agg3(doc_id, n_trigrams, surprise_sum)`. Mirrors
+    * [[graft.operators.LangModel.surpriseTrigram]]; change the scoring
+    * in both places or hashes drift.
+    */
+  private def lm3Ctes(refSel: String, evSel: String): String =
+    s"""ref AS (SELECT string_split(text, ' ') AS toks FROM $refSel),
+      |uni AS (SELECT unnest(toks) AS tok FROM ref),
+      |voc AS (SELECT tok FROM (
+      |          SELECT tok, COUNT(*) AS cnt FROM uni GROUP BY tok
+      |          ORDER BY cnt DESC, tok LIMIT 200)),
+      |vv AS (SELECT COUNT(*) + 1 AS v FROM voc),
+      |rbg0 AS (SELECT toks[i] AS r1, toks[i+1] AS r2
+      |         FROM (SELECT toks,
+      |                 unnest(generate_series(1, len(toks)-1)) AS i
+      |               FROM ref WHERE len(toks) >= 2)),
+      |rbg AS (SELECT
+      |          CASE WHEN v1.tok IS NOT NULL THEN r1
+      |               ELSE '<unk>' END AS w1,
+      |          CASE WHEN v2.tok IS NOT NULL THEN r2
+      |               ELSE '<unk>' END AS w2
+      |        FROM rbg0 LEFT JOIN voc v1 ON r1 = v1.tok
+      |                  LEFT JOIN voc v2 ON r2 = v2.tok),
+      |bi AS (SELECT w1, w2, COUNT(*) AS cnt FROM rbg GROUP BY w1, w2),
+      |ctx AS (SELECT w1, SUM(cnt) AS ctx FROM bi GROUP BY w1),
+      |rtg0 AS (SELECT toks[i] AS r1, toks[i+1] AS r2, toks[i+2] AS r3
+      |         FROM (SELECT toks,
+      |                 unnest(generate_series(1, len(toks)-2)) AS i
+      |               FROM ref WHERE len(toks) >= 3)),
+      |rtg AS (SELECT
+      |          CASE WHEN v1.tok IS NOT NULL THEN r1
+      |               ELSE '<unk>' END AS w1,
+      |          CASE WHEN v2.tok IS NOT NULL THEN r2
+      |               ELSE '<unk>' END AS w2,
+      |          CASE WHEN v3.tok IS NOT NULL THEN r3
+      |               ELSE '<unk>' END AS w3
+      |        FROM rtg0 LEFT JOIN voc v1 ON r1 = v1.tok
+      |                  LEFT JOIN voc v2 ON r2 = v2.tok
+      |                  LEFT JOIN voc v3 ON r3 = v3.tok),
+      |tri AS (SELECT w1, w2, w3, COUNT(*) AS cnt FROM rtg
+      |        GROUP BY w1, w2, w3),
+      |ev AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |       FROM $evSel),
+      |etg0 AS (SELECT doc_id, toks[i] AS r1, toks[i+1] AS r2,
+      |           toks[i+2] AS r3
+      |         FROM (SELECT doc_id, toks,
+      |                 unnest(generate_series(1, len(toks)-2)) AS i
+      |               FROM ev WHERE len(toks) >= 3)),
+      |etg AS (SELECT doc_id,
+      |          CASE WHEN v1.tok IS NOT NULL THEN r1
+      |               ELSE '<unk>' END AS w1,
+      |          CASE WHEN v2.tok IS NOT NULL THEN r2
+      |               ELSE '<unk>' END AS w2,
+      |          CASE WHEN v3.tok IS NOT NULL THEN r3
+      |               ELSE '<unk>' END AS w3
+      |        FROM etg0 LEFT JOIN voc v1 ON r1 = v1.tok
+      |                  LEFT JOIN voc v2 ON r2 = v2.tok
+      |                  LEFT JOIN voc v3 ON r3 = v3.tok),
+      |sc3 AS (SELECT doc_id,
+      |          CASE WHEN COALESCE(t.cnt, 0) > 0
+      |            THEN (CAST(1000000 AS HUGEINT) * COALESCE(b12.cnt, 0))
+      |                   // t.cnt
+      |            ELSE (CAST(5000000 AS HUGEINT)
+      |                    * (COALESCE(c2.ctx, 0) + vv.v))
+      |                   // (2 * (COALESCE(b23.cnt, 0) + 1)) END
+      |            AS surprise
+      |        FROM etg LEFT JOIN tri t USING (w1, w2, w3)
+      |                 LEFT JOIN bi b12
+      |                   ON etg.w1 = b12.w1 AND etg.w2 = b12.w2
+      |                 LEFT JOIN bi b23
+      |                   ON etg.w2 = b23.w1 AND etg.w3 = b23.w2
+      |                 LEFT JOIN ctx c2 ON etg.w2 = c2.w1
+      |                 CROSS JOIN vv),
+      |agg3 AS (SELECT doc_id, COUNT(*) AS n_trigrams,
+      |           CAST(SUM(surprise) AS BIGINT) AS surprise_sum
+      |         FROM sc3 GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the order-3 stored-LM replay: retrain vocab + bi + tri on the
+    // reference slice, score with the exact-integer Stupid Backoff
+    "curate_lm3_route" ->
+      s"""WITH ${lm3Ctes("documents WHERE doc_id % 4 = 0",
+                         "documents WHERE doc_id % 4 <> 0")}
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_trigrams, 0) AS n_trigrams,
+        |  COALESCE(a.surprise_sum, 0) AS surprise_sum,
+        |  (a.n_trigrams IS NULL
+        |    OR a.surprise_sum <= 73000000 * a.n_trigrams) AS admitted
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0) d
+        |LEFT JOIN agg3 a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // The flagship composition, replayed stage for stage: planted-mess
     // union -> normalize (the curate_normalize expressions) -> token floor
     // -> min-id exact dedup -> the shared df-cut shingle chain (the

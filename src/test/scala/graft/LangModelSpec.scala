@@ -211,6 +211,117 @@ class LangModelSpec extends SparkSpec {
       s"mixed doc must split exactly (got ($nt,$no,$nb2,$nu))")
   }
 
+  /** Driver-side order-3 reference scorer: Stupid Backoff at α = 2/5
+    * with the bigram-Laplace floor, all BigInt — the same rule
+    * [[graft.operators.LangModel.surpriseTrigram]] encodes.
+    */
+  private def brute3(ref: Seq[String], eval: Seq[(Long, String)],
+                     vocabTop: Int, thr: Long,
+                     learned: Seq[String] = Nil)
+      : Map[Long, (Long, BigInt, Boolean)] = {
+    val unis = ref.flatMap(_.split(" ", -1))
+    val vocab = unis.groupBy(identity).map { case (t, g) => (t, g.size) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(vocabTop).map(_._1).toSet
+    def m(t: String) = if (vocab(t)) t else LangModel.Unk
+    val all = (ref ++ learned).map(_.split(" ", -1))
+    val refBg = all.filter(_.length >= 2)
+      .flatMap(_.sliding(2).map(p => (m(p(0)), m(p(1)))))
+    val refTg = all.filter(_.length >= 3)
+      .flatMap(_.sliding(3).map(p => (m(p(0)), m(p(1)), m(p(2)))))
+    val bi = refBg.groupBy(identity).map { case (k, g) => (k, g.size.toLong) }
+    val ctx = refBg.groupBy(_._1).map { case (k, g) => (k, g.size.toLong) }
+    val tri = refTg.groupBy(identity).map { case (k, g) => (k, g.size.toLong) }
+    val v = vocab.size + 1
+    eval.map { case (id, txt) =>
+      val ts = txt.split(" ", -1)
+      if (ts.length < 3) id -> ((0L, BigInt(0), true))
+      else {
+        val ss = ts.sliding(3).map { q =>
+          val (w1, w2, w3) = (m(q(0)), m(q(1)), m(q(2)))
+          val c123: Long = tri.getOrElse((w1, w2, w3), 0L)
+          val c12: Long = bi.getOrElse((w1, w2), 0L)
+          val c23: Long = bi.getOrElse((w2, w3), 0L)
+          val c2: Long = ctx.getOrElse(w2, 0L)
+          if (c123 > 0)
+            BigInt(LangModel.Scale) * c12 / c123
+          else
+            BigInt(LangModel.BackoffNum * LangModel.Scale) * (c2 + v) /
+              (LangModel.BackoffDen * (c23 + 1))
+        }.sum
+        val n = ts.length - 2L
+        id -> ((n, ss, ss <= BigInt(thr) * n))
+      }
+    }.toMap
+  }
+
+  // order-3 eval: a fluent doc (trigram hits), a doc that forces the
+  // BACKOFF path (a seen bigram inside an unseen trigram context), full
+  // garbage, a 2-token doc (no trigram evidence -> admitted), OOV mix
+  private val eval3 = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "a dog sat on the mat"),
+    (3L, "zzz qqq www eee rrr ttt"),
+    (4L, "the cat"),
+    (5L, "the cat xylophone quark on the mat"))
+
+  test("order-3 lmRoute matches the Stupid-Backoff brute scorer — " +
+      "trigram hits, backoff path, <unk>, and no-evidence docs") {
+    val dir = tmp()
+    LangModel.writeLmIndex(df(refA.zipWithIndex.map {
+      case (t, i) => (i.toLong, t) }), dir, vocabTop = 50, order = 3)
+    val thr = 8000000L
+    val got = collectRoute(df(eval3), dir, thr)
+    val want = brute3(refA, eval3, vocabTop = 50, thr)
+    assert(got == want)
+    assert(got(4L) == ((0L, BigInt(0), true)),
+      "a doc under three tokens carries no trigram evidence")
+    // doc 2's first trigram ("a dog sat") is unseen but its backoff
+    // bigram ("dog sat") is stored: the surprise must be the backed-off
+    // bigram score, not the unseen floor doc 3 pays
+    assert(got(2L)._2 < got(3L)._2,
+      "the backoff path must discriminate seen-bigram docs from garbage")
+    assert(got(1L)._3 && !got(3L)._3,
+      "the threshold must split fluent from garbage at order 3")
+    // vocab shrink: <unk> mapping flows through all three positions
+    val dir2 = tmp()
+    LangModel.writeLmIndex(df(refA.zipWithIndex.map {
+      case (t, i) => (i.toLong, t) }), dir2, vocabTop = 8, order = 3)
+    assert(collectRoute(df(eval3), dir2, thr) ==
+      brute3(refA, eval3, vocabTop = 8, thr))
+  }
+
+  test("order-3 learn/forget move BOTH count tables atomically; as-of " +
+      "and compaction preserve decisions") {
+    val dir = tmp()
+    LangModel.writeLmIndex(df(refA.zipWithIndex.map {
+      case (t, i) => (i.toLong, t) }), dir, vocabTop = 50, order = 3)
+    val thr = 8000000L
+    val d0 = collectRoute(df(eval3), dir, thr)
+    val slice = "a dog sat on the mat again then again"
+    assert(LangModel.appendLmCounts(df(Seq((100L, slice))), dir) > 0)
+    val d1 = collectRoute(df(eval3), dir, thr)
+    assert(d1 != d0 && d1(2L)._2 < d0(2L)._2,
+      "learning doc 2's phrasing must lower its surprise")
+    assert(d1 == brute3(refA, eval3, 50, thr, learned = Seq(slice)),
+      "post-learn state must equal a retrain over ref + learned")
+    assert(collectRoute(df(eval3), dir, thr, asOf = Some(0)) == d0)
+    assert(LangModel.forgetLmCounts(df(Seq((100L, slice))), dir) > 0)
+    assert(collectRoute(df(eval3), dir, thr) == d0,
+      "forget must erase the learned trigrams AND bigrams exactly")
+    // fragment, then fold: decisions unchanged, tri zero-rows dropped
+    for (_ <- 1 to 9)
+      LangModel.appendLmCounts(df(Seq((101L, slice))), dir)
+    LangModel.forgetLmCounts(df(Seq((101L, slice))), dir)
+    val before = collectRoute(df(eval3), dir, thr)
+    val m1 = LangModel.maintainLmIndex(spark, dir)
+    assert(m1.action == "compact")
+    assert(collectRoute(df(eval3), dir, thr) == before,
+      "the fold must not move any order-3 decision")
+    assert(spark.read.parquet(s"$dir/tri")
+      .filter(col("cnt") === 0L).count() == 0,
+      "compaction must drop zero-count trigrams too")
+  }
+
   test("surpriseBigram stays exact past Long.MaxValue/Scale context " +
       "counts — the decimal(38,0) contract (ADVICE r15)") {
     val spark2 = spark
