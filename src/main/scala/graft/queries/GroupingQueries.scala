@@ -564,7 +564,42 @@ object GroupingQueries {
         toDouble(col("sum_l_quantity")).as("sum_qty"),
         toDouble(col("sum_l_extendedprice")).as("sum_price"))
 
+  /** The INDEX-CATALOG ops read ([[graft.sources.StoredIndex.catalog]],
+    * r16 — the fleet-listing half of `maintain()`): a root holding one
+    * cheap index per stored-family class (agg view with appended
+    * segments, budget gate with learned fills, order-3 LM), listed from
+    * manifests and directory metadata alone — no data file opens.
+    * Engine-internal state, so rows-only (not oracle-expressible);
+    * MaintainSpec asserts the column semantics per family. The temp
+    * root path is reduced to the index basename for determinism.
+    */
+  def qIndexCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val docs = t(spark, dir, "documents")
+    val root = graft.Caches.stagedPath("index-catalog", dir) { b =>
+      graft.sources.AggView.write(li.filter(col("l_orderkey") % 2 === 0),
+        s"$b/view", Seq("l_returnflag"), Seq("l_quantity"))
+      graft.sources.AggView.append(
+        li.filter(col("l_orderkey") % 2 === 1), s"$b/view")
+      graft.operators.Curation.writeBudgetGate(spark, s"$b/gate",
+        Map("src0" -> 100000L, "src1" -> 50000L))
+      graft.operators.Curation.recordBudgetFills(
+        graft.operators.Curation.budgetRoute(
+          docs.filter(col("doc_id") % 50 === 0), s"$b/gate"), s"$b/gate")
+      graft.operators.LangModel.writeLmIndex(
+        docs.filter(col("doc_id") % 20 === 0), s"$b/lm", vocabTop = 100,
+        order = 3)
+      ()
+    }
+    graft.sources.StoredIndex.catalog(spark, root)
+      .select(element_at(split(col("path"), "/"), -1).as("index"),
+        col("family"), col("versions"), col("live_files"), col("tables"),
+        col("segments"), col("tombstone_files"))
+      .orderBy("index")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_index_catalog" -> qIndexCatalog,
     "q_aggview" -> qAggView,
     "q_aggview_minmax" -> qAggViewMinmax,
     "q_aggview_route" -> qAggViewRoute,

@@ -319,21 +319,29 @@ object StoredIndex {
     * audit row per dispatched index, in path order; idempotent
     * end-to-end — each driver converges to `noop` (MaintainSpec).
     */
-  def maintain(spark: SparkSession,
-               root: String): Seq[(String, Maintenance)] = {
-    def familyOf(dir: java.nio.file.Path): Option[String] = {
-      def has(t: String) = java.nio.file.Files.isDirectory(dir.resolve(t))
-      if (has("hashes")) Some("curate")
-      else if (has("centroids")) Some("ivf")
-      else if (has("termdf")) Some("bm25")
-      else if (has("bcounts")) Some("lsh")
-      else if (has("budgets")) Some("budget")
-      else if (has("bi")) Some("lm")
-      else if (has("state")) Some("aggview")
-      else None
-    }
+  /** The family signature of one index directory — its TABLE LAYOUT
+    * (checked in an order where nested subtrees never double-dispatch:
+    * the curation state nests an `lsh/` its own driver maintains).
+    * Shared by [[maintain]] and [[catalog]].
+    */
+  private def familyOf(dir: java.nio.file.Path): Option[String] = {
+    def has(t: String) = java.nio.file.Files.isDirectory(dir.resolve(t))
+    if (has("hashes")) Some("curate")
+    else if (has("centroids")) Some("ivf")
+    else if (has("termdf")) Some("bm25")
+    else if (has("bcounts")) Some("lsh")
+    else if (has("budgets")) Some("budget")
+    else if (has("bi")) Some("lm")
+    else if (has("state")) Some("aggview")
+    else None
+  }
+
+  /** Indexes under `root` (or `root` itself when it IS one), in path
+    * order — the shared target list of [[maintain]] and [[catalog]].
+    */
+  private def indexesUnder(root: String): Seq[(String, String)] = {
     val rootP = java.nio.file.Paths.get(root)
-    val targets: Seq[(String, String)] = familyOf(rootP) match {
+    familyOf(rootP) match {
       case Some(f) => Seq((root, f))
       case None if java.nio.file.Files.isDirectory(rootP) =>
         import scala.jdk.CollectionConverters._
@@ -346,7 +354,59 @@ object StoredIndex {
         children.flatMap(p => familyOf(p).map(f => (p.toString, f)))
       case None => Seq.empty
     }
-    targets.map { case (dir, fam) =>
+  }
+
+  /** INDEX CATALOG — the ops half of [[maintain]] (VERDICT r15 #5: you
+    * cannot run a fleet of indexes you cannot list): ONE row per stored
+    * index under `root`, derived from manifests and directory listings
+    * alone — no data file is ever opened. Columns:
+    *
+    *   path, family, versions (RETAINED committed manifest count — a
+    *   history-depth gauge, not monotone: vacuum prunes past its keep
+    *   budget), live_files /
+    *   live_bytes (the latest manifest's pinned list, stat'd), tables
+    *   (distinct first-level table dirs among the pinned files),
+    *   segments (distinct `seg=`/`seg-`/`gen-` LSM dirs — the
+    *   compaction-pressure signal [[maintain]] acts on), and
+    *   tombstone_files (live files under a `tombstones/` table — the
+    *   forget-debt signal).
+    *
+    * Never-committed legacy dirs report versions 0 with the physical
+    * walk as the file list. Driver-side by construction (metadata is
+    * listing-sized); served as a DataFrame so fleets join it against
+    * monitoring tables. q:`q_index_catalog` serves it rows-only
+    * (engine-internal state is not oracle-expressible); MaintainSpec
+    * asserts one row per planted family.
+    */
+  def catalog(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val segRe = "^(seg=|seg-|gen-).*".r
+    val rows = indexesUnder(root).map { case (dir, fam) =>
+      val versions = IndexCommit.versionsOf(dir).size
+      val files = IndexCommit.pinnedFiles(dir)
+        .getOrElse(IndexCommit.walkDataFiles(dir))
+      val bytes = files.map { rel =>
+        val f = java.nio.file.Paths.get(dir, rel)
+        try java.nio.file.Files.size(f) catch { case _: Exception => 0L }
+      }.sum
+      val comps = files.map(_.split('/').toSeq)
+      val tables = comps.flatMap(_.headOption).distinct.size
+      val segments = comps.flatMap(c =>
+        c.init.zipWithIndex.collect {
+          case (d, i) if segRe.findFirstIn(d).nonEmpty =>
+            c.take(i + 1).mkString("/")
+        }).distinct.size
+      val tombs = comps.count(_.headOption.contains("tombstones"))
+      (dir, fam, versions, files.size.toLong, bytes, tables.toLong,
+        segments.toLong, tombs.toLong)
+    }
+    rows.toDF("path", "family", "versions", "live_files", "live_bytes",
+      "tables", "segments", "tombstone_files")
+  }
+
+  def maintain(spark: SparkSession,
+               root: String): Seq[(String, Maintenance)] = {
+    indexesUnder(root).map { case (dir, fam) =>
       val m = fam match {
         case "curate" =>
           graft.operators.Curation.maintainCurateIndex(spark, dir)

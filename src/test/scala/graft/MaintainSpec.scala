@@ -66,6 +66,23 @@ class MaintainSpec extends SparkSpec {
       docs.select("doc_id").limit(3), s"$root/d-bm25")
     assert(graft.operators.TextIndex.hasTombstones(s"$root/d-bm25"))
 
+    // CATALOG (VERDICT r15 #5): one metadata-only row per planted index
+    // — family, versions, live files/bytes, segment count (the
+    // compaction-pressure signal), tombstone debt — before the sweep
+    def cat() = StoredIndex.catalog(spark, root).collect()
+      .map(r => r.getString(1) -> r).toMap
+    val pre = cat()
+    assert(pre.keySet == Set("lsh", "ivf", "bm25", "curate", "budget",
+      "lm", "aggview"),
+      s"catalog must list all seven planted families (got ${pre.keySet})")
+    assert(pre.values.forall(r => r.getInt(2) >= 1 &&
+      r.getLong(3) > 0 && r.getLong(4) > 0),
+      "every index reports committed versions, live files and bytes")
+    assert(pre("lm").getLong(6) >= 10,
+      s"the fragmented lm index's segments must surface (got ${pre("lm")})")
+    assert(pre("bm25").getLong(7) > 0,
+      "the tombstoned bm25 index's forget debt must surface")
+
     val first = StoredIndex.maintain(spark, root)
     val byFam = first.map { case (dir, m) => m.family -> dir }.toMap
     assert(first.size == 7,
@@ -100,6 +117,17 @@ class MaintainSpec extends SparkSpec {
     val second = StoredIndex.maintain(spark, root)
     assert(second.size == 7 && second.forall(_._2.action == "noop"),
       s"the re-run must report noop for every family (got $second)")
+
+    // post-sweep catalog: the folds and tombstone retirement are visible
+    // in the metadata alone
+    val post = cat()
+    assert(post("lm").getLong(6) < pre("lm").getLong(6),
+      "the lm fold must shrink the catalog's segment count")
+    assert(post("bm25").getLong(7) == 0,
+      "the retired tombstones must leave the catalog's debt column")
+    // versions counts RETAINED manifests — vacuum prunes past its keep
+    // budget, so the column is a history-depth gauge, not monotone
+    assert(post.values.forall(_.getInt(2) >= 1))
   }
 
   test("maintain on an index dir itself dispatches exactly that index") {
