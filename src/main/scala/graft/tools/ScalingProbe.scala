@@ -182,12 +182,16 @@ object ScalingProbe {
     }
 
     def axisJson(tag: String, tiers: Seq[String],
-                 pts: Map[String, Seq[(Long, Double, Long)]]): String =
+                 pts: Map[String, Seq[(Long, Double, Long)]],
+                 recalls: Map[String, Map[Long, Double]] = Map.empty)
+        : String =
       tiers.map { n =>
         val ps = pts(n)
         val e = fitExponent(ps.map(p => (p._1, p._2)))
         val ptJson = ps.map { case (sz, t, bn) =>
-          s"""{"n":$sz,"t":${r3(t)},"dps":${r3(bn / t)}}"""
+          val rc = recalls.get(n).flatMap(_.get(sz))
+            .map(r => s""","recall":${r3(r)}""").getOrElse("")
+          s"""{"n":$sz,"t":${r3(t)},"dps":${r3(bn / t)}$rc}"""
         }.mkString("[", ",", "]")
         System.err.println(s"[scaling] $tag $n: " +
           ps.map(p => s"${r3(p._3 / p._2)}@${p._1}").mkString(" -> ") +
@@ -227,7 +231,7 @@ object ScalingProbe {
       val qBatch = SynthFixtures.zipfQueries(spark, qBatchN.toLong).persist()
       docBatch.count(); embBatch.count(); qBatch.count()
       def bench(nDocs: Long, nVecs: Long)
-          : (Map[String, Double], Map[String, Long]) = {
+          : (Map[String, Double], Map[String, Long], Double) = {
         val docs = spark.read
           .parquet(SynthFixtures.ensureZipfDocs(spark, nDocs))
         val emb = spark.read
@@ -298,16 +302,35 @@ object ScalingProbe {
         val times = runs.map { case (n, f) => n -> wm(f) }.toMap
         val bytesRead = runs.map { case (n, f) =>
           n -> meter.measure(f)._1 }.toMap
+        // WAND recall@10 vs the exact tier AT THIS INDEX SIZE (VERDICT
+        // r15 #4: the 2k-doc spec fixture cannot stand in for the 500k
+        // regime the approximate tier exists for) — same query batch,
+        // one extra pass per tier
+        val exTop = graft.operators.TextIndex.bm25Route(qBatch,
+            s"$dir-bm25", k = 10)
+          .select(col("qid"), col("doc_id")).persist()
+        val wdTop = graft.operators.TextIndex.bm25RouteWand(qBatch,
+            s"$dir-bm25", k = 10, budget = 2)
+          .select(col("qid"), col("doc_id"))
+        val nEx = exTop.groupBy("qid").agg(count(lit(1)).as("n_ex"))
+        val nHit = exTop.join(wdTop, Seq("qid", "doc_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        val recall = nEx.join(nHit, Seq("qid"), "left")
+          .agg(avg(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_ex"))).collect()(0).getDouble(0)
+        exTop.unpersist()
+        System.err.println(
+          f"[scaling] bm25w recall@10 vs exact at $nDocs docs: $recall%.3f")
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivf"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivf8"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivfpq"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-bm25"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-lm"))
-        (times, bytesRead)
+        (times, bytesRead, recall)
       }
       val rs = axisSizes.map { case (nd, nv) =>
-        val (t, b) = bench(nd, nv); (nd, nv, t, b) }
+        val (t, b, rc) = bench(nd, nv); (nd, nv, t, b, rc) }
       docBatch.unpersist(); embBatch.unpersist(); qBatch.unpersist()
       def sizeOf(tier: String, nd: Long, nv: Long): Long =
         if (tier.startsWith("ann") || tier.startsWith("ivfpq")) nv else nd
@@ -317,15 +340,17 @@ object ScalingProbe {
       // series over the sizes it actually ran
       val tiers = rs.head._3.keys.toSeq.sorted
       val pts = tiers.map { tier =>
-        tier -> rs.collect { case (nd, nv, t, _) if t.contains(tier) =>
+        tier -> rs.collect { case (nd, nv, t, _, _) if t.contains(tier) =>
           (sizeOf(tier, nd, nv), t(tier), decided(tier)) }
       }.toMap
+      val recalls = Map("bm25w_route" ->
+        rs.map { case (nd, _, _, _, rc) => nd -> rc }.toMap)
       // bytes-per-decision axis (VERDICT r13 #1): one metered pass per
       // (tier, size) — exponent fits log bytes vs log corpus size, the
       // number the pruned tier's "skipped posting lists are never read"
       // claim lives or dies by
       val byteJson = tiers.map { tier =>
-        val ps = rs.collect { case (nd, nv, _, b) if b.contains(tier) =>
+        val ps = rs.collect { case (nd, nv, _, b, _) if b.contains(tier) =>
           (sizeOf(tier, nd, nv), b(tier)) }
         val e = fitExponent(ps.map(p => (p._1, math.max(1L, p._2).toDouble)))
         System.err.println(s"[scaling] route_bytes $tier: " +
@@ -336,7 +361,7 @@ object ScalingProbe {
         }.mkString("[", ",", "]")
         s""""$tier":{"points":$ptJson,"exponent":${r3(e)}}"""
       }.mkString(""","route_bytes":{""", ",", "}")
-      axisJson("route", tiers, pts) + byteJson
+      axisJson("route", tiers, pts, recalls) + byteJson
     }
     /** Forget-tier axis: on standing LSH + IVF + BM25 indexes built at
       * three sizes a decade apart (same [[SynthFixtures]] corpora as the
