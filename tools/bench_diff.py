@@ -129,6 +129,54 @@ def solo_runs(query, sfdir, timeout=2400):
     return [float(m) for m in re.findall(r"run\d+\s*([0-9.]+)s", p.stdout)]
 
 
+DEFAULT_CANARIES = ["sim_topk", "q_dpp", "q_pagerank"]
+
+
+def stamp_canaries(record_path, baseline_path, canaries, sfdir, band=1.5):
+    """Fresh-JVM solo canaries BEFORE a record becomes the stored headline
+    (VERDICT r15 #1: two rounds running, the box's uniform-hot mode was
+    stamped as the comparison base and every later diff inherited the
+    noise). Each canary reruns solo and compares to the BASELINE record's
+    warm-min; if a majority exceed `band`x, the record is marked
+    "hot_session": true in place — the differ then tells the next round
+    to prefer the last non-hot stamp as its base. Mechanical, not prose:
+    the verdict and the per-canary runs are stored in the record itself.
+    """
+    with open(record_path) as f:
+        rec = json.load(f)
+    base = warm_min(load_record(baseline_path))
+    results, hot_votes, voters = {}, 0, 0
+    for q in canaries:
+        if q not in base:
+            results[q] = {"baseline": None, "solo_runs": [],
+                          "verdict": "no baseline"}
+            continue
+        runs = solo_runs(q, sfdir)
+        solo = min(runs) if runs else None
+        if solo is None:
+            results[q] = {"baseline": base[q], "solo_runs": runs,
+                          "verdict": "control failed"}
+            continue
+        ratio = solo / base[q]
+        voters += 1
+        hot = ratio > band
+        hot_votes += 1 if hot else 0
+        results[q] = {"baseline": base[q], "solo_runs": runs,
+                      "solo_min": solo, "ratio": round(ratio, 3),
+                      "verdict": "hot" if hot else "at baseline"}
+        print(f"canary {q}: solo {solo:.3f}s vs baseline {base[q]:.3f}s "
+              f"= {ratio:.2f}x -> {'HOT' if hot else 'ok'}")
+    hot_session = voters > 0 and hot_votes * 2 > voters
+    rec["hot_session"] = hot_session
+    rec["canaries"] = {"band": band, "baseline_record": baseline_path,
+                       "runs": results}
+    with open(record_path, "w") as f:
+        json.dump(rec, f)
+    print(f"stamped {record_path}: hot_session={hot_session} "
+          f"({hot_votes}/{voters} canaries hot, band {band}x)")
+    return hot_session
+
+
 def human(n):
     for unit in ("B", "KB", "MB", "GB"):
         if abs(n) < 1024 or unit == "GB":
@@ -156,7 +204,27 @@ def main():
     ap.add_argument("--noise-out",
                     help="write the generated solo-control record (the "
                          "BENCH_NOISE_r{N}.json artifact) here")
+    ap.add_argument("--stamp", action="store_true",
+                    help="canary-gate mode: rerun the canary queries solo "
+                         "fresh-JVM, compare to OLD's warm-mins, and mark "
+                         "NEW with hot_session true/false IN PLACE before "
+                         "it becomes a stored headline (VERDICT r15 #1). "
+                         "No diff is produced.")
+    ap.add_argument("--canaries", default=",".join(DEFAULT_CANARIES),
+                    help="comma-separated canary queries for --stamp "
+                         f"(default: {','.join(DEFAULT_CANARIES)})")
+    ap.add_argument("--canary-band", type=float, default=1.5,
+                    help="a canary solo above this ratio of its baseline "
+                         "warm-min votes hot (default 1.5)")
+    ap.add_argument("--sfdir", default="/root/testdata/sf0.1",
+                    help="sf dir for --stamp canary runs")
     args = ap.parse_args()
+
+    if args.stamp:
+        hot = stamp_canaries(args.new, args.old,
+                             [c for c in args.canaries.split(",") if c],
+                             args.sfdir, args.canary_band)
+        sys.exit(0 if not hot else 3)
 
     old, new = load_record(args.old), load_record(args.new)
     plans_old = old.get("plans") or (load_record(args.plans_old).get("plans") if args.plans_old else {}) or {}
@@ -191,6 +259,25 @@ def main():
     w("")
     w(f"Discipline: per-query **warm-pass minimums**, noise band **{args.band}x** "
       f"(BENCH_NOISE_r07.json), plan-fingerprint equality gates attribution.")
+    w("")
+
+    def hot_flag(path):
+        try:
+            with open(path) as f:
+                return json.load(f).get("hot_session")
+        except Exception:
+            return None
+
+    hot_old, hot_new = hot_flag(args.old), hot_flag(args.new)
+    w(f"- comparison base: `{args.old}` (hot_session: {hot_old}) -> "
+      f"new: `{args.new}` (hot_session: {hot_new})")
+    if hot_old:
+        w("- **WARNING: the base record is a hot-session stamp — prefer "
+          "the last non-hot record as the base.**")
+    if hot_new:
+        w("- **WARNING: the new record is a hot-session stamp (canary "
+          "solos above band) — its totals are NOT comparable; the next "
+          "round must diff against the last non-hot base.**")
     w("")
     tot_old, tot_new = sum(tmin_old.values()), sum(tmin_new.values())
     w(f"- queries: {len(tmin_old)} old / {len(tmin_new)} new "
