@@ -75,7 +75,7 @@ object RouteBench {
       .split(",").map(_.trim.toInt)
     val tiers = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TIERS",
         "curate,minhash,ann,ivfpq,bm25,bm25p,bm25w,hybrid,hybridw," +
-          "budget,lm,aggview")
+          "budget,lm,lm3,aggview")
       .split(",").map(_.trim).toSeq
     val secs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_SECS", "40").toInt
     val triggerMs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TRIGGER_MS", "5000").toLong
@@ -144,6 +144,13 @@ object RouteBench {
       graft.operators.LangModel.writeLmIndex(
         graft.Tables.t(spark, sfDir, "documents").select("doc_id", "text"),
         lmDir)
+    val lm3Dir = s"$dir-lm3"
+    if (tiers.contains("lm3"))
+      // the order-3 Stupid-Backoff gate (r16): same reference corpus,
+      // trigram + bigram LSMs, {hash(w1), hash(w2)} bucket pruning
+      graft.operators.LangModel.writeLmIndex(
+        graft.Tables.t(spark, sfDir, "documents").select("doc_id", "text"),
+        lm3Dir, order = 3)
     val buildSec = (System.nanoTime() - t0) / 1e9
     System.err.println(s"[route-bench] index build ${r1(buildSec)}s from $sfDir")
 
@@ -272,6 +279,11 @@ object RouteBench {
         // in-row bigram explode + the wb-pruned stream-static count join
         (b: DataFrame) => graft.operators.LangModel.lmRoute(b, lmDir,
           thrMean = 35000000L).count())),
+      "lm3" -> ((docArrivals _,
+        // order-3 decisions: trigram explode + three pruned count joins
+        // (tri, bi twice) + the backoff CASE — the heavier gate unit
+        (b: DataFrame) => graft.operators.LangModel.lmRoute(b, lm3Dir,
+          thrMean = 73000000L).count())),
       "budget" -> ((
         // quota admission with LEARN: every batch decides against the
         // committed fill state and commits one fills delta — the full
