@@ -76,8 +76,8 @@ object ScalingProbe {
   private[tools] def warmMinsFromBench(path: String): Map[String, Double] = {
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8")
-    val passMap = """"queries\d*":\{([^}]*)\}""".r
-    val entry = """"([^"]+)":([0-9.]+)""".r
+    val passMap = """"queries\d*":\s*\{([^}]*)\}""".r
+    val entry = """"([^"]+)":\s*([0-9.]+)""".r
     passMap.findAllMatchIn(txt).flatMap(m =>
         entry.findAllMatchIn(m.group(1)).map(e =>
           e.group(1) -> e.group(2).toDouble))

@@ -171,7 +171,10 @@ def stamp_canaries(record_path, baseline_path, canaries, sfdir, band=1.5):
     rec["canaries"] = {"band": band, "baseline_record": baseline_path,
                        "runs": results}
     with open(record_path, "w") as f:
-        json.dump(rec, f)
+        # compact separators: the repo's record parsers (ScalingProbe's
+        # warmMinsFromBench, the tail-recovery regex) expect the bench
+        # main's own no-space JSON
+        json.dump(rec, f, separators=(",", ":"))
     print(f"stamped {record_path}: hot_session={hot_session} "
           f"({hot_votes}/{voters} canaries hot, band {band}x)")
     return hot_session
