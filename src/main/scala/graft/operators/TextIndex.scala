@@ -393,6 +393,20 @@ object TextIndex {
     * row_number window then ranks ≤ maxBlocks*blockSize rows per term.
     * tf AND dl are stored inline so budgeted serving scores without
     * doclens joins: the whole serve is one narrow budget-pruned scan.
+    *
+    * MEASURED RECALL LAW (r16, WANDRECALL_r16.json — size the knobs by
+    * it): budgeted truncation reads budget x blockSize postings per
+    * term per segment while a head term's df grows with the corpus, so
+    * recall@10 vs the exact tier tracks the COVERAGE/df fraction — on
+    * the Zipf fixture at budget 2 / blockSize 64 it is 1.000 at 500
+    * docs but 0.718 at 50k and 0.378 at 500k; at 500k, blockSize 512 x
+    * budget 4 recovers 0.593 (bytes scale with blockSize, still far
+    * below the exact tier's full lists — SCALING_r16 time exponent
+    * 0.052 vs exact 0.390). The tier is therefore an APPROXIMATE-FEED
+    * shape (dedup candidates, recommendation drafts, first-pass
+    * filters) whose coverage must be provisioned against expected df;
+    * precision-critical top-k serving belongs to the exact tiers
+    * ([[bm25Route]], [[bm25RoutePruned]] certificates).
     */
   private def impactsOf(post: DataFrame, dls: DataFrame,
                         maxBlocks: Int, blockSize: Int): DataFrame = {
