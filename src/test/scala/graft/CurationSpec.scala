@@ -987,4 +987,59 @@ class CurationSpec extends SparkSpec {
           s"('$r' vs '${without(id)}')")
     }
   }
+
+  test("curateRoute composes an ORDER-3 stored LM (r16): the dispatch is " +
+      "transparent and the fired set equals the standalone trigram " +
+      "gate's rejections") {
+    import graft.operators.LangModel
+    val raw = Tables.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-route-lm3").toString
+    Curation.writeCurateIndex(raw, dir)
+    val normed = Curation.normalizeDocs(raw)
+      .select(col("doc_id"), col("norm").as("text"))
+    val lmDir = java.nio.file.Files
+      .createTempDirectory("graft-route-lm3-model").toString
+    LangModel.writeLmIndex(normed.filter(col("doc_id") % 4 === 0), lmDir,
+      vocabTop = 200, order = 3)
+    // self-calibrating threshold: the median mean-surprise of the
+    // corpus under the trained model, so the cut is real on any fixture
+    val thr = LangModel.lmRoute(normed, lmDir, 0L)
+      .filter(col("n_trigrams") > 0)
+      .select((col("surprise_sum").cast("double") / col("n_trigrams"))
+        .as("ms"))
+      .stat.approxQuantile("ms", Array(0.5), 0.0)(0).toLong
+    def reasons(lm: Option[String]) =
+      Curation.curateRoute(raw, dir, lmDir = lm, lmThr = thr)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    val without = reasons(None)
+    val withLm = reasons(Some(lmDir))
+    // the standalone order-3 gate over the SAME normalized text the
+    // route scores — the composition must fire on exactly this set
+    // (minus docs an earlier stage already rejected)
+    val lmCut = LangModel.lmRoute(normed, lmDir, thr)
+      .filter(!col("admitted"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(withLm.values.count(_ == "perplexity") > 0,
+      "the median threshold must cut part of the corpus")
+    withLm.foreach { case (id, r) =>
+      if (r == "perplexity") {
+        assert(lmCut(id),
+          s"doc $id marked perplexity but the standalone gate admits it")
+        assert(without(id) == null || without(id) == "contaminated" ||
+          without(id) == "held_out",
+          s"doc $id: perplexity may only preempt later stages " +
+            s"(displaced '${without(id)}')")
+      } else {
+        assert(r == without(id),
+          s"doc $id: non-LM decisions must be untouched")
+        if (lmCut(id))
+          assert(Set("quality", "exact_dup", "near_dup")(r),
+            s"doc $id is lm-cut but not marked perplexity — only an " +
+              s"EARLIER stage may preempt (got '$r')")
+      }
+    }
+  }
 }
