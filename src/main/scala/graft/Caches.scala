@@ -156,7 +156,14 @@ object Caches {
         catch { case _: Exception => (-1L, -1L) }
       s"$u:$sz:$mt"
     }
-    java.util.Objects.hash(parts.toSeq).toString
+    // full-strength digest of the joined parts — a 32-bit fold (the old
+    // java.util.Objects.hash) collides at 1-in-2^32 and a same-size
+    // rewrite inside one mtime millisecond must still change the key
+    // with overwhelming probability, which MD5 over the exact
+    // (path,size,mtime) list gives at listing cost
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(parts.mkString("\n").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
   }
 
   private def deleteTree(root: String): Unit = {

@@ -1357,6 +1357,13 @@ object Curation {
                   lmDir: Option[String] = None,
                   lmThr: Long = 0L,
                   lmAsOf: Option[Int] = None): DataFrame = {
+    // A PINNED read composed with a stored-LM leg must pin the LM too:
+    // the LM index has its own manifest history, so serving the LATEST
+    // LM under a historical curation read would silently change the
+    // pinned decisions after any LM learn/forget. Fail fast instead.
+    require(asOf.isEmpty || lmDir.isEmpty || lmAsOf.isDefined,
+      "curateRoute: asOf is set and lmDir is present but lmAsOf is None " +
+        "— pass an explicit lmAsOf so the LM leg is pinned with the read")
     val spark = arrivals.sparkSession
     val normed = normalizeDocs(arrivals).select(col("doc_id"),
       col("norm").as("text"))

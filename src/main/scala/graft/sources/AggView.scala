@@ -176,6 +176,16 @@ object AggView {
     * with the served ones first (one kb-pruned read of the touched
     * buckets — O(batch keys), the LSM read-modify-write; additive views
     * skip the read entirely). Returns the number of delta rows written.
+    *
+    * SINGLE WRITER (the standing stored-family contract, stated here
+    * because min/max makes it load-bearing): additive appends commute —
+    * two concurrent appends merge correctly in any commit order — but a
+    * min/max append is a read-modify-write against the served extrema,
+    * so two concurrent appends touching the same key can both read the
+    * same `cur_*` and the later commit silently drop the earlier batch's
+    * extremum. Writers serialize per view dir (the same one-maintainer
+    * assumption every compaction in this engine states); readers are
+    * never blocked (manifest snapshot isolation).
     */
   def append(rows: DataFrame, dir: String): Long = {
     val spark = rows.sparkSession

@@ -367,6 +367,10 @@ object RouteBench {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ivfDir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ivfPqDir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bm25Dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(budgetDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(aggDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lmDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lm3Dir))
     spark.stop()
     val tiersBody = tierJson.map { case (t, j) => s""""$t":$j""" }
       .mkString("{", ",", "}")
