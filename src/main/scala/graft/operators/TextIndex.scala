@@ -208,7 +208,10 @@ object TextIndex {
   }
 
   private case class Meta(nb: Int, dlr: Long, fwd: Boolean, pos: Boolean,
-                          tok: String, impB: Int, impBs: Int, dir: String) {
+                          tok: String, impB: Int, impBs: Int, impF: Double,
+                          dir: String) {
+    /** The index stores an impacts table (either layout). */
+    def hasImpacts: Boolean = impB > 0 || impF > 0
     /** Resolved at USE (not at meta read): the bpe branch reads the
       * stored merge table, which non-tokenizing callers never pay.
       */
@@ -226,7 +229,7 @@ object TextIndex {
   private def metaFull(spark: SparkSession, dir: String): Meta = {
     val r = StoredIndex.readTable(spark, s"$dir/meta",
       "nbuckets INT, dlrange BIGINT, fwd BOOLEAN, pos BOOLEAN, " +
-        "tok STRING, impb INT, impbs INT")
+        "tok STRING, impb INT, impbs INT, impfrac DOUBLE")
       .collect()
     require(r.nonEmpty, s"no bm25 index meta under $dir")
     Meta(r.head.getInt(0), r.head.getLong(1),
@@ -235,6 +238,7 @@ object TextIndex {
       if (r.head.isNullAt(4)) "ws" else r.head.getString(4),
       if (r.head.isNullAt(5)) 0 else r.head.getInt(5),
       if (r.head.isNullAt(6)) 0 else r.head.getInt(6),
+      if (r.head.isNullAt(7)) 0.0 else r.head.getDouble(7),
       dir)
   }
 
@@ -402,14 +406,32 @@ object TextIndex {
     * docs but 0.718 at 50k and 0.378 at 500k; at 500k, blockSize 512 x
     * budget 4 recovers 0.593 (bytes scale with blockSize, still far
     * below the exact tier's full lists — SCALING_r16 time exponent
-    * 0.052 vs exact 0.390). The tier is therefore an APPROXIMATE-FEED
-    * shape (dedup candidates, recommendation drafts, first-pass
-    * filters) whose coverage must be provisioned against expected df;
-    * precision-critical top-k serving belongs to the exact tiers
-    * ([[bm25Route]], [[bm25RoutePruned]] certificates).
+    * 0.052 vs exact 0.390). A FIXED-block layout is therefore an
+    * APPROXIMATE-FEED shape (dedup candidates, recommendation drafts,
+    * first-pass filters) whose coverage must be provisioned against
+    * expected df; precision-critical top-k serving belongs to the exact
+    * tiers ([[bm25Route]], [[bm25RoutePruned]] certificates).
+    *
+    * THE RECALL-BOUNDED LAYOUT (r17, the measured law applied): with
+    * `fraction > 0` the per-term head is DF-PROPORTIONAL —
+    * max(blockSize, ceil(df x fraction)) postings per term per segment
+    * — so the coverage fraction, and by the measured law the recall,
+    * is CONSTANT IN CORPUS SIZE by construction (rare terms with
+    * df <= blockSize keep their whole list). Serving reads the whole
+    * stored head (the head IS the provisioned coverage — the `budget`
+    * knob is a fixed-layout concept), paying `fraction` of the exact
+    * tier's posting bytes per query instead of all of them. Appends
+    * keep the fraction monotone: each segment's head is cut at
+    * fraction x its OWN df, and sum(ceil(df_seg x f)) >=
+    * ceil(sum(df_seg) x f), the same envelope-merge argument as
+    * termdf. Write-time cost of the fraction cut is one per-term
+    * row_number window (a (term)-clustered sort — the exchange class
+    * the postings build already pays; a bounded heap cannot take the
+    * per-group k this cut needs).
     */
   private def impactsOf(post: DataFrame, dls: DataFrame,
-                        maxBlocks: Int, blockSize: Int): DataFrame = {
+                        maxBlocks: Int, blockSize: Int,
+                        fraction: Double = 0.0): DataFrame = {
     val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
     val scored = post.select("term", "doc_id", "tf", "tb")
@@ -417,11 +439,23 @@ object TextIndex {
       .join(dfreq, Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("imp", tscoreExpr)
-    val cut = graft.plans.TopKPerGroup(scored, Seq("term"),
-      Seq("imp" -> false, "doc_id" -> true), maxBlocks * blockSize)
     val w = Window.partitionBy(col("term"))
       .orderBy(col("imp").desc, col("doc_id"))
-    cut.withColumn("rn", row_number().over(w))
+    val ranked =
+      if (fraction > 0)
+        // df-proportional head: the per-group cut size varies by term,
+        // so the rank comes straight from the window (spill-safe SortExec)
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= greatest(lit(blockSize.toLong),
+            ceil(col("df") * fraction).cast("long")))
+      else {
+        // fixed head: bounded-heap pre-cut, then the residual window
+        // ranks <= maxBlocks*blockSize rows per term
+        val cut = graft.plans.TopKPerGroup(scored, Seq("term"),
+          Seq("imp" -> false, "doc_id" -> true), maxBlocks * blockSize)
+        cut.withColumn("rn", row_number().over(w))
+      }
+    ranked
       .withColumn("ib", expr(s"cast((rn - 1) div $blockSize as int)"))
       .select("term", "doc_id", "tf", "dl", "ib", "tb")
   }
@@ -456,7 +490,8 @@ object TextIndex {
                      tokenizer: String = "ws",
                      bpeMerges: Seq[Bpe.Merge] = Nil,
                      impactBlocks: Int = 0,
-                     impactBlockSize: Int = 64): Unit = {
+                     impactBlockSize: Int = 64,
+                     impactFraction: Double = 0.0): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(tokenizers.contains(tokenizer) || tokenizer == "bpe",
@@ -464,10 +499,16 @@ object TextIndex {
         s"${(tokenizers.keys.toSeq :+ "bpe").mkString(", ")})")
     require(tokenizer != "bpe" || bpeMerges.nonEmpty,
       "the bpe tokenizer needs its trained merge table (bpeMerges)")
+    require(impactFraction >= 0.0 && impactFraction <= 1.0,
+      s"impactFraction must be in [0, 1] (got $impactFraction)")
+    require(impactFraction == 0.0 || impactBlocks == 0,
+      "impactBlocks (fixed head) and impactFraction (df-proportional " +
+        "head) are alternative impact layouts — set exactly one")
     IndexCommit.deleteTree(java.nio.file.Paths.get(dir))
     Seq((nBuckets, dlRange, forward, positional, tokenizer,
-        impactBlocks, impactBlockSize))
-      .toDF("nbuckets", "dlrange", "fwd", "pos", "tok", "impb", "impbs")
+        impactBlocks, impactBlockSize, impactFraction))
+      .toDF("nbuckets", "dlrange", "fwd", "pos", "tok", "impb", "impbs",
+        "impfrac")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     // the trained merges are INDEX STATE (the tokenization every append
     // and route must replay), so they live in the index, not a caller dir
@@ -484,9 +525,9 @@ object TextIndex {
     writeByPart(dls, "dr", s"$dir/doclens")
     if (forward)
       writeByPart(fwdOf(post, dlRange), "dr", s"$dir/fwd")
-    if (impactBlocks > 0)
-      writeImpacts(impactsOf(post, dls, impactBlocks, impactBlockSize),
-        s"$dir/impacts/seg=0")
+    if (impactBlocks > 0 || impactFraction > 0)
+      writeImpacts(impactsOf(post, dls, impactBlocks, impactBlockSize,
+        impactFraction), s"$dir/impacts/seg=0")
     dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/seg=0")
     IndexCommit.commitFiles(dir, IndexCommit.walkDataFiles(dir))
@@ -519,8 +560,8 @@ object TextIndex {
     // an impact-enabled index gains one impacts segment per append: the
     // batch's own head blocks (segment-local impact order — serving reads
     // every segment's head, compaction re-blocks globally)
-    if (m.impB > 0)
-      writeImpacts(impactsOf(post, dls, m.impB, m.impBs),
+    if (m.hasImpacts)
+      writeImpacts(impactsOf(post, dls, m.impB, m.impBs, m.impF),
         s"$dir/.impacts-stage")
     dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stats-stage")
@@ -532,7 +573,7 @@ object TextIndex {
     StoredIndex.moveTree(t, p(s"$dir/.doclens-stage"), p(s"$dir/doclens"))
     if (hasFwd)
       StoredIndex.moveTree(t, p(s"$dir/.fwd-stage"), p(s"$dir/fwd"))
-    if (m.impB > 0)
+    if (m.hasImpacts)
       StoredIndex.moveTree(t, p(s"$dir/.impacts-stage"),
         p(s"$dir/impacts/seg=${nextSeg(dir, "impacts")}"))
     StoredIndex.moveTree(t, p(s"$dir/.stats-stage"),
@@ -702,11 +743,11 @@ object TextIndex {
     // segment budget it also upgrades the per-append segment-local
     // orderings to one corpus-wide ordering. One postings-scale pass —
     // the same order of work as the dead-bucket postings rewrite above.
-    if (m0.impB > 0 &&
+    if (m0.hasImpacts &&
         (hasDead || segCount("impacts") > segBudget)) {
       val livePost = antiDead(spark, dir, rawPostings(spark, dir), "doc_id")
       val liveDls = antiDead(spark, dir, rawDoclens(spark, dir), "doc_id")
-      writeImpacts(impactsOf(livePost, liveDls, m0.impB, m0.impBs),
+      writeImpacts(impactsOf(livePost, liveDls, m0.impB, m0.impBs, m0.impF),
         s"$dir/.impacts-compact")
       t.retireUnder("impacts")
       StoredIndex.moveTree(t, p(s"$dir/.impacts-compact"),
@@ -1146,13 +1187,19 @@ object TextIndex {
     * that term's head blocks simply misses that term's contribution —
     * the score-at-a-time accumulator semantics this tier trades
     * exactness for.
+    *
+    * `budget <= 0` reads the WHOLE stored head (the df-proportional
+    * layout's serve — the stored head is the provisioned coverage).
+    * Returns (scores (qid, doc_id, score), coverage (qid, coverage)) —
+    * both from ONE scan (grouping sets).
     */
   private def scoredImpacts(spark: SparkSession, dir: String,
                             probes: DataFrame, wantedTb: Seq[Long],
                             terms: Option[Seq[String]], budget: Int,
-                            asOf: Option[Int]): DataFrame = {
+                            asOf: Option[Int]): (DataFrame, DataFrame) = {
+    val tbPred = col("tb").isin(wantedTb: _*)
     val imp0 = rawImpacts(spark, dir, asOf)
-      .filter(col("tb").isin(wantedTb: _*) && col("ib") < budget)
+      .filter(if (budget > 0) tbPred && col("ib") < budget else tbPred)
     val imp = antiDead(spark, dir,
       terms.map(ts => imp0.filter(col("term").isin(ts: _*))).getOrElse(imp0),
       "doc_id", asOf)
@@ -1162,11 +1209,38 @@ object TextIndex {
     }
     val dfreq = mergedTermdf(spark, dir, dfPred, asOf)
     val stats = mergedStats(spark, dir, asOf)
-    probes.join(imp, Seq("term"))
+    val joined = probes.join(imp, Seq("term"))
       .join(dfreq, Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("tscore", tscoreExpr)
-      .groupBy("qid", "doc_id").agg(sum(col("tscore")).as("score"))
+    // ONE budget/fraction-bounded scan feeds BOTH aggregates via
+    // GROUPING SETS (scan once + Expand, not scan twice — the tier's
+    // bytes-per-decision claim would halve under a second read):
+    // (qid, doc_id) rows are the score accumulators, (qid, term) rows
+    // count the postings actually read per query term
+    val gs = joined.groupingSets(
+        Seq(Seq(col("qid"), col("doc_id")), Seq(col("qid"), col("term"))),
+        col("qid"), col("doc_id"), col("term"))
+      .agg(sum(col("tscore")).as("score"), count(lit(1)).as("n_read"))
+    val scores = gs.filter(col("doc_id").isNotNull)
+      .select("qid", "doc_id", "score")
+    // COVERAGE (r17, the served regime signal VERDICT r16 asked for):
+    // per corpus-present query term, the fraction of its LIVE postings
+    // this serve actually read (n_read/df, from the stored df — one
+    // arithmetic column); per query, the MIN over those terms — the
+    // conservative fraction, 1.0 when every term's list was fully
+    // covered. A term whose head rows were all tombstoned counts as 0
+    // (left join), a term absent from the corpus is not counted, a
+    // query with no corpus terms serves coverage null.
+    val covered = probes.join(dfreq.select("term", "df"), Seq("term"))
+      .join(gs.filter(col("term").isNotNull)
+        .select(col("qid"), col("term"), col("n_read")),
+        Seq("qid", "term"), "left")
+      .groupBy("qid")
+      .agg(min(least(lit(1.0),
+        coalesce(col("n_read"), lit(0L)).cast("double") / col("df")))
+        .as("coverage"))
+    (scores, covered)
   }
 
   /** IMPACT-ORDERED approximate top-k — the WAND / Block-Max-CLASS tier
@@ -1189,62 +1263,115 @@ object TextIndex {
     * docs may miss tail contributions — so this tier is RECALL-ASSERTED
     * (TextIndexSpec, vs the exact [[bm25TopK]] ranking; the
     * `sim_ann_lsh` adjudication pattern), never oracle-hashed: the
-    * exact tiers remain the verifiers. Needs an impact-enabled index
-    * (`writeBm25Index(..., impactBlocks > 0)`); refuses loudly
-    * otherwise. Returns (doc_id, score).
+    * exact tiers remain the verifiers. Needs an impact-enabled index;
+    * refuses loudly otherwise.
+    *
+    * TWO LAYOUTS, one serve (r17): on a FIXED-block index
+    * (`impactBlocks > 0`) the budget knob truncates as above and recall
+    * DECAYS with corpus growth (the measured law at [[impactsOf]]); on
+    * a DF-PROPORTIONAL index (`impactFraction > 0`) the stored head is
+    * fraction x df per term, the budget knob is ignored (the whole head
+    * serves), and recall is pinned at any corpus size — the
+    * recall-bounded flat tier (WandFractionSpec pins >= 0.9 recall@10
+    * vs the exact tier across three decades to 500k docs).
+    *
+    * Returns (doc_id, score, coverage) — `coverage` is the measured
+    * min-over-query-terms fraction of live postings this serve read
+    * (n_read/df from the stored df), the caller-visible regime signal:
+    * ~1.0 in the strong regime, falling as df outgrows a fixed budget,
+    * ~fraction (constant) on a df-proportional index.
     */
   def bm25TopKWand(spark: SparkSession, dir: String, terms: Seq[String],
                    k: Int = 20, budget: Int = 2,
                    asOf: Option[Int] = None): DataFrame = {
     val m = metaFull(spark, dir)
-    require(m.impB > 0,
+    require(m.hasImpacts,
       s"impact-ordered serving needs an impact-enabled index under $dir " +
-        "(writeBm25Index(..., impactBlocks > 0))")
-    require(budget <= m.impB,
+        "(writeBm25Index(..., impactBlocks > 0) or impactFraction > 0)")
+    require(m.impF > 0 || budget <= m.impB,
       s"budget $budget exceeds the stored impact blocks (${m.impB})")
+    // df-proportional layout: the stored head IS the provisioned
+    // coverage — serve the whole head (the block budget is a
+    // fixed-layout knob; recall is pinned by the stored fraction)
+    val effB = if (m.impF > 0) 0 else budget
     val ts = terms.distinct
     val wanted = ts.map(termBucket(_, m.nb)).distinct
     val probes = spark.createDataFrame(ts.map(tm => (0L, tm)))
       .toDF("qid", "term")
-    scoredImpacts(spark, dir, probes, wanted, Some(ts), budget, asOf)
-      .select("doc_id", "score")
+    val (scores, cov) =
+      scoredImpacts(spark, dir, probes, wanted, Some(ts), effB, asOf)
+    scores.join(broadcast(cov), Seq("qid"), "left")
+      .select("doc_id", "score", "coverage")
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
 
-  /** Streaming impact-ordered route — [[bm25Route]]'s arrivals and
-    * output shape (qid, rank, doc_id, score) served through the
-    * budget-pruned impact blocks: per micro-batch one bounded collect of
-    * the probed buckets, one budget-pruned impacts scan (no doclens
+  /** Streaming impact-ordered route — [[bm25Route]]'s arrivals served
+    * through the impact blocks: per micro-batch one bounded collect of
+    * the probed buckets, one head-pruned impacts scan (no doclens
     * join), one bounded-heap top-k. The decision cost is flat in index
-    * size — the ROUTEBENCH `bm25w` tier measures it against the exact
-    * `bm25` route on the same arrivals.
+    * size on a fixed-block index and `fraction` of the exact route's
+    * posting reads on a df-proportional one — the ROUTEBENCH `bm25w`
+    * tier measures it against the exact `bm25` route on the same
+    * arrivals. Output (qid, rank, doc_id, score, coverage) — see
+    * [[bm25TopKWand]] for the layout dispatch and the coverage column.
+    *
+    * `minCoverage > 0` arms the ESCALATION ROUTER: queries whose
+    * measured coverage falls below it re-serve through the exact
+    * [[bm25Route]] (coverage reported as 1.0) — the bounded-cost
+    * default for precision-critical serving over a fixed-block index
+    * whose corpus has outgrown its budget.
     */
   def bm25RouteWand(queries: DataFrame, indexDir: String, k: Int = 20,
                     budget: Int = 2, idCol: String = "qid",
                     textCol: String = "qtext",
-                    asOf: Option[Int] = None): DataFrame = {
+                    asOf: Option[Int] = None,
+                    minCoverage: Double = 0.0): DataFrame = {
     val spark = queries.sparkSession
     val m0 = metaFull(spark, indexDir)
-    require(m0.impB > 0,
+    require(m0.hasImpacts,
       s"impact-ordered serving needs an impact-enabled index under " +
-        s"$indexDir (writeBm25Index(..., impactBlocks > 0))")
-    require(budget <= m0.impB,
+        s"$indexDir (writeBm25Index(..., impactBlocks > 0) or " +
+        "impactFraction > 0)")
+    require(m0.impF > 0 || budget <= m0.impB,
       s"budget $budget exceeds the stored impact blocks (${m0.impB})")
+    val effB = if (m0.impF > 0) 0 else budget
     val probes = queries.select(col(idCol).cast("long").as("qid"),
         explode(m0.tokenize(col(textCol))).as("term"))
       .dropDuplicates("qid", "term")
     // bounded collect: the batch's probed buckets (<= nbuckets values)
     val wanted = probes.select(tbCol(m0.nb).as("tb")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val scored = scoredImpacts(spark, indexDir, probes, wanted, None,
-      budget, asOf)
+    val (scored, cov) = scoredImpacts(spark, indexDir, probes, wanted, None,
+      effB, asOf)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
-    graft.plans.TopKPerGroup(scored, Seq("qid"),
+    val wandOut = graft.plans.TopKPerGroup(scored, Seq("qid"),
         Seq("score" -> false, "doc_id" -> true), k)
       .withColumn("rank", row_number().over(w))
-      .select("qid", "rank", "doc_id", "score")
+      .join(broadcast(cov), Seq("qid"), "left")
+      .select("qid", "rank", "doc_id", "score", "coverage")
+    if (minCoverage <= 0) wandOut
+    else {
+      // ESCALATION ROUTER (r17): queries whose measured coverage left
+      // the tier's regime re-serve through the EXACT path and report
+      // coverage 1.0. One bounded collect (<= arrival batch — the
+      // aggview touched-bucket contract class); the wand pass the
+      // escalated queries already paid is budget-bounded by
+      // construction, which is exactly why escalation is affordable.
+      // Queries with NO corpus terms (coverage null) stay wand-side:
+      // the exact tier would serve them nothing too.
+      val escIds = cov.filter(col("coverage") < minCoverage)
+        .select("qid").collect().map(_.getLong(0)).toSeq
+      if (escIds.isEmpty) wandOut
+      else {
+        val exact = bm25Route(
+          queries.filter(col(idCol).cast("long").isin(escIds: _*)),
+          indexDir, k = k, idCol = idCol, textCol = textCol, asOf = asOf)
+          .withColumn("coverage", lit(1.0))
+        wandOut.filter(!col("qid").isin(escIds: _*)).unionByName(exact)
+      }
+    }
   }
 
   // -------------------------------------------------------------------------

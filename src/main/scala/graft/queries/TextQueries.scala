@@ -373,31 +373,39 @@ object TextQueries {
 
   /** BM25 served by the IMPACT-ORDERED approximate tier
     * ([[graft.operators.TextIndex.bm25TopKWand]] — WAND/Block-Max-class
-    * score-at-a-time early termination over stored impact blocks): per
-    * query term only the head `budget x blockSize` postings by stored
-    * impact are read and scored, so the per-query cost is flat in
-    * corpus size where every exact tier's grows with df. APPROXIMATE by
+    * score-at-a-time early termination over stored impact blocks),
+    * since r17 over the RECALL-BOUNDED df-proportional layout
+    * (`impactFraction` — per-term heads sized to fraction x df, so
+    * coverage and recall are pinned at any corpus size where the r16
+    * fixed-budget layout's recall measurably decayed; the serve also
+    * emits the per-query `coverage` column). APPROXIMATE by
     * construction, so this is a ROWS-ONLY record (the `sim_ann_lsh`
-    * adjudication): recall@k vs the exact [[textBm25Maintained]] ranking
-    * is asserted in TextIndexSpec, and the exact oracle-hashed tiers
+    * adjudication): recall@k vs the exact tier is asserted in
+    * TextIndexSpec/WandFractionSpec, and the exact oracle-hashed tiers
     * stay the verifiers. The index is the standard even/odd build+append
-    * fixture with `impactBlocks` enabled, so the serve exercises
-    * per-segment head blocks, not just a one-shot build.
+    * fixture, so the serve exercises per-segment heads, not just a
+    * one-shot build.
     */
   def textBm25Wand(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextIndex.bm25TopKWand(spark, bm25WandIndex(spark, dir),
-      Seq("spark", "merge", "vector"), k = 20, budget = 4)
+      Seq("spark", "merge", "vector"), k = 20)
 
   /** The staged IMPACT-ENABLED maintained index (the even/odd
-    * build+append fixture with `impactBlocks`) — shared by the
-    * impact-ordered serve (`text_bm25_wand`) and the wand-leg hybrid
-    * (`text_hybrid_wand`).
+    * build+append fixture with the df-proportional `impactFraction`
+    * layout since r17) — shared by the impact-ordered serve
+    * (`text_bm25_wand`) and the wand-leg hybrid (`text_hybrid_wand`).
     */
   private def bm25WandIndex(spark: SparkSession, dir: String): String =
     graft.Caches.stagedPath("bm25-wand", dir) { base =>
       val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      // blockSize 256 >= any per-segment df at this sf, so the stored
+      // heads are COMPLETE here (the floor covers every term) — the
+      // recall trade itself is spec'd on the Zipf fixtures, while this
+      // record pins the serve's plumbing and the RetrievalSpec hybrid's
+      // full-coverage bit-equality
       graft.operators.TextIndex.writeBm25Index(
-        docs.filter(col("doc_id") % 2 === 0), base, impactBlocks = 4)
+        docs.filter(col("doc_id") % 2 === 0), base, impactFraction = 0.2,
+        impactBlockSize = 256)
       graft.operators.TextIndex.appendBm25Index(
         docs.filter(col("doc_id") % 2 === 1), base)
     }

@@ -74,7 +74,7 @@ object RouteBench {
     val rates = sys.env.getOrElse("SPARK_GRAFT_ROUTE_RATES", "2000,5000,10000")
       .split(",").map(_.trim.toInt)
     val tiers = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TIERS",
-        "curate,minhash,ann,ivfpq,bm25,bm25p,bm25w,hybrid,hybridw," +
+        "curate,minhash,ann,ivfpq,bm25,bm25p,bm25w,bm25wf,hybrid,hybridw," +
           "budget,lm,lm3,aggview")
       .split(",").map(_.trim).toSeq
     val secs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_SECS", "40").toInt
@@ -109,18 +109,27 @@ object RouteBench {
           .select(col("vec_id"), col("embedding")), ivfPqDir,
         pqM = 16, pqK = 16)
     val bm25Dir = s"$dir-bm25"
+    lazy val nBmDocs = sys.env.get("SPARK_GRAFT_ROUTE_BM25_DOCS")
+      .map(_.toLong)
+      .getOrElse(graft.Tables.t(spark, sfDir, "documents").count())
     if (tiers.exists(Set("bm25", "bm25p", "bm25w", "hybrid", "hybridw"))) {
-      val nDocs = sys.env.get("SPARK_GRAFT_ROUTE_BM25_DOCS").map(_.toLong)
-        .getOrElse(graft.Tables.t(spark, sfDir, "documents").count())
       // forward = true: the bm25p tier needs the doc-range forward table;
       // impactBlocks: the bm25w tier's stored impact blocks — both extra
       // tables, the full-route tiers read the same index unchanged
       graft.operators.TextIndex.writeBm25Index(
-        spark.read.parquet(SynthFixtures.ensureZipfDocs(spark, nDocs)),
+        spark.read.parquet(SynthFixtures.ensureZipfDocs(spark, nBmDocs)),
         bm25Dir, nBuckets = 64, forward = tiers.contains("bm25p"),
         impactBlocks =
           if (tiers.exists(Set("bm25w", "hybridw"))) 4 else 0)
     }
+    // the RECALL-BOUNDED df-proportional layout (r17) in its own dir,
+    // over the length-varied corpus (the recall measurements' shape —
+    // FIXTURES.md r17); the fixed-layout tiers' files stay as before
+    val bm25wfDir = s"$dir-bm25wf"
+    if (tiers.contains("bm25wf"))
+      graft.operators.TextIndex.writeBm25Index(
+        spark.read.parquet(SynthFixtures.ensureZipfDocsVar(spark, nBmDocs)),
+        bm25wfDir, nBuckets = 64, impactFraction = 0.2)
     val budgetDir = s"$dir-budget"
     if (tiers.contains("budget"))
       // quotas large enough to never fill during the run: the measured
@@ -237,6 +246,19 @@ object RouteBench {
             budget = 2).count()
           b.count()
         })),
+      "bm25wf" -> ((
+        // same arrivals, served by the RECALL-BOUNDED df-proportional
+        // layout (r17): the whole fraction x df head per term — pinned
+        // recall (WandFractionSpec), fraction-of-exact posting reads
+        (rate: Int) => spark.readStream.format("rate")
+          .option("rowsPerSecond", rate.toString).load()
+          .select((col("value") + 1000000000L).as("qid"),
+            SynthFixtures.zipfQueryText(col("value")).as("qtext")),
+        (b: DataFrame) => {
+          graft.operators.TextIndex.bm25RouteWand(b, bm25wfDir, k = 10)
+            .count()
+          b.count()
+        })),
       "hybrid" -> ((
         // arriving hybrid queries: Zipf keyword text + a clustered
         // embedding, both synthesized in-row per arrival
@@ -316,6 +338,9 @@ object RouteBench {
           // 10k queries per 5 s batch) already overran the band (r15
           // first pass: 8.9 s batches, kept_up false at 3.8k dec/s)
           "bm25w" -> rates.map(r => math.max(1, r * 3 / 10)),
+          // the fraction layout reads fraction x df postings per term —
+          // more than the fixed head, less than exact: the bm25w ladder
+          "bm25wf" -> rates.map(r => math.max(1, r * 3 / 10)),
           // the wand-leg hybrid shares the bm25w ladder: its lexical leg
           // is the bm25w serve, its vector leg keeps up at full rates,
           // and the fuse is constant-size per query
@@ -367,6 +392,7 @@ object RouteBench {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ivfDir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ivfPqDir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bm25Dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bm25wfDir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(budgetDir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(aggDir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lmDir))

@@ -231,7 +231,7 @@ object ScalingProbe {
       val qBatch = SynthFixtures.zipfQueries(spark, qBatchN.toLong).persist()
       docBatch.count(); embBatch.count(); qBatch.count()
       def bench(nDocs: Long, nVecs: Long)
-          : (Map[String, Double], Map[String, Long], Double) = {
+          : (Map[String, Double], Map[String, Long], Map[String, Double]) = {
         val docs = spark.read
           .parquet(SynthFixtures.ensureZipfDocs(spark, nDocs))
         val emb = spark.read
@@ -266,6 +266,16 @@ object ScalingProbe {
         // unchanged by either extra table
         graft.operators.TextIndex.writeBm25Index(docs, s"$dir-bm25",
           nBuckets = 64, forward = true, impactBlocks = 4)
+        // r17: the RECALL-BOUNDED df-proportional impact layout, built
+        // over the LENGTH-VARIED Zipf corpus — the constant-length
+        // zipfDocs makes every tf=1 posting of a term an impact TIE, so
+        // no head ordering carries recall signal there (the r17 measured
+        // plateau at SynthFixtures.zipfDocsVar); the throughput tiers
+        // above keep the r13 corpus for cross-round comparability
+        val vdocs = spark.read
+          .parquet(SynthFixtures.ensureZipfDocsVar(spark, nDocs))
+        graft.operators.TextIndex.writeBm25Index(vdocs, s"$dir-bm25f",
+          nBuckets = 64, impactFraction = 0.2)
         // the stored-LM gate (r15 continued): trained on the same corpus,
         // decisions against the committed bigram-count LSM
         graft.operators.LangModel.writeLmIndex(docs, s"$dir-lm")
@@ -296,36 +306,74 @@ object ScalingProbe {
           // is a route exponent BELOW the exact tiers' df-growth floor
           "bm25w_route" -> (() =>
             { graft.operators.TextIndex.bm25RouteWand(qBatch,
-              s"$dir-bm25", k = 10, budget = 2).count(); () }))
+              s"$dir-bm25", k = 10, budget = 2).count(); () }),
+          // the RECALL-BOUNDED fraction layout (r17): the whole stored
+          // df-proportional head serves — flat recall by construction,
+          // fraction-of-exact bytes
+          "bm25wf_route" -> (() =>
+            { graft.operators.TextIndex.bm25RouteWand(qBatch,
+              s"$dir-bm25f", k = 10).count(); () }))
         // wm warms once untimed, so the metered pass after it reads the
         // arrival batches from cache — the byte delta is the index read
         val times = runs.map { case (n, f) => n -> wm(f) }.toMap
         val bytesRead = runs.map { case (n, f) =>
           n -> meter.measure(f)._1 }.toMap
-        // WAND recall@10 vs the exact tier AT THIS INDEX SIZE (VERDICT
-        // r15 #4: the 2k-doc spec fixture cannot stand in for the 500k
-        // regime the approximate tier exists for) — same query batch,
-        // one extra pass per tier
-        val exTop = graft.operators.TextIndex.bm25Route(qBatch,
-            s"$dir-bm25", k = 10)
-          .select(col("qid"), col("doc_id")).persist()
-        val wdTop = graft.operators.TextIndex.bm25RouteWand(qBatch,
-            s"$dir-bm25", k = 10, budget = 2)
-          .select(col("qid"), col("doc_id"))
-        val nEx = exTop.groupBy("qid").agg(count(lit(1)).as("n_ex"))
-        val nHit = exTop.join(wdTop, Seq("qid", "doc_id"), "left_semi")
-          .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-        val recall = nEx.join(nHit, Seq("qid"), "left")
-          .agg(avg(coalesce(col("n_hit"), lit(0L)).cast("double") /
-            col("n_ex"))).collect()(0).getDouble(0)
-        exTop.unpersist()
+        // Recall@k vs an EXACT ground truth AT THIS INDEX SIZE, per
+        // approximate tier (VERDICT r15 #4 for text; r16 ask #2 for
+        // vectors — spec-fixture floors don't transfer, so every
+        // approximate tier's recall is measured at the served scale):
+        import org.apache.spark.sql.DataFrame
+        def recallVs(exact: DataFrame, got: DataFrame): Double = {
+          val ex = exact.persist()
+          val nEx = ex.groupBy("qid").agg(count(lit(1)).as("n_ex"))
+          val nHit = ex.join(got, Seq("qid", "id"), "left_semi")
+            .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+          val r = nEx.join(nHit, Seq("qid"), "left")
+            .agg(avg(coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("n_ex"))).collect()(0).getDouble(0)
+          ex.unpersist(); r
+        }
+        def docIds(df: DataFrame): DataFrame =
+          df.select(col("qid"), col("doc_id").as("id"))
+        def nbIds(df: DataFrame): DataFrame =
+          df.select(col("qid"), col("nid").as("id"))
+        val rcW = recallVs(
+          docIds(graft.operators.TextIndex.bm25Route(qBatch,
+            s"$dir-bm25", k = 10)),
+          docIds(graft.operators.TextIndex.bm25RouteWand(qBatch,
+            s"$dir-bm25", k = 10, budget = 2)))
+        val rcWf = recallVs(
+          docIds(graft.operators.TextIndex.bm25Route(qBatch,
+            s"$dir-bm25f", k = 10)),
+          docIds(graft.operators.TextIndex.bm25RouteWand(qBatch,
+            s"$dir-bm25f", k = 10)))
+        // ANN ground truth: exhaustive-probe IVF (provably exact — the
+        // sim_ivfpq adjudication shape) on a 500-probe subsample; the
+        // full 20k batch would make the exact pass the axis bottleneck
+        // without changing the estimate
+        val probeSub = embBatch.limit(500).persist(); probeSub.count()
+        val exAnn = nbIds(graft.operators.Similarity.annRoute(probeSub,
+          s"$dir-ivf", k = 5, nprobe = 1 << 20)).persist()
+        exAnn.count()
+        val rcAnn = recallVs(exAnn,
+          nbIds(graft.operators.Similarity.annRoute(probeSub, s"$dir-ivf",
+            k = 5)))
+        val rcPq = recallVs(exAnn,
+          nbIds(graft.operators.Similarity.pqRoute(probeSub, s"$dir-ivfpq",
+            k = 5, nprobe = 5, rerank = 8)))
+        exAnn.unpersist(); probeSub.unpersist()
+        val recall = Map("bm25w_route" -> rcW, "bm25wf_route" -> rcWf,
+          "ann_route" -> rcAnn, "ivfpq_route" -> rcPq)
         System.err.println(
-          f"[scaling] bm25w recall@10 vs exact at $nDocs docs: $recall%.3f")
+          f"[scaling] recall vs exact at $nDocs docs / $nVecs vecs: " +
+            f"bm25w $rcW%.3f bm25wf $rcWf%.3f ann $rcAnn%.3f " +
+            f"ivfpq $rcPq%.3f")
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivf"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivf8"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivfpq"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-bm25"))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-bm25f"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-lm"))
         (times, bytesRead, recall)
       }
@@ -343,8 +391,10 @@ object ScalingProbe {
         tier -> rs.collect { case (nd, nv, t, _, _) if t.contains(tier) =>
           (sizeOf(tier, nd, nv), t(tier), decided(tier)) }
       }.toMap
-      val recalls = Map("bm25w_route" ->
-        rs.map { case (nd, _, _, _, rc) => nd -> rc }.toMap)
+      val recalls = rs.head._5.keys.map { tier =>
+        tier -> rs.map { case (nd, nv, _, _, rc) =>
+          sizeOf(tier, nd, nv) -> rc(tier) }.toMap
+      }.toMap
       // bytes-per-decision axis (VERDICT r13 #1): one metered pass per
       // (tier, size) — exponent fits log bytes vs log corpus size, the
       // number the pruned tier's "skipped posting lists are never read"
@@ -504,7 +554,7 @@ object ScalingProbe {
     val forgetJson = if (withForget) forgetAxis() else ""
     val json =
       s"""{"sf_small":"$sfSmall","sf_big":"$sfBig","row_ratio":$rowRatio,"passes":$passes,
-         |"note":"query axis: exponent=log(t_big/t_small)/log(row_ratio), warm-min per (query,sf), <=0 means the fixed driver/planning floor dominates, >1.1 flags super-linear; route/forget axes (r13): THREE index sizes a decade apart on SynthFixtures corpora (Zipf(1.1) 50k-word docs, clustered embeddings — the r12 testdata's 31-word vocabulary made retrieval candidates corpus-proportional by construction), exponent = least-squares slope of log t vs log n; route = fixed arrival batch vs index scale (IVF under the AutoCells sqrt(N) policy); forget = fixed-size tombstone deletes + serving overhead vs index scale",
+         |"note":"query axis: exponent=log(t_big/t_small)/log(row_ratio), warm-min per (query,sf), <=0 means the fixed driver/planning floor dominates, >1.1 flags super-linear; route/forget axes (r13): index sizes a decade apart on SynthFixtures corpora (Zipf(1.1) 50k-word docs, clustered embeddings), exponent = least-squares slope of log t vs log n; route = fixed arrival batch vs index scale; forget = fixed-size tombstone deletes + serving overhead vs index scale. RECALL columns (r17): every approximate tier carries mean recall@k vs an exact ground truth AT EACH SIZE — bm25w = fixed-budget truncation (decays by the r16 law), bm25wf = df-proportional fraction layout on the LENGTH-VARIED corpus (pinned by construction; the constant-length corpus makes tf=1 postings impact ties, see zipfDocsVar), ann/ivfpq vs exhaustive-probe IVF on a 500-probe subsample",
          |"super_linear":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"queries":{${entries.mkString(",")}}$routeJson$forgetJson}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -68,6 +68,30 @@ object SynthFixtures {
         j => tok(zipfRank(u01(col("id"), j, seed), vocab, s, 1))))
         .as("text"))
 
+  /** `n` documents with VARIED lengths — uniform 30..(2*meanTokens-30)
+    * tokens per doc (mean ~= meanTokens), same Zipf vocabulary.
+    * [[zipfDocs]] emits EXACTLY `tokensPerDoc` tokens per doc, which
+    * makes BM25's length normalization degenerate: every tf=1 posting
+    * of a term carries an IDENTICAL impact, so impact-ordered heads
+    * reduce to doc_id-ordered ties and NO head budget can hold recall
+    * there (measured r17: candidate recall plateaus at 0.84-0.89 at
+    * 50k docs regardless of the coverage fraction — ties carry no
+    * signal to order by). Real corpora carry length variance;
+    * retrieval-RECALL measurements use this shape, while the
+    * throughput/exponent axes keep [[zipfDocs]] for cross-round
+    * comparability.
+    */
+  def zipfDocsVar(spark: SparkSession, n: Long, vocab: Int = 50000,
+                  meanTokens: Int = 120, s: Double = 1.1,
+                  seed: Long = 7L): DataFrame = {
+    val len = (lit(30) + floor(u01(col("id"), lit(-1L), seed) *
+      lit((2 * (meanTokens - 30)).toDouble + 1.0))).cast("int")
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), len),
+        j => tok(zipfRank(u01(col("id"), j, seed), vocab, s, 1))))
+        .as("text"))
+  }
+
   /** `terms` keyword tokens for a query keyed by `id`, Zipf-drawn
     * conditioned on rank >= minRank (informative terms, not the stopword
     * head) — a pure column expression, so streaming rate sources can
@@ -130,6 +154,10 @@ object SynthFixtures {
   /** Parquet-memoized [[zipfDocs]]; returns the path. */
   def ensureZipfDocs(spark: SparkSession, n: Long): String =
     ensure(spark, s"documents_zipf_$n", zipfDocs(spark, n))
+
+  /** Parquet-memoized [[zipfDocsVar]]; returns the path. */
+  def ensureZipfDocsVar(spark: SparkSession, n: Long): String =
+    ensure(spark, s"documents_zipfvar_$n", zipfDocsVar(spark, n))
 
   /** Parquet-memoized [[clusteredEmbeddings]]; returns the path. */
   def ensureEmbeddings(spark: SparkSession, n: Long): String =

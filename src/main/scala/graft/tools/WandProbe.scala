@@ -7,36 +7,78 @@ import org.apache.spark.sql.functions._
   * at N docs with the given impact knobs, serve a Zipf query batch
   * through the exact route and the wand route, and print per-budget mean
   * recall@k — the number TextIndexSpec's floor assertion pins.
+  *
   * Usage: WandProbe [nDocs] [nQueries] [blocks] [blockSize]
+  *        WandProbe [nDocs] [nQueries] --fraction f [blockSize]
+  *
+  * `--fraction` builds the DF-PROPORTIONAL layout (r17) instead — one
+  * serve (the whole stored head), printed with the served coverage
+  * column's mean/min so the coverage-is-constant claim is visible
+  * next to the recall it buys.
   */
 object WandProbe {
   def main(args: Array[String]): Unit = {
-    val nDocs = args.headOption.map(_.toLong).getOrElse(2000L)
-    val nQ = args.drop(1).headOption.map(_.toLong).getOrElse(50L)
-    val blocks = args.drop(2).headOption.map(_.toInt).getOrElse(4)
-    val bs = args.drop(3).headOption.map(_.toInt).getOrElse(64)
+    val varLen = args.contains("--var")
+    val args1 = args.filterNot(_ == "--var")
+    val nDocs = args1.headOption.map(_.toLong).getOrElse(2000L)
+    val nQ = args1.drop(1).headOption.map(_.toLong).getOrElse(50L)
+    val fracIdx = args1.indexOf("--fraction")
+    val fraction =
+      if (fracIdx >= 0) args1(fracIdx + 1).toDouble else 0.0
+    val rest = args1.drop(2).filter(a => a != "--fraction" &&
+      (fracIdx < 0 || a != args1(fracIdx + 1)))
+    val blocks =
+      if (fraction > 0) 0 else rest.headOption.map(_.toInt).getOrElse(4)
+    val bs = (if (fraction > 0) rest.headOption else rest.drop(1).headOption)
+      .map(_.toInt).getOrElse(64)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet(SynthFixtures.ensureZipfDocs(spark, nDocs))
+    val docs = spark.read.parquet(
+      if (varLen) SynthFixtures.ensureZipfDocsVar(spark, nDocs)
+      else SynthFixtures.ensureZipfDocs(spark, nDocs))
     val dir = java.nio.file.Files.createTempDirectory("wand-probe").toString
     graft.operators.TextIndex.writeBm25Index(docs, dir, nBuckets = 16,
-      impactBlocks = blocks, impactBlockSize = bs)
+      impactBlocks = blocks, impactBlockSize = bs,
+      impactFraction = fraction)
     val qs = SynthFixtures.zipfQueries(spark, nQ).persist()
     qs.count()
     val k = 10
     def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
-      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+      df.select("qid", "rank", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val exact = ranks(graft.operators.TextIndex.bm25Route(qs, dir, k = k))
-    for (b <- 1 to blocks) {
-      val wand = ranks(
-        graft.operators.TextIndex.bm25RouteWand(qs, dir, k = k, budget = b))
+    def report(tag: String, served: org.apache.spark.sql.DataFrame): Unit = {
+      val covs = served.select("qid", "coverage").distinct()
+        .collect().flatMap(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+      val wand = ranks(served)
       val recalls = exact.map { case (q, ex) =>
-        wand.getOrElse(q, Set.empty).count(ex) / ex.size.toDouble }
-      println(f"budget=$b meanRecall@$k=${recalls.sum / recalls.size}%.3f " +
-        f"minRecall=${recalls.min}%.3f nQ=${recalls.size}")
+        wand.getOrElse(q, Set.empty[Long]).count(ex) / ex.size.toDouble }
+      println(f"$tag meanRecall@$k=${recalls.sum / recalls.size}%.3f " +
+        f"minRecall=${recalls.min}%.3f nQ=${recalls.size} " +
+        f"meanCov=${covs.sum / math.max(1, covs.size)}%.3f " +
+        f"minCov=${if (covs.isEmpty) 0.0 else covs.min}%.3f")
+    }
+    if (fraction > 0)
+      report(f"fraction=$fraction%.2f",
+        graft.operators.TextIndex.bm25RouteWand(qs, dir, k = k))
+    else
+      for (b <- 1 to blocks)
+        report(s"budget=$b",
+          graft.operators.TextIndex.bm25RouteWand(qs, dir, k = k, budget = b))
+    // CANDIDATE recall: is the exact top-k contained in the top-C
+    // ACCUMULATED candidates? The quantity a two-phase rerank serve pins
+    // — candidate membership survives the tail-contribution losses that
+    // degrade the pure accumulator ranking.
+    for (c <- Seq(50, 100, 200, 500)) {
+      val topC = graft.operators.TextIndex.bm25RouteWand(qs, dir, k = c)
+      val cand = ranks(topC)
+      val crec = exact.map { case (q, ex) =>
+        cand.getOrElse(q, Set.empty[Long]).count(ex) / ex.size.toDouble }
+      println(f"candK=$c candRecall@$k=${crec.sum / crec.size}%.3f " +
+        f"min=${crec.min}%.3f")
     }
     spark.stop()
   }

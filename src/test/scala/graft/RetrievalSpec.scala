@@ -85,10 +85,10 @@ class RetrievalSpec extends SparkSpec {
   test("hybrid wand leg: full-coverage budget reproduces the exact fused " +
       "ranking; a truncating budget keeps fused recall above the floor") {
     import org.apache.spark.sql.functions._
-    // sf0.001: 4 x 64 head postings per (term, segment) exceed every
-    // term's df, so the wand lexical leg is COMPLETE and the fused serve
-    // must equal the exact-leg hybrid bit for bit — the sharp check that
-    // the swap changes only what the budget truncates
+    // sf0.001: the fixture's blockSize-256 floor exceeds every term's
+    // per-segment df, so the wand lexical leg is COMPLETE and the fused
+    // serve must equal the exact-leg hybrid bit for bit — the sharp
+    // check that the swap changes only what the head cut truncates
     val exact = TextQueries.textHybridRoute(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
       .toSeq
