@@ -490,13 +490,26 @@ object Similarity {
     * `text_hybrid_route` pattern); production keeps (nprobe, rerank)
     * small and IvfPqSpec asserts the recall floor on the clustered
     * fixture. Output (qid, rank, nid, cos) like every similarity tier.
+    *
+    * `probeFraction` pins the probed-cell fraction against the
+    * sqrt(N)-cell policy exactly as on [[annRoute]] (the r17
+    * recall-at-scale knob — fixed nprobe measurably decays: ivfpq
+    * 0.960 -> 0.695 from 2k to 20k vectors, SCALING_r17); the ADC scan
+    * and the rerank cut are unchanged.
     */
   def pqRoute(arrivals: DataFrame, indexDir: String, k: Int,
               nprobe: Int = 5, rerank: Int = 4,
               idCol: String = "vec_id", embCol: String = "embedding",
-              asOf: Option[Int] = None): DataFrame = {
+              asOf: Option[Int] = None,
+              probeFraction: Double = 0.0): DataFrame = {
     val spark = arrivals.sparkSession
+    require(probeFraction >= 0.0 && probeFraction <= 1.0,
+      s"probeFraction must be in [0, 1] (got $probeFraction)")
     val cents = readCentroids(spark, indexDir, asOf)
+    val nprobeEff =
+      if (probeFraction > 0)
+        math.max(nprobe, math.ceil(cents.size * probeFraction).toInt)
+      else nprobe
     val cbs = readCodebooks(spark, indexDir, asOf)
     require(cbs.nonEmpty,
       s"pq serving needs a PQ-enabled index under $indexDir " +
@@ -521,7 +534,7 @@ object Similarity {
     }: _*)
     val probes = probesV
       .select(col("qid"), col("qv"), col("qn"), lut.as("lut"),
-        explode(bestCells(col("qv"), cents, nprobe)).as("cell"))
+        explode(bestCells(col("qv"), cents, nprobeEff)).as("cell"))
       .dropDuplicates("qid", "cell")
       .withColumn("centdot",
         dotp(col("qv"),
@@ -532,7 +545,7 @@ object Similarity {
     // would build every probe's m x ksub lookup table twice per batch —
     // the keep-up residual ROUTEBENCH r14 attributed to the probe side
     val wanted = probesV
-      .select(explode(bestCells(col("qv"), cents, nprobe)).as("cell"))
+      .select(explode(bestCells(col("qv"), cents, nprobeEff)).as("cell"))
       .distinct()
       .collect().map(_.getLong(0)).toSeq
     // ADC scan: codes + norm only — the narrow read is the whole point
@@ -976,15 +989,36 @@ object Similarity {
     * the route provably equals brute-force-with-filter — q:`sim_filtered`
     * hash-checks that bridge, production nprobe trades recall only
     * (exactly the [[pqRoute]] adjudication pattern).
+    *
+    * RECALL AT SCALE — the `probeFraction` knob (r17, the WAND lesson
+    * applied to vectors): a FIXED nprobe against the AutoCells
+    * sqrt(N)-cell policy probes a SHRINKING fraction of cells as the
+    * corpus grows, and measured recall decays with it (SCALING_r17:
+    * ann 0.974 -> 0.788 from 2k to 20k vectors at nprobe 5 — the exact
+    * analog of the fixed WAND budget's df decay). `probeFraction > 0`
+    * serves nprobe_eff = max(nprobe, ceil(nCells x probeFraction)) —
+    * the probed-cell FRACTION is pinned, so recall is pinned by
+    * construction on stationary geometry (IvfPqSpec / ANNRECALL_r17),
+    * at candidates ~ probeFraction x N per probe: the honest price —
+    * sublinear per-decision cost AND pinned recall cannot coexist for
+    * exhaustive-in-cell scoring (the exact-IVF optimum is
+    * sqrt(nprobe x N) per probe at whatever recall the geometry gives).
     */
   def annRoute(arrivals: DataFrame, indexDir: String, k: Int,
                nprobe: Int = 5, idCol: String = "vec_id",
                embCol: String = "embedding",
                asOf: Option[Int] = None,
                allowed: Option[DataFrame] = None,
-               allowedIdCol: String = "vec_id"): DataFrame = {
+               allowedIdCol: String = "vec_id",
+               probeFraction: Double = 0.0): DataFrame = {
     val spark = arrivals.sparkSession
+    require(probeFraction >= 0.0 && probeFraction <= 1.0,
+      s"probeFraction must be in [0, 1] (got $probeFraction)")
     val cents = readCentroids(spark, indexDir, asOf)
+    val nprobeEff =
+      if (probeFraction > 0)
+        math.max(nprobe, math.ceil(cents.size * probeFraction).toInt)
+      else nprobe
     val corpus0 = servedPostings(spark, indexDir, asOf)
     val corpus = allowed.fold(corpus0)(a => corpus0.join(
       a.select(col(allowedIdCol).cast("long").as("nid")), Seq("nid"),
@@ -994,7 +1028,7 @@ object Similarity {
         transform(col(embCol), _.cast("double")).as("qv"))
       .withColumn("qn", sqrt(dotp(col("qv"), col("qv"))))
       .select(col("qid"), col("qv"), col("qn"),
-        explode(bestCells(col("qv"), cents, nprobe)).as("cell"))
+        explode(bestCells(col("qv"), cents, nprobeEff)).as("cell"))
       .dropDuplicates("qid", "cell")
     // the probed-cell set: bounded by nCells regardless of batch size,
     // collected once per batch and pushed as a partition filter
