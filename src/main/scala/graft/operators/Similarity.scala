@@ -495,16 +495,45 @@ object Similarity {
     * sqrt(N)-cell policy exactly as on [[annRoute]] (the r17
     * recall-at-scale knob — fixed nprobe measurably decays: ivfpq
     * 0.960 -> 0.695 from 2k to 20k vectors, SCALING_r17); the ADC scan
-    * and the rerank cut are unchanged.
+    * is unchanged.
+    *
+    * RERANK AT SCALE — `rerankFraction` (r18, the probeFraction lesson
+    * applied to the tier's SECOND knob): the fixed `rerank * k` cut
+    * truncates a candidate pool that grows as probeFraction x N, so
+    * probeFraction alone recovered ivfpq recall only to 0.589 at 200k
+    * vectors (ANNRECALL_r17 — the named r17 residual). With
+    * `rerankFraction > 0` each probe exactly re-ranks
+    * max(rerank * k, ceil(rerankFraction x its own ADC candidate
+    * count)) candidates — the cut is a FRACTION of the pool, per
+    * query, so the true neighbor only needs to sit in the top
+    * rerankFraction of the ADC ranking at ANY corpus size (pinned by
+    * construction; AnnScaleSpec pins the measured floor across a
+    * decade). The proportional cut rides a spill-safe window sort
+    * instead of the bounded heap — the cut size varies per query and
+    * is itself O(pool), so the heap's k-much-smaller-than-group
+    * advantage no longer applies (the TextIndex fraction-head
+    * precedent, r17). Rerank cost scales with rerankFraction x
+    * probeFraction x N per probe: the honest price of pinned recall,
+    * still m-lookup-cheap at ADC time and far under the uncompressed
+    * tier's full-vector reads.
+    *
+    * Output rows additionally carry `probed_fraction` =
+    * nprobe_eff / cells — the served-regime signal (the text tier's
+    * `coverage` analog, r18): a caller serving a fixed nprobe against
+    * a sqrt(N)-grown cell count SEES the fraction shrink instead of
+    * silently losing recall.
     */
   def pqRoute(arrivals: DataFrame, indexDir: String, k: Int,
               nprobe: Int = 5, rerank: Int = 4,
               idCol: String = "vec_id", embCol: String = "embedding",
               asOf: Option[Int] = None,
-              probeFraction: Double = 0.0): DataFrame = {
+              probeFraction: Double = 0.0,
+              rerankFraction: Double = 0.0): DataFrame = {
     val spark = arrivals.sparkSession
     require(probeFraction >= 0.0 && probeFraction <= 1.0,
       s"probeFraction must be in [0, 1] (got $probeFraction)")
+    require(rerankFraction >= 0.0 && rerankFraction <= 1.0,
+      s"rerankFraction must be in [0, 1] (got $rerankFraction)")
     val cents = readCentroids(spark, indexDir, asOf)
     val nprobeEff =
       if (probeFraction > 0)
@@ -563,7 +592,22 @@ object Similarity {
           / (col("qn") * col("nn"))).as("adcos"))
     val cand =
       if (rerank <= 0) adc.select("qid", "nid")
-      else graft.plans.TopKPerGroup(adc, Seq("qid"),
+      else if (rerankFraction > 0) {
+        // df-proportional cut (r18): per query, keep
+        // max(rerank*k, ceil(rerankFraction x that query's pool)).
+        // count() over the unordered partition shares the ordered
+        // window's exchange; the sort is Spark's own spill-safe
+        // SortExec (per-query cut size varies — heap mode's fixed-k
+        // contract doesn't fit, and the cut is O(pool) anyway)
+        val wq = Window.partitionBy(col("qid"))
+        adc
+          .withColumn("pool", count(lit(1)).over(wq))
+          .withColumn("rk", row_number().over(
+            wq.orderBy(col("adcos").desc, col("nid"))))
+          .filter(col("rk") <= greatest(lit(rerank.toLong * k),
+            ceil(col("pool") * lit(rerankFraction)).cast("long")))
+          .select("qid", "nid")
+      } else graft.plans.TopKPerGroup(adc, Seq("qid"),
         Seq("adcos" -> false, "nid" -> true), rerank * k)
         .select("qid", "nid")
     // exact re-rank: candidate-bounded join back to the stored floats
@@ -577,6 +621,8 @@ object Similarity {
       .join(probesV.select(col("qid"), col("qv"), col("qn")), "qid")
       .select(col("qid"), col("nid"),
         (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos")), k)
+      .withColumn("probed_fraction",
+        lit(math.min(1.0, nprobeEff.toDouble / cents.size)))
   }
 
   /** Per-cell occupancy + mean quantization error of one assignment
@@ -1003,6 +1049,16 @@ object Similarity {
     * sublinear per-decision cost AND pinned recall cannot coexist for
     * exhaustive-in-cell scoring (the exact-IVF optimum is
     * sqrt(nprobe x N) per probe at whatever recall the geometry gives).
+    *
+    * Output rows additionally carry `probed_fraction` =
+    * nprobe_eff / cells (r18, the served-regime signal — the text
+    * tier's `coverage` analog): both operands already sit on the
+    * driver at serve time, so the column is one literal. A caller
+    * holding nprobe fixed while AutoCells grows the cell count
+    * sqrt(N) SEES the served fraction shrink — the silent-recall-decay
+    * failure ANNRECALL_r17 measured becomes caller-visible; with
+    * `probeFraction` it stays ~fraction by construction
+    * (AnnScaleSpec).
     */
   def annRoute(arrivals: DataFrame, indexDir: String, k: Int,
                nprobe: Int = 5, idCol: String = "vec_id",
@@ -1039,6 +1095,8 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (dotp(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos")), k)
+      .withColumn("probed_fraction",
+        lit(math.min(1.0, nprobeEff.toDouble / cents.size)))
   }
 
   // -------------------------------------------------------------------------

@@ -56,6 +56,32 @@ object SimilarityQueries {
     }
     Similarity.pqRoute(emb.filter(col("vec_id") % 100 === 0), base,
         k = 5, nprobe = nCells, rerank = 0)
+      // the route's probed_fraction regime signal (1.0 here — exhaustive
+      // probe) is dropped so the oracle hash stays on the ranking
+      .select("qid", "rank", "nid", "cos")
+      .orderBy("qid", "rank")
+  }
+
+  /** The FRACTIONAL-rerank IVF-PQ path (r18 — the knob that pins
+    * compressed-tier recall at scale) in its own oracle-adjudication
+    * mode: exhaustive coarse probe + `rerankFraction = 1.0`, so the
+    * per-query proportional cut keeps the ENTIRE ADC pool and the exact
+    * float re-rank provably reproduces the brute-force cosine ranking —
+    * the df-proportional window-sort branch (pool count + row_number +
+    * greatest(rerank*k, ceil(pool*f)) filter) hash-checks against the
+    * same DuckDB oracle as `sim_ivfpq`, which exercises the rerank=0
+    * branch. Production fractions (0.1) are recall-floor-asserted per
+    * decade in AnnScaleSpec.
+    */
+  def simIvfPqRrf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val nCells = 16
+    val base = graft.Caches.stagedPath("ivfpq", dir) { p =>
+      Similarity.ivfWriteIndex(emb, p, nCells = nCells, pqM = 8, pqK = 16)
+    }
+    Similarity.pqRoute(emb.filter(col("vec_id") % 100 === 0), base,
+        k = 5, nprobe = nCells, rerank = 1, rerankFraction = 1.0)
+      .select("qid", "rank", "nid", "cos")
       .orderBy("qid", "rank")
   }
 
@@ -78,6 +104,9 @@ object SimilarityQueries {
     Similarity.annRoute(emb.filter(col("vec_id") % 100 === 0), base,
         k = 5, nprobe = nCells,
         allowed = Some(emb.filter(col("label") % 3 === 0)))
+      // probed_fraction (1.0 — exhaustive probe) dropped: oracle hashes
+      // the ranking columns
+      .select("qid", "rank", "nid", "cos")
       .orderBy("qid", "rank")
   }
 
@@ -87,6 +116,7 @@ object SimilarityQueries {
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ivf" -> simIvf,
     "sim_ivfpq" -> simIvfPq,
+    "sim_ivfpq_rrf" -> simIvfPqRrf,
     "sim_quantize" -> simQuantize,
     "sim_centroid" -> simCentroid)
 
@@ -122,6 +152,20 @@ object SimilarityQueries {
     // recompute IS its oracle — any drift in codes/LUT/re-rank plumbing
     // surfaces as a hash mismatch here
     "sim_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |        list_inner_product(q.v, c.v) /
+        |          (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cos
+        |      FROM e q JOIN e c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT qid, nid, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        |      FROM p)
+        |SELECT qid, rn AS rank, nid, cos FROM r WHERE rn <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // sim_ivfpq_rrf: the r18 fractional-rerank branch at
+    // rerankFraction=1.0 + exhaustive probe keeps the whole ADC pool,
+    // so the exact re-rank reproduces the same brute-force ranking
+    "sim_ivfpq_rrf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
         |        list_inner_product(q.v, c.v) /

@@ -78,6 +78,85 @@ class AnnScaleSpec extends SparkSpec {
     probes.unpersist()
   }
 
+  test("rerankFraction pins IVF-PQ recall across a vector decade where " +
+      "the fixed rerank*k window truncates the fraction-grown pool") {
+    val probes = graft.tools.SynthFixtures
+      .clusteredEmbeddings(spark, 200L, seed = 99L)
+      .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+      .persist()
+    probes.count()
+    val res = Seq(2000L, 20000L).map { n =>
+      val emb = spark.read
+        .parquet(graft.tools.SynthFixtures.ensureEmbeddings(spark, n))
+      val dir = tmp()
+      Similarity.ivfWriteIndex(emb, dir,
+        nCells = Similarity.AutoCells, pqM = 16, pqK = 16)
+      val exact = ids(Similarity.annRoute(probes, dir, k = k,
+        nprobe = 1 << 20)).persist()
+      exact.count()
+      // CONTROL: probeFraction alone — the r17 residual. The pool grows
+      // as fraction x N but the rerank window stays rerank*k
+      val fracOnly = recallVs(exact,
+        ids(Similarity.pqRoute(probes, dir, k = k, nprobe = 5,
+          rerank = 8, probeFraction = frac)))
+      // BOTH knobs fractional: the window scales with the pool
+      val fracRr = recallVs(exact,
+        ids(Similarity.pqRoute(probes, dir, k = k, nprobe = 5,
+          rerank = 8, probeFraction = frac, rerankFraction = frac)))
+      exact.unpersist()
+      info(f"n=$n pq probeFraction-only recall@$k=$fracOnly%.3f " +
+        f"+rerankFraction=$frac recall@$k=$fracRr%.3f")
+      (n, fracOnly, fracRr)
+    }
+    res.foreach { case (n, _, rr) =>
+      assert(rr >= 0.9,
+        f"probeFraction+rerankFraction must hold IVF-PQ recall@$k >= " +
+          f"0.9 at $n vectors (got $rr%.3f)")
+    }
+    val (fracOnlyBig, fracRrBig) = (res(1)._2, res(1)._3)
+    assert(fracRrBig > fracOnlyBig + 0.05,
+      f"the fractional rerank window must dominate the fixed window at " +
+        f"the grown size (got $fracRrBig%.3f vs $fracOnlyBig%.3f)")
+    probes.unpersist()
+  }
+
+  test("probed_fraction regime signal: shrinks with the cell count at " +
+      "fixed nprobe, stays ~fraction under probeFraction, on both routes") {
+    val probes = graft.tools.SynthFixtures
+      .clusteredEmbeddings(spark, 20L, seed = 99L)
+      .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+    def served(df: DataFrame): Double = {
+      val vs = df.select("probed_fraction").distinct()
+        .collect().map(_.getDouble(0)).toSeq
+      assert(vs.size == 1, s"probed_fraction must be one literal: $vs")
+      vs.head
+    }
+    val res = Seq(2000L, 20000L).map { n =>
+      val emb = spark.read
+        .parquet(graft.tools.SynthFixtures.ensureEmbeddings(spark, n))
+      val dir = tmp()
+      Similarity.ivfWriteIndex(emb, dir,
+        nCells = Similarity.AutoCells, pqM = 16, pqK = 16)
+      val fixedAnn = served(Similarity.annRoute(probes, dir, k = k))
+      val fracAnn = served(Similarity.annRoute(probes, dir, k = k,
+        probeFraction = frac))
+      val fixedPq = served(Similarity.pqRoute(probes, dir, k = k,
+        nprobe = 5, rerank = 8))
+      val fracPq = served(Similarity.pqRoute(probes, dir, k = k,
+        nprobe = 5, rerank = 8, probeFraction = frac))
+      info(f"n=$n ann fixed=$fixedAnn%.3f frac=$fracAnn%.3f " +
+        f"pq fixed=$fixedPq%.3f frac=$fracPq%.3f")
+      assert(fixedAnn == fixedPq && fracAnn == fracPq,
+        "both routes serve the same signal off the same stored state")
+      assert(fracAnn >= frac,
+        f"probeFraction must pin the served fraction (got $fracAnn%.3f)")
+      (n, fixedAnn)
+    }
+    assert(res(1)._2 < res(0)._2,
+      f"fixed nprobe against sqrt(N) cells must SHOW the shrinking " +
+        f"fraction (got ${res(0)._2}%.3f -> ${res(1)._2}%.3f)")
+  }
+
   test("probeFraction refusals: out of [0,1] refused on both routes") {
     val emb = graft.tools.SynthFixtures.clusteredEmbeddings(spark, 200L)
     val dir = tmp()
@@ -90,5 +169,9 @@ class AnnScaleSpec extends SparkSpec {
       Similarity.pqRoute(emb, dir, k = k, probeFraction = -0.1)
     }
     assert(e2.getMessage.contains("probeFraction"))
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.pqRoute(emb, dir, k = k, rerankFraction = 1.01)
+    }
+    assert(e3.getMessage.contains("rerankFraction"))
   }
 }
