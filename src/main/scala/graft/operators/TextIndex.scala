@@ -483,6 +483,18 @@ object TextIndex {
     * doc-range-partitioned `fwd` table (and records it in `meta`, so
     * appends and compactions maintain it) — the prerequisite for
     * [[bm25TopKPruned]] / [[bm25RoutePruned]].
+    *
+    * IMPACT LAYOUT CHOICE (r18 default steer): a NEW impact-enabled
+    * index should use `impactFraction` (the df-proportional head —
+    * recall pinned at any corpus size: 0.933/0.940/0.941 recall@10
+    * across 5k/50k/500k docs at fraction 0.2, WANDRECALL_r17; storage
+    * ~fraction of the full lists) unless the corpus is bounded and the
+    * serving budget is the binding constraint — `impactBlocks` (the
+    * fixed head) caps bytes/decision at a CONSTANT but its recall
+    * measurably decays as df outgrows the head (1.000 -> 0.378 across
+    * the same decades, SCALING_r17); it exists for budget-capped
+    * serving paired with the [[bm25RouteWand]] `minCoverage`
+    * escalation router.
     */
   def writeBm25Index(docs: DataFrame, dir: String, nBuckets: Int = 16,
                      dlRange: Long = 256L, forward: Boolean = false,
@@ -1225,13 +1237,20 @@ object TextIndex {
     val scores = gs.filter(col("doc_id").isNotNull)
       .select("qid", "doc_id", "score")
     // COVERAGE (r17, the served regime signal VERDICT r16 asked for):
-    // per corpus-present query term, the fraction of its LIVE postings
-    // this serve actually read (n_read/df, from the stored df — one
-    // arithmetic column); per query, the MIN over those terms — the
-    // conservative fraction, 1.0 when every term's list was fully
-    // covered. A term whose head rows were all tombstoned counts as 0
-    // (left join), a term absent from the corpus is not counted, a
-    // query with no corpus terms serves coverage null.
+    // per corpus-present query term, n_read / df; per query, the MIN
+    // over those terms — the conservative fraction, 1.0 when every
+    // term's list was fully covered. A term whose head rows were all
+    // tombstoned counts as 0 (left join), a term absent from the
+    // corpus is not counted, a query with no corpus terms serves
+    // coverage null. DENOMINATOR CONTRACT (r18): df is the STORED
+    // (tombstone-INCLUSIVE) termdf while n_read counts only live
+    // (antiDead) rows, so while tombstones exist coverage UNDERSTATES
+    // the true live-postings fraction — deliberately: computing a live
+    // df would cost a full posting-list scan per term (exactly the
+    // read this tier exists to avoid), and the error is in the SAFE
+    // direction (a minCoverage router may escalate early; it never
+    // serves less than it reports). Compaction rewrites termdf and
+    // restores n_read/df == the live fraction.
     val covered = probes.join(dfreq.select("term", "df"), Seq("term"))
       .join(gs.filter(col("term").isNotNull)
         .select(col("qid"), col("term"), col("n_read")),
@@ -1276,10 +1295,12 @@ object TextIndex {
     * vs the exact tier across three decades to 500k docs).
     *
     * Returns (doc_id, score, coverage) — `coverage` is the measured
-    * min-over-query-terms fraction of live postings this serve read
-    * (n_read/df from the stored df), the caller-visible regime signal:
-    * ~1.0 in the strong regime, falling as df outgrows a fixed budget,
-    * ~fraction (constant) on a df-proportional index.
+    * min-over-query-terms fraction of postings this serve read
+    * (live n_read / STORED df — tombstone-inclusive, so under deletes
+    * it conservatively understates the live fraction until compaction
+    * rewrites termdf; see [[scoredImpacts]]), the caller-visible
+    * regime signal: ~1.0 in the strong regime, falling as df outgrows
+    * a fixed budget, ~fraction (constant) on a df-proportional index.
     */
   def bm25TopKWand(spark: SparkSession, dir: String, terms: Seq[String],
                    k: Int = 20, budget: Int = 2,
@@ -1290,6 +1311,11 @@ object TextIndex {
         "(writeBm25Index(..., impactBlocks > 0) or impactFraction > 0)")
     require(m.impF > 0 || budget <= m.impB,
       s"budget $budget exceeds the stored impact blocks (${m.impB})")
+    // on the FIXED-block layout the budget knob must bound the read:
+    // budget <= 0 there would silently serve the entire stored head
+    // (budget <= 0 is only the df-proportional layout's whole-head mode)
+    require(m.impF > 0 || budget > 0,
+      s"budget must be positive on a fixed-block index (got $budget)")
     // df-proportional layout: the stored head IS the provisioned
     // coverage — serve the whole head (the block budget is a
     // fixed-layout knob; recall is pinned by the stored fraction)
@@ -1335,6 +1361,8 @@ object TextIndex {
         "impactFraction > 0)")
     require(m0.impF > 0 || budget <= m0.impB,
       s"budget $budget exceeds the stored impact blocks (${m0.impB})")
+    require(m0.impF > 0 || budget > 0,
+      s"budget must be positive on a fixed-block index (got $budget)")
     val effB = if (m0.impF > 0) 0 else budget
     val probes = queries.select(col(idCol).cast("long").as("qid"),
         explode(m0.tokenize(col(textCol))).as("term"))
@@ -1346,30 +1374,52 @@ object TextIndex {
       effB, asOf)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
-    val wandOut = graft.plans.TopKPerGroup(scored, Seq("qid"),
-        Seq("score" -> false, "doc_id" -> true), k)
-      .withColumn("rank", row_number().over(w))
-      .join(broadcast(cov), Seq("qid"), "left")
-      .select("qid", "rank", "doc_id", "score", "coverage")
-    if (minCoverage <= 0) wandOut
+    def ranked(covSide: DataFrame): DataFrame =
+      graft.plans.TopKPerGroup(scored, Seq("qid"),
+          Seq("score" -> false, "doc_id" -> true), k)
+        .withColumn("rank", row_number().over(w))
+        .join(broadcast(covSide), Seq("qid"), "left")
+        .select("qid", "rank", "doc_id", "score", "coverage")
+    if (minCoverage <= 0) ranked(cov)
     else {
       // ESCALATION ROUTER (r17): queries whose measured coverage left
       // the tier's regime re-serve through the EXACT path and report
-      // coverage 1.0. One bounded collect (<= arrival batch — the
-      // aggview touched-bucket contract class); the wand pass the
-      // escalated queries already paid is budget-bounded by
-      // construction, which is exactly why escalation is affordable.
-      // Queries with NO corpus terms (coverage null) stay wand-side:
-      // the exact tier would serve them nothing too.
-      val escIds = cov.filter(col("coverage") < minCoverage)
-        .select("qid").collect().map(_.getLong(0)).toSeq
+      // coverage 1.0. The wand pass the escalated queries already paid
+      // is budget-bounded by construction, which is exactly why
+      // escalation is affordable. Queries with NO corpus terms
+      // (coverage null) stay wand-side: the exact tier would serve
+      // them nothing too.
+      //
+      // ONE coverage evaluation per batch (ADVICE r17): the bounded
+      // coverage rows (<= arrival batch — the aggview touched-bucket
+      // contract class) collect ONCE and serve BOTH as the output's
+      // join input (a literal frame, so the ranked plan runs the
+      // grouping-sets scan exactly once, scores-side) and as the
+      // escalation id source — the un-armed path above keeps the
+      // single-plan broadcast(cov) join, where exchange reuse already
+      // dedupes the scan.
+      import scala.jdk.CollectionConverters._
+      val covRows = cov.collect().toSeq
+      val covLit = spark.createDataFrame(covRows.asJava, cov.schema)
+      val escIds = covRows
+        .filter(r => !r.isNullAt(1) && r.getDouble(1) < minCoverage)
+        .map(_.getLong(0))
+      val wandOut = ranked(covLit)
       if (escIds.isEmpty) wandOut
       else {
+        // broadcast semi/anti joins, not `isin` (ADVICE r17 optional):
+        // an IN list grows the expression tree with the escalated
+        // count; a broadcast ids frame keeps the plan size constant
+        import spark.implicits._
+        val escFrame = escIds.toDF("qid")
         val exact = bm25Route(
-          queries.filter(col(idCol).cast("long").isin(escIds: _*)),
+          queries.join(
+            broadcast(escFrame.select(col("qid").as("__esc_qid"))),
+            col(idCol).cast("long") === col("__esc_qid"), "left_semi"),
           indexDir, k = k, idCol = idCol, textCol = textCol, asOf = asOf)
           .withColumn("coverage", lit(1.0))
-        wandOut.filter(!col("qid").isin(escIds: _*)).unionByName(exact)
+        wandOut.join(broadcast(escFrame), Seq("qid"), "left_anti")
+          .unionByName(exact)
       }
     }
   }
@@ -1574,6 +1624,14 @@ object TextIndex {
     * exact lexical leg is the measured hybrid bottleneck, r14: bm25
     * 2.7k vs ann 30.9k decisions/s). Needs an impact-enabled index.
     *
+    * `probeFraction > 0` (r18) applies the vector leg's
+    * recall-at-scale knob ([[Similarity.annRoute]] — nprobe_eff =
+    * max(nprobe, ceil(cells x fraction))): with a df-proportional
+    * lexical index (`impactFraction`) AND a fractional vector probe,
+    * BOTH approximate legs serve fractions, not constants, so the
+    * fused ranking's recall is pinned at any corpus size (measured:
+    * SCALING_r18 hybridwf recall column vs the doubly-exact fusion).
+    *
     * Returns (qid, rank, doc_id, rrf_score).
     */
   def hybridRoute(queries: DataFrame, bm25Dir: String, ivfDir: String,
@@ -1581,7 +1639,8 @@ object TextIndex {
                   idCol: String = "qid", textCol: String = "qtext",
                   embCol: String = "embedding",
                   wandBudget: Int = 0,
-                  asOf: Option[Int] = None): DataFrame = {
+                  asOf: Option[Int] = None,
+                  probeFraction: Double = 0.0): DataFrame = {
     val lexQ = queries.select(col(idCol), col(textCol))
     val lex = (if (wandBudget > 0)
         bm25RouteWand(lexQ, bm25Dir, k = legK, budget = wandBudget,
@@ -1592,7 +1651,7 @@ object TextIndex {
       .select(col("qid"), col("doc_id"), col("rank").as("rank_lex"))
     val vec = Similarity.annRoute(queries.select(col(idCol), col(embCol)),
         ivfDir, k = legK, nprobe = nprobe, idCol = idCol, embCol = embCol,
-        asOf = asOf)
+        asOf = asOf, probeFraction = probeFraction)
       .select(col("qid"), col("nid").as("doc_id"),
         col("rank").as("rank_vec"))
     val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")

@@ -74,8 +74,8 @@ object RouteBench {
     val rates = sys.env.getOrElse("SPARK_GRAFT_ROUTE_RATES", "2000,5000,10000")
       .split(",").map(_.trim.toInt)
     val tiers = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TIERS",
-        "curate,minhash,ann,ivfpq,bm25,bm25p,bm25w,bm25wf,hybrid,hybridw," +
-          "budget,lm,lm3,aggview")
+        "curate,minhash,ann,ivfpq,ivfpqf,bm25,bm25p,bm25w,bm25wf,hybrid," +
+          "hybridw,hybridwf,budget,lm,lm3,aggview")
       .split(",").map(_.trim).toSeq
     val secs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_SECS", "40").toInt
     val triggerMs = sys.env.getOrElse("SPARK_GRAFT_ROUTE_TRIGGER_MS", "5000").toLong
@@ -96,14 +96,14 @@ object RouteBench {
       graft.Tables.t(spark, sfDir, "documents").select(col("doc_id"), col("text")),
       dir)
     val ivfDir = s"$dir-ivf"
-    if (tiers.exists(Set("ann", "hybrid", "hybridw")))
+    if (tiers.exists(Set("ann", "hybrid", "hybridw", "hybridwf")))
       graft.operators.Similarity.ivfWriteIndex(
         graft.Tables.t(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding")), ivfDir)
     // the compressed tier's index lives in its own dir (PQ codes in the
     // postings) so the ann/hybrid tiers' files stay as before
     val ivfPqDir = s"$dir-ivfpq"
-    if (tiers.contains("ivfpq"))
+    if (tiers.exists(Set("ivfpq", "ivfpqf")))
       graft.operators.Similarity.ivfWriteIndex(
         graft.Tables.t(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding")), ivfPqDir,
@@ -126,7 +126,7 @@ object RouteBench {
     // over the length-varied corpus (the recall measurements' shape —
     // FIXTURES.md r17); the fixed-layout tiers' files stay as before
     val bm25wfDir = s"$dir-bm25wf"
-    if (tiers.contains("bm25wf"))
+    if (tiers.exists(Set("bm25wf", "hybridwf")))
       graft.operators.TextIndex.writeBm25Index(
         spark.read.parquet(SynthFixtures.ensureZipfDocsVar(spark, nBmDocs)),
         bm25wfDir, nBuckets = 64, impactFraction = 0.2)
@@ -210,6 +210,18 @@ object RouteBench {
             nprobe = 5, rerank = 8).count()
           b.count()
         })),
+      "ivfpqf" -> ((embArrivals _,
+        // the PINNED-recall compressed serve (r18): probeFraction pins
+        // the probed cells, rerankFraction scales the exact-rerank
+        // window with the fraction-grown ADC pool — the ivfpq-vs-ivfpqf
+        // ratio at equal rates prices what pinned recall costs the
+        // compressed tier (ANNRECALL_r18: the fixed knobs decay)
+        (b: DataFrame) => {
+          graft.operators.Similarity.pqRoute(b, ivfPqDir, k = 5,
+            nprobe = 5, rerank = 8, probeFraction = 0.1,
+            rerankFraction = 0.1).count()
+          b.count()
+        })),
       "bm25" -> ((
         // arriving retrieval queries: 3 Zipf-tail keyword tokens,
         // synthesized in-row (same generator as the indexed corpus)
@@ -286,6 +298,22 @@ object RouteBench {
             k = 10, wandBudget = 2).count()
           b.count()
         })),
+      "hybridwf" -> ((
+        // the DOUBLY-FRACTIONAL hybrid (r18): lexical leg = the
+        // df-proportional wand head (bm25wf index), vector leg =
+        // probeFraction IVF — both approximate legs serve fractions, so
+        // the fused recall is pinned at any corpus size (SCALING_r18
+        // hybridwf recall column); this tier prices that pin vs hybridw
+        (rate: Int) => spark.readStream.format("rate")
+          .option("rowsPerSecond", rate.toString).load()
+          .select((col("value") + 1000000000L).as("qid"),
+            SynthFixtures.zipfQueryText(col("value")).as("qtext"),
+            SynthFixtures.clusteredEmbedding(col("value")).as("embedding")),
+        (b: DataFrame) => {
+          graft.operators.TextIndex.hybridRoute(b, bm25wfDir, ivfDir,
+            k = 10, wandBudget = 1, probeFraction = 0.1).count()
+          b.count()
+        })),
       "aggview" -> ((
         // arrivals carry their group keys; the route reads only the
         // batch's kb buckets of the committed view
@@ -344,7 +372,10 @@ object RouteBench {
           // the wand-leg hybrid shares the bm25w ladder: its lexical leg
           // is the bm25w serve, its vector leg keeps up at full rates,
           // and the fuse is constant-size per query
-          "hybridw" -> rates.map(r => math.max(1, r * 3 / 10)))
+          "hybridw" -> rates.map(r => math.max(1, r * 3 / 10)),
+          // the doubly-fractional hybrid: lexical leg = the bm25wf
+          // serve, so it shares that ladder too
+          "hybridwf" -> rates.map(r => math.max(1, r * 3 / 10)))
         .withDefaultValue(rates)
 
     def measure(tier: String, rate: Int,

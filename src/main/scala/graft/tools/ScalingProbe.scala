@@ -229,7 +229,11 @@ object ScalingProbe {
         .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
         .persist()
       val qBatch = SynthFixtures.zipfQueries(spark, qBatchN.toLong).persist()
-      docBatch.count(); embBatch.count(); qBatch.count()
+      // hybrid arrivals (r18): the same retrieval queries, each carrying
+      // a clustered example embedding — the hybridwf tier's batch
+      val qhBatch = qBatch.withColumn("embedding",
+        SynthFixtures.clusteredEmbedding(col("qid"))).persist()
+      docBatch.count(); embBatch.count(); qBatch.count(); qhBatch.count()
       def bench(nDocs: Long, nVecs: Long)
           : (Map[String, Double], Map[String, Long], Map[String, Double]) = {
         val docs = spark.read
@@ -295,6 +299,16 @@ object ScalingProbe {
           "ivfpq_route" -> (() =>
             { graft.operators.Similarity.pqRoute(embBatch, s"$dir-ivfpq",
               k = 5, nprobe = 5, rerank = 8).count(); () }),
+          // the PINNED-recall compressed config (r18): BOTH knobs serve
+          // fractions — probeFraction pins the probed cells, and
+          // rerankFraction scales the exact-rerank window with the
+          // fraction-grown ADC pool (the fixed rerank*k window was the
+          // r17 residual: recall 0.589 at 200k). The fixed-knob tier
+          // above stays as the decay control
+          "ivfpqf_route" -> (() =>
+            { graft.operators.Similarity.pqRoute(embBatch, s"$dir-ivfpq",
+              k = 5, nprobe = 5, rerank = 8, probeFraction = 0.1,
+              rerankFraction = 0.1).count(); () }),
           "bm25_route" -> (() =>
             { graft.operators.TextIndex.bm25Route(qBatch, s"$dir-bm25",
               k = 10).count(); () }),
@@ -312,7 +326,17 @@ object ScalingProbe {
           // fraction-of-exact bytes
           "bm25wf_route" -> (() =>
             { graft.operators.TextIndex.bm25RouteWand(qBatch,
-              s"$dir-bm25f", k = 10).count(); () }))
+              s"$dir-bm25f", k = 10).count(); () }),
+          // the DOUBLY-FRACTIONAL hybrid (r18, VERDICT r17 #5): lexical
+          // leg = the df-proportional wand head, vector leg =
+          // probeFraction IVF — both approximate legs serve fractions,
+          // so the fused ranking's recall is pinned at any corpus size
+          // (the recall column below measures it vs the doubly-exact
+          // fusion)
+          "hybridwf_route" -> (() =>
+            { graft.operators.TextIndex.hybridRoute(qhBatch,
+              s"$dir-bm25f", s"$dir-ivf", k = 10, wandBudget = 1,
+              probeFraction = 0.1).count(); () }))
         // wm warms once untimed, so the metered pass after it reads the
         // arrival batches from cache — the byte delta is the index read
         val times = runs.map { case (n, f) => n -> wm(f) }.toMap
@@ -361,13 +385,36 @@ object ScalingProbe {
         val rcPq = recallVs(exAnn,
           nbIds(graft.operators.Similarity.pqRoute(probeSub, s"$dir-ivfpq",
             k = 5, nprobe = 5, rerank = 8)))
+        // r18: the pinned compressed config — both knobs fractional; the
+        // fixed-knob rcPq above is the decay control
+        val rcPqF = recallVs(exAnn,
+          nbIds(graft.operators.Similarity.pqRoute(probeSub, s"$dir-ivfpq",
+            k = 5, nprobe = 5, rerank = 8, probeFraction = 0.1,
+            rerankFraction = 0.1)))
         exAnn.unpersist(); probeSub.unpersist()
+        // r18 (VERDICT r17 #5): fused-ranking recall of the
+        // doubly-fractional hybrid vs the doubly-EXACT fusion (exact
+        // lexical leg + exhaustive-probe vector leg over the SAME
+        // fraction-layout index dir — the ground truth isolates BOTH
+        // approximations at once), on the ann-ground-truth-sized query
+        // subsample: the exact vector leg is a brute-force scan
+        val qhSub = qhBatch.limit(500).persist(); qhSub.count()
+        val exHyb = docIds(graft.operators.TextIndex.hybridRoute(qhSub,
+          s"$dir-bm25f", s"$dir-ivf", k = 10, wandBudget = 0,
+          nprobe = 1 << 20)).persist()
+        exHyb.count()
+        val rcHybWf = recallVs(exHyb,
+          docIds(graft.operators.TextIndex.hybridRoute(qhSub,
+            s"$dir-bm25f", s"$dir-ivf", k = 10, wandBudget = 1,
+            probeFraction = 0.1)))
+        exHyb.unpersist(); qhSub.unpersist()
         val recall = Map("bm25w_route" -> rcW, "bm25wf_route" -> rcWf,
-          "ann_route" -> rcAnn, "ivfpq_route" -> rcPq)
+          "ann_route" -> rcAnn, "ivfpq_route" -> rcPq,
+          "ivfpqf_route" -> rcPqF, "hybridwf_route" -> rcHybWf)
         System.err.println(
           f"[scaling] recall vs exact at $nDocs docs / $nVecs vecs: " +
             f"bm25w $rcW%.3f bm25wf $rcWf%.3f ann $rcAnn%.3f " +
-            f"ivfpq $rcPq%.3f")
+            f"ivfpq $rcPq%.3f ivfpqf $rcPqF%.3f hybridwf $rcHybWf%.3f")
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivf"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir-ivf8"))
@@ -380,10 +427,13 @@ object ScalingProbe {
       val rs = axisSizes.map { case (nd, nv) =>
         val (t, b, rc) = bench(nd, nv); (nd, nv, t, b, rc) }
       docBatch.unpersist(); embBatch.unpersist(); qBatch.unpersist()
+      qhBatch.unpersist()
       def sizeOf(tier: String, nd: Long, nv: Long): Long =
         if (tier.startsWith("ann") || tier.startsWith("ivfpq")) nv else nd
       def decided(tier: String): Long =
-        if (tier.startsWith("bm25")) qBatchN.toLong else batchN.toLong
+        if (tier.startsWith("bm25") || tier.startsWith("hybrid"))
+          qBatchN.toLong
+        else batchN.toLong
       // the fixed8 control has fewer points than the tiers — fit each
       // series over the sizes it actually ran
       val tiers = rs.head._3.keys.toSeq.sorted
@@ -554,7 +604,7 @@ object ScalingProbe {
     val forgetJson = if (withForget) forgetAxis() else ""
     val json =
       s"""{"sf_small":"$sfSmall","sf_big":"$sfBig","row_ratio":$rowRatio,"passes":$passes,
-         |"note":"query axis: exponent=log(t_big/t_small)/log(row_ratio), warm-min per (query,sf), <=0 means the fixed driver/planning floor dominates, >1.1 flags super-linear; route/forget axes (r13): index sizes a decade apart on SynthFixtures corpora (Zipf(1.1) 50k-word docs, clustered embeddings), exponent = least-squares slope of log t vs log n; route = fixed arrival batch vs index scale; forget = fixed-size tombstone deletes + serving overhead vs index scale. RECALL columns (r17): every approximate tier carries mean recall@k vs an exact ground truth AT EACH SIZE — bm25w = fixed-budget truncation (decays by the r16 law), bm25wf = df-proportional fraction layout on the LENGTH-VARIED corpus (pinned by construction; the constant-length corpus makes tf=1 postings impact ties, see zipfDocsVar), ann/ivfpq vs exhaustive-probe IVF on a 500-probe subsample",
+         |"note":"query axis: exponent=log(t_big/t_small)/log(row_ratio), warm-min per (query,sf), <=0 means the fixed driver/planning floor dominates, >1.1 flags super-linear; route/forget axes (r13): index sizes a decade apart on SynthFixtures corpora (Zipf(1.1) 50k-word docs, clustered embeddings), exponent = least-squares slope of log t vs log n; route = fixed arrival batch vs index scale; forget = fixed-size tombstone deletes + serving overhead vs index scale. RECALL columns (r17): every approximate tier carries mean recall@k vs an exact ground truth AT EACH SIZE — bm25w = fixed-budget truncation (decays by the r16 law), bm25wf = df-proportional fraction layout on the LENGTH-VARIED corpus (pinned by construction; the constant-length corpus makes tf=1 postings impact ties, see zipfDocsVar), ann/ivfpq vs exhaustive-probe IVF on a 500-probe subsample; r18: ivfpqf = the PINNED compressed config (probeFraction=0.1 + rerankFraction=0.1 — both knobs serve fractions; the fixed-knob ivfpq column is the decay control), hybridwf = the doubly-fractional hybrid (df-proportional wand lexical leg + probeFraction vector leg) with fused-ranking recall vs the doubly-exact fusion on the same 500-query subsample",
          |"super_linear":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"queries":{${entries.mkString(",")}}$routeJson$forgetJson}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -11,25 +11,40 @@ import org.apache.spark.sql.functions._
   * Usage: WandProbe [nDocs] [nQueries] [blocks] [blockSize]
   *        WandProbe [nDocs] [nQueries] --fraction f [blockSize]
   *
-  * `--fraction` builds the DF-PROPORTIONAL layout (r17) instead — one
-  * serve (the whole stored head), printed with the served coverage
-  * column's mean/min so the coverage-is-constant claim is visible
-  * next to the recall it buys.
+  * `--fraction` builds the DF-PROPORTIONAL layout (r17) — one serve
+  * (the whole stored head), printed with the served coverage column's
+  * mean/min so the coverage-is-constant claim is visible next to the
+  * recall it buys. The fraction layout (f = 0.2) is the DEFAULT when
+  * no `blocks` positional is given (r18 — the steered new-index
+  * choice, see [[graft.operators.TextIndex.writeBm25Index]]); a bare
+  * third positional selects the fixed-block layout.
   */
 object WandProbe {
   def main(args: Array[String]): Unit = {
     val varLen = args.contains("--var")
-    val args1 = args.filterNot(_ == "--var")
-    val nDocs = args1.headOption.map(_.toLong).getOrElse(2000L)
-    val nQ = args1.drop(1).headOption.map(_.toLong).getOrElse(50L)
-    val fracIdx = args1.indexOf("--fraction")
+    // parse BY INDEX (ADVICE r17): drop the --fraction flag and its
+    // value token positionally, never by string equality — a blockSize
+    // equal to the fraction token must not be swallowed
+    val fracIdx = args.indexOf("--fraction")
+    val fracGiven = fracIdx >= 0
+    require(!fracGiven || fracIdx + 1 < args.length,
+      "--fraction needs a value")
+    val positional = args.zipWithIndex.collect {
+      case (a, i) if a != "--var" &&
+        (!fracGiven || (i != fracIdx && i != fracIdx + 1)) => a
+    }
+    val nDocs = positional.headOption.map(_.toLong).getOrElse(2000L)
+    val nQ = positional.drop(1).headOption.map(_.toLong).getOrElse(50L)
+    val blocksGiven = !fracGiven && positional.length > 2
     val fraction =
-      if (fracIdx >= 0) args1(fracIdx + 1).toDouble else 0.0
-    val rest = args1.drop(2).filter(a => a != "--fraction" &&
-      (fracIdx < 0 || a != args1(fracIdx + 1)))
+      if (fracGiven) args(fracIdx + 1).toDouble
+      else if (blocksGiven) 0.0
+      else 0.2 // default: the df-proportional layout
     val blocks =
-      if (fraction > 0) 0 else rest.headOption.map(_.toInt).getOrElse(4)
-    val bs = (if (fraction > 0) rest.headOption else rest.drop(1).headOption)
+      if (fraction > 0) 0
+      else positional.drop(2).headOption.map(_.toInt).getOrElse(4)
+    val bs = (if (fraction > 0) positional.drop(2).headOption
+              else positional.drop(3).headOption)
       .map(_.toInt).getOrElse(64)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)

@@ -130,5 +130,12 @@ class RetrievalSpec extends SparkSpec {
     assert(recalls.min >= 0.5,
       f"no single query may fall below fused recall 0.5 " +
         f"(got ${recalls.min}%.2f)")
+    // r18: the vector-leg probeFraction pass-through — fraction 1.0
+    // probes every cell regardless of the nprobe floor, so the serve
+    // must reproduce the nprobe = nCells fusion exactly
+    val pf = ranks(graft.operators.TextIndex.hybridRoute(qs,
+      s"$tmp/bm25", s"$tmp/ivf", k = 10, nprobe = 1, probeFraction = 1.0))
+    assert(pf == ex,
+      "probeFraction = 1.0 must reproduce the exhaustive-probe fusion")
   }
 }
