@@ -115,6 +115,29 @@ object LangModel {
   private def wbCol(nBuckets: Int): Column =
     pmod(xxhash64(col("w1")), lit(nBuckets.toLong))
 
+  /** Probed bucket ids of a batch — the distinct hash buckets of its
+    * VOCAB-MAPPED tokens. Every n-gram context position (w1 of a bigram;
+    * w1, w2 of a trigram) is a batch token, so this is a SUPERSET of the
+    * buckets the batch's grams probe: pruning the count LSM with it can
+    * never miss a needed row (extra buckets only add count rows no gram
+    * joins). OPTIMIZATION r18 (guide §1.2): the previous wanted-bucket
+    * pass ran the FULL mapped n-gram construction (zip/transform explode
+    * + 2–3 broadcast vocab joins) a second time just to hash its context
+    * columns; this pass explodes bare tokens, collapses to the distinct
+    * set map-side (Zipf makes that tiny), and maps + hashes the
+    * distincts through ONE broadcast join.
+    */
+  private def probedBuckets(batch: DataFrame, vocab: DataFrame, nb: Int,
+                            textCol: String): Seq[Long] = {
+    batch.select(explode(split(col(textCol), " ")).as("tok"))
+      .distinct()
+      .join(broadcast(vocab.select(col("tok"), lit(1).as("inv"))),
+        Seq("tok"), "left")
+      .select(pmod(xxhash64(when(col("inv").isNotNull, col("tok"))
+        .otherwise(lit(Unk))), lit(nb.toLong)).as("wb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+  }
+
   /** (vocabTop, V, nBuckets, order) — `ordern` last so pre-r16 bigram
     * metas read it as null and default to order 2.
     */
@@ -462,11 +485,11 @@ object LangModel {
     val (_, v, nb, ord) = metaOf(spark, dir, asOf)
     if (ord >= 3) lm3Route(batch, dir, thrMean, idCol, textCol, asOf, v, nb)
     else {
-      val bg = mappedBigrams(batch, vocabOf(spark, dir, asOf), idCol,
-        textCol)
+      val vocab = vocabOf(spark, dir, asOf)
+      val bg = mappedBigrams(batch, vocab, idCol, textCol)
       // bounded collect: the batch's probed buckets (<= nbuckets values)
-      val wanted = bg.select(wbCol(nb).as("wb")).distinct()
-        .collect().map(_.getLong(0)).toSeq
+      // — from the cheap distinct-token pass, not a second bigram pass
+      val wanted = probedBuckets(batch, vocab, nb, textCol)
       val pruned = StoredIndex.readTable(spark, s"$dir/bi",
           "w1 STRING, w2 STRING, cnt BIGINT, seg INT, wb BIGINT", asOf)
         .filter(col("wb").isin(wanted: _*))
@@ -509,12 +532,12 @@ object LangModel {
                        idCol: String, textCol: String, asOf: Option[Int],
                        v: Long, nb: Int): DataFrame = {
     val spark = batch.sparkSession
-    val tg = mappedTrigrams(batch, vocabOf(spark, dir, asOf), idCol,
-      textCol)
-    val wanted = tg.select(explode(array(
-        pmod(xxhash64(col("w1")), lit(nb.toLong)),
-        pmod(xxhash64(col("w2")), lit(nb.toLong)))).as("wb"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val vocab = vocabOf(spark, dir, asOf)
+    val tg = mappedTrigrams(batch, vocab, idCol, textCol)
+    // superset of the buckets of every trigram's (w1, w2) — see
+    // probedBuckets; one distinct-token pass instead of a second full
+    // trigram construction
+    val wanted = probedBuckets(batch, vocab, nb, textCol)
     val prunedBi = StoredIndex.readTable(spark, s"$dir/bi",
         "w1 STRING, w2 STRING, cnt BIGINT, seg INT, wb BIGINT", asOf)
       .filter(col("wb").isin(wanted: _*))

@@ -529,12 +529,27 @@ object TextIndex {
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/tokmerges")
     val tokFn = if (tokenizer == "bpe") bpeTokenizer(spark, bpeMerges)
                 else tokenizers(tokenizer)
-    val tok = tokenized(docs, tokFn)
-    val post = postingsOf(tok, nBuckets, positional)
-    writeByPart(post, "tb", s"$dir/postings")
-    val dls = doclensOf(tok, dlRange)
+    // OPTIMIZATION r18 (guide §1.2/§5): the build fans one tokenized pass
+    // into up to six write actions (postings, termdf, doclens, fwd,
+    // impacts, stats). Without a materialization boundary each action
+    // re-runs the tokenize + explode + groupBy chain from the raw text —
+    // the whole build cost times the consumer count (the BPE tokenizer's
+    // per-word merge loop made that family the worst). Tokenize + the
+    // postings shuffle now run ONCE: every later table derives from a
+    // READ-BACK of the postings/doclens parquet just written — the
+    // scale-safe materialization (columnar, compressed, zero executor
+    // memory held; a .persist of the tokenized arrays was measured
+    // SLOWER on the bench box — corpus-sized object arrays in the
+    // memory store are exactly what its SerialGC punishes).
+    writeByPart(postingsOf(tokenized(docs, tokFn), nBuckets, positional),
+      "tb", s"$dir/postings")
+    val post = StoredIndex.readDirTable(spark, s"$dir/postings",
+      postingsDdl(positional))
+    writeByPart(doclensFromPostings(docs, post, dlRange), "dr",
+      s"$dir/doclens")
+    val dls = StoredIndex.readDirTable(spark, s"$dir/doclens",
+      "doc_id BIGINT, dl BIGINT, dr BIGINT")
     writeByPart(termStatsOf(post, dls), "tb", s"$dir/termdf/seg=0")
-    writeByPart(dls, "dr", s"$dir/doclens")
     if (forward)
       writeByPart(fwdOf(post, dlRange), "dr", s"$dir/fwd")
     if (impactBlocks > 0 || impactFraction > 0)
@@ -544,6 +559,27 @@ object TextIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/seg=0")
     IndexCommit.commitFiles(dir, IndexCommit.walkDataFiles(dir))
   }
+
+  /** Declared schema of a postings read-back (build/append staging). */
+  private def postingsDdl(positional: Boolean): String =
+    if (positional)
+      "term STRING, doc_id BIGINT, tf BIGINT, ps ARRAY<INT>, tb BIGINT"
+    else "term STRING, doc_id BIGINT, tf BIGINT, tb BIGINT"
+
+  /** Doclens derived from the just-written postings instead of a second
+    * tokenize pass: a doc's length is EXACTLY the sum of its term
+    * frequencies (postingsOf explodes every token), and docs that
+    * produced no postings row (empty token array) re-enter with dl = 0
+    * via a left join from the column-pruned id scan — no text read, no
+    * tokenizer re-run.
+    */
+  private def doclensFromPostings(docs: DataFrame, post: DataFrame,
+                                  dlRange: Long): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(post.groupBy("doc_id").agg(sum(col("tf")).as("dl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
+      .withColumn("dr", expr(s"doc_id div ${dlRange}L"))
 
   /** INCREMENTAL growth: index a new batch and append — no existing row
     * rewrites anywhere (postings/doclens gain part files, the LSMs gain
@@ -561,12 +597,19 @@ object TextIndex {
     val t = new graft.sources.IndexTxn(dir)
     val m = metaFull(spark, dir)
     val (nb, dlr, hasFwd) = (m.nb, m.dlr, m.fwd)
-    val tok = tokenized(newDocs, m.tokenize)
-    val post = postingsOf(tok, nb, m.pos)
-    writeByPart(post, "tb", s"$dir/.postings-stage")
-    val dls = doclensOf(tok, dlr)
+    // same materialization discipline as the build (see writeBm25Index):
+    // tokenize once, then every later stage table derives from a
+    // read-back of the staged postings/doclens parquet instead of
+    // re-running the tokenize + explode + groupBy chain
+    writeByPart(postingsOf(tokenized(newDocs, m.tokenize), nb, m.pos),
+      "tb", s"$dir/.postings-stage")
+    val post = StoredIndex.readDirTable(spark, s"$dir/.postings-stage",
+      postingsDdl(m.pos))
+    writeByPart(doclensFromPostings(newDocs, post, dlr), "dr",
+      s"$dir/.doclens-stage")
+    val dls = StoredIndex.readDirTable(spark, s"$dir/.doclens-stage",
+      "doc_id BIGINT, dl BIGINT, dr BIGINT")
     writeByPart(termStatsOf(post, dls), "tb", s"$dir/.termdf-stage")
-    writeByPart(dls, "dr", s"$dir/.doclens-stage")
     if (hasFwd)
       writeByPart(fwdOf(post, dlr), "dr", s"$dir/.fwd-stage")
     // an impact-enabled index gains one impacts segment per append: the

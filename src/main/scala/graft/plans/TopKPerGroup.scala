@@ -119,7 +119,22 @@ object TopKPerGroupStrategy extends SparkStrategy {
       val sortBased = sb.getOrElse(
         org.apache.spark.sql.internal.SQLConf.get
           .getConfString(TopKPerGroup.sortBasedKey, "false").toBoolean)
-      TopKPerGroupExec(g, o, k, sortBased, planLater(child)) :: Nil
+      // OPTIMIZATION r18 (guide §2.3 "aggregate before you shuffle"): in
+      // heap mode, a PARTIAL per-map-partition top-k runs BELOW the
+      // clustering exchange the final operator demands, so at most
+      // (map partitions x groups x k) rows cross the wire instead of
+      // every input row — the map-side-combine step every built-in
+      // aggregate gets and this custom node previously lacked (measured:
+      // q_sample_percentile shuffled all 600k lineitem rows, 40 MB, into
+      // 3 group partitions). Exact under the operator's documented
+      // total-order contract: global top-k == top-k of the per-partition
+      // top-k union. Sort mode keeps its single-pass O(1)-state shape
+      // (it exists for group cardinalities where per-partition heap
+      // state is exactly what the caller opted out of).
+      val planned = planLater(child)
+      val c = if (sortBased) planned
+              else TopKPerGroupPartialExec(g, o, k, planned)
+      TopKPerGroupExec(g, o, k, sortBased, c) :: Nil
     case _ => Nil
   }
 }
@@ -188,44 +203,87 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
     } else {
       val maxGroups = conf.getConfString(TopKPerGroup.maxHeapGroupsKey,
         (4 * 1024 * 1024).toString).toLong
-      child.execute().mapPartitions({ iter =>
-        // codegen'd comparator over the declared sort order
-        val ordering = RowOrdering.create(boundOrder, childOutput)
-        val keyProj = UnsafeProjection.create(groupE, childOutput)
-        // PriorityQueue dequeues the MAX under `ordering` = the worst kept
-        // row; LinkedHashMap keeps first-seen group order (deterministic
-        // within the partitioning, like any hash aggregate's output)
-        val heaps = mutable.LinkedHashMap.empty[UnsafeRow,
-          mutable.PriorityQueue[InternalRow]]
-        iter.foreach { row =>
-          val key = keyProj(row) // reused buffer: copy only on first sight
-          val heap = heaps.getOrElse(key, {
-            if (heaps.size >= maxGroups)
-              // fail fast with guidance instead of an opaque executor OOM:
-              // the heap state is off-manager JVM memory with no spill path
-              throw new IllegalStateException(
-                s"TopKPerGroup: > $maxGroups groups in one partition; " +
-                  s"set ${TopKPerGroup.sortBasedKey}=true for " +
-                  "high-cardinality group keys (bounded-memory sort mode) " +
-                  s"or raise ${TopKPerGroup.maxHeapGroupsKey}")
-            val h = mutable.PriorityQueue.empty[InternalRow](ordering)
-            heaps.put(key.copy(), h)
-            h
-          })
-          if (heap.size < limit) heap.enqueue(row.copy())
-          else if (ordering.compare(row, heap.head) < 0) {
-            heap.dequeue()
-            heap.enqueue(row.copy())
-          }
-        }
-        // emit each group's survivors in sort order (dequeue = worst-first)
-        heaps.iterator.flatMap { case (_, h) =>
-          h.dequeueAll.reverseIterator
-        }
-      }, preservesPartitioning = true)
+      child.execute().mapPartitions(
+        TopKPerGroupExec.heapPartition(boundOrder, childOutput, groupE,
+          limit, maxGroups),
+        preservesPartitioning = true)
     }
   }
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerGroupExec =
+    copy(child = c)
+}
+
+object TopKPerGroupExec {
+  /** The bounded per-group heap pass over one partition's rows — shared
+    * by the final (post-exchange) operator and the map-side partial.
+    */
+  private[plans] def heapPartition(boundOrder: Seq[SortOrder],
+      childOutput: Seq[Attribute], groupE: Seq[Expression], limit: Int,
+      maxGroups: Long): Iterator[InternalRow] => Iterator[InternalRow] =
+    { iter =>
+      // codegen'd comparator over the declared sort order
+      val ordering = RowOrdering.create(boundOrder, childOutput)
+      val keyProj = UnsafeProjection.create(groupE, childOutput)
+      // PriorityQueue dequeues the MAX under `ordering` = the worst kept
+      // row; LinkedHashMap keeps first-seen group order (deterministic
+      // within the partitioning, like any hash aggregate's output)
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow,
+        mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row) // reused buffer: copy only on first sight
+        val heap = heaps.getOrElse(key, {
+          if (heaps.size >= maxGroups)
+            // fail fast with guidance instead of an opaque executor OOM:
+            // the heap state is off-manager JVM memory with no spill path
+            throw new IllegalStateException(
+              s"TopKPerGroup: > $maxGroups groups in one partition; " +
+                s"set ${TopKPerGroup.sortBasedKey}=true for " +
+                "high-cardinality group keys (bounded-memory sort mode) " +
+                s"or raise ${TopKPerGroup.maxHeapGroupsKey}")
+          val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+          heaps.put(key.copy(), h)
+          h
+        })
+        if (heap.size < limit) heap.enqueue(row.copy())
+        else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      // emit each group's survivors in sort order (dequeue = worst-first)
+      heaps.iterator.flatMap { case (_, h) =>
+        h.dequeueAll.reverseIterator
+      }
+    }
+}
+
+/** MAP-SIDE partial top-k (heap mode only): the same bounded-heap pass
+  * run on the child's existing partitioning, BELOW the clustering
+  * exchange [[TopKPerGroupExec]] demands — so the exchange moves at most
+  * (partitions x groups x k) candidate rows instead of every input row.
+  * Exact under the caller's total-order contract (the final pass reduces
+  * the per-partition survivors); same maxHeapGroups fail-fast, since the
+  * map side sees at most as many groups per partition as the final side.
+  */
+case class TopKPerGroupPartialExec(groupExprs: Seq[Expression],
+                                   order: Seq[SortOrder], k: Int,
+                                   child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  private lazy val normGroup: Seq[Expression] =
+    groupExprs.map(Bridge.normalizeFloats)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val maxGroups = conf.getConfString(TopKPerGroup.maxHeapGroupsKey,
+      (4 * 1024 * 1024).toString).toLong
+    child.execute().mapPartitions(
+      TopKPerGroupExec.heapPartition(order, child.output, normGroup, k,
+        maxGroups),
+      preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerGroupPartialExec =
     copy(child = c)
 }
