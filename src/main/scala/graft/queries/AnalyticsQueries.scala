@@ -135,8 +135,8 @@ object AnalyticsQueries {
     *
     * Scale: exact global rank WITHOUT a single-task global sort — the
     * two-phase range-partition pattern: repartitionByRange gives ordered
-    * disjoint partitions, a partition-count-sized (32-row) count collect
-    * turns local row numbers into exact global ranks inside one
+    * disjoint partitions, a partition-count-sized count collect (one row
+    * per partition) turns local row numbers into exact global ranks inside one
     * mapPartitions, and bucket = (rank-1)*k div n. The only driver-side
     * state is one row per partition; at 100 TB that is a few thousand
     * longs, while a window-function ntile() would funnel every row
@@ -145,16 +145,19 @@ object AnalyticsQueries {
   def qEquidepth(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = 10
-    // Persist pins ONE materialization of the range partitioning: the
-    // RangePartitioner samples boundaries per execution, so the count job
-    // and the rank job must read the same physical partitions or local
-    // row numbers no longer line up with the collected offsets.
+    // r18: range-partition by PRICE ALONE. The reported columns (per-bucket
+    // count, min, max of price) are invariant to how equal prices are
+    // ordered against each other: a tie run straddling a rank cut puts the
+    // same price value on both sides whichever row crosses, so the
+    // okey/lnum tiebreak columns bought determinism the output never
+    // observes — dropping them halves the shuffled bytes (19.2 -> ~9 MB,
+    // guide §2.3 "narrower types/columns"). Partition count follows the
+    // session (was a hardcoded 32 — a local-mode constant; guide §2 wants
+    // scale-adaptive partitioning).
     val ranged = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_extendedprice").as("price"),
-        col("l_orderkey").as("okey"),
-        col("l_linenumber").as("lnum"))
-      .repartitionByRange(32, col("price"), col("okey"), col("lnum"))
-      .sortWithinPartitions("price", "okey", "lnum")
+      .select(col("l_extendedprice").as("price"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("price"))
+      .sortWithinPartitions("price")
       .withColumn("pid", spark_partition_id())
       .persist()
     try {
@@ -166,10 +169,10 @@ object AnalyticsQueries {
       val bOff = spark.sparkContext.broadcast(offsets)
       // The aggregate is OUTPUT-sized (k rows) — materialize it eagerly so
       // the persisted input can be released before the query returns.
-      val buckets = ranged.as[(Double, Long, Int, Int)]
+      val buckets = ranged.as[(Double, Int)]
         .mapPartitions { it =>
           var local = 0L
-          it.map { case (price, _, _, pid) =>
+          it.map { case (price, pid) =>
             local += 1
             (bOff.value(pid) + local, price)
           }

@@ -58,14 +58,22 @@ object JoinQueries {
     * its user's prior orders and kept rn=1 — event x order pair explosion,
     * the skew risk VERDICT r1 flagged): one shuffle by user, one sort, one
     * window pass with O(1) running state per row, spill-safe on a hot user.
-    * Orders are first deduplicated to one per (custkey, day) so the as-of
-    * pick is well-defined — DuckDB's native ASOF JOIN (the oracle) is
-    * nondeterministic on ties otherwise.
+    * The as-of pick on (custkey, day) ties is pinned to the MAX orderkey
+    * by the window's ok tiebreak (DuckDB's native ASOF JOIN — the oracle —
+    * is nondeterministic on ties, so its input is pre-deduplicated to the
+    * same max-orderkey row; the Spark side used to pay a groupBy exchange
+    * for that dedup until r18 folded it into the sort order).
     */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    // r18: the one-order-per-(custkey, day) pre-dedup (groupBy + max) paid
+    // its own exchange of the orders table just to make the as-of pick
+    // well-defined — but the merge window can make the SAME pick itself by
+    // adding o_orderkey as the sort tiebreak: among orders tied on
+    // (user, day) the running `last(ok)` lands on the max orderkey, which
+    // is exactly what the dedup kept. One exchange removed (guide §2.4);
+    // fact rows ignore the tie column entirely (their ok is null).
     val ord = t(spark, dir, "orders")
-      .groupBy(col("o_custkey"), col("o_orderdate"))
-      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     val ev = t(spark, dir, "events").select("event_id", "user_id", "ts")
     val ordRows = ord.select(col("o_custkey").as("u"),
       col("o_orderdate").cast("timestamp").as("t"), lit(0).as("side"),
@@ -75,7 +83,8 @@ object JoinQueries {
       lit(1).as("side"),
       lit(null).cast("timestamp").as("od"), lit(null).cast("long").as("ok"),
       col("event_id"))
-    val w = Window.partitionBy(col("u")).orderBy(col("t"), col("side"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("t"), col("side"), col("ok").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ordRows.unionByName(evRows)
       .select(col("side"), col("event_id"),
@@ -117,12 +126,22 @@ object JoinQueries {
     * predicate uses receipt-vs-commit dates the testdata lacks;
     * ship-vs-order keeps the exact join topology.)
     *
-    * Scale: the `late` frame is built once and drives both the semi and the
-    * anti probe; all three joins are equi on l_orderkey with the
-    * supplier-inequality as residual, so each is one orderkey-clustered
-    * shuffle — AQE turns the supplier dim side into a broadcast. No
-    * correlated per-row re-execution anywhere: the subqueries are join
-    * shapes, which is exactly how Catalyst decorrelates EXISTS.
+    * Scale (r18 rewrite, guide §2.3 "aggregate before you shuffle"): the
+    * EXISTS/NOT-EXISTS pair only ever asks per-order DISTINCT-supplier
+    * questions — "is there another supplier on the order" (semi) and "is
+    * there another LATE supplier" (anti) — so the fact rows never need to
+    * meet each other. One broadcast of the F-order dates classifies every
+    * lineitem row late/on-time in place, ONE (orderkey, suppkey) partial
+    * aggregation carries (total, late) row counts through the only
+    * exchange, and the per-order verdict (nsupp > 1 AND exactly one late
+    * supplier) folds in a second, exchange-free aggregation on the same
+    * key prefix. The previous shape — semi + anti joins over the fact —
+    * shuffled the fact THREE times (two SMJ exchanges + a 10 MB broadcast
+    * of the whole projected fact); measured 22.0 MB -> ~1 MB shuffled,
+    * plan 4 Exchange -> 2 (the pair agg + the k-row s_name rollup). At
+    * production scale the order-date attach degrades to an
+    * orderkey-partitioned join (no hint is forced) and the verdict
+    * aggregation stays on the exchange the pair agg already paid.
     */
   def qWaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
@@ -130,22 +149,33 @@ object JoinQueries {
       .select(col("o_orderkey"), col("o_orderdate"))
     val l = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-    val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > date_add(col("o_orderdate"), 60))
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val others = l.select(col("l_orderkey").as("l2_orderkey"),
-      col("l_suppkey").as("l2_suppkey"))
-    val lateOthers = late.select(col("l_orderkey").as("l3_orderkey"),
-      col("l_suppkey").as("l3_suppkey"))
-    late
-      .join(others, col("l_orderkey") === col("l2_orderkey") &&
-        col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
-      .join(lateOthers, col("l_orderkey") === col("l3_orderkey") &&
-        col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+    // decision facts: per (order, supplier) how many rows exist and how
+    // many shipped late — the only thing the semi/anti tests can see
+    val perSupp = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_shipdate") > date_add(col("o_orderdate"), 60), 1L)
+          .otherwise(0L).as("is_late"))
+      // partition by the ORDER alone: hash partitioning on a prefix of the
+      // pair key satisfies BOTH the pair aggregation and the per-order
+      // verdict aggregation, so the two run back-to-back on one exchange
+      // (keyed (okey, skey) they'd pay a second, near-same-size exchange)
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(col("is_late")).as("late_cnt"))
+    // per-order verdict: >=2 suppliers (the semi), exactly one of them
+    // late (the anti); when it holds, `supp` IS that one late supplier
+    // and `cnt` its surviving late-row count
+    val winners = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("nsupp"),
+        count(when(col("late_cnt") > 0, lit(1))).as("nlate"),
+        max(when(col("late_cnt") > 0, col("l_suppkey"))).as("l_suppkey"),
+        sum(when(col("late_cnt") > 0, col("late_cnt"))).as("late_rows"))
+      .filter(col("nlate") === 1 && col("nsupp") > 1)
+    winners
       .join(t(spark, dir, "supplier").select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("late_rows")).cast("long").as("numwait"))
       .orderBy(desc("numwait"), col("s_name"))
   }
 
@@ -313,14 +343,16 @@ object JoinQueries {
     val ev = graft.Tables.events(spark, dir)
     // dimension: SCD2 validity intervals of the user's non-purchase
     // activity state; facts: the purchases themselves (same timeline by
-    // construction — TPC-H order dates predate the event clock entirely)
-    val dimEv = ev.filter(col("event_type") =!= "purchase")
-    val wv = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val dim = dimEv
-      .withColumn("prev_type", lag(col("event_type"), 1).over(wv))
-      .filter(col("prev_type").isNull ||
-        col("prev_type") =!= col("event_type"))
+    // construction — TPC-H order dates predate the event clock entirely).
+    // r18: the SCD2 change-row dedup (a lag window collapsing consecutive
+    // equal states) used to run as its OWN window pass before the merge —
+    // but the merge's running `last(state, ignoreNulls)` is invariant to
+    // consecutive-duplicate removal (a run of equal states forward-fills
+    // the same value whether it is one row or many), so the dedup bought
+    // nothing the fact rows can observe. Dropping it removes one full
+    // shuffle+sort of the dimension events (guide §2.4); the oracle keeps
+    // building explicit SCD2 intervals and the hash still matches.
+    val dim = ev.filter(col("event_type") =!= "purchase")
       .select(col("user_id").as("u"), col("ts").as("t"),
         col("event_id").as("tie"), lit(0).as("side"),
         col("event_type").as("state"),
