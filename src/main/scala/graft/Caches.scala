@@ -42,8 +42,28 @@ object Caches {
   // when cached partitions compete with task memory.
   /** Max resident frames per family (most-recently-used first). */
   val frameCapacity = 3
+
+  /** Build-once cell: the registry lock below covers BOOKKEEPING only —
+    * the actual build (which runs Spark jobs, possibly for seconds) runs
+    * through this holder's `lazy val` OUTSIDE the global monitor. Holding
+    * the monitor across builds deadlocked the r18 parallel stage writes
+    * (a `stagedPath` build fans out jobs whose threads call `cached` —
+    * blocked on the monitor the building thread still held) and, more
+    * generally, serialized every cache access behind whichever build was
+    * in flight. `lazy val` gives per-entry build-once under the holder's
+    * OWN monitor; `isBuilt` lets eviction skip entries another thread is
+    * still constructing (the value to release does not exist yet — the
+    * rare losing side of that race leaks one frame/dir, exactly the
+    * pre-r18 behavior under eviction).
+    */
+  private final class Holder[T](f: () => T) {
+    @volatile private var built = false
+    lazy val value: T = { val v = f(); built = true; v }
+    def isBuilt: Boolean = built
+  }
+
   private val live =
-    scala.collection.mutable.Map.empty[String, List[(String, DataFrame)]]
+    scala.collection.mutable.Map.empty[String, List[(String, Holder[DataFrame])]]
 
   // Bench-visible hit/miss/evict counters (VERDICT r9 #3: a warm pass that
   // is SLOWER than cold smells like a silent cache eviction — make
@@ -66,23 +86,27 @@ object Caches {
   /** The cached frame for (family, key), building + persisting on first
     * use. A miss at family capacity evicts the least-recently-used entry.
     */
-  def cached(family: String, key: String)(build: => DataFrame): DataFrame =
-    synchronized {
+  def cached(family: String, key: String)(build: => DataFrame): DataFrame = {
+    val (holder, evicted) = synchronized {
       val entries = live.getOrElse(family, Nil)
       entries.find(_._1 == key) match {
-        case Some((_, df)) =>
+        case Some((_, h)) =>
           bump(hits, family)
-          live(family) = (key, df) :: entries.filterNot(_._1 == key)
-          df
+          live(family) = (key, h) :: entries.filterNot(_._1 == key)
+          (h, Nil)
         case None =>
           bump(misses, family)
-          val df = build.persist(StorageLevel.DISK_ONLY)
-          val all = (key, df) :: entries
-          all.drop(frameCapacity).foreach(_._2.unpersist(blocking = false))
+          val h = new Holder(() => build.persist(StorageLevel.DISK_ONLY))
+          val all = (key, h) :: entries
           live(family) = all.take(frameCapacity)
-          df
+          (h, all.drop(frameCapacity))
       }
     }
+    evicted.foreach { case (_, h) =>
+      if (h.isBuilt) h.value.unpersist(blocking = false)
+    }
+    holder.value
+  }
 
   // STAGED on-disk artifacts (bucketed table copies, inverted indexes,
   // sketch stores): the r7 bench leak was four queries creating a fresh
@@ -92,26 +116,31 @@ object Caches {
   // the same key returns the staged path untouched (steady-state reads),
   // a key change deletes the predecessor tree and rebuilds.
   private val livePaths =
-    scala.collection.mutable.Map.empty[String, (String, String)]
+    scala.collection.mutable.Map.empty[String, (String, Holder[String])]
 
   /** The staged directory for (family, key), built once by `build(path)`.
     * Include a session marker in `key` when the artifact registers
     * catalog state (tables are per-session; a bare path is not).
     */
-  def stagedPath(family: String, key: String)(build: String => Unit): String =
-    synchronized {
+  def stagedPath(family: String, key: String)(build: String => Unit): String = {
+    val (holder, stale) = synchronized {
       livePaths.get(family) match {
-        case Some((k, path)) if k == key => bump(hits, family); path
+        case Some((k, h)) if k == key => bump(hits, family); (h, None)
         case prev =>
-          prev.foreach { case (_, p) => deleteTree(p) }
           bump(misses, family)
-          val path = java.nio.file.Files
-            .createTempDirectory(s"graft-$family").toString
-          build(path)
-          livePaths(family) = (key, path)
-          path
+          val h = new Holder(() => {
+            val path = java.nio.file.Files
+              .createTempDirectory(s"graft-$family").toString
+            build(path)
+            path
+          })
+          livePaths(family) = (key, h)
+          (h, prev)
       }
     }
+    stale.foreach { case (_, h) => if (h.isBuilt) deleteTree(h.value) }
+    holder.value
+  }
 
   // DRIVER-SIDE memo (trained centroids, fitted thresholds): tiny values
   // whose computation runs Spark jobs — a consumer query (e.g. the cluster
@@ -119,22 +148,24 @@ object Caches {
   // the whole training loop the assignment query just ran. Same
   // one-live-entry-per-family discipline.
   private val liveVals =
-    scala.collection.mutable.Map.empty[String, (String, Any)]
+    scala.collection.mutable.Map.empty[String, (String, Holder[Any])]
 
   /** The memoized value for (family, key), computing on first use. A key
     * change within a family evicts the predecessor.
     */
-  def memo[T](family: String, key: String)(compute: => T): T =
-    synchronized {
+  def memo[T](family: String, key: String)(compute: => T): T = {
+    val holder = synchronized {
       liveVals.get(family) match {
-        case Some((k, v)) if k == key => bump(hits, family); v.asInstanceOf[T]
+        case Some((k, h)) if k == key => bump(hits, family); h
         case _ =>
           bump(misses, family)
-          val v = compute
-          liveVals(family) = (key, v)
-          v
+          val h = new Holder[Any](() => compute)
+          liveVals(family) = (key, h)
+          h
       }
     }
+    holder.value.asInstanceOf[T]
+  }
 
   /** Driver-side DATA fingerprint of a frame's scanned files — one
     * (path, size, mtime) fold over `df.inputFiles`. A plan's
@@ -179,9 +210,11 @@ object Caches {
     * session shutdown).
     */
   def clear(): Unit = synchronized {
-    live.values.flatten.foreach(_._2.unpersist(blocking = false))
+    live.values.flatten
+      .foreach { case (_, h) => if (h.isBuilt) h.value.unpersist(blocking = false) }
     live.clear()
-    livePaths.values.foreach { case (_, p) => deleteTree(p) }
+    livePaths.values
+      .foreach { case (_, h) => if (h.isBuilt) deleteTree(h.value) }
     livePaths.clear()
     liveVals.clear()
   }

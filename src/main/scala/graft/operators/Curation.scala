@@ -1086,11 +1086,14 @@ object Curation {
     val normed = normalizeDocs(docs).select(col("doc_id"),
       col("norm").as("text"))
     val floored = normed.filter(tokenCount(col("text")) >= minTokens)
-    floored.select(md5(col("text")).as("content_hash"), col("doc_id"))
-      .groupBy("content_hash").agg(min(col("doc_id")).as("keeper"))
-      .write.mode("overwrite").parquet(s"$dir/hashes")
-    Dedup.writeLshIndex(curatedFrame(docs, minTokens), s"$dir/lsh", k,
-      prefixThreshold = nearThreshold, commit = false)
+    // the hash table and the lsh subtree write disjoint directories from
+    // independent plans — concurrent jobs (guide §2.6), one commit below
+    graft.sources.StoredIndex.parallelStages(Seq(
+      () => floored.select(md5(col("text")).as("content_hash"), col("doc_id"))
+        .groupBy("content_hash").agg(min(col("doc_id")).as("keeper"))
+        .write.mode("overwrite").parquet(s"$dir/hashes"),
+      () => Dedup.writeLshIndex(curatedFrame(docs, minTokens), s"$dir/lsh", k,
+        prefixThreshold = nearThreshold, commit = false)))
     graft.sources.IndexCommit.commitFiles(dir,
       graft.sources.IndexCommit.walkDataFiles(dir))
   }

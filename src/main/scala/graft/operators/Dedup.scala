@@ -353,31 +353,46 @@ object Dedup {
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "meta.json"),
       s"""{"idRangeSize":$idRangeSize,"prefixThreshold":$prefixThreshold}"""
         .getBytes("UTF-8"))
-    val raw0 = banded(minhashSignatures(docs, k, numHashes), numHashes, bands)
-    graft.sources.StoredIndex.writeByPart(
-      raw0.withColumn("pid", expr(s"id div $idRangeSize")),
-      "pid", s"$dir/buckets_raw")
-    // bootstrap readbacks are DIRECT directory reads (no manifest exists
-    // yet — or a stale one from a cleared rebuild, which must not pin)
-    val raw = readDirTable(spark, s"$dir/buckets_raw",
-      "id BIGINT, band INT, bh BIGINT, pid BIGINT")
-    raw.groupBy("band", "bh").agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$dir/bcounts/seg-00000")
-    graft.sources.StoredIndex.writeByPart(
-      docShingleArrays(docs, k)
-        .withColumn("pid", expr(s"id div $idRangeSize")),
-      "pid", s"$dir/arrays")
-    graft.sources.StoredIndex.writeByPart(
-      prefixRows(readDirTable(spark, s"$dir/arrays",
-          "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT")
-          .select("id", "sa", "n"), prefixThreshold)
-        .withColumn("pid", expr(s"id div $idRangeSize")),
-      "pid", s"$dir/prefixes")
-    val dfreq = shingles(docs, k).groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
-    dfreq.write.mode("overwrite").parquet(s"$dir/df/seg-00000")
-    dfreq.filter(col("df") > maxBucketSize)
-      .select("shingle").write.mode("overwrite").parquet(s"$dir/stop")
+    // r18: the build is THREE independent chains over the same (cached)
+    // shingle frames — {buckets_raw -> bcounts}, {arrays -> prefixes},
+    // {df -> stop} — run as concurrent jobs (guide §2.6) so the fan of
+    // small write actions costs ~max(chain), not Σ. Each chain's second
+    // table derives from a READ-BACK of the first (bootstrap readbacks
+    // are DIRECT directory reads — no manifest exists yet, or a stale one
+    // from a cleared rebuild, which must not pin); `stop` previously
+    // re-ran the whole shingles + groupBy aggregation a second time.
+    graft.sources.StoredIndex.parallelStages(Seq(
+      () => {
+        val raw0 =
+          banded(minhashSignatures(docs, k, numHashes), numHashes, bands)
+        graft.sources.StoredIndex.writeByPart(
+          raw0.withColumn("pid", expr(s"id div $idRangeSize")),
+          "pid", s"$dir/buckets_raw")
+        readDirTable(spark, s"$dir/buckets_raw",
+            "id BIGINT, band INT, bh BIGINT, pid BIGINT")
+          .groupBy("band", "bh").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$dir/bcounts/seg-00000")
+      },
+      () => {
+        graft.sources.StoredIndex.writeByPart(
+          docShingleArrays(docs, k)
+            .withColumn("pid", expr(s"id div $idRangeSize")),
+          "pid", s"$dir/arrays")
+        graft.sources.StoredIndex.writeByPart(
+          prefixRows(readDirTable(spark, s"$dir/arrays",
+              "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT")
+              .select("id", "sa", "n"), prefixThreshold)
+            .withColumn("pid", expr(s"id div $idRangeSize")),
+          "pid", s"$dir/prefixes")
+      },
+      () => {
+        shingles(docs, k).groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(s"$dir/df/seg-00000")
+        readDirTable(spark, s"$dir/df/seg-00000", "shingle STRING, df BIGINT")
+          .filter(col("df") > maxBucketSize)
+          .select("shingle").write.mode("overwrite").parquet(s"$dir/stop")
+      }))
     if (commit)
       graft.sources.IndexCommit.commitFiles(dir,
         graft.sources.IndexCommit.walkDataFiles(dir))
@@ -635,32 +650,40 @@ object Dedup {
         .filter(col("pid").isin(touchedLit: _*)).select("id", "sa", "n")
       val oldRawTouched = rawBuckets(spark, dir)
         .filter(col("pid").isin(touchedLit: _*)).select("id", "band", "bh")
-      stagePartitioned(oldArraysTouched
-        .join(affectedIds, Seq("id"), "left_anti")
-        .unionByName(affected).unionByName(newKept), "arrays")
-      stagePartitioned(oldRawTouched
-        .join(affectedIds, Seq("id"), "left_anti")
-        .unionByName(signed(affected)).unionByName(signed(newKept)),
-        "buckets_raw")
-      // prefixes re-derive in-row from the STAGED arrays readback (the
-      // post-append truth for touched ranges); the static hash order
-      // never reorders untouched docs' prefixes, so untouched ranges
-      // stay byte-identical like the other partitioned tables
-      stagePartitioned(prefixRows(readDirTable(spark, s"$dir/.arrays-stage",
-          "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT")
-          .select("id", "sa", "n"), prefixThreshold), "prefixes")
-      // bcounts delta: staged-minus-old occupancy per bucket over the
-      // TOUCHED ranges only — O(touched buckets) rows; no buckets_raw
-      // re-aggregation remains anywhere in the append path (the r11
-      // whole-table oversize re-derive this LSM replaces)
-      readDirTable(spark, s"$dir/.buckets_raw-stage",
-          "id BIGINT, band INT, bh BIGINT, pid BIGINT")
-        .select(col("band"), col("bh")).withColumn("n", lit(1L))
-        .unionByName(oldRawTouched.select("band", "bh")
-          .withColumn("n", lit(-1L)))
-        .groupBy("band", "bh").agg(sum(col("n")).as("n"))
-        .filter(col("n") =!= 0L)
-        .write.mode("overwrite").parquet(s"$dir/.bcounts-stage")
+      // two independent stage chains run as concurrent jobs (guide §2.6):
+      // {arrays -> prefixes} and {buckets_raw -> bcounts}. Prefixes
+      // re-derive in-row from the STAGED arrays readback (the post-append
+      // truth for touched ranges); the static hash order never reorders
+      // untouched docs' prefixes, so untouched ranges stay byte-identical
+      // like the other partitioned tables. The bcounts delta is
+      // staged-minus-old occupancy per bucket over the TOUCHED ranges
+      // only — O(touched buckets) rows; no buckets_raw re-aggregation
+      // remains anywhere in the append path (the r11 whole-table
+      // oversize re-derive this LSM replaces).
+      graft.sources.StoredIndex.parallelStages(Seq(
+        () => {
+          stagePartitioned(oldArraysTouched
+            .join(affectedIds, Seq("id"), "left_anti")
+            .unionByName(affected).unionByName(newKept), "arrays")
+          stagePartitioned(prefixRows(readDirTable(spark,
+              s"$dir/.arrays-stage",
+              "id BIGINT, sa ARRAY<STRING>, n BIGINT, pid BIGINT")
+              .select("id", "sa", "n"), prefixThreshold), "prefixes")
+        },
+        () => {
+          stagePartitioned(oldRawTouched
+            .join(affectedIds, Seq("id"), "left_anti")
+            .unionByName(signed(affected)).unionByName(signed(newKept)),
+            "buckets_raw")
+          readDirTable(spark, s"$dir/.buckets_raw-stage",
+              "id BIGINT, band INT, bh BIGINT, pid BIGINT")
+            .select(col("band"), col("bh")).withColumn("n", lit(1L))
+            .unionByName(oldRawTouched.select("band", "bh")
+              .withColumn("n", lit(-1L)))
+            .groupBy("band", "bh").agg(sum(col("n")).as("n"))
+            .filter(col("n") =!= 0L)
+            .write.mode("overwrite").parquet(s"$dir/.bcounts-stage")
+        }))
     }
     // committed LSM segments per statistic table (for the compaction
     // decision — counted from the PINNED base, so crash leftovers never

@@ -266,16 +266,21 @@ object LangModel {
     // recompute is not free
     val vocab = spark.read.parquet(s"$dir/vocab")
     val v = vocab.count() + 1 // + <unk>
-    val bi = mappedBigrams(refDocs, vocab, idCol, textCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-      .withColumn("wb", wbCol(nBuckets))
-    StoredIndex.writeByPart(bi, "wb", s"$dir/bi/seg=0")
-    if (order == 3) {
-      val tri = mappedTrigrams(refDocs, vocab, idCol, textCol)
-        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
-        .withColumn("wb", wbCol(nBuckets))
-      StoredIndex.writeByPart(tri, "wb", s"$dir/tri/seg=0")
-    }
+    // bi and tri both derive only from the frozen vocab read-back and
+    // write disjoint LSM roots — concurrent jobs (guide §2.6)
+    StoredIndex.parallelStages(Seq(
+      () => StoredIndex.writeByPart(
+        mappedBigrams(refDocs, vocab, idCol, textCol)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+          .withColumn("wb", wbCol(nBuckets)),
+        "wb", s"$dir/bi/seg=0"))
+      ++ (if (order == 3)
+            Seq(() => StoredIndex.writeByPart(
+              mappedTrigrams(refDocs, vocab, idCol, textCol)
+                .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
+                .withColumn("wb", wbCol(nBuckets)),
+              "wb", s"$dir/tri/seg=0"))
+          else Nil))
     Seq((vocabTop, v, nBuckets, order))
       .toDF("vocab_top", "v", "nbuckets", "ordern")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -295,11 +300,12 @@ object LangModel {
     val t = new IndexTxn(dir)
     val biSeg = StoredIndex.nextSeg(dir, "bi", "seg=")
     val triSeg = StoredIndex.nextSeg(dir, "tri", "seg=")
-    StoredIndex.writeByPart(biDelta.withColumn("wb", wbCol(nBuckets)),
-      "wb", s"$dir/.bi-stage")
-    triDelta.foreach(d =>
-      StoredIndex.writeByPart(d.withColumn("wb", wbCol(nBuckets)),
-        "wb", s"$dir/.tri-stage"))
+    StoredIndex.parallelStages(Seq(
+      () => StoredIndex.writeByPart(biDelta.withColumn("wb", wbCol(nBuckets)),
+        "wb", s"$dir/.bi-stage"))
+      ++ triDelta.map(d => () =>
+        StoredIndex.writeByPart(d.withColumn("wb", wbCol(nBuckets)),
+          "wb", s"$dir/.tri-stage")).toSeq)
     IndexCommit.hit("lm-staged")
     StoredIndex.moveTree(t, p(s"$dir/.bi-stage"), p(s"$dir/bi/seg=$biSeg"))
     triDelta.foreach(_ =>

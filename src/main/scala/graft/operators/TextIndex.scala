@@ -549,14 +549,20 @@ object TextIndex {
       s"$dir/doclens")
     val dls = StoredIndex.readDirTable(spark, s"$dir/doclens",
       "doc_id BIGINT, dl BIGINT, dr BIGINT")
-    writeByPart(termStatsOf(post, dls), "tb", s"$dir/termdf/seg=0")
-    if (forward)
-      writeByPart(fwdOf(post, dlRange), "dr", s"$dir/fwd")
-    if (impactBlocks > 0 || impactFraction > 0)
-      writeImpacts(impactsOf(post, dls, impactBlocks, impactBlockSize,
-        impactFraction), s"$dir/impacts/seg=0")
-    dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/seg=0")
+    // the four tables below derive ONLY from the immutable postings/doclens
+    // read-backs and write disjoint directories — concurrent jobs (guide
+    // §2.6) so the build's stage fan costs ~max, not Σ
+    StoredIndex.parallelStages(Seq(
+      () => writeByPart(termStatsOf(post, dls), "tb", s"$dir/termdf/seg=0"))
+      ++ (if (forward)
+            Seq(() => writeByPart(fwdOf(post, dlRange), "dr", s"$dir/fwd"))
+          else Nil)
+      ++ (if (impactBlocks > 0 || impactFraction > 0)
+            Seq(() => writeImpacts(impactsOf(post, dls, impactBlocks,
+              impactBlockSize, impactFraction), s"$dir/impacts/seg=0"))
+          else Nil)
+      ++ Seq(() => dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
+           .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/seg=0")))
     IndexCommit.commitFiles(dir, IndexCommit.walkDataFiles(dir))
   }
 
@@ -609,17 +615,21 @@ object TextIndex {
       s"$dir/.doclens-stage")
     val dls = StoredIndex.readDirTable(spark, s"$dir/.doclens-stage",
       "doc_id BIGINT, dl BIGINT, dr BIGINT")
-    writeByPart(termStatsOf(post, dls), "tb", s"$dir/.termdf-stage")
-    if (hasFwd)
-      writeByPart(fwdOf(post, dlr), "dr", s"$dir/.fwd-stage")
-    // an impact-enabled index gains one impacts segment per append: the
-    // batch's own head blocks (segment-local impact order — serving reads
-    // every segment's head, compaction re-blocks globally)
-    if (m.hasImpacts)
-      writeImpacts(impactsOf(post, dls, m.impB, m.impBs, m.impF),
-        s"$dir/.impacts-stage")
-    dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stats-stage")
+    // independent stage-table writes from the immutable read-backs —
+    // concurrent jobs, same fan as the build (guide §2.6). An impacts
+    // segment is segment-local impact order: serving reads every
+    // segment's head, compaction re-blocks globally.
+    StoredIndex.parallelStages(Seq(
+      () => writeByPart(termStatsOf(post, dls), "tb", s"$dir/.termdf-stage"))
+      ++ (if (hasFwd)
+            Seq(() => writeByPart(fwdOf(post, dlr), "dr", s"$dir/.fwd-stage"))
+          else Nil)
+      ++ (if (m.hasImpacts)
+            Seq(() => writeImpacts(impactsOf(post, dls, m.impB, m.impBs,
+              m.impF), s"$dir/.impacts-stage"))
+          else Nil)
+      ++ Seq(() => dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
+           .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stats-stage")))
     IndexCommit.hit("bm25-staged")
     def p(s: String) = java.nio.file.Paths.get(s)
     StoredIndex.moveTree(t, p(s"$dir/.postings-stage"), p(s"$dir/postings"))

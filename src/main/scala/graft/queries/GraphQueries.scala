@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -81,11 +82,16 @@ object GraphQueries {
         .distinct()
       val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
         .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      // repartition on the bucket key first: bucket hashing and repartition
+      // r18: outdeg as a COUNT WINDOW over the same src clustering the
+      // write needs, instead of a separate aggregate + join — the degree
+      // attach then rides the one exchange the bucketed write pays anyway
+      // (was: deg shuffle + edges join shuffle + write repartition).
+      // repartition on the bucket key: bucket hashing and repartition
       // hashing agree, so each bucket lands in exactly one file
-      edges.join(deg, "src")
+      edges
         .repartition(buckets, col("src"))
+        .withColumn("outdeg", count(lit(1))
+          .over(Window.partitionBy(col("src"))))
         .write.bucketBy(buckets, "src")
         .option("path", s"$loc/edges").saveAsTable("graft_pr_edges_bkt")
     }

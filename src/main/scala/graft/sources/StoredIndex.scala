@@ -91,6 +91,40 @@ object StoredIndex {
     keyed.write.partitionBy(part).mode("overwrite").parquet(path)
   }
 
+  /** Run INDEPENDENT stage-table writes as concurrent Spark jobs
+    * (optimization guide §2.6 "overlap independent jobs"): a build/append
+    * fans one materialized read-back into several small write actions
+    * whose job tails each leave most of the box idle — submitting them
+    * from a thread pool back-fills the idle executors, so the fan costs
+    * ~max(stage) instead of Σ(stage). Callers pass only stages with NO
+    * data dependence between them (each writes its own directory; the
+    * shared read-back parquet is immutable). Job-group/description
+    * properties are inherited by the pool threads (SparkContext local
+    * properties are InheritableThreadLocal), so bench attribution is
+    * unchanged. Exceptions propagate unwrapped; remaining stages are
+    * awaited so no write outlives the call.
+    */
+  def parallelStages(stages: Seq[() => Unit]): Unit =
+    if (stages.sizeIs <= 1) stages.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(stages.size)
+      try {
+        val futs = stages.map(s => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = s()
+        }))
+        var firstErr: Throwable = null
+        futs.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (firstErr == null) firstErr = e.getCause
+            case e: Throwable => if (firstErr == null) firstErr = e
+          }
+        }
+        if (firstErr != null) throw firstErr
+      } finally pool.shutdown()
+    }
+
   def emptyFrame(spark: SparkSession, ddl: String): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
