@@ -338,9 +338,13 @@ object Similarity {
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
         withCodes(scored.drop("qerr"), "nv", "cell", cents, cbs)
       }
-    graft.sources.StoredIndex.writeByPart(post, "cell", s"$dir/postings")
-    genStats(scored, gen = 0)
-      .write.mode("overwrite").parquet(s"$dir/stats/gen-00000")
+    // postings and the gen-0 stats baseline are independent writes over
+    // the cached vector frame — concurrent jobs (guide §2.6)
+    graft.sources.StoredIndex.parallelStages(Seq(
+      () => graft.sources.StoredIndex.writeByPart(post, "cell",
+        s"$dir/postings"),
+      () => genStats(scored, gen = 0)
+        .write.mode("overwrite").parquet(s"$dir/stats/gen-00000")))
     graft.sources.IndexCommit.commitFiles(dir,
       graft.sources.IndexCommit.walkDataFiles(dir))
   }

@@ -303,17 +303,20 @@ object JoinQueries {
       spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
       // repartition on the bucket key before writing: bucket hashing and
       // repartition hashing agree, so each bucket lands in exactly ONE file —
-      // a multi-file bucket forfeits the sort metadata and the SMJ re-sorts
-      t(spark, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderdate"))
-        .repartition(8, col("o_orderkey"))
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$loc/orders").saveAsTable("graft_orders_bkt")
-      t(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity"))
-        .repartition(8, col("l_orderkey"))
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$loc/lineitem").saveAsTable("graft_lineitem_bkt")
+      // a multi-file bucket forfeits the sort metadata and the SMJ re-sorts.
+      // The two table copies are independent writes — concurrent jobs
+      // (guide §2.6)
+      graft.sources.StoredIndex.parallelStages(Seq(
+        () => t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"))
+          .repartition(8, col("o_orderkey"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$loc/orders").saveAsTable("graft_orders_bkt"),
+        () => t(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+          .repartition(8, col("l_orderkey"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$loc/lineitem").saveAsTable("graft_lineitem_bkt")))
     }
     spark.table("graft_lineitem_bkt").hint("merge")
       .join(spark.table("graft_orders_bkt"),

@@ -60,6 +60,17 @@ object PerfProbe {
     time("doc only, no classifier")(m.select(col("msg"),
       expr("try_cast(try_parse_json(msg) AS map<string,string>)").as("j"))
       .select(count(when(col("j").isNotNull, element_at(col("j"), "message")))).head().getLong(0))
+    // DISK_ONLY persist vs a parquet stage + read-back for the same frame
+    val rawParsed = graft.operators.LogPipeline.parseStaged(m,
+        graft.operators.LogPipeline.lambdaName(col("logGroup")),
+        graft.operators.LogPipeline.lambdaVersion(col("logStream")),
+        col("msg"), col("aws_region"))
+      .filter(col("doc").isNotNull).select(col("event_id"), col("doc.*"))
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("perfprobe-parsed").toString
+    time("parsed -> parquet stage")(
+      { rawParsed.write.mode("overwrite").parquet(stageDir); 0L })
+    time("parquet stage re-read")(spark.read.parquet(stageDir).count())
     time("parsed (current)")(LogCorpus.parsed(ev).count())
     time("parsed again")(LogCorpus.parsed(ev).count())
     val parsed = LogCorpus.parsed(ev)
