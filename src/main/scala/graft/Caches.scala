@@ -65,6 +65,30 @@ object Caches {
   private val live =
     scala.collection.mutable.Map.empty[String, List[(String, Holder[DataFrame])]]
 
+  // Holders evicted (or replaced) while their build was still in flight:
+  // the value to release did not exist at eviction time, so release is
+  // DEFERRED — the list is swept on every later registry call and at
+  // clear(), unpersisting/deleting entries whose build has since
+  // completed (ADVICE r18: the losing side of the eviction race leaked
+  // one frame/dir until clear()).
+  private val pendingFrames =
+    scala.collection.mutable.ArrayBuffer.empty[Holder[DataFrame]]
+  private val pendingDirs =
+    scala.collection.mutable.ArrayBuffer.empty[Holder[String]]
+
+  /** Sweep deferred releases whose builds have completed. Called with the
+    * registry lock held; the actual unpersist/delete runs on the built
+    * value, outside any build.
+    */
+  private def sweepPending(): Unit = {
+    val frames = pendingFrames.filter(_.isBuilt)
+    pendingFrames --= frames
+    frames.foreach(h => h.value.unpersist(blocking = false))
+    val dirs = pendingDirs.filter(_.isBuilt)
+    pendingDirs --= dirs
+    dirs.foreach(h => deleteTree(h.value))
+  }
+
   // Bench-visible hit/miss/evict counters (VERDICT r9 #3: a warm pass that
   // is SLOWER than cold smells like a silent cache eviction — make
   // hits/misses a recorded fact instead of a theory). Covers all three
@@ -88,6 +112,7 @@ object Caches {
     */
   def cached(family: String, key: String)(build: => DataFrame): DataFrame = {
     val (holder, evicted) = synchronized {
+      sweepPending()
       val entries = live.getOrElse(family, Nil)
       entries.find(_._1 == key) match {
         case Some((_, h)) =>
@@ -104,8 +129,20 @@ object Caches {
     }
     evicted.foreach { case (_, h) =>
       if (h.isBuilt) h.value.unpersist(blocking = false)
+      else synchronized { pendingFrames += h }
     }
-    holder.value
+    try holder.value
+    catch { case e: Throwable =>
+      // a failed build must not stay registered: later callers would
+      // count a HIT and then re-run the failed build through the lazy
+      // val (ADVICE r18 — hit/miss counters over-counted after failures)
+      synchronized {
+        live.get(family).foreach { entries =>
+          live(family) = entries.filterNot(_._2 eq holder)
+        }
+      }
+      throw e
+    }
   }
 
   // STAGED on-disk artifacts (bucketed table copies, inverted indexes,
@@ -124,6 +161,7 @@ object Caches {
     */
   def stagedPath(family: String, key: String)(build: String => Unit): String = {
     val (holder, stale) = synchronized {
+      sweepPending()
       livePaths.get(family) match {
         case Some((k, h)) if k == key => bump(hits, family); (h, None)
         case prev =>
@@ -131,15 +169,31 @@ object Caches {
           val h = new Holder(() => {
             val path = java.nio.file.Files
               .createTempDirectory(s"graft-$family").toString
-            build(path)
+            // a failed build must not leak its partially-written tree
+            // (ADVICE r18): delete before rethrowing — the holder is
+            // deregistered below, so the next call is a true miss
+            try build(path)
+            catch { case e: Throwable => deleteTree(path); throw e }
             path
           })
           livePaths(family) = (key, h)
           (h, prev)
       }
     }
-    stale.foreach { case (_, h) => if (h.isBuilt) deleteTree(h.value) }
-    holder.value
+    stale.foreach { case (_, h) =>
+      if (h.isBuilt) deleteTree(h.value)
+      else synchronized { pendingDirs += h }
+    }
+    try holder.value
+    catch { case e: Throwable =>
+      synchronized {
+        livePaths.get(family) match {
+          case Some((_, h)) if h eq holder => livePaths.remove(family)
+          case _ => ()
+        }
+      }
+      throw e
+    }
   }
 
   // DRIVER-SIDE memo (trained centroids, fitted thresholds): tiny values
@@ -164,7 +218,17 @@ object Caches {
           h
       }
     }
-    holder.value.asInstanceOf[T]
+    try holder.value.asInstanceOf[T]
+    catch { case e: Throwable =>
+      // same dereg-on-failure contract as cached()/stagedPath()
+      synchronized {
+        liveVals.get(family) match {
+          case Some((_, h)) if h eq holder => liveVals.remove(family)
+          case _ => ()
+        }
+      }
+      throw e
+    }
   }
 
   /** Driver-side DATA fingerprint of a frame's scanned files — one
@@ -210,11 +274,17 @@ object Caches {
     * session shutdown).
     */
   def clear(): Unit = synchronized {
-    live.values.flatten
-      .foreach { case (_, h) => if (h.isBuilt) h.value.unpersist(blocking = false) }
+    sweepPending()
+    // entries still mid-build stay pending — their values do not exist
+    // yet; a later clear()/registry call sweeps them once built
+    live.values.flatten.foreach { case (_, h) =>
+      if (h.isBuilt) h.value.unpersist(blocking = false)
+      else pendingFrames += h
+    }
     live.clear()
-    livePaths.values
-      .foreach { case (_, h) => if (h.isBuilt) deleteTree(h.value) }
+    livePaths.values.foreach { case (_, h) =>
+      if (h.isBuilt) deleteTree(h.value) else pendingDirs += h
+    }
     livePaths.clear()
     liveVals.clear()
   }

@@ -43,12 +43,22 @@ object Curation {
     */
   def packSequences(docs: DataFrame, budgetTokens: Int = 2048,
                     shards: Int = 8, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text"): DataFrame =
+    packTokens(docs.select(col(idCol),
+      tokenCount(col(textCol)).as("tokens")), budgetTokens, shards, idCol)
+
+  /** [[packSequences]] over PRE-COUNTED rows (idCol, tokens) — the layout
+    * pass itself, for callers that already carry the token count (the
+    * dataset build's persisted keep set) so the whole-text split is not
+    * re-paid per serve. Plan and output identical to [[packSequences]] on
+    * the same counts.
+    */
+  private[graft] def packTokens(docs: DataFrame, budgetTokens: Int,
+                                shards: Int, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
-      .select(col(idCol), (col(idCol) % shards).as("shard"),
-        tokenCount(col(textCol)).as("tokens"))
+      .select(col(idCol), (col(idCol) % shards).as("shard"), col("tokens"))
       .withColumn("start", coalesce(sum(col("tokens")).over(w), lit(0L)))
       // integer division: exact at any offset (a double division could
       // misround exactly at sequence boundaries)
@@ -443,21 +453,44 @@ object Curation {
     */
   def tokenBudgetMixDocs(docs: DataFrame, budgets: Map[String, Long],
                          textCol: String = "text",
-                         idCol: String = "doc_id"): DataFrame = {
+                         idCol: String = "doc_id"): DataFrame =
+    tokenBudgetMixCore(docs
+      .select(col("source"), col(idCol).cast("long").as("doc_id"),
+        md5(col(textCol)).as("h"), tokenCount(col(textCol)).as("tokens")),
+      budgets)
+
+  /** The cutoff machinery of [[tokenBudgetMixDocs]] over PRE-HASHED,
+    * PRE-COUNTED rows (source, doc_id, h, tokens) — for callers whose
+    * input already carries the selection columns (the dataset build's
+    * persisted keep set), so md5 + the whole-text split run once at
+    * build, not once per serve job. Identical selection on the same
+    * (h, tokens) values.
+    */
+  private[graft] def tokenBudgetMixCore(pre: DataFrame,
+                                        budgets: Map[String, Long],
+                                        memoKey: Option[String] = None): DataFrame = {
     require(budgets.nonEmpty, "tokenBudgetMix needs at least one budget")
     require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
-    val spark = docs.sparkSession
+    val spark = pre.sparkSession
     import spark.implicits._
-    val slim = docs
+    val slim = pre
       .filter(col("source").isin(budgets.keys.toSeq: _*))
-      .select(col("source"), col(idCol).cast("long").as("doc_id"),
-        md5(col(textCol)).as("h"), tokenCount(col(textCol)).as("tokens"))
       .withColumn("hb", substring(col("h"), 1, 2))
-    // pass 1: bounded bucket statistics — <= sources x 256 rows
-    val bstats = slim.groupBy("source", "hb")
+    // pass 1: bounded bucket statistics — <= sources x 256 rows. The
+    // collect is a PLAN-TIME job every serve re-pays; callers whose input
+    // is content-fingerprinted (the dataset build's persisted keep set)
+    // pass a memoKey so the tiny cuts table rides the driver memo
+    // registry instead (the kmeans-cents discipline — the key folds the
+    // data fingerprint, so any source rewrite recomputes)
+    def computeBstats() = slim.groupBy("source", "hb")
       .agg(sum(col("tokens")).as("btok"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bstats = memoKey
+      .fold(computeBstats()) { mk =>
+        graft.Caches.memo("mix-cuts",
+          s"$mk|${budgets.toSeq.sorted.mkString(",")}")(computeBstats())
+      }
       .groupBy(_._1)
     // per source: the first bucket whose cumulative sum crosses the
     // budget, and the budget remainder entering it; "zz" (> any hex
@@ -842,12 +875,25 @@ object Curation {
     * windows (O(dup x segWords)); the island merge shares one clustering
     * exchange on the doc key with the final rollup.
     */
-  /** Shared machinery of the substring tier: the DISTINCT token positions
-    * of `idCol`-keyed docs covered by any >=`dupMin`-occurrence
-    * `segWords`-token sliding window — (idCol, n, p) rows.
+  /** Shared machinery of the substring tier: per doc, the SORTED DISTINCT
+    * token positions covered by any >=`dupMin`-occurrence `segWords`-token
+    * sliding window — (idCol, n, cov ARRAY<INT>) rows, docs with no
+    * covered position absent.
+    *
+    * Shuffle shape (optimization guide §2.4/§3.1): the duplicated-window
+    * set is a tiny fraction of windows by construction, so it BROADCASTS
+    * back against the window stream — the window rows cross exactly one
+    * exchange (the occurrence count's partial aggregation); pre-r19 the
+    * same rows paid a second full seg_hash exchange through a sort-merge
+    * join, then a (id, n, p) distinct exchange, then the consumers' doc
+    * window exchange. The per-doc position set replaces distinct + lag
+    * window + rollup with ONE doc-keyed collect_set aggregation whose
+    * state is O(duplicated tokens per doc) — bounded by the same
+    * construction; past broadcast size swap the join for a shuffle join,
+    * plan otherwise unchanged.
     */
-  private def dupPositions(docs: DataFrame, segWords: Int, dupMin: Int,
-                           idCol: String, textCol: String): DataFrame = {
+  private def dupPositionSets(docs: DataFrame, segWords: Int, dupMin: Int,
+                              idCol: String, textCol: String): DataFrame = {
     require(segWords > 0 && dupMin >= 2)
     val toks = split(col(textCol), " ")
     val wins = docs
@@ -866,23 +912,28 @@ object Curation {
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= dupMin)
       .select(col("seg_hash"))
-    wins.join(dup, Seq("seg_hash"))
+    wins.join(broadcast(dup), Seq("seg_hash"))
       .select(col(idCol), col("n"),
         explode(sequence(col("start"), col("start") + (segWords - 1))).as("p"))
-      .distinct()
+      .groupBy(col(idCol))
+      .agg(max(col("n")).as("n"), sort_array(collect_set(col("p"))).as("cov"))
   }
 
   def substringDedup(docs: DataFrame, segWords: Int = 10, dupMin: Int = 2,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pos = dupPositions(docs, segWords, dupMin, idCol, textCol)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
-    pos
-      .withColumn("new_span",
-        when(lag(col("p"), 1).over(w) === col("p") - 1, lit(0)).otherwise(lit(1)))
-      .groupBy(col(idCol))
-      .agg(max(col("n")).as("n_tokens"),
-        count(lit(1)).as("dup_tokens"),
-        sum(col("new_span")).as("n_spans"))
+    val sets = dupPositionSets(docs, segWords, dupMin, idCol, textCol)
+    // span count in-row over the sorted distinct positions: a new span
+    // starts at index 1 and wherever the position is not predecessor+1 —
+    // exactly the lag-window gaps-and-islands rule, without its exchange
+    val spans = size(filter(
+      transform(sequence(lit(1), size(col("cov"))),
+        // when(): element_at(cov, 0) must never evaluate (index-0 error)
+        i => when(i === 1, lit(true)).otherwise(
+          element_at(col("cov"), i) =!= element_at(col("cov"), i - 1) + 1)),
+      x => x))
+    sets.select(col(idCol), col("n").as("n_tokens"),
+      size(col("cov")).cast("long").as("dup_tokens"),
+      spans.cast("long").as("n_spans"))
   }
 
   /** The APPLY side of [[substringDedup]] — Lee et al. don't just count
@@ -900,9 +951,8 @@ object Curation {
     */
   def substringDedupApply(docs: DataFrame, segWords: Int = 10, dupMin: Int = 2,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val covs = dupPositions(docs, segWords, dupMin, idCol, textCol)
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("p"))).as("cov"))
+    val covs = dupPositionSets(docs, segWords, dupMin, idCol, textCol)
+      .select(col(idCol), col("cov"))
     val toks = split(col(textCol), " ")
     docs.select(col(idCol), col(textCol))
       .join(covs, Seq(idCol), "left")
@@ -1014,14 +1064,34 @@ object Curation {
     // no extra pin). Key = plan hash + DATA fingerprint: semanticHash
     // alone keeps serving a stale keep set after a same-path source
     // rewrite within the session.
+    //
+    // What persists is the NARROW serve projection (doc_id, h, tokens):
+    // the mix selects on (h, tokens) and the pack lays out (doc_id,
+    // tokens) — document text never reaches this operator's output, so
+    // persisting it only made every serve job re-read megabytes of text
+    // and re-run md5 + the whole-text split per job (optimization guide
+    // §2.3 project-early / §1.2 per-task work; before/after plans in
+    // plans/r19/curate_dataset_build_*.txt).
     val kept0 = curateKeep(docs, minTokens)
-    val kept = graft.Caches.cached("curate-keepset",
-      s"${kept0.queryExecution.analyzed.semanticHash()}|" +
-        graft.Caches.dataFingerprint(kept0))(kept0)
-    val sel = tokenBudgetMixDocs(kept.join(sources, Seq("doc_id")),
-      budgets)
-    packSequences(kept.join(sel.select("doc_id"), Seq("doc_id"),
-      "semi"), budgetTokens, shards)
+    val keptSlim = kept0.select(col("doc_id"), md5(col("text")).as("h"),
+      tokenCount(col("text")).as("tokens"))
+    val keepKey = s"${keptSlim.queryExecution.analyzed.semanticHash()}|" +
+      graft.Caches.dataFingerprint(kept0)
+    val kept = graft.Caches.cached("curate-keepset", keepKey)(keptSlim)
+    val sel = tokenBudgetMixCore(kept.join(sources, Seq("doc_id"))
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        col("h"), col("tokens")),
+      budgets,
+      // sources joins on the fingerprinted keep set; fold its scan
+      // fingerprint too so a sources-table rewrite recomputes the cuts
+      memoKey = Some(s"$keepKey|${graft.Caches.dataFingerprint(sources)}"))
+    // the selection is budget-bounded by construction (docs per source ≈
+    // budget_tokens / doc length) — broadcast the semi probe so the keep
+    // set never shuffles on doc_id (pre-r19 it rode a SortMergeJoin
+    // LeftSemi exchange, full text and all)
+    packTokens(kept.join(broadcast(sel.select("doc_id")), Seq("doc_id"),
+        "semi")
+      .select(col("doc_id"), col("tokens")), budgetTokens, shards, "doc_id")
   }
 
   /** Stages 1-3 of the pipeline (normalize -> floor -> exact dedup):

@@ -117,8 +117,19 @@ object StoredIndex {
           try f.get()
           catch {
             case e: java.util.concurrent.ExecutionException =>
-              if (firstErr == null) firstErr = e.getCause
-            case e: Throwable => if (firstErr == null) firstErr = e
+              if (firstErr == null) {
+                firstErr = e.getCause
+                // first failure: cancel stages not yet started (queued
+                // futures) so a doomed build stops fanning out writes —
+                // in-flight siblings are still awaited below so no write
+                // outlives the call (ADVICE r18: siblings used to run to
+                // completion and tear extra stage dirs on append paths)
+                futs.foreach(_.cancel(false))
+              }
+            case e: Throwable => if (firstErr == null) {
+              firstErr = e
+              futs.foreach(_.cancel(false))
+            }
           }
         }
         if (firstErr != null) throw firstErr

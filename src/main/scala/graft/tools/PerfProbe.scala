@@ -68,9 +68,17 @@ object PerfProbe {
       .filter(col("doc").isNotNull).select(col("event_id"), col("doc.*"))
     val stageDir = java.nio.file.Files
       .createTempDirectory("perfprobe-parsed").toString
-    time("parsed -> parquet stage")(
-      { rawParsed.write.mode("overwrite").parquet(stageDir); 0L })
-    time("parquet stage re-read")(spark.read.parquet(stageDir).count())
+    try {
+      time("parsed -> parquet stage")(
+        { rawParsed.write.mode("overwrite").parquet(stageDir); 0L })
+      time("parquet stage re-read")(spark.read.parquet(stageDir).count())
+    } finally { // don't leak a parsed-corpus copy per probe run (ADVICE r18)
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(stageDir)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     time("parsed (current)")(LogCorpus.parsed(ev).count())
     time("parsed again")(LogCorpus.parsed(ev).count())
     val parsed = LogCorpus.parsed(ev)

@@ -274,31 +274,31 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"expected a single hash exchange:\n$plan")
   }
 
-  test("waiting-supplier: semi + anti stay equi hash joins, supplier broadcasts") {
-    // the Q21 shape's scale hazard: if a refactor moves the supplier
-    // INEQUALITY out of the residual and into the join condition proper,
-    // Catalyst falls back to BroadcastNestedLoopJoin -- quadratic per
-    // orderkey group and a genuine 100x scale-killer. Pin the shape:
-    // every EXISTS/NOT-EXISTS probe is an equi join on l_orderkey with
-    // the =!= as residual, the supplier dim side broadcasts, and no
-    // nested-loop/cartesian node appears anywhere. (A hot orderkey at
-    // scale is AQE's skew-split problem, not a plan-shape change -- the
-    // skew path itself is pinned by the AQE skew test above.)
+  test("waiting-supplier: one shared fact exchange, dims broadcast") {
+    // the Q21 shape since r18: the EXISTS/NOT-EXISTS pair is folded into
+    // per-(orderkey, suppkey) then per-orderkey aggregations sharing ONE
+    // explicit l_orderkey exchange (OPTIMIZATION_r18.md #1 — fact rows
+    // never meet each other; 4 -> 2 real exchanges, -78% shuffle). Pin
+    // the scale invariants of THAT shape: no nested-loop/cartesian node
+    // anywhere (the residual-inequality hazard of the old decorrelated
+    // form is gone with the joins, but a refactor reintroducing a
+    // non-equi probe would bring it back), exactly one exchange keyed on
+    // l_orderkey feeding both aggregation levels, and both dimension
+    // tables (orders date lookup, supplier names) riding broadcasts —
+    // never a fact-side shuffle.
     val df = graft.queries.JoinQueries.qWaitingSupplier(spark, sf001)
     df.count() // materialize so AQE finalizes the physical plan
     val p = plan(df)
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
-      s"EXISTS/NOT-EXISTS must stay equi-join-shaped:\n$p")
-    val semi = p.linesIterator.filter(_.contains("LeftSemi")).toSeq
-    val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
-    assert(semi.nonEmpty && anti.nonEmpty,
-      s"expected decorrelated semi AND anti joins in:\n$p")
-    assert((semi ++ anti).forall(l => l.contains("l_orderkey") &&
-        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
-         l.contains("BroadcastHashJoin"))),
-      s"semi/anti must be hash joins equi on l_orderkey:\n$p")
-    // the supplier dim rides a broadcast, not a shuffle
+      s"the verdict fold must stay equi-shaped:\n$p")
+    val factEx = p.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("l_orderkey")).toSeq
+    assert(factEx.size == 1,
+      s"expected ONE shared l_orderkey exchange, got ${factEx.size}:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+        l.contains("o_orderkey")),
+      s"expected the orders date-lookup broadcast:\n$p")
     assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
         l.contains("s_suppkey")),
       s"expected the supplier dim broadcast:\n$p")
