@@ -142,13 +142,16 @@ object LangModel {
     * metas read it as null and default to order 2.
     */
   private def metaOf(spark: SparkSession, dir: String,
-                     asOf: Option[Int]): (Int, Long, Int, Int) = {
-    val r = StoredIndex.readTable(spark, s"$dir/meta",
-      "vocab_top INT, v BIGINT, nbuckets INT, ordern INT", asOf).collect()
-    require(r.nonEmpty, s"no lm index meta under $dir")
-    (r(0).getInt(0), r(0).getLong(1), r(0).getInt(2),
-      if (r(0).isNullAt(3)) 2 else r(0).getInt(3))
-  }
+                     asOf: Option[Int]): (Int, Long, Int, Int) =
+    // version-keyed driver memo: immutable per committed version, was one
+    // plan-time collect job per serve (StoredIndex.memoByVersion doc)
+    StoredIndex.memoByVersion("lm-meta", dir, asOf) {
+      val r = StoredIndex.readTable(spark, s"$dir/meta",
+        "vocab_top INT, v BIGINT, nbuckets INT, ordern INT", asOf).collect()
+      require(r.nonEmpty, s"no lm index meta under $dir")
+      (r(0).getInt(0), r(0).getLong(1), r(0).getInt(2),
+        if (r(0).isNullAt(3)) 2 else r(0).getInt(3))
+    }
 
   private def vocabOf(spark: SparkSession, dir: String,
                       asOf: Option[Int]): DataFrame =

@@ -460,12 +460,15 @@ object Similarity {
   private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
                             dir: String,
                             asOf: Option[Int] = None): Seq[Seq[Seq[Double]]] =
-    graft.sources.StoredIndex.readTable(spark, s"$dir/codebooks",
-        "sub INT, code INT, cv ARRAY<DOUBLE>", asOf)
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    // version-keyed driver memo, same contract as readCentroids
+    graft.sources.StoredIndex.memoByVersion("ivf-codebooks", dir, asOf) {
+      graft.sources.StoredIndex.readTable(spark, s"$dir/codebooks",
+          "sub INT, code INT, cv ARRAY<DOUBLE>", asOf)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    }
 
   /** IVF-PQ serving (IVFADC with exact re-rank) — per arriving probe:
     *
@@ -641,9 +644,14 @@ object Similarity {
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
                             dir: String,
                             asOf: Option[Int] = None): Seq[Seq[Double]] =
-    graft.sources.StoredIndex.readTable(spark, s"$dir/centroids",
-        "cell BIGINT, cv ARRAY<DOUBLE>", asOf)
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    // version-keyed driver memo: centroids change only through commits
+    // (retrain/rebuild), and collecting them was one plan-time job per
+    // annRoute/pqRoute serve (StoredIndex.memoByVersion doc)
+    graft.sources.StoredIndex.memoByVersion("ivf-centroids", dir, asOf) {
+      graft.sources.StoredIndex.readTable(spark, s"$dir/centroids",
+          "cell BIGINT, cv ARRAY<DOUBLE>", asOf)
+        .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    }
 
   private def readPostings(spark: org.apache.spark.sql.SparkSession,
                            dir: String,

@@ -165,11 +165,16 @@ object TextIndex {
     */
   private def readBpeMerges(spark: SparkSession,
                             dir: String): Seq[Bpe.Merge] =
-    StoredIndex.readTable(spark, s"$dir/tokmerges",
-        "rank INT, `left` STRING, `right` STRING, pairCount BIGINT")
-      .collect().sortBy(_.getInt(0))
-      .map(r => Bpe.Merge(r.getInt(0), r.getString(1), r.getString(2),
-        r.getLong(3))).toSeq
+    // version-keyed driver memo: the trained merge table is immutable per
+    // committed version, and collecting it was one plan-time job per
+    // bpe-index serve (StoredIndex.memoByVersion doc)
+    StoredIndex.memoByVersion("bm25-bpe-merges", dir) {
+      StoredIndex.readTable(spark, s"$dir/tokmerges",
+          "rank INT, `left` STRING, `right` STRING, pairCount BIGINT")
+        .collect().sortBy(_.getInt(0))
+        .map(r => Bpe.Merge(r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+    }
 
   /** Token-array column function for a trained BPE merge table: words
     * (split on space, empties dropped — [[Bpe.encodeStats]]'s word
@@ -226,21 +231,24 @@ object TextIndex {
     * blocks/blockSize) — the option flags read null (= false / `ws` /
     * 0) on indexes built before each option existed.
     */
-  private def metaFull(spark: SparkSession, dir: String): Meta = {
-    val r = StoredIndex.readTable(spark, s"$dir/meta",
-      "nbuckets INT, dlrange BIGINT, fwd BOOLEAN, pos BOOLEAN, " +
-        "tok STRING, impb INT, impbs INT, impfrac DOUBLE")
-      .collect()
-    require(r.nonEmpty, s"no bm25 index meta under $dir")
-    Meta(r.head.getInt(0), r.head.getLong(1),
-      !r.head.isNullAt(2) && r.head.getBoolean(2),
-      !r.head.isNullAt(3) && r.head.getBoolean(3),
-      if (r.head.isNullAt(4)) "ws" else r.head.getString(4),
-      if (r.head.isNullAt(5)) 0 else r.head.getInt(5),
-      if (r.head.isNullAt(6)) 0 else r.head.getInt(6),
-      if (r.head.isNullAt(7)) 0.0 else r.head.getDouble(7),
-      dir)
-  }
+  private def metaFull(spark: SparkSession, dir: String): Meta =
+    // version-keyed driver memo: the meta row is immutable per committed
+    // manifest version, and collecting it was one plan-time job per serve
+    StoredIndex.memoByVersion("bm25-meta", dir) {
+      val r = StoredIndex.readTable(spark, s"$dir/meta",
+        "nbuckets INT, dlrange BIGINT, fwd BOOLEAN, pos BOOLEAN, " +
+          "tok STRING, impb INT, impbs INT, impfrac DOUBLE")
+        .collect()
+      require(r.nonEmpty, s"no bm25 index meta under $dir")
+      Meta(r.head.getInt(0), r.head.getLong(1),
+        !r.head.isNullAt(2) && r.head.getBoolean(2),
+        !r.head.isNullAt(3) && r.head.getBoolean(3),
+        if (r.head.isNullAt(4)) "ws" else r.head.getString(4),
+        if (r.head.isNullAt(5)) 0 else r.head.getInt(5),
+        if (r.head.isNullAt(6)) 0 else r.head.getInt(6),
+        if (r.head.isNullAt(7)) 0.0 else r.head.getDouble(7),
+        dir)
+    }
 
   private def meta(spark: SparkSession, dir: String): (Int, Long) = {
     val m = metaFull(spark, dir)
@@ -1054,9 +1062,12 @@ object TextIndex {
     val termTb: Map[String, Long] =
       pairs.map(_._2).distinct.map(t => t -> termBucket(t, nb)).toMap
     val allTb = termTb.values.toSeq.distinct
-    // live corpus stats (2 longs) — inlined as literals below
-    val statsRow = mergedStats(spark, dir, asOf).collect().head
-    val cn = statsRow.getLong(0); val ctl = statsRow.getLong(1)
+    // live corpus stats (2 longs) — inlined as literals below;
+    // version-keyed memo (the stats LSM changes only through commits)
+    val (cn, ctl) = StoredIndex.memoByVersion("bm25-stats", dir, asOf) {
+      val statsRow = mergedStats(spark, dir, asOf).collect().head
+      (statsRow.getLong(0), statsRow.getLong(1))
+    }
     // bounded collect #2: merged live (df, envelope) for the batch
     // vocabulary — term-bucket-pruned, O(batch vocabulary) rows
     val termStats: Map[String, (Long, Option[Long], Option[Long])] =
