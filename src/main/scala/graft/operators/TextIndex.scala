@@ -381,6 +381,17 @@ object TextIndex {
       .groupBy("term", "tb").agg(count(lit(1)).as("df"),
         max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
 
+  /** [[termStatsOf]] with the per-doc lengths derived from the postings
+    * batch itself (dl = sum tf — [[doclensFromPostings]]' rule restricted
+    * to docs that HAVE postings, the only docs a term row can join, so
+    * the stats are identical): lets the termdf write run concurrently
+    * with the doclens write instead of consuming its read-back (r19 —
+    * the doclens round-trip left termdf's critical path).
+    */
+  private def termStatsOfPost(post: DataFrame): DataFrame =
+    termStatsOf(post,
+      post.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+
   /** The forward rows of a batch: (doc_id, term, tf, dr). */
   private def fwdOf(post: DataFrame, dlRange: Long): DataFrame =
     post.select(col("doc_id"), col("term"), col("tf"))
@@ -553,24 +564,32 @@ object TextIndex {
       "tb", s"$dir/postings")
     val post = StoredIndex.readDirTable(spark, s"$dir/postings",
       postingsDdl(positional))
-    writeByPart(doclensFromPostings(docs, post, dlRange), "dr",
-      s"$dir/doclens")
-    val dls = StoredIndex.readDirTable(spark, s"$dir/doclens",
-      "doc_id BIGINT, dl BIGINT, dr BIGINT")
-    // the four tables below derive ONLY from the immutable postings/doclens
-    // read-backs and write disjoint directories — concurrent jobs (guide
-    // §2.6) so the build's stage fan costs ~max, not Σ
+    // everything below derives ONLY from the immutable postings read-back
+    // (termdf — and fwd — directly; doclens, then impacts/stats off the
+    // doclens read-back) and writes disjoint directories — concurrent
+    // jobs (guide §2.6) so the build's stage fan costs ~max, not Σ.
+    // r19: the doclens write left the critical path of termdf/fwd — they
+    // never consume it, so the doclens→{impacts, stats} CHAIN runs as one
+    // parallel branch beside them instead of gating the whole fan.
+    def dlsChain(): Unit = {
+      writeByPart(doclensFromPostings(docs, post, dlRange), "dr",
+        s"$dir/doclens")
+      val dls = StoredIndex.readDirTable(spark, s"$dir/doclens",
+        "doc_id BIGINT, dl BIGINT, dr BIGINT")
+      StoredIndex.parallelStages(
+        (if (impactBlocks > 0 || impactFraction > 0)
+           Seq(() => writeImpacts(impactsOf(post, dls, impactBlocks,
+             impactBlockSize, impactFraction), s"$dir/impacts/seg=0"))
+         else Nil)
+        ++ Seq(() => dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
+             .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/seg=0")))
+    }
     StoredIndex.parallelStages(Seq(
-      () => writeByPart(termStatsOf(post, dls), "tb", s"$dir/termdf/seg=0"))
+      () => dlsChain(),
+      () => writeByPart(termStatsOfPost(post), "tb", s"$dir/termdf/seg=0"))
       ++ (if (forward)
             Seq(() => writeByPart(fwdOf(post, dlRange), "dr", s"$dir/fwd"))
-          else Nil)
-      ++ (if (impactBlocks > 0 || impactFraction > 0)
-            Seq(() => writeImpacts(impactsOf(post, dls, impactBlocks,
-              impactBlockSize, impactFraction), s"$dir/impacts/seg=0"))
-          else Nil)
-      ++ Seq(() => dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
-           .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/seg=0")))
+          else Nil))
     IndexCommit.commitFiles(dir, IndexCommit.walkDataFiles(dir))
   }
 
@@ -619,25 +638,32 @@ object TextIndex {
       "tb", s"$dir/.postings-stage")
     val post = StoredIndex.readDirTable(spark, s"$dir/.postings-stage",
       postingsDdl(m.pos))
-    writeByPart(doclensFromPostings(newDocs, post, dlr), "dr",
-      s"$dir/.doclens-stage")
-    val dls = StoredIndex.readDirTable(spark, s"$dir/.doclens-stage",
-      "doc_id BIGINT, dl BIGINT, dr BIGINT")
-    // independent stage-table writes from the immutable read-backs —
-    // concurrent jobs, same fan as the build (guide §2.6). An impacts
-    // segment is segment-local impact order: serving reads every
-    // segment's head, compaction re-blocks globally.
+    // independent stage-table writes from the immutable postings
+    // read-back — concurrent jobs, same fan as the build (guide §2.6):
+    // termdf/fwd derive from postings alone, so the doclens write and its
+    // dependents (impacts, stats) run as one parallel branch beside them
+    // (the r19 build restructure). An impacts segment is segment-local
+    // impact order: serving reads every segment's head, compaction
+    // re-blocks globally.
+    def dlsChain(): Unit = {
+      writeByPart(doclensFromPostings(newDocs, post, dlr), "dr",
+        s"$dir/.doclens-stage")
+      val dls = StoredIndex.readDirTable(spark, s"$dir/.doclens-stage",
+        "doc_id BIGINT, dl BIGINT, dr BIGINT")
+      StoredIndex.parallelStages(
+        (if (m.hasImpacts)
+           Seq(() => writeImpacts(impactsOf(post, dls, m.impB, m.impBs,
+             m.impF), s"$dir/.impacts-stage"))
+         else Nil)
+        ++ Seq(() => dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
+             .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stats-stage")))
+    }
     StoredIndex.parallelStages(Seq(
-      () => writeByPart(termStatsOf(post, dls), "tb", s"$dir/.termdf-stage"))
+      () => dlsChain(),
+      () => writeByPart(termStatsOfPost(post), "tb", s"$dir/.termdf-stage"))
       ++ (if (hasFwd)
             Seq(() => writeByPart(fwdOf(post, dlr), "dr", s"$dir/.fwd-stage"))
-          else Nil)
-      ++ (if (m.hasImpacts)
-            Seq(() => writeImpacts(impactsOf(post, dls, m.impB, m.impBs,
-              m.impF), s"$dir/.impacts-stage"))
-          else Nil)
-      ++ Seq(() => dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("tl"))
-           .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stats-stage")))
+          else Nil))
     IndexCommit.hit("bm25-staged")
     def p(s: String) = java.nio.file.Paths.get(s)
     StoredIndex.moveTree(t, p(s"$dir/.postings-stage"), p(s"$dir/postings"))
