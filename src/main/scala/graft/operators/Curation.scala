@@ -1033,8 +1033,36 @@ object Curation {
                      nearThreshold: Double = 0.6, benchMod: Int = 97,
                      minOverlap: Int = 3, budgetTokens: Int = 2048,
                      shards: Int = 8): DataFrame =
-    packSequences(curateKeep(docs, minTokens, k, nearThreshold, benchMod,
-      minOverlap), budgetTokens, shards)
+    // the pack consumes only (doc_id, tokens), so it lays out the SAME
+    // persisted slim keep-set projection the dataset build serves from —
+    // one screen run feeds both operators (pre-r19 the pipeline rode
+    // Spark's cache substitution of the dataset build's full-text keep
+    // set; when that cache went narrow, the screens would otherwise
+    // re-run per pipeline serve)
+    packTokens(keptSlimCached(docs, minTokens, k, nearThreshold, benchMod,
+        minOverlap)._1.select(col("doc_id"), col("tokens")),
+      budgetTokens, shards, "doc_id")
+
+  /** The persisted NARROW keep-set projection (doc_id, md5(text),
+    * tokenCount(text)) shared by [[curatePipeline]] and [[datasetBuild]]
+    * — the screens run once per (corpus, params) and every downstream
+    * serve (mix selection, pack layout) reads three slim columns. Key =
+    * plan hash + DATA fingerprint (semanticHash alone keeps serving a
+    * stale keep set after a same-path source rewrite within the
+    * session). Returns (cached frame, its key) — callers fold the key
+    * into their own derived memo keys.
+    */
+  private def keptSlimCached(docs: DataFrame, minTokens: Int, k: Int = 3,
+                             nearThreshold: Double = 0.6, benchMod: Int = 97,
+                             minOverlap: Int = 3): (DataFrame, String) = {
+    val kept0 = curateKeep(docs, minTokens, k, nearThreshold, benchMod,
+      minOverlap)
+    val keptSlim = kept0.select(col("doc_id"), md5(col("text")).as("h"),
+      tokenCount(col("text")).as("tokens"))
+    val keepKey = s"${keptSlim.queryExecution.analyzed.semanticHash()}|" +
+      graft.Caches.dataFingerprint(kept0)
+    (graft.Caches.cached("curate-keepset", keepKey)(keptSlim), keepKey)
+  }
 
   /** The TRAIN-READY DATASET BUILD — the whole recipe as one composition,
     * every stage an already-verified primitive: CURATE (normalize ->
@@ -1072,12 +1100,7 @@ object Curation {
     // and re-run md5 + the whole-text split per job (optimization guide
     // §2.3 project-early / §1.2 per-task work; before/after plans in
     // plans/r19/curate_dataset_build_*.txt).
-    val kept0 = curateKeep(docs, minTokens)
-    val keptSlim = kept0.select(col("doc_id"), md5(col("text")).as("h"),
-      tokenCount(col("text")).as("tokens"))
-    val keepKey = s"${keptSlim.queryExecution.analyzed.semanticHash()}|" +
-      graft.Caches.dataFingerprint(kept0)
-    val kept = graft.Caches.cached("curate-keepset", keepKey)(keptSlim)
+    val (kept, keepKey) = keptSlimCached(docs, minTokens)
     val sel = tokenBudgetMixCore(kept.join(sources, Seq("doc_id"))
       .select(col("source"), col("doc_id").cast("long").as("doc_id"),
         col("h"), col("tokens")),
